@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import H._
+
+/** SURVEY.md §2.8 — scalar function families, one composite query per family.
+  *
+  * Dialect-divergence notes baked in (SURVEY §5.4):
+  *  - day-of-week numbering differs (Spark 1=Sun..7 vs DuckDB isodow 1=Mon..7)
+  *    → both sides normalized to ISO 1=Mon..7.
+  *  - `get_json_object` returns string, DuckDB json_extract returns JSON →
+  *    both cast to INT.
+  *  - pmod has no DuckDB equivalent → ((a % b) + b) % b on the oracle side.
+  *  - libm transcendental (ln/exp/pow) last-ulp divergence → round(4).
+  */
+object Funcs {
+
+  private val fnString = Q(
+    "fn_string",
+    (s, d) => T.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_brand")).as("lo_brand"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      substring(col("p_name"), 1, 5).as("pre5"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size4"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+trim('  ' || p_name || '  ') AS trimmed,
+substring(p_name, 1, 5) AS pre5,
+concat_ws('|', p_brand, p_type) AS brand_type,
+length(p_name) AS name_len,
+replace(p_name, ' ', '_') AS snake,
+lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+FROM part ORDER BY p_partkey"""))
+
+  /** Regex extraction/replacement/filter — the FTS error-string parsing shape. */
+  private val fnRegex = Q(
+    "fn_regex",
+    (s, d) => T.customer(s, d)
+      .filter(col("c_name").rlike("[02468]$"))
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        regexp_replace(col("c_name"), "^Customer#0*", "C-").as("short_name"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+regexp_replace(c_name, '^Customer#0*', 'C-') AS short_name
+FROM customer WHERE regexp_matches(c_name, '[02468]$')
+ORDER BY c_custkey"""))
+
+  /** Fuzzy string match: nearest same-nation supplier name per customer.
+    * Equi-join on nationkey bounds the pair count (no cross product at scale).
+    */
+  private val fnLevenshtein = Q(
+    "fn_levenshtein",
+    (s, d) => {
+      val pairs = T.customer(s, d)
+        .join(broadcast(T.supplier(s, d)), col("c_nationkey") === col("s_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("s_name"),
+          levenshtein(col("c_name"), col("s_name")).as("dist"))
+      val w = Window.partitionBy("c_custkey").orderBy(col("dist").asc, col("s_name").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("c_custkey", "c_name", "s_name", "dist")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, s_name, dist
+FROM (SELECT c_custkey, c_name, s_name,
+        levenshtein(c_name, s_name) AS dist,
+        row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY levenshtein(c_name, s_name) ASC, s_name ASC) AS rn
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+WHERE rn = 1 ORDER BY c_custkey"""))
+
+  private val fnDatetime = Q(
+    "fn_datetime",
+    (s, d) => T.events(s, d).select(
+      col("event_id"),
+      to_date(date_trunc("day", col("ts"))).as("day"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      hour(col("ts")).as("h"),
+      (expr("weekday(ts)") + 1).as("isodow"),
+      datediff(lit("2024-02-01").cast("date"), col("ts")).as("days_to_feb"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      (em(col("ts")) + 3600000000L).as("plus1h_us"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+CAST(date_trunc('day', ts) AS DATE) AS day,
+year(ts) AS y, month(ts) AS m, hour(ts) AS h,
+isodow(ts) AS isodow,
+datediff('day', CAST(ts AS DATE), DATE '2024-02-01') AS days_to_feb,
+epoch_us(ts) // 1000000 AS epoch_s,
+epoch_us(ts) + 3600000000 AS plus1h_us
+FROM events ORDER BY event_id"""))
+
+  private val fnMath = Q(
+    "fn_math",
+    (s, d) => T.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice"), 2).as("price_r2"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_quantity") / 7).cast("long").as("q_ceil"),
+        floor(col("l_quantity") / 7).cast("long").as("q_floor"),
+        r4(log(col("l_extendedprice"))).as("ln_price"),
+        r4(exp(col("l_discount"))).as("exp_disc"),
+        r4(pow(col("l_quantity"), 1.5)).as("q_pow"),
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+        pmod(col("l_orderkey") - 5, lit(7L)).as("pm7"))
+      .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey,
+round(l_extendedprice, 2) AS price_r2,
+abs(l_discount - 0.05) AS disc_dev,
+CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
+CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
+round(ln(l_extendedprice), 4) AS ln_price,
+round(exp(l_discount), 4) AS exp_disc,
+round(pow(l_quantity, 1.5), 4) AS q_pow,
+CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+(((l_orderkey - 5) % 7) + 7) % 7 AS pm7
+FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""))
+
+  private val fnConditional = Q(
+    "fn_conditional",
+    (s, d) => T.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 3000, "low")
+        .when(col("c_acctbal") < 7000, "mid")
+        .otherwise("high").as("tier"),
+      coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("OTHER")).as("seg_or_other"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+      least(col("c_acctbal"), lit(5000.0)).as("bal_cap5k"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+CASE WHEN c_acctbal < 0 THEN 'negative'
+     WHEN c_acctbal < 3000 THEN 'low'
+     WHEN c_acctbal < 7000 THEN 'mid'
+     ELSE 'high' END AS tier,
+coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+greatest(c_acctbal, 0.0) AS bal_floor0,
+least(c_acctbal, 5000.0) AS bal_cap5k
+FROM customer ORDER BY c_custkey"""))
+
+  /** Exact money arithmetic via DECIMAL(12,2) + cast round-trips. */
+  private val fnCastDecimal = Q(
+    "fn_cast_decimal",
+    (s, d) => T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_exact"),
+        sum(col("o_orderkey").cast("string").cast("long")).as("sum_key_roundtrip"),
+        min(col("o_orderdate").cast("date")).as("first_date"),
+        max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_exact,
+sum(CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)) AS sum_key_roundtrip,
+min(CAST(o_orderdate AS DATE)) AS first_date,
+max(CAST(o_orderdate AS DATE)) AS last_date,
+count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Array + higher-order functions over tokenized document text. */
+  private val fnArray = Q(
+    "fn_array",
+    (s, d) => T.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "join").as("has_join"),
+        concat_ws(" ", slice(col("toks"), 1, 5)).as("first5"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).as("total_len"),
+        size(filter(col("toks"), x => length(x) > 4)).as("n_long"),
+        element_at(sort_array(col("toks")), 1).as("first_sorted"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+len(t) AS n_toks,
+list_contains(t, 'join') AS has_join,
+array_to_string(t[1:5], ' ') AS first5,
+len(list_distinct(t)) AS n_uniq,
+CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS INTEGER) AS total_len,
+len(list_filter(t, x -> length(x) > 4)) AS n_long,
+list_sort(t)[1] AS first_sorted
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+ORDER BY doc_id"""))
+
+  /** Generator / UDTF shape: explode to token rows, word-count. */
+  private val fnExplode = Q(
+    "fn_explode",
+    (s, d) => T.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("tok"),
+    Some("""SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 100)
+GROUP BY tok ORDER BY tok"""))
+
+  /** JSON payload parsing + map construction (FTS props payloads). */
+  private val fnMapJson = Q(
+    "fn_map_json",
+    (s, d) => T.events(s, d)
+      .withColumn("parsed",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .withColumn("m", map(lit("v"), col("value"), lit("k"),
+        col("parsed.k").cast("double")))
+      .select(
+        col("event_id"),
+        col("parsed.k").as("k_struct"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        (col("parsed.k") === get_json_object(col("props"), "$.k").cast("int")).as("k_match"),
+        concat_ws(",", map_keys(col("m"))).as("m_keys"),
+        element_at(col("m"), "k").as("m_k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+TRUE AS k_match,
+'v,k' AS m_keys,
+CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS m_k
+FROM events ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
+    fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson)
+}

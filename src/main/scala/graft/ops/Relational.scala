@@ -1,0 +1,598 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import H._
+
+/** SURVEY.md §2.1 sources, §2.2 projection/filter, §2.3 joins, §2.4 aggregation.
+  *
+  * Every query ends with a total ORDER BY (unique-key tiebreak) and routes
+  * floating aggregates through [[H.dsum]] / round(4) — see SURVEY.md §5.4.
+  * Scale notes (100 TB): no collect(), dims broadcast explicitly, the theta
+  * join is bucketized into an equi-join instead of a BNLJ cross product.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- §2.1 sources
+
+  private val srcParquetScan = Q(
+    "src_parquet_scan",
+    (s, d) => T.lineitem(s, d).orderBy("l_orderkey", "l_linenumber"),
+    Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+
+  /** CSV sink + source round-trip with explicit schema (no inferSchema —
+    * SURVEY §1.3). Side-effecting → declared-only, no oracle.
+    */
+  private val srcCsvRoundtrip = Q(
+    "src_csv_roundtrip",
+    (s, d) => {
+      val out = s"/root/repo/target/io/csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sample = T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      sample.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(sample.schema).option("header", "true").csv(out)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    None)
+
+  /** JSON-lines sink + source round-trip (models the FTS REST JSON shape).
+    * ts is surfaced as epoch µs so the round-trip is precision-exact.
+    */
+  private val srcJsonLines = Q(
+    "src_json_lines",
+    (s, d) => {
+      val out = s"/root/repo/target/io/json_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sample = T.events(s, d).filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), em(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      sample.write.mode("overwrite").json(out)
+      s.read.schema(sample.schema).json(out).orderBy("event_id")
+    },
+    None)
+
+  /** Multi-file scan — union across all three sf partitions of the datalake
+    * layout. Paths live outside the driver's sfDir → no oracle.
+    */
+  private val srcUnionPartitions = Q(
+    "src_union_partitions",
+    (s, _) => {
+      val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+        .map(sf => s"/root/testdata/$sf/region.parquet")
+      s.read.parquet(dirs: _*)
+        .groupBy("r_regionkey", "r_name").agg(count(lit(1)).as("n_copies"))
+        .orderBy("r_regionkey")
+    },
+    None)
+
+  // ----------------------------------------------- §2.2 projection / filter
+
+  private val projSelectAlias = Q(
+    "proj_select_alias",
+    (s, d) => T.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      (col("l_extendedprice") * col("l_tax")).as("tax_amt"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+l_extendedprice * (1 - l_discount) AS revenue,
+l_extendedprice * l_tax AS tax_amt
+FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** TPC-H Q6-shaped conjunctive predicate; filters stay on raw columns so
+    * parquet pushdown fires (SURVEY §4).
+    */
+  private val filtConjunctive = Q(
+    "filt_conjunctive",
+    (s, d) => T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"),
+        (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+l_extendedprice * l_discount AS disc_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+ORDER BY l_orderkey, l_linenumber"""))
+
+  private val filtInBetweenLike = Q(
+    "filt_in_between_like",
+    (s, d) => T.part(s, d)
+      .filter(col("p_type").isin("PROMO", "STANDARD", "LARGE") &&
+        col("p_size").between(10, 40) &&
+        col("p_name").like("%ring%"))
+      .select("p_partkey", "p_name", "p_type", "p_size")
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_type, p_size FROM part
+WHERE p_type IN ('PROMO','STANDARD','LARGE') AND p_size BETWEEN 10 AND 40
+  AND p_name LIKE '%ring%'
+ORDER BY p_partkey"""))
+
+  /** Null handling over a derived nullable column (fixtures are null-free). */
+  private val filtNullSemantics = Q(
+    "filt_null_semantics",
+    (s, d) => T.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("nullif(l_returnflag, 'N')").as("rf"),
+        (expr("nullif(l_returnflag, 'N')") <=> lit("R")).as("is_r_nullsafe"),
+        expr("nullif(l_returnflag, 'N')").isNull.as("rf_is_null"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+nullif(l_returnflag, 'N') AS rf,
+(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'R') AS is_r_nullsafe,
+(nullif(l_returnflag, 'N') IS NULL) AS rf_is_null
+FROM lineitem WHERE l_linenumber <= 3
+ORDER BY l_orderkey, l_linenumber"""))
+
+  private val projDistinct = Q(
+    "proj_distinct",
+    (s, d) => T.customer(s, d).select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment"),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  // ---------------------------------------------------------------- §2.3 joins
+
+  /** Small build side broadcast explicitly — at 100 TB the fact side never
+    * shuffles for this join.
+    */
+  private val joinBroadcastInner = Q(
+    "join_broadcast_inner",
+    (s, d) => T.orders(s, d)
+      .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey"""))
+
+  /** Both sides large → shuffle-on-key sort-merge join (hinted for a
+    * deterministic plan shape; asserted in RelationalSpec).
+    */
+  private val joinSortmergeInner = Q(
+    "join_sortmerge_inner",
+    (s, d) => T.lineitem(s, d)
+      .join(T.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, o_orderstatus,
+l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ORDER BY l_orderkey, l_linenumber"""))
+
+  /** TPC-H Q5-shaped star join: fact side keeps its partitioning, all dims
+    * broadcast, aggregation is partial+final.
+    */
+  private val joinStarMultiway = Q(
+    "join_star_multiway",
+    (s, d) => T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("r_name")
+      .agg(sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name"),
+    Some(s"""SELECT r_name,
+CAST(sum(${m2Sql("l_extendedprice")} * ${oneMinusSql("l_discount")}) AS DOUBLE) AS revenue,
+count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name ORDER BY r_name"""))
+
+  private val joinLeftOuter = Q(
+    "join_left_outer",
+    (s, d) => T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Full outer over two pre-aggregated sides (aggregate-then-join keeps the
+    * shuffle small at scale).
+    */
+  private val joinFullOuter = Q(
+    "join_full_outer",
+    (s, d) => {
+      val cn = T.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = T.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+ON c_nationkey = s_nationkey
+ORDER BY nationkey"""))
+
+  private val joinLeftSemi = Q(
+    "join_left_semi",
+    (s, d) => T.customer(s, d)
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey"""))
+
+  private val joinLeftAnti = Q(
+    "join_left_anti",
+    (s, d) => T.customer(s, d)
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey"""))
+
+  private val joinCross = Q(
+    "join_cross",
+    (s, d) => T.region(s, d).select("r_name")
+      .crossJoin(T.orders(s, d).select("o_orderpriority").distinct())
+      .orderBy("r_name", "o_orderpriority"),
+    Some("""SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+ORDER BY r_name, o_orderpriority"""))
+
+  /** Band join: same-user event pairs within 10 minutes. Implemented as an
+    * equi-join on (user, 10-min bucket) with the probe side exploded into the
+    * two candidate buckets, then an exact residual filter — this is the
+    * 100 TB-safe shape (hash join, no broadcast-nested-loop O(n²)).
+    */
+  private val joinThetaRange = Q(
+    "join_theta_range",
+    (s, d) => {
+      val win = 600000000L // 10 min in µs
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"))
+      val a = ev.withColumn("jb",
+        explode(array(expr(s"em div $win"), expr(s"em div $win + 1"))))
+        .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+          col("em").as("a_em"), col("jb"))
+      val b = ev.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("em").as("b_em"), expr(s"em div $win").as("bb"))
+      a.join(b, col("a_user") === col("b_user") && col("jb") === col("bb"))
+        .filter(col("a_em") < col("b_em") && col("b_em") <= col("a_em") + win)
+        .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+          (col("b_em") - col("a_em")).as("gap_us"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+ON a.user_id = b.user_id
+AND epoch_us(a.ts) < epoch_us(b.ts)
+AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+ORDER BY a_id, b_id"""))
+
+  /** As-of join: for each 'error' event, the latest same-user 'click' at or
+    * before it. Single pass over a per-user time-ordered window (no self-join
+    * shuffle; scales as one sort per user partition).
+    */
+  private val joinAsof = Q(
+    "join_asof",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), em(col("ts")).as("em"))
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_em",
+          last(when(col("event_type") === "click", col("em")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("em") - col("click_em"), lit(-1L)).as("gap_us"))
+        .orderBy("err_id")
+    },
+    Some("""SELECT user_id, event_id AS err_id,
+coalesce(click_id, -1) AS click_id, coalesce(em - click_em, -1) AS gap_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS em,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER w AS click_id,
+    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      OVER w AS click_em
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE event_type = 'error'
+ORDER BY err_id"""))
+
+  // ----------------------------------------------------------- §2.4 aggregation
+
+  private val aggGlobal = Q(
+    "agg_global",
+    (s, d) => T.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      avg(col("l_quantity")).as("avg_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty")),
+    Some(s"""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+${dsumSql("l_quantity")} AS sum_qty, ${dsumSql("l_extendedprice")} AS sum_price,
+avg(l_quantity) AS avg_qty,
+min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem"""))
+
+  /** TPC-H Q1 — the flagship (SparkEntry.entry). */
+  private val aggGroupbyHash = Q(
+    "agg_groupby_hash",
+    (s, d) => T.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))
+          .cast("double").as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+${dsumSql("l_quantity")} AS sum_qty,
+${dsumSql("l_extendedprice")} AS sum_base_price,
+CAST(sum(${m2Sql("l_extendedprice")} * ${oneMinusSql("l_discount")}) AS DOUBLE) AS sum_disc_price,
+CAST(sum(${m2Sql("l_extendedprice")} * ${oneMinusSql("l_discount")} * ${onePlusSql("l_tax")}) AS DOUBLE) AS sum_charge,
+avg(l_quantity) AS avg_qty,
+${davgSql("l_extendedprice")} AS avg_price,
+${davgSql("l_discount")} AS avg_disc,
+count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""))
+
+  /** The core FTS metric: per-link (here per-user) totals, failure counts and
+    * success ratio via conditional aggregation.
+    */
+  private val aggSuccessRate = Q(
+    "agg_success_rate",
+    (s, d) => T.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        (count(when(col("event_type") === "error", 1)) / count(lit(1)))
+          .as("error_rate"),
+        (lit(1) - count(when(col("event_type") === "error", 1)) / count(lit(1)))
+          .as("success_rate"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, count(*) AS n_events,
+count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+count(*) FILTER (WHERE event_type = 'error') / count(*) AS error_rate,
+1 - count(*) FILTER (WHERE event_type = 'error') / count(*) AS success_rate
+FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  private val aggCountDistinct = Q(
+    "agg_count_distinct",
+    (s, d) => T.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** HLL sketches differ across engines → declared-only; accuracy vs exact is
+    * unit-tested instead (±5%).
+    */
+  private val aggApproxDistinct = Q(
+    "agg_approx_distinct",
+    (s, d) => T.events(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day"),
+    None)
+
+  private val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    (s, d) => T.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("user_bucket")), Seq()),
+        col("event_type"), col("user_bucket"))
+      .agg(grouping(col("event_type")).as("g_type"),
+        grouping(col("user_bucket")).as("g_bucket"),
+        count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("g_type"), col("g_bucket"),
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_bucket").cast("string"), lit("(all)")).as("user_bucket"),
+        col("n"), col("sum_value"))
+      .orderBy("g_type", "g_bucket", "event_type", "user_bucket"),
+    Some(s"""SELECT GROUPING(event_type) AS g_type, GROUPING(user_bucket) AS g_bucket,
+coalesce(event_type, '(all)') AS event_type,
+coalesce(CAST(user_bucket AS VARCHAR), '(all)') AS user_bucket,
+count(*) AS n, ${dsumSql("value")} AS sum_value
+FROM (SELECT *, CAST(user_id % 10 AS INTEGER) AS user_bucket FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+ORDER BY g_type, g_bucket, event_type, user_bucket"""))
+
+  /** ROLLUP via the spark.sql entry point (the DataFrame rollup-after-join
+    * form trips Spark 4's ambiguous-self-join detector on the grouping
+    * columns; SQL resolution is immune and exercises the SQL surface).
+    */
+  private val aggRollup = Q(
+    "agg_rollup",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("v_customer")
+      T.nation(s, d).createOrReplaceTempView("v_nation")
+      T.region(s, d).createOrReplaceTempView("v_region")
+      s.sql(s"""SELECT coalesce(r_name, '(all)') AS r_name,
+        coalesce(n_name, '(all)') AS n_name,
+        count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name""")
+    },
+    Some(s"""SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name,
+count(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name"""))
+
+  private val aggCube = Q(
+    "agg_cube",
+    (s, d) => T.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority"),
+    Some(s"""SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** Post-aggregation filter with a scale-free threshold: keep segments with
+    * above-average customer counts (works at every sf, unlike a constant).
+    */
+  private val aggHaving = Q(
+    "agg_having",
+    (s, d) => {
+      val g = T.customer(s, d).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), davg(col("c_acctbal")).as("avg_acctbal"))
+        .withColumn("avg_n", avg(col("n_cust")).over(Window.partitionBy()))
+      g.filter(col("n_cust") > col("avg_n"))
+        .select("c_mktsegment", "n_cust", "avg_acctbal")
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment, n_cust, avg_acctbal FROM (
+  SELECT c_mktsegment, count(*) AS n_cust, ${davgSql("c_acctbal")} AS avg_acctbal,
+         avg(count(*)) OVER () AS avg_n
+  FROM customer GROUP BY c_mktsegment)
+WHERE n_cust > avg_n ORDER BY c_mktsegment"""))
+
+  /** Exact latency-style percentiles (FTS per-link latency reporting). */
+  private val aggPercentiles = Q(
+    "agg_percentiles",
+    (s, d) => T.events(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        r4(element_at(col("ps"), 1)).as("p50"),
+        r4(element_at(col("ps"), 2)).as("p90"),
+        r4(element_at(col("ps"), 3)).as("p99"),
+        col("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+round(quantile_cont(value, 0.5), 4) AS p50,
+round(quantile_cont(value, 0.9), 4) AS p90,
+round(quantile_cont(value, 0.99), 4) AS p99,
+count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val aggStats = Q(
+    "agg_stats",
+    (s, d) => T.lineitem(s, d).groupBy("l_returnflag")
+      .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+round(stddev_samp(l_quantity), 4) AS sd_qty,
+round(var_samp(l_quantity), 4) AS var_qty,
+round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** collect_list order is nondeterministic → sort_array, then stringify for
+    * a hash-stable scalar (SURVEY §5.4.4).
+    */
+  private val aggCollectSorted = Q(
+    "agg_collect_sorted",
+    (s, d) => T.nation(s, d)
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name"""))
+
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val aggPivot = Q(
+    "agg_pivot",
+    (s, d) => {
+      val p = T.events(s, d).groupBy("user_id")
+        .pivot("event_type", pivotTypes)
+        .agg(sum(col("value").cast(D184)))
+      p.select(col("user_id") +:
+          pivotTypes.map(t => coalesce(col(t).cast("double"), lit(0.0)).as(s"v_$t")): _*)
+        .orderBy("user_id")
+    },
+    Some("SELECT user_id,\n" + pivotTypes.map(t =>
+      s"coalesce(CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS v_$t")
+      .mkString(",\n") +
+      "\nFROM events GROUP BY user_id ORDER BY user_id"))
+
+  /** argmax/argmin with a (value, id) composite ordering key so ties are
+    * deterministic in both engines.
+    */
+  private val aggMinmaxBy = Q(
+    "agg_minmax_by",
+    (s, d) => T.events(s, d).groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("value"), col("event_id"))).as("max_type"),
+        max(col("value")).as("max_value"),
+        min_by(col("event_type"), struct(col("value"), col("event_id"))).as("min_type"),
+        min(col("value")).as("min_value"))
+      .orderBy("user_id"),
+    Some("""SELECT a.user_id AS user_id, a.event_type AS max_type, amax.v AS max_value,
+b.event_type AS min_type, amin.v AS min_value
+FROM (SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+      FROM events) a
+JOIN (SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+      FROM events) b
+  ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 1
+JOIN (SELECT user_id, max(value) AS v FROM events GROUP BY user_id) amax
+  ON amax.user_id = a.user_id
+JOIN (SELECT user_id, min(value) AS v FROM events GROUP BY user_id) amin
+  ON amin.user_id = a.user_id
+ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(
+    srcParquetScan, srcCsvRoundtrip, srcJsonLines, srcUnionPartitions,
+    projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
+    projDistinct,
+    joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
+    joinAsof,
+    aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
+    aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
+    aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy)
+}

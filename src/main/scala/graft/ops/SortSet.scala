@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 sort/limit/top-k and §2.7 set operations. */
+object SortSet {
+
+  private val sortMulticol = Q(
+    "sort_multicol",
+    (s, d) => T.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc),
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC"""))
+
+  private val sortNullsOrder = Q(
+    "sort_nulls_order",
+    (s, d) => T.orders(s, d)
+      .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'O')").as("st"))
+      .orderBy(col("st").asc_nulls_last, col("o_orderkey").asc),
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders
+ORDER BY st ASC NULLS LAST, o_orderkey ASC"""))
+
+  /** orderBy + limit → TakeOrderedAndProjectExec (two-stage top-k: per-
+    * partition limit before the global merge — the 100 TB-safe top-k).
+    */
+  private val limitTopk = Q(
+    "limit_topk",
+    (s, d) => T.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  private val setUnionAll = Q(
+    "set_union_all",
+    (s, d) => T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .unionByName(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("""SELECT nationkey FROM (
+SELECT c_nationkey AS nationkey FROM customer
+UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+ORDER BY nationkey"""))
+
+  private val setUnionDistinct = Q(
+    "set_union_distinct",
+    (s, d) => T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+UNION SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey"""))
+
+  private val setIntersect = Q(
+    "set_intersect",
+    (s, d) => T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey"""))
+
+  private val setExcept = Q(
+    "set_except",
+    (s, d) => T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey"""))
+
+  val all: Seq[Q] = Seq(sortMulticol, sortNullsOrder, limitTopk,
+    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+}

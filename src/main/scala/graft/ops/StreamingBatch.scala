@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import H._
+
+/** SURVEY.md §2.10 — batch-declared forms of the streaming operators.
+  *
+  * Structured Streaming guarantees stream-result == batch-result for these
+  * plans; the true streaming versions live in [[graft.streaming.Streams]]
+  * (same transformations over readStream inputs) and the equivalence is
+  * asserted in StreamingSpec. Window starts are surfaced as epoch seconds
+  * (hour/15-min aligned → precision-exact in both engines).
+  */
+object StreamingBatch {
+
+  /** Tumbling 1-hour window per event_type — uses the same `window()` expr
+    * the streaming query uses; DuckDB equivalent is date_trunc.
+    */
+  private val streamTumbling = Q(
+    "stream_tumbling",
+    (s, d) => T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type"),
+    Some(s"""SELECT epoch(date_trunc('hour', ts)) AS hour_start, event_type,
+count(*) AS n, ${dsumSql("value")} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  /** Sliding 1-hour window every 15 min: each event lands in 4 windows.
+    * DuckDB side enumerates the same 4 epoch-aligned slide starts.
+    */
+  private val streamSliding = Q(
+    "stream_sliding",
+    (s, d) => T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy("win_start", "event_type"),
+    Some("""SELECT (epoch_us(ts) // 900000000) * 900 - j * 900 AS win_start,
+event_type, count(*) AS n, (CAST(sum(CAST((value) AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS avg_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  /** Session windows (30-min inactivity gap) in batch form: lag-gap →
+    * prefix-sum session ids — the exact construction `session_window`
+    * performs with state in streaming.
+    */
+  private val streamSession = Q(
+    "stream_session",
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("em", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"), col("value"))
+        .withColumn("new_sess",
+          when(col("em") - lag(col("em"), 1).over(wOrd) > 1800000000L, 1)
+            .otherwise(lit(0)))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("em")).as("sess_start_us"),
+          (max(col("em")) - min(col("em"))).as("duration_us"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some(s"""SELECT user_id, sess_id, count(*) AS n_events,
+min(em) AS sess_start_us, max(em) - min(em) AS duration_us,
+${dsumSql("value")} AS sum_value
+FROM (
+  SELECT user_id, event_id, em, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY em, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM (
+    SELECT user_id, event_id, em, value,
+      CASE WHEN em - lag(em, 1) OVER (PARTITION BY user_id ORDER BY em, event_id)
+                > 1800000000 THEN 1 ELSE 0 END AS new_sess
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)))
+GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  /** Stateful dedup batch form: re-delivered event_ids (the input unioned
+    * with itself) collapse back to one row each.
+    */
+  private val streamDedup = Q(
+    "stream_dedup",
+    (s, d) => {
+      val ev = T.events(s, d).select("event_id", "event_type")
+      ev.unionByName(ev) // simulate redelivery
+        .dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n
+FROM (SELECT DISTINCT event_id, event_type
+      FROM (SELECT event_id, event_type FROM events
+            UNION ALL SELECT event_id, event_type FROM events))
+GROUP BY event_type ORDER BY event_type"""))
+
+  /** Watermark/late-data batch proxy: per event_type, how many events arrive
+    * more than 24h before the stream's max timestamp (what a 24h watermark
+    * would admit vs drop is exercised for real in StreamingSpec).
+    */
+  private val streamLateData = Q(
+    "stream_late_data",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("event_type"), em(col("ts")).as("em"))
+      val mx = ev.agg(max(col("em")).as("max_em"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("em") < col("max_em") - 86400000000L, 1)).as("n_older_24h"))
+        .orderBy("event_type")
+    },
+    None)
+
+  /** Stream-static enrichment: events joined to a static user dimension
+    * derived from customer (user_id ranges align with c_custkey).
+    */
+  private val streamStaticJoin = Q(
+    "stream_static_join",
+    (s, d) => T.events(s, d)
+      .join(broadcast(T.customer(s, d)), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment"),
+    Some(s"""SELECT c_mktsegment, count(*) AS n_events,
+count(DISTINCT user_id) AS n_users, ${dsumSql("value")} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
+    streamDedup, streamLateData, streamStaticJoin)
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import H._
+
+/** SURVEY.md §2.11 — UDF / UDAF / UDTF surface, plus the multimodal-column
+  * plumbing from the builder prompt.
+  *
+  * UDFs block codegen + pushdown, so every other operator in this engine uses
+  * built-ins; these queries exist to prove the extension surface works.
+  */
+object Udfs {
+
+  /** Scalar UDF: text normalizer (lower, trim, collapse whitespace). The
+    * oracle re-expresses the same formula in SQL.
+    */
+  private val udfScalar = Q(
+    "udf_scalar",
+    (s, d) => {
+      val normalize = udf { t: String =>
+        if (t == null) null else t.trim.toLowerCase.replaceAll(" +", " ")
+      }
+      T.documents(s, d)
+        .select(col("doc_id"),
+          length(normalize(col("text"))).as("norm_len"),
+          substring(normalize(col("text")), 1, 20).as("norm_prefix"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_len,
+substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 20) AS norm_prefix
+FROM documents ORDER BY doc_id"""))
+
+  /** Typed UDAF: geometric mean via Aggregator[Double, (Double, Long), Double]
+    * — partial+final mergeable (sum-of-logs buffer), so it distributes.
+    */
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+    def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  private val udafAggregator = Q(
+    "udaf_aggregator",
+    (s, d) => {
+      val gm = udaf(GeoMean)
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4(gm(col("l_quantity"))).as("geo_mean_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty,
+count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** UDTF shape: tokenizer returning (doc_id, pos, token) rows via a typed
+    * Dataset.flatMap (the idiomatic Generator form; a Catalyst `Generator`
+    * Expression is the lower-level equivalent).
+    */
+  private val udtfGenerator = Q(
+    "udtf_generator",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ").iterator.zipWithIndex.map { case (tok, i) =>
+            (id, i + 1, tok)
+          }
+        }
+        .toDF("doc_id", "pos", "tok")
+        .orderBy("doc_id", "pos")
+    },
+    Some("""SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS tok
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+     UNNEST(generate_series(1, len(t))) AS u(i)
+ORDER BY doc_id, pos"""))
+
+  /** Multimodal-column plumbing (builder prompt): media rows modeled as
+    * binary payload + typed metadata struct; a deterministic fake "decode"
+    * stage runs distributed via mapPartitions (the container has no codec
+    * libraries — the decode itself is a clearly-marked stand-in, the Spark
+    * plumbing: schema, batching, partition-local iteration, is real).
+    */
+  private val llmMultimodalDecode = Q(
+    "llm_multimodal_decode",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = T.documents(s, d).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("image/fake").as("mime"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          (col("n_chars") % 480).cast("int").as("height")).as("meta"))
+      val decoded = media
+        .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions { it =>
+          // STUB decode: a real pipeline would decode payload → pixels here
+          // (libs unavailable in-container). The deterministic stand-in
+          // extracts byte-level "features" so downstream plumbing is real.
+          it.map { case (id, payload, w, h) =>
+            val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+            (id, payload.length, w.toLong * h, checksum)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "pixel_budget", "payload_checksum")
+      decoded.orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
+    llmMultimodalDecode)
+}

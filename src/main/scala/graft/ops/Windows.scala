@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import H._
+
+/** SURVEY.md §2.5 — window functions over `events` / `orders` / `customer`.
+  *
+  * Ordering keys always include a unique id tiebreak so every window is a
+  * total order (hash-stable vs the DuckDB oracle). `events.ts` is surfaced as
+  * epoch µs (`unix_micros` / `epoch_us`) per SURVEY §5.4.1.
+  * Cumulative floating sums go through DECIMAL so the running values are
+  * exact in both engines (DuckDB computes window sums via segment trees —
+  * a different double-addition association order than Spark's running sum).
+  */
+object Windows {
+
+  private val winRankTopk = Q(
+    "win_rank_topk",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val winNtile = Q(
+    "win_ntile",
+    (s, d) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      T.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+FROM customer ORDER BY c_custkey"""))
+
+  /** Inter-event gap per user — the sessionization input. */
+  private val winLagLead = Q(
+    "win_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"))
+        .withColumn("gap_us", coalesce(col("em") - lag(col("em"), 1).over(w), lit(-1L)))
+        .withColumn("next_id", coalesce(lead(col("event_id"), 1).over(w), lit(-1L)))
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some("""SELECT user_id, event_id, em,
+coalesce(em - lag(em, 1) OVER w, -1) AS gap_us,
+coalesce(lead(event_id, 1) OVER w, -1) AS next_id
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)
+ORDER BY user_id, em, event_id"""))
+
+  private val winRunningSum = Q(
+    "win_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"), col("value"))
+        .withColumn("running_value",
+          sum(col("value").cast(D184)).over(w).cast("double"))
+        .select("user_id", "event_id", "em", "running_value")
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some("""SELECT user_id, event_id, em,
+CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, em, event_id"""))
+
+  private val winSlidingAvg = Q(
+    "win_sliding_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(-3, 0)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"), col("value"))
+        .withColumn("avg4",
+          sum(col("value").cast(D184)).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("n4", count(lit(1)).over(w))
+        .select("user_id", "event_id", "em", "avg4", "n4")
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some("""SELECT user_id, event_id, em,
+CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / count(*) OVER w AS avg4,
+count(*) OVER w AS n4
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, em, event_id"""))
+
+  /** Time-range frame: per-user sum of `value` over the trailing hour —
+    * the FTS "throughput in window" metric.
+    */
+  private val winRangeFrame = Q(
+    "win_range_frame",
+    (s, d) => {
+      val hourUs = 3600000000L
+      val w = Window.partitionBy("user_id").orderBy("em")
+        .rangeBetween(-hourUs, 0)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"), col("value"))
+        .withColumn("hour_sum",
+          sum(col("value").cast(D184)).over(w).cast("double"))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .select("user_id", "event_id", "em", "hour_sum", "hour_n")
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some("""SELECT user_id, event_id, em,
+CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS hour_sum,
+count(*) OVER w AS hour_n
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, em, event_id"""))
+
+  private val winFirstLastPctrank = Q(
+    "win_first_last_pctrank",
+    (s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("first_value", first(col("value")).over(full))
+        .withColumn("last_value", last(col("value")).over(full))
+        .withColumn("pct_rank", percent_rank().over(ord))
+        .withColumn("cume", cume_dist().over(ord))
+        .orderBy("event_type", "value", "event_id")
+    },
+    Some("""SELECT event_type, event_id, value,
+first_value(value) OVER wf AS first_value,
+last_value(value) OVER wf AS last_value,
+percent_rank() OVER wo AS pct_rank,
+cume_dist() OVER wo AS cume
+FROM events
+WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
+       wf AS (PARTITION BY event_type ORDER BY value, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_type, value, event_id"""))
+
+  val all: Seq[Q] = Seq(winRankTopk, winNtile, winLagLead, winRunningSum,
+    winSlidingAvg, winRangeFrame, winFirstLastPctrank)
+}

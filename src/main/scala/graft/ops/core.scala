@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One registered engine operator: a Spark DataFrame builder plus (when the
+  * semantics are SQL-expressible and hash-stable) an equivalent DuckDB oracle
+  * query. See SURVEY.md §2 for the inventory this implements.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Parquet table loaders for the driver fixtures (TESTDATA.md). */
+object T {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a ns long via the
+    * legacy conf, then rebuild a µs TimestampType column. `div` (integer
+    * division) is load-bearing: ns epoch values ≈ 1.7e18 exceed double's
+    * 2^53 exact-integer range, so `/ 1000` would corrupt low microseconds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** Oracle-hash-stability helpers (SURVEY.md §5.4).
+  *
+  * Measured ground rules (tools/check.py experiments against DuckDB 1.0):
+  *
+  *  - Every fixture money/value column is an exactly-2-decimal double, so
+  *    casting it to DECIMAL(scale>=3) is EXACT and tie-free in both engines;
+  *    sums then happen in integer decimal arithmetic — order-independent and
+  *    bit-identical after the final cast back to double.
+  *  - Casting a double PRODUCT to decimal is NOT safe: products of 2-decimal
+  *    values sit exactly on 5th-decimal rounding ties, and Spark rounds
+  *    half-up while DuckDB rounds half-to-even (measured: 39/6000 lineitem
+  *    charge values diverge). Products therefore cast each FACTOR to decimal
+  *    first and multiply exactly in decimal.
+  *  - `round(double, n)` itself diverges between engines near representation
+  *    ties, so rounding is used ONLY where the two engines' computation paths
+  *    genuinely differ (stddev/corr co-moments, percentile interpolation,
+  *    libm transcendentals) — there the values are off-grid and the tie risk
+  *    is ~1e-9. Everything computed by identical IEEE ops on identical bits
+  *    (per-row arithmetic, exact-sum/count averages, count ratios) is emitted
+  *    RAW, unrounded.
+  */
+object H {
+  val D184: DecimalType = DecimalType(18, 4)
+
+  /** Exact, order-independent floating sum of a <=2-decimal column. */
+  def dsum(c: Column): Column = sum(c.cast(D184)).cast("double")
+
+  /** DuckDB fragment equivalent to [[dsum]]. */
+  def dsumSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Exact average: exact decimal sum -> double, one double division. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  def davgSql(e: String): String = s"(${dsumSql(e)} / count(*))"
+
+  /** Exact decimal factors for product sums (money x (1-disc) x (1+tax)). */
+  def m2(c: Column): Column = c.cast(DecimalType(12, 2))
+  def oneMinus(c: Column): Column =
+    (lit(1) - c.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
+  def onePlus(c: Column): Column =
+    (lit(1) + c.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
+  def m2Sql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def oneMinusSql(e: String): String =
+    s"CAST(1 - CAST($e AS DECIMAL(3,2)) AS DECIMAL(4,2))"
+  def onePlusSql(e: String): String =
+    s"CAST(1 + CAST($e AS DECIMAL(3,2)) AS DECIMAL(4,2))"
+
+  /** Round(4) — ONLY for genuinely path-divergent computations (see above). */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Epoch microseconds of a timestamp column — the canonical way to surface
+    * `events.ts` (stored as ns, truncated to µs by Spark; DuckDB `epoch_us`
+    * yields the identical integer because the fixture's ns component is 0).
+    */
+  def em(c: Column): Column = unix_micros(c)
+
+  /** 10 driver fixture table names (FIXTURES.md). */
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}

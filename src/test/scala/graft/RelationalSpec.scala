@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** §2.1–2.4: semantics + plan-shape assertions (SURVEY.md §5.2). */
+class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("join_broadcast_inner plans a broadcast hash join") {
+    val plan = q("join_broadcast_inner").queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, s"expected BroadcastHashJoinExec in:\n$plan")
+  }
+
+  test("join_sortmerge_inner plans a sort-merge join") {
+    val plan = q("join_sortmerge_inner").queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case m: SortMergeJoinExec => m
+    }.nonEmpty, s"expected SortMergeJoinExec in:\n$plan")
+  }
+
+  test("semi and anti joins partition the customers with/without P-orders") {
+    import org.apache.spark.sql.functions._
+    val customers = graft.ops.T.customer(spark, sf).count()
+    val orders = graft.ops.T.orders(spark, sf).filter(col("o_orderstatus") === "P")
+    val semi = graft.ops.T.customer(spark, sf)
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = q("join_left_anti").count()
+    assert(semi + anti == customers)
+  }
+
+  test("full outer covers all nations present on either side") {
+    val got = q("join_full_outer").count()
+    import org.apache.spark.sql.functions._
+    val nations = graft.ops.T.customer(spark, sf).select(col("c_nationkey").as("k"))
+      .union(graft.ops.T.supplier(spark, sf).select(col("s_nationkey").as("k")))
+      .distinct().count()
+    assert(got == nations)
+  }
+
+  test("set ops: |A ∪all B| = |A| + |B|; intersect/except partition distinct keys") {
+    val c = graft.ops.T.customer(spark, sf).count()
+    val s = graft.ops.T.supplier(spark, sf).count()
+    assert(q("set_union_all").count() == c + s)
+    val inter = q("set_intersect").count()
+    val exc = q("set_except").count()
+    import org.apache.spark.sql.functions._
+    val distinctC = graft.ops.T.customer(spark, sf).select("c_nationkey").distinct().count()
+    assert(inter + exc == distinctC)
+  }
+
+  test("theta range join pairs are strictly ordered and within 10 min") {
+    import org.apache.spark.sql.functions._
+    val df = q("join_theta_range")
+    assert(df.filter(col("gap_us") <= 0 || col("gap_us") > 600000000L).count() == 0)
+  }
+
+  test("as-of join: every error with a preceding click resolves to a click") {
+    import org.apache.spark.sql.functions._
+    val df = q("join_asof")
+    // gap must be non-negative when a click exists
+    assert(df.filter(col("click_id") =!= -1L && col("gap_us") < 0).count() == 0)
+  }
+
+  test("q1 aggregates are internally consistent") {
+    import org.apache.spark.sql.functions._
+    val r = q("agg_groupby_hash").agg(sum("count_order")).head().getLong(0)
+    assert(r == graft.ops.T.lineitem(spark, sf).count())
+  }
+
+  test("success_rate + error_rate = 1") {
+    import org.apache.spark.sql.functions._
+    val bad = q("agg_success_rate")
+      .filter(abs(col("success_rate") + col("error_rate") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+import java.sql.Timestamp
+
+/** Top-level so Catalyst can generate its encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** §2.10: Structured Streaming == batch equivalence (SURVEY.md §5.2).
+  *
+  * Each test replays the sf0.001 events through a MemoryStream (complete
+  * output mode for windowed aggs — late data is irrelevant since we replay
+  * everything then compare final state) and asserts the result equals the
+  * same builder applied to the static frame.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def eventRows(limit: Int): Seq[Ev] = {
+    import spark.implicits._
+    graft.ops.T.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq.sortBy(_.event_id).take(limit)
+  }
+
+  private def assertStreamEqualsBatch(
+      name: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(400)
+    val mem = MemoryStream[Ev]
+    // replay in two out-of-order chunks to exercise state merging
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val qy = build(mem.toDF()).writeStream
+      .format("memory").queryName(s"out_$name").outputMode(outputMode)
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(b)
+    mem.addData(a)
+    qy.processAllAvailable()
+    qy.stop()
+    val streamed = spark.table(s"out_$name")
+    val batch = build(spark.createDataFrame(rows))
+    val sCols = streamed.columns.sorted.map(col)
+    val diff1 = streamed.select(sCols: _*).exceptAll(batch.select(sCols: _*)).count()
+    val diff2 = batch.select(sCols: _*).exceptAll(streamed.select(sCols: _*)).count()
+    assert(diff1 == 0 && diff2 == 0,
+      s"$name: stream vs batch diverged (missing=$diff2, extra=$diff1)")
+  }
+
+  test("tumbling window: stream == batch") {
+    assertStreamEqualsBatch("tumbling", Streams.tumbling, "complete")
+  }
+
+  test("sliding window: stream == batch") {
+    assertStreamEqualsBatch("sliding", Streams.sliding, "complete")
+  }
+
+  test("session window: stream == batch") {
+    assertStreamEqualsBatch("sessions", Streams.sessions, "complete")
+  }
+
+  test("stateful dedup drops redelivered event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(200)
+    val mem = MemoryStream[Ev]
+    val qy = Streams.dedup(mem.toDF()).writeStream
+      .format("memory").queryName("out_dedup").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(rows ++ rows.take(50)) // redelivery inside the watermark
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("out_dedup")
+    assert(got.count() == rows.length)
+    assert(got.select("event_id").distinct().count() == rows.length)
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(300).sortBy(_.ts.getTime)
+    val mem = MemoryStream[Ev]
+    val qy = Streams.tumbling(mem.toDF()).writeStream
+      .format("memory").queryName("out_late").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // first: everything except one early event; advances watermark to max-10min
+    val late = rows.head
+    mem.addData(rows.tail)
+    qy.processAllAvailable()
+    // now replay the earliest event — hours behind the watermark → dropped
+    mem.addData(Seq(late))
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("out_late")
+    val batchAll = Streams.tumbling(spark.createDataFrame(rows))
+    val batchNoLate = Streams.tumbling(spark.createDataFrame(rows.tail))
+    // append-mode emits only closed windows; the late event's window total
+    // must match the no-late batch, not the full batch
+    val lateHour = batchNoLate.filter(col("hour_start") ===
+      Streams.tumbling(spark.createDataFrame(Seq(late))).select("hour_start").head().getLong(0))
+    val gotHour = got.filter(col("hour_start") === lateHour.select("hour_start").head().getLong(0))
+    if (gotHour.count() > 0) {
+      assert(gotHour.select("n").head().getLong(0) == lateHour.select("n").head().getLong(0),
+        "late event must not be counted")
+    }
+  }
+
+  test("stream-static join enriches with customer segment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(200)
+    val mem = MemoryStream[Ev]
+    val dim = graft.ops.T.customer(spark, sf)
+    val qy = Streams.staticJoin(mem.toDF(), dim).writeStream
+      .format("memory").queryName("out_sj").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(rows)
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("out_sj")
+    val batch = Streams.staticJoin(spark.createDataFrame(rows), dim)
+    assert(got.count() == batch.count())
+    assert(got.select("c_mktsegment").distinct().count() ==
+      batch.select("c_mktsegment").distinct().count())
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.5–2.6: window semantics on tiny literal frames + fixture invariants. */
+class WindowsSpec extends SparkSpec {
+
+  test("win_rank_topk keeps at most 3 rows per customer, rn ascending") {
+    val df = q("win_rank_topk")
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+    assert(df.filter(col("rn") > 3).count() == 0)
+  }
+
+  test("running sum over a literal frame matches hand-computed prefix sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 5.0), (1L, 3L, 2.5), (2L, 4L, 1.0))
+      .toDF("user_id", "event_id", "value")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df.withColumn("run", sum(col("value")).over(w))
+      .orderBy("event_id").select("run").as[Double].collect()
+    assert(got.toSeq == Seq(10.0, 15.0, 17.5, 1.0))
+  }
+
+  test("ntile(4) buckets are 1..4 and balanced within 1") {
+    val counts = q("win_ntile").groupBy("quartile").count()
+      .orderBy("quartile").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(counts.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(counts.map(_._2).max - counts.map(_._2).min <= 1)
+  }
+
+  test("lag gaps are positive except per-user first events (-1)") {
+    val df = q("win_lag_lead")
+    assert(df.filter(col("gap_us") < -1L).count() == 0)
+    val firsts = df.filter(col("gap_us") === -1L).count()
+    val users = df.select("user_id").distinct().count()
+    assert(firsts == users)
+  }
+
+  test("range frame hour_sum >= own value (window includes current row)") {
+    val bad = q("win_range_frame")
+      .filter(col("hour_sum") < col("value") - lit(1e-9)).count()
+    assert(bad == 0)
+  }
+
+  test("limit_topk returns exactly 10 descending prices") {
+    import spark.implicits._
+    val prices = q("limit_topk").select("o_totalprice").as[Double].collect()
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+}
