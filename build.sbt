@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 81 queries x whole-stage codegen generates hundreds of classes; the
+  // default 240m code cache flushes under that load and later queries fall
+  // back to interpreted bytecode (measured 3-6x slowdowns late in Bench).
+  "-XX:ReservedCodeCacheSize=512m",
 )

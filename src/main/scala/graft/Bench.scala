@@ -14,6 +14,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop blocks persisted inside operators so queries stay independent
+      // and cold (cache build-up also degrades later queries via GC pressure)
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-28s ${sec}%8.2f s")
       name -> sec
     }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Native Catalyst expression: dot product of two ArrayType(DoubleType)
+  * columns with whole-stage codegen (a tight primitive loop — no per-element
+  * lambda dispatch, no boxing). This is the §2.11 "custom Expression beats
+  * UDF beats interpreted higher-order function" extension point: the
+  * similarity-search operators call it ~12M times per bench run.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two ARRAY<DOUBLE> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: the j-th member of a multiply-shift hash
+  * permutation family over a 64-bit hash. `(h ^ seed*phi) * (2*seed+1)` in
+  * wrapping Java arithmetic — a bijection mod 2^64, which is exactly what a
+  * MinHash permutation needs — with full codegen. Exists because ANSI mode
+  * (Spark 4 default) rejects overflowing `*`/`+` in SQL expressions, and
+  * per-seed xxhash64 re-hashing costs ~10x more in the signature aggregate.
+  */
+case class PermuteHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"permute_hash requires (BIGINT, INT), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "permute_hash"
+
+  private final val Phi = -0x61c8864680b583ebL // 2^64 / golden ratio, odd
+
+  override def nullSafeEval(h: Any, j: Any): Any = {
+    val seed = j.asInstanceOf[Int]
+    (h.asInstanceOf[Long] ^ (seed * Phi)) * (2L * seed + 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, j) =>
+      s"${ev.value} = ($h ^ ((long) $j * ${Phi}L)) * (2L * $j + 1L);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PermuteHash =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  val dotBuilder: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
+  val permuteBuilder: Seq[Expression] => Expression =
+    exprs => PermuteHash(exprs(0), exprs(1))
+
+  /** Runtime registration on a live session (used by the query builders). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "permute_hash", permuteBuilder, "built-in")
+  }
+}
+
+/** Session-builder registration (`SparkSession.builder.withExtensions(new
+  * GraftExtensions)`) — the deployment-grade injection path; the runtime
+  * `VectorFunctions.register` exists because the driver harness constructs
+  * its own plain session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      VectorFunctions.dotBuilder))
+    e.injectFunction((
+      FunctionIdentifier("permute_hash"),
+      new ExpressionInfo(classOf[PermuteHash].getName, "permute_hash"),
+      VectorFunctions.permuteBuilder))
+  }
+}

@@ -61,34 +61,39 @@ GROUP BY source ORDER BY source"""))
   /** MinHash + LSH near-dup: 5-char shingles → 32-perm MinHash → 4 bands × 8
     * rows → band-bucket equi-join → exact Jaccard >= 0.8 verify.
     *
-    * The signature is one codegen'd hash aggregate keyed by doc_id with 32
-    * `min(xxhash64(h, j))` columns — re-hashing the 8-byte shingle hash with
-    * a per-permutation seed is a cheap codegen'd permutation family (and
-    * ANSI-safe, unlike multiply-mod tricks); min is duplicate-insensitive so
-    * the shingle multiset needs no distinct pass before the aggregate.
+    * The signature is ONE custom aggregate column ([[graft.functions.MinHashAgg]],
+    * a TypedImperativeAggregate with a 32-long buffer updated in a tight
+    * loop) — one tuple per doc on the wire, partial+final mergeable, and no
+    * 32-column codegen blow-up; min is duplicate-insensitive so the shingle
+    * multiset needs no distinct pass before the aggregate.
     * The exact-Jaccard verify joins distinct shingle hashes only for the
     * candidate doc_ids. Declared-only: algorithmic.
     */
   private val llmMinhashNeardup = Q(
     "llm_minhash_neardup",
     (s, d) => {
+      graft.functions.SketchFunctions.register(s)
       val hs = shingleHashes(s, d)
-      val perms = (0 until 32).map(j =>
-        min(xxhash64(col("h"), lit(j))).as(s"mh$j"))
-      val mh = hs.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+      val mh = hs.groupBy("doc_id").agg(expr("minhash_agg(h)").as("mh"))
       val bands = (0 until 4).map(b =>
-        xxhash64((b * 8 until b * 8 + 8).map(i => col(s"mh$i")) :+ lit(b): _*).as(s"band$b"))
+        xxhash64(slice(col("mh"), b * 8 + 1, 8), lit(b)).as(s"band$b"))
       val sig = mh.select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
-      val cand = sig.select(col("doc_id").as("a_id"), col("band"), col("bsig"))
-        .join(sig.select(col("doc_id").as("b_id"), col("band").as("band2"),
-          col("bsig").as("bsig2")),
-          col("band") === col("band2") && col("bsig") === col("bsig2") &&
-            col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      // candidate pairs in ONE pass over the signatures: bucket-collect per
+      // (band, bsig) and emit ordered pairs — no self-join, so the heavy
+      // signature pipeline is computed once (then persisted: it is tiny).
+      val cand = sig.groupBy("band", "bsig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> struct(x AS a_id, y AS b_id))))""")).as("p"))
+        .select("p.a_id", "p.b_id").distinct()
+        .persist()
       // exact verify on candidates only: distinct shingle sets via joins
       val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-      val candSh = hs.join(broadcast(candIds), "doc_id").distinct()
+      val candSh = hs.join(broadcast(candIds), "doc_id").distinct().persist()
       val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val common = cand
         .join(candSh.select(col("doc_id").as("a_id"), col("h")), "a_id")
@@ -109,36 +114,38 @@ GROUP BY source ORDER BY source"""))
   /** SimHash near-dup: the 64 bits of one xxhash64 per token, majority-vote
     * signature, 4×16-bit band blocking, exact Hamming <= 4 verify.
     *
-    * Same codegen shape as MinHash: explode tokens, hash once, 64
-    * `sum(±1)` bit-vote aggregates in a single hash aggregate keyed by
-    * doc_id — partial+final, whole-stage-codegen, no interpreted lambdas.
+    * Same shape as MinHash: explode tokens, hash once, then ONE custom
+    * aggregate column ([[graft.functions.SimHashAgg]], TypedImperativeAggregate
+    * with a 64-int vote buffer) — partial+final mergeable, no 64-column
+    * codegen blow-up.
     */
   private val llmSimhashNeardup = Q(
     "llm_simhash_neardup",
     (s, d) => {
+      graft.functions.SketchFunctions.register(s)
       val h = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val votes = (0 until 64).map(b =>
-        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
-      val sums = h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      val bits = (0 until 64).map(b => when(col(s"v$b") >= 0, 1).otherwise(0).as(s"bit$b"))
-      val sig = sums.select(col("doc_id") +: bits: _*)
-        .withColumn("bits", array((0 until 64).map(b => col(s"bit$b")): _*))
+      val sig = h.groupBy("doc_id").agg(expr("simhash_agg(h)").as("bits"))
       val bands = (0 until 4).map(b =>
-        xxhash64((b * 16 until b * 16 + 16).map(i => col(s"bit$i")) :+ lit(b): _*).as(s"band$b"))
-      val ex = sig.select(col("doc_id"), col("bits"),
-        posexplode(array(bands: _*)).as(Seq("band", "bsig")))
-      val a = ex.select(col("doc_id").as("a_id"), col("bits").as("a_bits"),
-        col("band"), col("bsig"))
-      val b = ex.select(col("doc_id").as("b_id"), col("bits").as("b_bits"),
-        col("band").as("band2"), col("bsig").as("bsig2"))
-      a.join(b, col("band") === col("band2") && col("bsig") === col("bsig2") &&
-          col("a_id") < col("b_id"))
+        xxhash64(slice(col("bits"), b * 16 + 1, 16), lit(b)).as(s"band$b"))
+      val withBands = sig.select(col("doc_id"), col("bits"),
+        posexplode(array(bands: _*)).as(Seq("band", "bsig"))).persist()
+      val cand = withBands.groupBy("band", "bsig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> struct(x AS a_id, y AS b_id))))""")).as("p"))
+        .select("p.a_id", "p.b_id").distinct()
+      val bitsOf = withBands.select("doc_id", "bits").distinct()
+      cand
+        .join(bitsOf.select(col("doc_id").as("a_id"), col("bits").as("a_bits")), "a_id")
+        .join(bitsOf.select(col("doc_id").as("b_id"), col("bits").as("b_bits")), "b_id")
         .select(col("a_id"), col("b_id"),
           expr("aggregate(zip_with(a_bits, b_bits, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)")
             .as("hamming"))
-        .groupBy("a_id", "b_id").agg(min(col("hamming")).as("hamming"))
         .filter(col("hamming") <= 4)
         .orderBy("a_id", "b_id")
     },
@@ -160,6 +167,7 @@ GROUP BY source ORDER BY source"""))
           explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
         .select(col("doc_id"), xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(3)))).as("g"))
         .distinct()
+        .persist()
       val sh = tri.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inv = tri.join(sh, "doc_id").select(col("doc_id"), col("n_sh"), col("g"))
       val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > 50)
@@ -179,13 +187,19 @@ GROUP BY source ORDER BY source"""))
 
   // ----------------------------------------------------- similarity search
 
-  private def withNorm(df: DataFrame): DataFrame = df
-    .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    .withColumn("nrm", expr("sqrt(aggregate(vd, 0.0D, (acc, x) -> acc + x * x))"))
+  /** Normalized double vectors; dot/norm via the codegen'd [[graft.functions.VecDot]]
+    * expression (registered as `vec_dot`) instead of interpreted
+    * zip_with/aggregate lambdas — the hot loop of every similarity operator.
+    */
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    T.embeddings(s, d)
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+  }
 
   private def cosine(aVec: String, aNorm: String, bVec: String, bNorm: String) =
-    expr(s"aggregate(zip_with($aVec, $bVec, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)") /
-      (col(aNorm) * col(bNorm))
+    expr(s"vec_dot($aVec, $bVec)") / (col(aNorm) * col(bNorm))
 
   /** Brute-force cosine top-5 for the first 10 vec_ids — the baseline: tiny
     * query side broadcast against the full index (no shuffle of the index).
@@ -193,9 +207,9 @@ GROUP BY source ORDER BY source"""))
   private val llmCosineTopk = Q(
     "llm_cosine_topk",
     (s, d) => {
-      val all = withNorm(T.embeddings(s, d))
+      val all = withNorm(s, d)
         .select(col("vec_id").as("n_id"), col("vd").as("n_vd"), col("nrm").as("n_nrm"))
-      val q = withNorm(T.embeddings(s, d)).filter(col("vec_id") < 10)
+      val q = withNorm(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
       all.join(broadcast(q), col("q_id") =!= col("n_id"))
@@ -213,7 +227,7 @@ GROUP BY source ORDER BY source"""))
   private val llmKnnLabel = Q(
     "llm_knn_label",
     (s, d) => {
-      val emb = withNorm(T.embeddings(s, d))
+      val emb = withNorm(s, d)
       val train = emb.filter(col("vec_id") % 20 =!= 0)
         .select(col("vec_id").as("n_id"), col("label").as("n_label"),
           col("vd").as("n_vd"), col("nrm").as("n_nrm"))
@@ -257,7 +271,7 @@ GROUP BY source ORDER BY source"""))
       val planeDf = (0 until 64)
         .map(p => (p, (0 until 16).map(j => planes(j)(p))))
         .toDF("pos", "ps")
-      val proj = withNorm(T.embeddings(s, d))
+      val proj = withNorm(s, d)
         .select(col("vec_id"), posexplode(col("vd")).as(Seq("pos", "x")))
         .join(broadcast(planeDf), "pos")
       val dots = (0 until 16).map(j =>
@@ -268,7 +282,7 @@ GROUP BY source ORDER BY source"""))
       val bands = (0 until 4).map(b =>
         xxhash64((b * 4 until b * 4 + 4).map(i => col(s"bit$i")) :+ lit(b): _*).as(s"band$b"))
       val sig = sigBits.select(col("vec_id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
-        .join(withNorm(T.embeddings(s, d)).select(col("vec_id"), col("vd"), col("nrm")), "vec_id")
+        .join(withNorm(s, d).select(col("vec_id"), col("vd"), col("nrm")), "vec_id")
       val ex = sig
       val a = ex.select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
         col("nrm").as("a_nrm"), col("band"), col("bsig"))
@@ -290,12 +304,12 @@ GROUP BY source ORDER BY source"""))
   private val llmAnnIvf = Q(
     "llm_ann_ivf",
     (s, d) => {
-      val emb = withNorm(T.embeddings(s, d))
+      val emb = withNorm(s, d)
       val cent = emb.select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
         .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
         .groupBy("label")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cvd"))
-        .withColumn("cnrm", expr("sqrt(aggregate(cvd, 0.0D, (acc, x) -> acc + x * x))"))
+        .withColumn("cnrm", expr("sqrt(vec_dot(cvd, cvd))"))
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
       val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label").asc)
@@ -325,20 +339,23 @@ GROUP BY source ORDER BY source"""))
   private val llmTextStats = Q(
     "llm_text_stats",
     (s, d) => {
-      val toks = T.documents(s, d)
-        .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val perTok = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      // one explode, one shuffle: every downstream stat derives from the
+      // (lang, tok) -> cnt aggregate instead of re-scanning exploded tokens
+      // (countDistinct over the exploded frame would expand-shuffle it twice)
+      val perTok = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .persist()
       val wR = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
       val top10 = perTok.withColumn("rn", row_number().over(wR)).filter(col("rn") <= 10)
         .groupBy("lang")
         .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(rn, tok))), x -> x.tok))")
           .as("top_toks"))
-      val langStats = toks.groupBy("lang").agg(
-        count(lit(1)).as("total_toks"),
-        countDistinct(col("tok")).as("n_uniq_toks"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      val langStats = perTok.groupBy("lang").agg(
+        sum(col("cnt")).as("total_toks"),
+        count(lit(1)).as("n_uniq_toks"))
       val docStats = T.documents(s, d).groupBy("lang")
-        .agg(avg(col("n_chars")).as("avg_chars"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("avg_chars"))
       langStats.join(docStats, Seq("lang")).join(top10, Seq("lang"))
         .select(col("lang"), col("n_docs"), col("total_toks"), col("n_uniq_toks"),
           (col("n_uniq_toks") / col("total_toks")).as("ttr"),
@@ -367,10 +384,13 @@ ORDER BY lang"""))
   private val llmTfidf = Q(
     "llm_tfidf",
     (s, d) => {
-      val toks = T.documents(s, d)
+      val tf = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist()
+      // tf rows are distinct (doc, tok) pairs, so df is a plain count — no
+      // second explode + countDistinct expansion over raw tokens
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = T.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
       tf.join(df, Seq("tok")).crossJoin(broadcast(n))

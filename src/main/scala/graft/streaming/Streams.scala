@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the stateful operators (top-level for encoder derivation). */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+case class RunStats(n: Long, sum: Double, sumSq: Double)
+case class Anomaly(user_id: Long, event_id: Long, value: Double, zscore: Double)
 
 /** SURVEY.md §2.10 — the true Structured Streaming forms of the
   * batch-declared `stream_*` queries in [[graft.ops.StreamingBatch]].
@@ -52,4 +59,31 @@ object Streams {
     .join(broadcast(userDim), col("user_id") === col("c_custkey"))
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
       col("c_mktsegment"))
+
+  /** Arbitrary stateful processing (§2.10 advanced): per-user running
+    * mean/variance state via flatMapGroupsWithState; emits events whose
+    * value is > 3 sigma from that user's running stats (after a 10-event
+    * warm-up). State is one small struct per user — bounded, partitioned by
+    * the grouping key, the canonical custom-state shape.
+    */
+  def anomalies(events: Dataset[EventRow]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[RunStats]) =>
+          var st = state.getOption.getOrElse(RunStats(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= 10) {
+              val mean = st.sum / st.n
+              val sd = math.sqrt(math.max(st.sumSq / st.n - mean * mean, 1e-9))
+              val z = (e.value - mean) / sd
+              if (math.abs(z) > 3.0) out += Anomaly(uid, e.event_id, e.value, z)
+            }
+            st = RunStats(st.n + 1, st.sum + e.value, st.sumSq + e.value * e.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, SketchFunctions, VectorFunctions}
+
+/** Custom Catalyst expression/aggregate surface (§2.11). */
+class FunctionsSpec extends SparkSpec {
+
+  test("vec_dot matches a hand-computed dot product (codegen + interpreted)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(expr("vec_dot(a, b)")).as[Double].head()
+    assert(got == 32.0)
+    // whole-stage codegen path over many rows
+    val n = 1000
+    val big = spark.range(n).select(
+      expr("transform(sequence(0, 9), i -> CAST(i + id AS DOUBLE))").as("a"),
+      expr("transform(sequence(0, 9), i -> CAST(2 AS DOUBLE))").as("b"))
+    val sums = big.select(expr("vec_dot(a, b)").as("d")).agg(sum("d")).as[Double].head()
+    // sum_id sum_i 2*(i+id) = sum_id (2*45 + 20*id) = n*90 + 20*n*(n-1)/2
+    assert(sums == n * 90.0 + 20.0 * n * (n - 1) / 2)
+  }
+
+  test("vec_dot rejects non-double-array inputs") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e = intercept[Exception](df.select(expr("vec_dot(a, b)")).collect())
+    assert(e.getMessage.contains("ARRAY<DOUBLE>") || e.getMessage.contains("vec_dot"))
+  }
+
+  test("permute_hash is deterministic, seed-sensitive, and identity at seed 0") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq(42L, -7L, 0L).toDF("h")
+    val r = df.select(col("h"), expr("permute_hash(h, 0)").as("p0"),
+      expr("permute_hash(h, 1)").as("p1"), expr("permute_hash(h, 1)").as("p1b"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(0))      // seed 0 = identity
+      assert(row.getLong(2) == row.getLong(3))      // deterministic
+      assert(row.getLong(2) != row.getLong(0) || row.getLong(0) == 0)
+    }
+  }
+
+  test("minhash_agg: identical inputs give identical signatures; distinct differ") {
+    import spark.implicits._
+    SketchFunctions.register(spark)
+    val df = Seq((1L, "aa"), (1L, "bb"), (2L, "aa"), (2L, "bb"), (3L, "zz"))
+      .toDF("id", "s").select(col("id"), xxhash64(col("s")).as("h"))
+    val sigs = df.groupBy("id").agg(expr("minhash_agg(h)").as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 32)
+  }
+
+  test("simhash_agg: bit votes follow the input hash bits") {
+    import spark.implicits._
+    SketchFunctions.register(spark)
+    // single row: bits of the signature == bits of the hash itself
+    val df = Seq((1L, 0xF0F0L)).toDF("id", "h")
+    val bits = df.groupBy("id").agg(expr("simhash_agg(h)").as("b"))
+      .as[(Long, Seq[Int])].collect().head._2
+    (0 until 16).foreach { b =>
+      val expected = if (((0xF0F0L >> b) & 1) == 1) 1 else 0
+      assert(bits(b) == expected, s"bit $b")
+    }
+    assert(bits.length == 64)
+  }
+
+  test("GraftExtensions installs both functions on a fresh session") {
+    val ext = spark.newSession()
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // builder-level injection can't be tested against the shared test
+    // session; the runtime registry path is the production path:
+    VectorFunctions.register(ext)
+    SketchFunctions.register(ext)
+    import ext.implicits._
+    assert(ext.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head() == 11.0)
+  }
+}

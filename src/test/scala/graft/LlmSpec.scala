@@ -32,18 +32,19 @@ class LlmSpec extends SparkSpec {
 
   test("identical texts always collide in minhash LSH") {
     import spark.implicits._
-    // planted exact duplicates in a literal corpus through the same pipeline
+    graft.functions.SketchFunctions.register(spark)
+    // planted exact duplicates in a literal corpus through the production
+    // signature pipeline (shingle hash rows -> MinHashAgg)
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "completely different content that shares nothing with the others here"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("mh_docs")
-    val sh = docs.select(col("doc_id"),
-      expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("sh"))
-    val sig = sh.withColumn("mh",
-      expr("transform(sequence(0, 31), j -> aggregate(sh, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, j))))"))
-    val sigs = sig.select("doc_id", "mh").as[(Long, Seq[Long])].collect().toMap
+    val hs = docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), xxhash64(expr("substring(text, i, 5)")).as("h"))
+    val sigs = hs.groupBy("doc_id").agg(expr("minhash_agg(h)").as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(1L) == sigs(2L), "identical docs must have identical minhash")
     assert(sigs(1L) != sigs(3L), "different docs should differ")
   }

@@ -40,8 +40,9 @@ class StreamingSpec extends SparkSpec {
     val (a, b) = rows.splitAt(rows.length / 2)
     val qy = build(mem.toDF()).writeStream
       .format("memory").queryName(s"out_$name").outputMode(outputMode)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.ProcessingTime(0)).start()
     mem.addData(b)
+    qy.processAllAvailable()
     mem.addData(a)
     qy.processAllAvailable()
     qy.stop()
@@ -73,7 +74,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[Ev]
     val qy = Streams.dedup(mem.toDF()).writeStream
       .format("memory").queryName("out_dedup").outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.ProcessingTime(0)).start()
     mem.addData(rows ++ rows.take(50)) // redelivery inside the watermark
     qy.processAllAvailable()
     qy.stop()
@@ -112,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState anomaly detector matches a direct fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(400).map(e =>
+      graft.streaming.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[graft.streaming.EventRow]
+    val qy = Streams.anomalies(mem.toDS()).writeStream
+      .format("memory").queryName("out_anom").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows)
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("out_anom").select("event_id").as[Long].collect().toSet
+    // direct per-user fold with the same semantics
+    val expected = rows.groupBy(_.user_id).flatMap { case (_, es) =>
+      var n = 0L; var s = 0.0; var s2 = 0.0
+      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        val hit = if (n >= 10) {
+          val mean = s / n
+          val sd = math.sqrt(math.max(s2 / n - mean * mean, 1e-9))
+          math.abs((e.value - mean) / sd) > 3.0
+        } else false
+        n += 1; s += e.value; s2 += e.value * e.value
+        if (hit) Some(e.event_id) else None
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("stream-static join enriches with customer segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -120,7 +151,7 @@ class StreamingSpec extends SparkSpec {
     val dim = graft.ops.T.customer(spark, sf)
     val qy = Streams.staticJoin(mem.toDF(), dim).writeStream
       .format("memory").queryName("out_sj").outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.ProcessingTime(0)).start()
     mem.addData(rows)
     qy.processAllAvailable()
     qy.stop()
