@@ -325,6 +325,57 @@ FROM (
 WHERE event_type = 'error'
 ORDER BY err_id"""))
 
+  /** Skew-handling join: the probe side is deliberately collapsed onto 3 hot
+    * keys (every row lands on one of them — the pathological case), then
+    * joined via salting: the build side replicates SALT ways, the probe side
+    * picks a deterministic salt, so each hot key spreads over SALT reducers
+    * instead of one. The oracle is the UNSALTED join — same result, proving
+    * the rewrite is semantics-preserving.
+    */
+  private val joinSkewSalted = Q(
+    "join_skew_salted",
+    (s, d) => {
+      val salt = 16
+      val fact = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_orderkey") % 3).as("hot_key"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salt.toLong))
+            .as("salt"))
+      val dim = T.region(s, d)
+        .select((col("r_regionkey") % 3).as("hot_key"), col("r_name"))
+        .filter(col("hot_key") < 3)
+        .crossJoin(s.range(salt).select(col("id").as("salt")))
+      fact.join(dim, Seq("hot_key", "salt"))
+        .groupBy("hot_key", "r_name")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("hot_key", "r_name")
+    },
+    Some(s"""SELECT l_orderkey % 3 AS hot_key, r_name,
+count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+FROM lineitem JOIN (SELECT r_regionkey % 3 AS k, r_name FROM region WHERE r_regionkey % 3 < 3) r
+ON l_orderkey % 3 = r.k
+GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
+
+  /** Partitioned-datalake layout: write events partitioned by event_type,
+    * read back with a partition filter — partition pruning (not row
+    * filtering) must eliminate the other partitions; asserted in PlanSpec.
+    * Side-effecting → declared-only.
+    */
+  private val srcPartitionedScan = Q(
+    "src_partitioned_scan",
+    (s, d) => {
+      val out = s"/root/repo/target/io/part_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    None)
+
   // ----------------------------------------------------------- §2.4 aggregation
 
   private val aggGlobal = Q(
@@ -591,7 +642,7 @@ ORDER BY user_id"""))
     projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof,
+    joinAsof, joinSkewSalted, srcPartitionedScan,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy)

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+
+/** Plan-quality assertions: the physical plans must have the shape that
+  * survives a 100 TB scale-up — pushdown reaching the parquet scan, pruned
+  * read schemas, broadcast dims, partition pruning, two-stage top-k
+  * (SURVEY.md §4).
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def plan(name: String): SparkPlan =
+    q(name).queryExecution.executedPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+
+  test("filt_conjunctive pushes predicates into the parquet scan") {
+    val sc = scans(plan("filt_conjunctive"))
+    assert(sc.nonEmpty)
+    val pushed = sc.flatMap(_.dataFilters).mkString(";") +
+      sc.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount"),
+      s"expected quantity/discount filters pushed, got: $pushed")
+  }
+
+  test("proj_select_alias prunes the read schema to the used columns") {
+    val sc = scans(plan("proj_select_alias"))
+    assert(sc.nonEmpty)
+    val readCols = sc.head.schema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_discount", "l_tax")),
+      s"scan reads more than needed: $readCols")
+    assert(!readCols.contains("l_shipdate"))
+  }
+
+  test("join_star_multiway broadcasts every dimension") {
+    val bhj = collectWithSubqueries(plan("join_star_multiway")) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins (customer/nation/region), got ${bhj.size}")
+  }
+
+  test("limit_topk plans a two-stage TakeOrderedAndProject (no global sort)") {
+    val tops = collectWithSubqueries(plan("limit_topk")) {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(tops.nonEmpty, s"expected TakeOrderedAndProjectExec in:\n${plan("limit_topk")}")
+  }
+
+  test("src_partitioned_scan prunes partitions (reads only the filtered one)") {
+    // building the query also writes the partitioned layout
+    val p = plan("src_partitioned_scan")
+    val sc = scans(p)
+    assert(sc.nonEmpty)
+    val parts = sc.head.metadata.getOrElse("PartitionFilters", "")
+    assert(parts.contains("event_type"),
+      s"expected a partition filter on event_type, got: ${sc.head.metadata}")
+    // the pruned scan must see exactly one partition directory
+    assert(sc.head.relation.location.inputFiles.count(_.contains("event_type=")) > 0)
+  }
+
+  test("join_skew_salted equals the unsalted join result") {
+    import org.apache.spark.sql.functions._
+    val salted = q("join_skew_salted")
+    val fact = graft.ops.T.lineitem(spark, sf)
+      .select((col("l_orderkey") % 3).as("hot_key"), col("l_quantity"))
+    val dim = graft.ops.T.region(spark, sf)
+      .select((col("r_regionkey") % 3).as("hot_key"), col("r_name"))
+    val plain = fact.join(dim, Seq("hot_key"))
+      .groupBy("hot_key", "r_name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hot_key", "r_name")
+    val a = salted.select("hot_key", "r_name", "n").collect().toSeq
+    val b = plain.collect().toSeq
+    assert(a == b, s"salted=$a\nplain=$b")
+  }
+}
