@@ -516,8 +516,39 @@ GROUP BY lang ORDER BY lang"""))
 substring(md5(lower(trim(text))), 1, 15) AS fp_prefix
 FROM documents ORDER BY doc_id"""))
 
+  /** End-to-end corpus pipeline: quality filter → exact dedup → near-dup
+    * drop (MinHash survivors keep the lower doc_id) → per-lang stats.
+    * Demonstrates that the pipeline stages compose as one lazy plan; the
+    * oracle re-expresses the whole chain in SQL minus the LSH stage (near
+    * -dup pairs at sf fixtures come only from the planted duplicates, which
+    * the quality filter already removes or keeps deterministically).
+    */
+  private val llmPipelineE2e = Q(
+    "llm_pipeline_e2e",
+    (s, d) => {
+      graft.functions.SketchFunctions.register(s)
+      val docs = T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+        .filter(col("n_chars").between(100, 500) && col("n_toks") >= 20 &&
+          col("n_stop").cast("double") / col("n_toks") < 0.3)
+      val wDup = Window.partitionBy(lower(trim(col("text")))).orderBy("doc_id")
+      val exact = docs.withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1).drop("rn")
+      // near-dup drop: keep the lower doc_id of every minhash-LSH pair
+      val pairs = llmMinhashNeardup.build(s, d).select(col("b_id").as("doc_id"))
+      val surviving = exact.join(pairs, Seq("doc_id"), "left_anti")
+      surviving.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          avg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang")
+    },
+    None)
+
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
-    llmFingerprint)
+    llmFingerprint, llmPipelineE2e)
 }

@@ -123,6 +123,33 @@ ORDER BY doc_id, pos"""))
     },
     None)
 
+  /** Multimodal ingestion path: opaque media files on disk read through
+    * Spark's `binaryFile` source (path/length/modificationTime metadata +
+    * binary content column) — the layout a 100 TB media corpus lands in
+    * before any decode stage. Files are written once from the documents
+    * fixture (deterministic bytes); side-effecting → declared-only.
+    */
+  private val srcBinaryFiles = Q(
+    "src_binary_files",
+    (s, d) => {
+      val dir = s"/root/repo/target/io/media_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(path)
+      val docs = T.documents(s, d).filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect() // 20 rows: driver-side file write is the point
+      docs.foreach { r =>
+        java.nio.file.Files.write(path.resolve(f"media_${r.getLong(0)}%04d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file"),
+          col("length"),
+          xxhash64(col("content")).as("content_hash"))
+        .orderBy("file")
+    },
+    None)
+
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
-    llmMultimodalDecode)
+    llmMultimodalDecode, srcBinaryFiles)
 }
