@@ -129,6 +129,31 @@ nullif(l_returnflag, 'N') AS rf,
 FROM lineitem WHERE l_linenumber <= 3
 ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Correlated scalar subqueries through the spark.sql surface (Catalyst
+    * decorrelates them into joins — SURVEY §4). The comparison is kept in
+    * exact decimal terms (price × count vs summed prices) so both engines
+    * decide every row identically.
+    */
+  private val filtSubqueryScalar = Q(
+    "filt_subquery_scalar",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+              (SELECT count(*) FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+               FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey"""))
+
   private val projDistinct = Q(
     "proj_distinct",
     (s, d) => T.customer(s, d).select("c_mktsegment").distinct()
@@ -639,7 +664,7 @@ ORDER BY user_id"""))
   val all: Seq[Q] = Seq(
     srcParquetScan, srcCsvRoundtrip, srcJsonLines, srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
-    projDistinct,
+    filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, srcPartitionedScan,

@@ -73,6 +73,29 @@ ORDER BY nationkey"""))
 EXCEPT SELECT s_nationkey AS nationkey FROM supplier
 ORDER BY nationkey"""))
 
+  /** Schema-evolution union: a newer partition carries an extra column; the
+    * old rows surface it as NULL (`unionByName(allowMissingColumns)`) — the
+    * datalake schema-drift case.
+    */
+  private val setUnionEvolve = Q(
+    "set_union_evolve",
+    (s, d) => {
+      val v1 = T.region(s, d).select("r_regionkey", "r_name")
+      val v2 = T.region(s, d).select("r_regionkey", "r_name")
+        .withColumn("r_comment", concat(lit("gen2-"), col("r_name")))
+        .withColumn("r_regionkey", col("r_regionkey") + 100)
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("r_regionkey"), col("r_name"),
+          coalesce(col("r_comment"), lit("(none)")).as("r_comment"))
+        .orderBy("r_regionkey")
+    },
+    Some("""SELECT r_regionkey, r_name, coalesce(r_comment, '(none)') AS r_comment
+FROM (
+  SELECT r_regionkey, r_name, NULL AS r_comment FROM region
+  UNION ALL BY NAME
+  SELECT r_regionkey + 100 AS r_regionkey, r_name, 'gen2-' || r_name AS r_comment FROM region)
+ORDER BY r_regionkey"""))
+
   val all: Seq[Q] = Seq(sortMulticol, sortNullsOrder, limitTopk,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+    setUnionAll, setUnionDistinct, setIntersect, setExcept, setUnionEvolve)
 }

@@ -26,7 +26,7 @@ object StreamingBatch {
       .select(unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type"),
-    Some(s"""SELECT epoch(date_trunc('hour', ts)) AS hour_start, event_type,
+    Some(s"""SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_start, event_type,
 count(*) AS n, ${dsumSql("value")} AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
 
@@ -134,6 +134,37 @@ count(DISTINCT user_id) AS n_users, ${dsumSql("value")} AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Time resample with gap filling — the reference's "time-resample" stage:
+    * a generated hourly spine (min..max hour) left-joined to the hourly
+    * aggregates, empty buckets filled with zeros. The spine is a sequence
+    * explode, not a driver loop, so it scales with the time range only.
+    */
+  private val streamResampleFill = Q(
+    "stream_resample_fill",
+    (s, d) => {
+      val ev = T.events(s, d)
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+          col("value"))
+      val hourly = ev.groupBy("hour_s")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val spine = ev.agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+      spine.join(hourly, Seq("hour_s"), "left")
+        .select(col("hour_s"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("hour_s")
+    },
+    Some(s"""SELECT s.hour_s AS hour_s, coalesce(h.n, 0) AS n,
+coalesce(h.sum_value, 0) AS sum_value
+FROM (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s
+      FROM (SELECT min(epoch_us(date_trunc('hour', ts)) // 1000000) AS lo,
+                   max(epoch_us(date_trunc('hour', ts)) // 1000000) AS hi FROM events)) s
+LEFT JOIN (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_s, count(*) AS n,
+             ${dsumSql("value")} AS sum_value
+           FROM events GROUP BY 1) h
+ON s.hour_s = h.hour_s
+ORDER BY hour_s"""))
+
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
-    streamDedup, streamLateData, streamStaticJoin)
+    streamDedup, streamLateData, streamStaticJoin, streamResampleFill)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.{PermuteHash, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+
+/** ScalaCheck properties for the custom expressions (direct `nullSafeEval`
+  * — no Spark jobs per case) plus one batched Spark-level property for the
+  * MinHash-Jaccard estimator (SURVEY.md §5.2).
+  */
+class PropSpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def vecDotEval(a: Seq[Double], b: Seq[Double]): Double =
+    VecDot(Literal.create(null, ArrayType(DoubleType)), Literal.create(null, ArrayType(DoubleType)))
+      .nullSafeEval(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      .asInstanceOf[Double]
+
+  test("vec_dot equals the reference fold and is symmetric") {
+    val gv = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    check(Prop.forAll(gv, gv) { (a, b) =>
+      val got = vecDotEval(a, b)
+      val ref = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      got == ref && got == vecDotEval(b, a)
+    })
+  }
+
+  test("vec_dot truncates to the shorter vector") {
+    val gv = Gen.listOfN(8, Gen.choose(-5.0, 5.0))
+    check(Prop.forAll(gv, Gen.listOfN(12, Gen.choose(-5.0, 5.0))) { (a, b) =>
+      vecDotEval(a, b) == a.zip(b.take(8)).map { case (x, y) => x * y }.sum
+    })
+  }
+
+  private def permEval(h: Long, seed: Int): Long =
+    PermuteHash(Literal.create(null, LongType), Literal.create(null, IntegerType))
+      .nullSafeEval(h, seed).asInstanceOf[Long]
+
+  test("permute_hash is injective per seed and identity at seed 0") {
+    val gl = Gen.choose(Long.MinValue, Long.MaxValue)
+    check(Prop.forAll(gl, gl, Gen.choose(0, 63)) { (h1, h2, seed) =>
+      (h1 == h2 || permEval(h1, seed) != permEval(h2, seed)) &&
+        permEval(h1, 0) == h1
+    })
+  }
+
+  test("minhash signature match-rate estimates Jaccard within 4 sigma (batched)") {
+    import spark.implicits._
+    graft.functions.SketchFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    // 40 deterministic random set pairs with varying overlap
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 40).map { pid =>
+      val base = Seq.fill(60)(rnd.nextLong())
+      val keep = rnd.nextInt(61)
+      val a = base
+      val b = base.take(keep) ++ Seq.fill(60 - keep)(rnd.nextLong())
+      (pid, a, b)
+    }
+    val rows = cases.flatMap { case (pid, a, b) =>
+      a.distinct.map(h => (pid, 0, h)) ++ b.distinct.map(h => (pid, 1, h))
+    }
+    val sigs = rows.toDF("pid", "side", "h")
+      .groupBy("pid", "side").agg(expr("minhash_agg(h)").as("mh"))
+      .as[(Int, Int, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(v => (v.find(_._2 == 0).get._3, v.find(_._2 == 1).get._3))
+    cases.foreach { case (pid, a, b) =>
+      val (sa, sb) = sigs(pid)
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 32.0
+      val sA = a.distinct.toSet
+      val sB = b.distinct.toSet
+      val jac = sA.intersect(sB).size.toDouble / sA.union(sB).size
+      val sigma = math.sqrt(jac * (1 - jac) / 32).max(0.02)
+      assert(math.abs(est - jac) <= 4 * sigma + 0.05,
+        s"pair $pid: estimate $est vs true $jac")
+    }
+  }
+}
