@@ -401,6 +401,47 @@ GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
     },
     None)
 
+  /** Co-located join via bucketing: lineitem and orders both bucketed 8 ways
+    * on the join key — the join then runs WITHOUT a shuffle exchange on
+    * either side (asserted in PlanSpec). At 100 TB this is the difference
+    * between re-shuffling the fact table per query and reading it
+    * pre-partitioned. Side-effecting (writes bucketed tables) → no oracle.
+    */
+  private val joinBucketed = Q(
+    "join_bucketed",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"bkt_lineitem_$tag"
+      val ord = s"bkt_orders_$tag"
+      if (!s.catalog.tableExists(li)) {
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse directories survive — clear them before re-creating
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        Seq(li, ord).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val dir = java.nio.file.Paths.get(wh, t)
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        T.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+        T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+      }
+      // merge hint: at tiny sf the planner would broadcast instead; the
+      // point here is the shuffle-free bucketed sort-merge join
+      s.table(li).join(s.table(ord).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    None)
+
   // ----------------------------------------------------------- §2.4 aggregation
 
   private val aggGlobal = Q(
@@ -667,7 +708,7 @@ ORDER BY user_id"""))
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof, joinSkewSalted, srcPartitionedScan,
+    joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy)

@@ -62,6 +62,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sc.head.relation.location.inputFiles.count(_.contains("event_type=")) > 0)
   }
 
+  test("join_bucketed joins without a shuffle exchange on either side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("join_bucketed")
+    val smj = collectWithSubqueries(p) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join over bucketed tables:\n$p")
+    val shufflesUnderJoin = smj.flatMap(j => collectWithSubqueries(j) {
+      case e: ShuffleExchangeExec => e
+    })
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
