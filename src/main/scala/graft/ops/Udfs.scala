@@ -150,6 +150,35 @@ ORDER BY doc_id, pos"""))
     },
     None)
 
+  /** Frame-sampling plumbing over opaque media payloads: each "video" row
+    * explodes into evenly-spaced fixed-stride frame slices (binary substr),
+    * each with index, byte offset and a checksum — the exact row shape a
+    * real decoder stage would emit, with the codec itself stubbed out as
+    * deterministic byte slicing (no media libs in-container).
+    */
+  private val llmMultimodalFrames = Q(
+    "llm_multimodal_frames",
+    (s, d) => {
+      val stride = 64
+      val media = T.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("n_frames",
+          least(greatest(length(col("payload")) / stride, lit(1)), lit(8)).cast("int"))
+      media
+        .select(col("doc_id"), col("payload"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .select(
+          col("doc_id"),
+          col("frame_idx"),
+          (col("frame_idx") * stride).as("byte_offset"),
+          xxhash64(expr(s"substring(payload, frame_idx * $stride + 1, $stride)"))
+            .as("frame_checksum"),
+          length(expr(s"substring(payload, frame_idx * $stride + 1, $stride)"))
+            .as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    None)
+
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
-    llmMultimodalDecode, srcBinaryFiles)
+    llmMultimodalDecode, llmMultimodalFrames, srcBinaryFiles)
 }
