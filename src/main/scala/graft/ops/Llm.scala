@@ -339,24 +339,22 @@ GROUP BY source ORDER BY source"""))
   private val llmTextStats = Q(
     "llm_text_stats",
     (s, d) => {
-      // one explode, one shuffle: every downstream stat derives from the
-      // (lang, tok) -> cnt aggregate instead of re-scanning exploded tokens
-      // (countDistinct over the exploded frame would expand-shuffle it twice)
+      // one explode, two cascaded aggregates: every stat (including the
+      // ranked top-10, via array_sort(collect_list(struct)) over the tiny
+      // per-lang vocabulary) comes out of a single (lang, tok) -> lang
+      // cascade — no window, no self-joins over the exploded frame
       val perTok = T.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-        .persist()
-      val wR = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
-      val top10 = perTok.withColumn("rn", row_number().over(wR)).filter(col("rn") <= 10)
-        .groupBy("lang")
-        .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(rn, tok))), x -> x.tok))")
-          .as("top_toks"))
       val langStats = perTok.groupBy("lang").agg(
         sum(col("cnt")).as("total_toks"),
-        count(lit(1)).as("n_uniq_toks"))
+        count(lit(1)).as("n_uniq_toks"),
+        expr("""concat_ws(',', transform(
+                 slice(array_sort(collect_list(struct(-cnt AS nc, tok AS tok))), 1, 10),
+                 x -> x.tok))""").as("top_toks"))
       val docStats = T.documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("avg_chars"))
-      langStats.join(docStats, Seq("lang")).join(top10, Seq("lang"))
+      langStats.join(docStats, Seq("lang"))
         .select(col("lang"), col("n_docs"), col("total_toks"), col("n_uniq_toks"),
           (col("n_uniq_toks") / col("total_toks")).as("ttr"),
           (col("total_toks") / col("n_docs")).as("toks_per_doc"),
