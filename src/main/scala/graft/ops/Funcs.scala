@@ -165,7 +165,7 @@ FROM customer ORDER BY c_custkey"""))
       .orderBy("o_orderstatus"),
     Some("""SELECT o_orderstatus,
 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_exact,
-sum(CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)) AS sum_key_roundtrip,
+CAST(sum(CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)) AS BIGINT) AS sum_key_roundtrip,
 min(CAST(o_orderdate AS DATE)) AS first_date,
 max(CAST(o_orderdate AS DATE)) AS last_date,
 count(*) AS n

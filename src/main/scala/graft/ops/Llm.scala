@@ -490,7 +490,8 @@ GROUP BY source ORDER BY source"""))
         avg(col("n_ws")).as("avg_ws_per_doc"))
       .orderBy("lang"),
     Some("""SELECT lang, count(*) AS n_docs,
-sum(n_ws) AS ws_tokens, sum(n_re) AS re_tokens, sum(n_bpe4) AS bpe4_tokens,
+CAST(sum(n_ws) AS BIGINT) AS ws_tokens, CAST(sum(n_re) AS BIGINT) AS re_tokens,
+CAST(sum(n_bpe4) AS BIGINT) AS bpe4_tokens,
 avg(n_ws) AS avg_ws_per_doc
 FROM (SELECT lang,
         len(string_split(text, ' ')) AS n_ws,

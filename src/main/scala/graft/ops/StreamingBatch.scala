@@ -73,8 +73,8 @@ min(em) AS sess_start_us, max(em) - min(em) AS duration_us,
 ${dsumSql("value")} AS sum_value
 FROM (
   SELECT user_id, event_id, em, value,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY em, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY em, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
   FROM (
     SELECT user_id, event_id, em, value,
       CASE WHEN em - lag(em, 1) OVER (PARTITION BY user_id ORDER BY em, event_id)

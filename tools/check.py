@@ -40,6 +40,19 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     if list(s.columns) != list(d.columns):
         fails.append((qname, f"COLUMNS spark={list(s.columns)} duck={list(d.columns)}"))
         continue
+    # strict dtype-family check: int-vs-float (etc.) would survive a lenient
+    # == compare but can break a hash-based compare on the driver side
+    kind_bad = None
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks != kd and {ks, kd} not in ({"i", "f"},):
+            pass  # let value compare decide for exotic kinds (object etc.)
+        if {ks, kd} == {"i", "f"}:
+            kind_bad = f"DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}"
+            break
+    if kind_bad:
+        fails.append((qname, kind_bad))
+        continue
     if len(s) != len(d):
         fails.append((qname, f"ROWS spark={len(s)} duck={len(d)}"))
         continue
