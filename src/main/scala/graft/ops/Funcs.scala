@@ -235,6 +235,53 @@ TRUE AS k_match,
 CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS m_k
 FROM events ORDER BY event_id"""))
 
+  /** Bitwise family — exact integer ops, identical in both engines. */
+  private val fnBitwise = Q(
+    "fn_bitwise",
+    (s, d) => T.part(s, d).select(
+      col("p_partkey"),
+      expr("shiftleft(p_size, 3)").as("sl3"),
+      expr("shiftright(p_partkey, 2)").as("sr2"),
+      (col("p_partkey").bitwiseAND(255L)).as("and255"),
+      (col("p_partkey").bitwiseOR(16L)).as("or16"),
+      (col("p_partkey").bitwiseXOR(col("p_size").cast("long"))).as("xor_size"),
+      expr("bit_count(p_partkey)").as("popcount"),
+      expr("~p_size").as("negated"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+p_size << 3 AS sl3, p_partkey >> 2 AS sr2,
+p_partkey & 255 AS and255, p_partkey | 16 AS or16,
+xor(p_partkey, CAST(p_size AS BIGINT)) AS xor_size,
+CAST(bit_count(p_partkey) AS INTEGER) AS popcount,
+~p_size AS negated
+FROM part ORDER BY p_partkey"""))
+
+  /** Second string family: structural string surgery. */
+  private val fnString2 = Q(
+    "fn_string2",
+    (s, d) => T.part(s, d).select(
+      col("p_partkey"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+      reverse(col("p_name")).as("rev"),
+      expr("repeat(p_brand, 2)").as("brand2"),
+      substring_index(col("p_name"), " ", 1).as("first_word"),
+      substring_index(col("p_name"), " ", -1).as("last_word"),
+      instr(col("p_name"), "i").as("pos_i"),
+      expr("left(p_name, 3)").as("l3"),
+      expr("right(p_name, 3)").as("r3"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+reverse(p_name) AS rev,
+repeat(p_brand, 2) AS brand2,
+split_part(p_name, ' ', 1) AS first_word,
+split_part(p_name, ' ', -1) AS last_word,
+CAST(strpos(p_name, 'i') AS INTEGER) AS pos_i,
+p_name[1:3] AS l3,
+p_name[-3:] AS r3
+FROM part ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
-    fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson)
+    fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
+    fnString2)
 }
