@@ -93,16 +93,19 @@ GROUP BY source ORDER BY source"""))
       // exact verify on candidates only: distinct shingle sets via joins
       val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-      val candSh = hs.join(broadcast(candIds), "doc_id").distinct().persist()
-      val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val common = cand
-        .join(candSh.select(col("doc_id").as("a_id"), col("h")), "a_id")
-        .join(candSh.select(col("doc_id").as("d2"), col("h").as("h2")),
+      val candSh = hs.join(broadcast(candIds), "doc_id").distinct()
+        .withColumn("n_sh",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .persist()
+      cand
+        .join(candSh.select(col("doc_id").as("a_id"), col("h"), col("n_sh").as("a_n")),
+          "a_id")
+        .join(candSh.select(col("doc_id").as("d2"), col("h").as("h2"),
+          col("n_sh").as("b_n")),
           col("b_id") === col("d2") && col("h") === col("h2"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-      common
-        .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
-        .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
+          first(col("b_n")).as("b_n"))
         .select(col("a_id"), col("b_id"),
           r4(col("common").cast("double") /
             (col("a_n") + col("b_n") - col("common"))).as("jaccard"))
