@@ -458,9 +458,13 @@ GROUP BY source ORDER BY source"""))
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       val langTok = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       val langTotal = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
+      // logp is cast to decimal so the per-doc score sum is order-independent
+      // (double summation across partitions is not run-deterministic, and a
+      // near-tie between two languages could flip ranks between runs)
       val model = langTok.join(langTotal, Seq("lang"))
         .select(col("lang").as("m_lang"), col("tok").as("m_tok"),
-          log((col("c") + 1.0) / (col("tot") + 1.0)).as("logp"))
+          log((col("c") + 1.0) / (col("tot") + 1.0))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 18)).as("logp"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang").asc)
       val scored = toks.join(broadcast(model),
           col("tok") === col("m_tok"), "inner")
