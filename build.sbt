@@ -27,8 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 81 queries x whole-stage codegen generates hundreds of classes; the
+  // 90+ queries x whole-stage codegen generates hundreds of classes; the
   // default 240m code cache flushes under that load and later queries fall
-  // back to interpreted bytecode (measured 3-6x slowdowns late in Bench).
-  "-XX:ReservedCodeCacheSize=512m",
+  // back to interpreted bytecode (measured 3-6x slowdowns late in Bench;
+  // the r1 driver bench still degraded in its tail at 512m with 32 threads,
+  // so reserve 1g — the cache is virtual-reserved, not committed up front).
+  "-XX:ReservedCodeCacheSize=1g",
 )

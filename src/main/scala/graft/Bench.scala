@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Queries run in sorted-name order (deterministic run order across rounds,
+  * so positional effects like JIT/code-cache drift are comparable). Failures
+  * are recorded as NEGATIVE seconds plus a "failed" list — a broken query
+  * cannot masquerade as a fast one. Per-query stderr logs split planning vs
+  * execution and track GC + JIT code-cache usage to make late-run JVM
+  * degradation visible.
+  */
 object Bench {
+  private def codeCacheMB: Double =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed / 1e6).sum
+  private def gcMs: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,20 +29,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failed = mutable.ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMs
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      var planSec = 0.0
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.executedPlan // force analyze+optimize+plan
+          planSec = (System.nanoTime() - t0) / 1e9
+          df.count()
+          true
+        } catch { case _: Throwable => failed += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop blocks persisted inside operators so queries stay independent
       // and cold (cache build-up also degrades later queries via GC pressure)
       spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-28s ${sec}%8.2f s")
-      name -> sec
+      System.err.println(
+        f"[bench] $name%-28s $sec%8.2f s  (plan $planSec%6.2f, gc +${(gcMs - gc0) / 1000.0}%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
+      name -> (if (ok) sec else -sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

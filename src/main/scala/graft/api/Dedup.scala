@@ -1,0 +1,170 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized deduplication toolkit — every builder takes the document
+  * frame as an argument (any frame with an id column and a text column
+  * qualifies), so the operators compose over arbitrary inputs; the
+  * `graft.ops.Llm` registry entries are thin fixture-bound wrappers.
+  *
+  * Scale design (100 TB):
+  *  - candidate generation is always an equi-join on (band, signature) —
+  *    never an O(n²) cross product and never a per-bucket array collect.
+  *  - hot buckets (mass-duplicated boilerplate is the NORM in web corpora)
+  *    are spread over `salt` reducers by a salted pair-join: the left side
+  *    takes a deterministic salt from its id, the right side replicates
+  *    `salt` ways, so a bucket of k docs costs k²/salt per task instead of
+  *    one task holding a k-element array and emitting k² pairs in-row.
+  *  - the exact verify step (Jaccard / Hamming) runs only on candidates.
+  */
+object Dedup {
+
+  /** (id, shingle-hash) rows, fully codegen: explode positions, then
+    * `substring(text, i, k)` + xxhash64 run inside whole-stage codegen — no
+    * interpreted higher-order lambdas, no per-element re-`split`.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"))
+      .select(col("id"), xxhash64(expr(s"substring(text, i, $k)")).as("h"))
+
+  /** Ordered candidate pairs (a_id < b_id) from an (id, band, bsig) signature
+    * frame via a salted self equi-join. The left side carries a deterministic
+    * id-hash salt, the right side explodes into all `salt` values, so every
+    * in-bucket pair matches on exactly one salt and a hot (band, bsig) bucket
+    * distributes over `salt` tasks instead of one unbounded collect_list row.
+    */
+  def saltedBandPairs(sig: DataFrame, salt: Int = 16): DataFrame = {
+    val a = sig.select(col("band").as("a_band"), col("bsig").as("a_bsig"),
+        col("id").as("a_id"))
+      .withColumn("a_salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)).cast("int"))
+    val b = sig.select(col("band").as("b_band"), col("bsig").as("b_bsig"),
+        col("id").as("b_id"))
+      .withColumn("b_salt", explode(sequence(lit(0), lit(salt - 1))))
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_bsig") === col("b_bsig") &&
+          col("a_salt") === col("b_salt") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** (id, band, bsig) LSH rows from 32-perm MinHash signatures (custom
+    * [[graft.functions.MinHashAgg]]: one buffer per doc on the wire,
+    * partial+final mergeable).
+    */
+  def minhashBandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numBands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val hs = shingleHashes(docs, idCol, textCol)
+    val mh = hs.groupBy("id").agg(expr("minhash_agg(h)").as("mh"))
+    val bands = (0 until numBands).map(b =>
+      xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand), lit(b)).as(s"band$b"))
+    mh.select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
+  }
+
+  /** MinHash-LSH candidate pairs (pre-verify), ordered a_id < b_id. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      salt: Int = 16): DataFrame =
+    saltedBandPairs(minhashBandSignatures(docs, idCol, textCol).persist(), salt)
+
+  /** MinHash + LSH near-dup pairs: 5-char shingles → 32-perm MinHash →
+    * 4 bands × 8 rows → salted band-bucket equi-join → exact Jaccard verify.
+    * Output: (a_id, b_id, jaccard) with jaccard >= `threshold`.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, salt: Int = 16): DataFrame = {
+    val hs = shingleHashes(docs, idCol, textCol)
+    val cand = minhashCandidates(docs, idCol, textCol, salt).persist()
+    // exact verify on candidates only: distinct shingle sets via joins (the
+    // candidate-id filter is a semi-join — the planner broadcasts it when
+    // small, shuffles it when a mass-duplication corpus makes it big)
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+    val candSh = hs.join(candIds, Seq("id"), "left_semi").distinct()
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+      .persist()
+    cand
+      .join(candSh.select(col("id").as("a_id"), col("h"), col("n_sh").as("a_n")),
+        "a_id")
+      .join(candSh.select(col("id").as("d2"), col("h").as("h2"),
+        col("n_sh").as("b_n")),
+        col("b_id") === col("d2") && col("h") === col("h2"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
+        first(col("b_n")).as("b_n"))
+      .select(col("a_id"), col("b_id"),
+        round(col("common").cast("double") /
+          (col("a_n") + col("b_n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit majority-vote signature (custom
+    * [[graft.functions.SimHashAgg]]), 4×16-bit band blocking via the salted
+    * pair-join, exact Hamming <= `maxHamming` verify.
+    * Output: (a_id, b_id, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 4, salt: Int = 16): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val h = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val sig = h.groupBy("id").agg(expr("simhash_agg(h)").as("bits")).persist()
+    val bands = (0 until 4).map(b =>
+      xxhash64(slice(col("bits"), b * 16 + 1, 16), lit(b)).as(s"band$b"))
+    val withBands = sig.select(col("id"),
+      posexplode(array(bands: _*)).as(Seq("band", "bsig")))
+    val cand = saltedBandPairs(withBands, salt)
+    cand
+      .join(sig.select(col("id").as("a_id"), col("bits").as("a_bits")), "a_id")
+      .join(sig.select(col("id").as("b_id"), col("bits").as("b_bits")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("aggregate(zip_with(a_bits, b_bits, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard near-dup via inverted shingle index. Stop-shingles
+    * (df > `maxDf`) are dropped before pairing — the guard against the
+    * quadratic hot-shingle blowup at corpus scale. Output:
+    * (a_id, b_id, common, jaccard) with jaccard >= `threshold`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, maxDf: Long = 50): DataFrame = {
+    // materialize the token array ONCE, then explode positions — slice +
+    // concat_ws + xxhash64 all run codegen'd (the naive transform-lambda
+    // re-splits the text per n-gram: O(tokens²) per doc)
+    val tri = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .select(col(idCol).as("id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+      .distinct()
+      .persist()
+    val sh = tri.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inv = tri.join(sh, "id").select(col("id"), col("n_sh"), col("g"))
+    val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+    val cold = inv.join(hot, Seq("g"), "left_anti")
+    val a = cold.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
+    val b = cold.select(col("g").as("g2"), col("id").as("b_id"), col("n_sh").as("b_n"))
+    a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("a_n") + col("b_n") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "common", "jaccard")
+  }
+
+  /** Exact-dedup rank: 1 for the deterministic survivor (lowest id) of each
+    * normalized-key group, 2.. for its duplicates. Hash-partitions on the
+    * normalized key — the shuffle unit a 100 TB dedup shuffles on.
+    */
+  def exactDupRank(docs: DataFrame, idCol: String, key: org.apache.spark.sql.Column): DataFrame =
+    docs.withColumn("dup_rank",
+      row_number().over(Window.partitionBy(key).orderBy(col(idCol))))
+}

@@ -1,0 +1,136 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized similarity-search toolkit over any frame with an id column
+  * and an embedding array column. Dot products run through the codegen'd
+  * [[graft.functions.VecDot]] expression (`vec_dot`) — a tight primitive
+  * loop, no per-element lambda dispatch.
+  *
+  * Scale design (100 TB):
+  *  - the only broadcast sides are constant-size: a fixed query set
+  *    ([[cosineTopK]]) or the centroid codebook ([[ivfProbe]]). Nothing
+  *    broadcast grows with the corpus.
+  *  - candidate generation for near-dup ([[signLshPairs]]) and ANN
+  *    ([[ivfProbe]]) is blocked (LSH bands / IVF cells) and the block joins
+  *    are salted so hot cells spread over `salt` reducers.
+  */
+object Vectors {
+
+  /** Adds `vd` (double vector) and `nrm` (L2 norm) to a frame with an
+    * embedding array column; keeps all other columns.
+    */
+  def normalized(emb: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb
+      .withColumn("vd", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+  }
+
+  def cosine(aVec: String, aNorm: String, bVec: String, bNorm: String) =
+    expr(s"vec_dot($aVec, $bVec)") / (col(aNorm) * col(bNorm))
+
+  /** Brute-force cosine top-k of a constant-size query set against the full
+    * index: queries broadcast, the index side never shuffles. Inputs are
+    * [[normalized]] frames; `queries` may carry extra columns (kept).
+    * Output: one row per (q_id, rank) with neighbor_id and cos.
+    */
+  def cosineTopK(index: DataFrame, queries: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val idx = index.select(col(idCol).as("n_id"), col("vd").as("n_vd"),
+      col("nrm").as("n_nrm"))
+    val q = queries.withColumnRenamed(idCol, "q_id")
+      .withColumnRenamed("vd", "q_vd").withColumnRenamed("nrm", "q_nrm")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    idx.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-cell mean centroids — a deterministic stand-in for a k-means
+    * codebook; the codebook is small by construction (one row per cell).
+    */
+  def centroids(index: DataFrame, cellCol: String): DataFrame =
+    index.select(col(cellCol).as("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cvd"))
+      .withColumn("cnrm", expr("sqrt(vec_dot(cvd, cvd))"))
+
+  /** IVF-style ANN probe: rank cells per query against the broadcast
+    * centroid codebook, probe the top `probes` cells, exact-rank inside them.
+    * The query→index join is a salted shuffle equi-join on (cell, salt) —
+    * no broadcast that scales with the corpus, and a hot cell spreads over
+    * `salt` reducers (index rows take a deterministic id-hash salt, query
+    * rows replicate `salt` ways).
+    *
+    * `index`: [[normalized]] frame with (idCol, cellCol, vd, nrm).
+    * `queries`: [[normalized]] frame with (idCol, vd, nrm) + extra columns,
+    * which are all kept on the output rows.
+    * Output: per (q_id, rank<=k): n_id, n_cell, cos + query extras.
+    */
+  def ivfProbe(index: DataFrame, queries: DataFrame, idCol: String,
+      cellCol: String, k: Int = 5, probes: Int = 2, salt: Int = 8): DataFrame = {
+    val cent = centroids(index, cellCol)
+    val q = queries.withColumnRenamed(idCol, "q_id")
+      .withColumnRenamed("vd", "q_vd").withColumnRenamed("nrm", "q_nrm")
+    val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine("q_vd", "q_nrm", "cvd", "cnrm"))
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= probes)
+      .drop("cvd", "cnrm", "ccos", "cr")
+      .withColumn("q_salt", explode(sequence(lit(0), lit(salt - 1))))
+    val idx = index.select(col(idCol).as("n_id"), col(cellCol).as("n_cell"),
+        col("vd").as("n_vd"), col("nrm").as("n_nrm"))
+      .withColumn("i_salt", pmod(xxhash64(col("n_id")), lit(salt.toLong)).cast("int"))
+    val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    idx.join(qCells,
+        col("n_cell") === col("cell") && col("i_salt") === col("q_salt") &&
+          col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .drop("cell", "q_salt", "i_salt", "q_vd", "q_nrm", "n_vd", "n_nrm")
+  }
+
+  /** Embedding near-dup via sign-LSH: `numPlanes` fixed Gaussian hyperplanes
+    * (seeded — deterministic literals compiled into the plan), grouped into
+    * bands of `bandBits` bits for candidate blocking through the salted
+    * band pair-join, then an exact cosine >= `threshold` verify on
+    * candidates only. Output: (a_id, b_id, cos).
+    *
+    * The projections are `vec_dot(vd, <literal plane>)` columns — one
+    * codegen'd primitive loop per plane, no explode/join/re-aggregate of the
+    * vector elements.
+    */
+  def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 16, bandBits: Int = 4,
+      dim: Int = 64, seed: Long = 42L, salt: Int = 16): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    val nv = normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm"))
+      .persist()
+    val bitCols = (0 until numPlanes).map { j =>
+      val planeSql = planes(j).mkString("array(", "D, ", "D)")
+      when(expr(s"vec_dot(vd, $planeSql)") >= 0, 1).otherwise(0).as(s"bit$j")
+    }
+    val numBands = numPlanes / bandBits
+    val sigBits = nv.select(col("id") +: bitCols: _*)
+    val bands = (0 until numBands).map(b =>
+      xxhash64((b * bandBits until (b + 1) * bandBits).map(i => col(s"bit$i")) :+ lit(b): _*)
+        .as(s"band$b"))
+    val sig = sigBits.select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
+    Dedup.saltedBandPairs(sig, salt)
+      .join(nv.select(col("id").as("a_id"), col("vd").as("a_vd"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(nv.select(col("id").as("b_id"), col("vd").as("b_vd"),
+        col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosine("a_vd", "a_nrm", "b_vd", "b_nrm"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,26 +1,31 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.api.{Dedup, Vectors}
 import H._
 
 /** SURVEY.md §2.9 + builder-prompt extensions — LLM-training-data pipeline
   * operators over `documents` / `embeddings`.
   *
+  * The registry entries here are thin fixture-bound wrappers: the actual
+  * operators are the parameterized builders in [[graft.api.Dedup]] and
+  * [[graft.api.Vectors]], callable on any conforming frame.
+  *
   * Scale notes (100 TB):
   *  - near-dup detection is LSH-bucketed (MinHash bands / SimHash bands /
-  *    sign-LSH) → candidate generation is an equi-join on (band, signature),
-  *    never an O(n²) cross product; the exact verify step runs only on
+  *    sign-LSH) → candidate generation is a SALTED equi-join on
+  *    (band, signature) — never an O(n²) cross product, and a hot bucket
+  *    (mass-duplicated boilerplate) spreads over the salt fan-out instead of
+  *    concentrating in one task; the exact verify step runs only on
   *    candidates.
   *  - brute-force cosine is kept ONLY as the small-side baseline
   *    (`llm_cosine_topk` broadcasts the 10 query vectors); the scale path is
-  *    `llm_ann_ivf` (probe top cells) and `llm_embed_neardup` (sign-LSH).
-  *  - all signatures are computed with deterministic seeded xxhash64 — no
-  *    Math.random, identical across runs/partitions.
-  *
-  * The hairy higher-order expressions are written as SQL `expr(...)` strings:
-  * SQL lambdas support nesting + outer-variable capture cleanly.
+  *    `llm_ann_ivf` / `llm_knn_label` (cell probe through a salted shuffle
+  *    join — no broadcast that scales with the corpus) and
+  *    `llm_embed_neardup` (sign-LSH).
+  *  - all signatures are computed with deterministic seeded xxhash64 /
+  *    seeded hyperplanes — no Math.random, identical across runs/partitions.
   */
 object Llm {
 
@@ -31,16 +36,13 @@ object Llm {
     */
   private val llmExactDedup = Q(
     "llm_exact_dedup",
-    (s, d) => {
-      val w = Window.partitionBy("norm").orderBy("doc_id")
-      T.documents(s, d)
-        .withColumn("norm", lower(trim(col("text"))))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(col("rn") === 1, 1)).as("n_survivors"))
-        .orderBy("source")
-    },
+    (s, d) => Dedup.exactDupRank(
+        T.documents(s, d).withColumn("norm", lower(trim(col("text")))),
+        "doc_id", col("norm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dup_rank") === 1, 1)).as("n_survivors"))
+      .orderBy("source"),
     Some("""SELECT source, count(*) AS n_docs,
 count(*) FILTER (WHERE rn = 1) AS n_survivors
 FROM (SELECT source,
@@ -48,286 +50,133 @@ FROM (SELECT source,
       FROM documents)
 GROUP BY source ORDER BY source"""))
 
-  /** (doc_id, shingle-hash) rows, fully codegen: explode positions, then
-    * `substring(text, i, 5)` + xxhash64 run inside whole-stage codegen — no
-    * interpreted higher-order lambdas, no per-element re-`split`.
-    */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
-      .select(col("doc_id"), xxhash64(expr("substring(text, i, 5)")).as("h"))
-
-  /** MinHash + LSH near-dup: 5-char shingles → 32-perm MinHash → 4 bands × 8
-    * rows → band-bucket equi-join → exact Jaccard >= 0.8 verify.
-    *
-    * The signature is ONE custom aggregate column ([[graft.functions.MinHashAgg]],
-    * a TypedImperativeAggregate with a 32-long buffer updated in a tight
-    * loop) — one tuple per doc on the wire, partial+final mergeable, and no
-    * 32-column codegen blow-up; min is duplicate-insensitive so the shingle
-    * multiset needs no distinct pass before the aggregate.
-    * The exact-Jaccard verify joins distinct shingle hashes only for the
-    * candidate doc_ids. Declared-only: algorithmic.
+  /** MinHash + LSH near-dup — [[graft.api.Dedup.minhashPairs]]: 5-char
+    * shingles → 32-perm MinHash ([[graft.functions.MinHashAgg]]) → 4 bands ×
+    * 8 rows → salted band pair-join → exact Jaccard >= 0.8 verify.
+    * Declared-only: algorithmic.
     */
   private val llmMinhashNeardup = Q(
     "llm_minhash_neardup",
-    (s, d) => {
-      graft.functions.SketchFunctions.register(s)
-      val hs = shingleHashes(s, d)
-      val mh = hs.groupBy("doc_id").agg(expr("minhash_agg(h)").as("mh"))
-      val bands = (0 until 4).map(b =>
-        xxhash64(slice(col("mh"), b * 8 + 1, 8), lit(b)).as(s"band$b"))
-      val sig = mh.select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
-      // candidate pairs in ONE pass over the signatures: bucket-collect per
-      // (band, bsig) and emit ordered pairs — no self-join, so the heavy
-      // signature pipeline is computed once (then persisted: it is tiny).
-      val cand = sig.groupBy("band", "bsig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       y -> struct(x AS a_id, y AS b_id))))""")).as("p"))
-        .select("p.a_id", "p.b_id").distinct()
-        .persist()
-      // exact verify on candidates only: distinct shingle sets via joins
-      val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
-        .distinct()
-      val candSh = hs.join(broadcast(candIds), "doc_id").distinct()
-        .withColumn("n_sh",
-          count(lit(1)).over(Window.partitionBy("doc_id")))
-        .persist()
-      cand
-        .join(candSh.select(col("doc_id").as("a_id"), col("h"), col("n_sh").as("a_n")),
-          "a_id")
-        .join(candSh.select(col("doc_id").as("d2"), col("h").as("h2"),
-          col("n_sh").as("b_n")),
-          col("b_id") === col("d2") && col("h") === col("h2"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
-          first(col("b_n")).as("b_n"))
-        .select(col("a_id"), col("b_id"),
-          r4(col("common").cast("double") /
-            (col("a_n") + col("b_n") - col("common"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+      .orderBy("a_id", "b_id"),
     None)
 
-  /** SimHash near-dup: the 64 bits of one xxhash64 per token, majority-vote
-    * signature, 4×16-bit band blocking, exact Hamming <= 4 verify.
-    *
-    * Same shape as MinHash: explode tokens, hash once, then ONE custom
-    * aggregate column ([[graft.functions.SimHashAgg]], TypedImperativeAggregate
-    * with a 64-int vote buffer) — partial+final mergeable, no 64-column
-    * codegen blow-up.
+  /** SimHash near-dup — [[graft.api.Dedup.simhashPairs]]: 64-bit majority
+    * vote ([[graft.functions.SimHashAgg]]), 4×16-bit salted band blocking,
+    * exact Hamming <= 4 verify.
     */
   private val llmSimhashNeardup = Q(
     "llm_simhash_neardup",
-    (s, d) => {
-      graft.functions.SketchFunctions.register(s)
-      val h = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val sig = h.groupBy("doc_id").agg(expr("simhash_agg(h)").as("bits"))
-      val bands = (0 until 4).map(b =>
-        xxhash64(slice(col("bits"), b * 16 + 1, 16), lit(b)).as(s"band$b"))
-      val withBands = sig.select(col("doc_id"), col("bits"),
-        posexplode(array(bands: _*)).as(Seq("band", "bsig"))).persist()
-      val cand = withBands.groupBy("band", "bsig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       y -> struct(x AS a_id, y AS b_id))))""")).as("p"))
-        .select("p.a_id", "p.b_id").distinct()
-      val bitsOf = withBands.select("doc_id", "bits").distinct()
-      cand
-        .join(bitsOf.select(col("doc_id").as("a_id"), col("bits").as("a_bits")), "a_id")
-        .join(bitsOf.select(col("doc_id").as("b_id"), col("bits").as("b_bits")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          expr("aggregate(zip_with(a_bits, b_bits, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)")
-            .as("hamming"))
-        .filter(col("hamming") <= 4)
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => Dedup.simhashPairs(T.documents(s, d), "doc_id", "text")
+      .orderBy("a_id", "b_id"),
     None)
 
-  /** Word-3-gram Jaccard near-dup via inverted shingle index. Stop-shingles
-    * (df > 50) are dropped before pairing — the standard guard against the
-    * quadratic hot-shingle blowup at corpus scale.
+  /** Word-3-gram Jaccard near-dup — [[graft.api.Dedup.ngramJaccardPairs]]:
+    * inverted shingle index with the df > 50 stop-shingle guard.
     */
   private val llmNgramJaccard = Q(
     "llm_ngram_jaccard",
-    (s, d) => {
-      // materialize the token array ONCE, then explode positions — slice +
-      // concat_ws + xxhash64 all run codegen'd (the naive transform-lambda
-      // re-splits the text per trigram: O(tokens²) per doc)
-      val tri = T.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
-        .select(col("doc_id"), xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(3)))).as("g"))
-        .distinct()
-        .persist()
-      val sh = tri.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inv = tri.join(sh, "doc_id").select(col("doc_id"), col("n_sh"), col("g"))
-      val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > 50)
-      val cold = inv.join(hot, Seq("g"), "left_anti")
-      val a = cold.select(col("g"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-      val b = cold.select(col("g").as("g2"), col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-      a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "a_n", "b_n")
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jaccard",
-          r4(col("common").cast("double") / (col("a_n") + col("b_n") - col("common"))))
-        .filter(col("jaccard") >= 0.6)
-        .select("a_id", "b_id", "common", "jaccard")
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+      .orderBy("a_id", "b_id"),
     None)
 
   // ----------------------------------------------------- similarity search
 
-  /** Normalized double vectors; dot/norm via the codegen'd [[graft.functions.VecDot]]
-    * expression (registered as `vec_dot`) instead of interpreted
-    * zip_with/aggregate lambdas — the hot loop of every similarity operator.
-    */
-  private def withNorm(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    T.embeddings(s, d)
-      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
-  }
-
-  private def cosine(aVec: String, aNorm: String, bVec: String, bNorm: String) =
-    expr(s"vec_dot($aVec, $bVec)") / (col(aNorm) * col(bNorm))
+  private def normEmb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Vectors.normalized(T.embeddings(s, d), "embedding")
 
   /** Brute-force cosine top-5 for the first 10 vec_ids — the baseline: tiny
     * query side broadcast against the full index (no shuffle of the index).
+    * Oracled: cos is rounded to 3 decimals (the two engines' dot products
+    * are same-order double sums; ranking uses the raw values).
     */
   private val llmCosineTopk = Q(
     "llm_cosine_topk",
     (s, d) => {
-      val all = withNorm(s, d)
-        .select(col("vec_id").as("n_id"), col("vd").as("n_vd"), col("nrm").as("n_nrm"))
-      val q = withNorm(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      all.join(broadcast(q), col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("n_id").as("neighbor_id"), r4(col("cos")).as("cos"), col("rn"))
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      Vectors.cosineTopK(nv, nv.filter(col("vec_id") < 10), "vec_id", 5)
+        .select(col("q_id"), col("n_id").as("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rn"))
         .orderBy("q_id", "rn")
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+n AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n WHERE vec_id < 10),
+p AS (SELECT q_id, n.vec_id AS neighbor_id,
+        list_dot_product(q_vd, n.vd) / (q_nrm * n.nrm) AS cos
+      FROM n JOIN q ON n.vec_id != q_id),
+r AS (SELECT q_id, neighbor_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT q_id, neighbor_id, round(cos, 3) AS cos, rn
+FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
 
-  /** kNN classification: majority label of the 5 nearest neighbors for
-    * held-out vectors (vec_id % 20 = 0), accuracy per true label.
+  /** kNN classification routed through the IVF cell probe (top-2 cells per
+    * query via the broadcast centroid codebook, salted shuffle join into the
+    * cells) — no broadcast whose size scales with the corpus. Majority label
+    * of the 5 nearest probed neighbors, accuracy per true label.
     */
   private val llmKnnLabel = Q(
     "llm_knn_label",
     (s, d) => {
-      val emb = withNorm(s, d)
-      val train = emb.filter(col("vec_id") % 20 =!= 0)
-        .select(col("vec_id").as("n_id"), col("label").as("n_label"),
-          col("vd").as("n_vd"), col("nrm").as("n_nrm"))
-      val q = emb.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("vd").as("q_vd"), col("nrm").as("q_nrm"))
-      val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      val knn = train.join(broadcast(q))
-        .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
-        .withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= 5)
-      val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label").asc)
-      val pred = knn.groupBy("q_id", "q_label", "n_label")
+      val nv = normEmb(s, d)
+      val train = nv.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val q = nv.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("label").as("q_label"), col("vd"), col("nrm"))
+      val knn = Vectors.ivfProbe(train, q, "vec_id", "label", k = 5, probes = 2)
+      val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_cell").asc)
+      val pred = knn.groupBy("q_id", "q_label", "n_cell")
         .agg(count(lit(1)).as("votes"))
         .withColumn("vr", row_number().over(wV))
         .filter(col("vr") === 1)
-        .select(col("q_id"), col("q_label"), col("n_label").as("pred_label"))
+        .select(col("q_id"), col("q_label"), col("n_cell").as("pred_label"))
       pred.groupBy(col("q_label").as("label"))
         .agg(count(lit(1)).as("n"),
           count(when(col("q_label") === col("pred_label"), 1)).as("n_correct"),
-          r4(count(when(col("q_label") === col("pred_label"), 1)).cast("double") /
+          (count(when(col("q_label") === col("pred_label"), 1)).cast("double") /
             count(lit(1))).as("accuracy"))
         .orderBy("label")
     },
     None)
 
-  /** Embedding near-dup via sign-LSH: 16 fixed Gaussian hyperplanes (seeded
-    * Random(42) — deterministic literals compiled into the plan), 4 bands x
-    * 4 bits for candidate blocking, exact cosine >= 0.95 verify.
-    *
-    * Projections run as a codegen'd aggregate: posexplode the vector, join
-    * the broadcast 64-row plane table, 16 `sum(x * p_j)` columns per vec_id.
+  /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
+    * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
+    * verify). The fixture corpus contains no organic near-duplicates (max
+    * pairwise cos ≈ 0.51), so the query plants deterministic probes: a
+    * slightly perturbed copy of each of the first 20 vectors (cos ≈ 0.999
+    * to its original) derived from the corpus itself — the full LSH + verify
+    * path must recover exactly these 20 pairs at any scale.
     */
   private val llmEmbedNeardup = Q(
     "llm_embed_neardup",
     (s, d) => {
-      val rnd = new scala.util.Random(42)
-      val planes = Array.fill(16, 64)(rnd.nextGaussian())
-      val spark = s
-      import spark.implicits._
-      val planeDf = (0 until 64)
-        .map(p => (p, (0 until 16).map(j => planes(j)(p))))
-        .toDF("pos", "ps")
-      val proj = withNorm(s, d)
-        .select(col("vec_id"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .join(broadcast(planeDf), "pos")
-      val dots = (0 until 16).map(j =>
-        sum(col("x") * element_at(col("ps"), j + 1)).as(s"dot$j"))
-      val sums = proj.groupBy("vec_id").agg(dots.head, dots.tail: _*)
-      val bitCols = (0 until 16).map(j => when(col(s"dot$j") >= 0, 1).otherwise(0).as(s"bit$j"))
-      val sigBits = sums.select(col("vec_id") +: bitCols: _*)
-      val bands = (0 until 4).map(b =>
-        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"bit$i")) :+ lit(b): _*).as(s"band$b"))
-      val sig = sigBits.select(col("vec_id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
-        .join(withNorm(s, d).select(col("vec_id"), col("vd"), col("nrm")), "vec_id")
-      val ex = sig
-      val a = ex.select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
-        col("nrm").as("a_nrm"), col("band"), col("bsig"))
-      val b = ex.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
-        col("nrm").as("b_nrm"), col("band").as("band2"), col("bsig").as("bsig2"))
-      a.join(b, col("band") === col("band2") && col("bsig") === col("bsig2") &&
-          col("a_id") < col("b_id"))
-        .withColumn("cos", cosine("a_vd", "a_nrm", "b_vd", "b_nrm"))
-        .groupBy("a_id", "b_id").agg(r4(first(col("cos"))).as("cos"))
-        .filter(col("cos") >= 0.95)
+      val base = T.embeddings(s, d)
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x * (1.0D + 0.03D * ((i % 5) - 2)) AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+      Vectors.signLshPairs(base.unionByName(planted), "vec_id", "embedding", 0.95)
         .orderBy("a_id", "b_id")
     },
     None)
 
-  /** IVF-style ANN: coarse cells = per-label centroids (deterministic stand-in
-    * for a k-means codebook), rank cells per query, probe only the top 2 cells
-    * — the index side is scanned cell-selectively, the 100 TB path.
+  /** IVF-style ANN — [[graft.api.Vectors.ivfProbe]]: coarse cells =
+    * per-label centroids (deterministic stand-in for a k-means codebook),
+    * rank cells per query against the broadcast codebook, probe only the top
+    * 2 cells through the salted shuffle join — the index side is scanned
+    * cell-selectively, the 100 TB path.
     */
   private val llmAnnIvf = Q(
     "llm_ann_ivf",
     (s, d) => {
-      val emb = withNorm(s, d)
-      val cent = emb.select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cvd"))
-        .withColumn("cnrm", expr("sqrt(vec_dot(cvd, cvd))"))
-      val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
-      val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label").asc)
-      val cells = q.join(broadcast(cent))
-        .withColumn("ccos", cosine("q_vd", "q_nrm", "cvd", "cnrm"))
-        .withColumn("cr", row_number().over(wC))
-        .filter(col("cr") <= 2)
-        .select(col("q_id"), col("q_vd"), col("q_nrm"), col("label").as("cell"))
-      val idx = emb.select(col("vec_id").as("n_id"), col("label").as("n_cell"),
-        col("vd").as("n_vd"), col("nrm").as("n_nrm"))
-      val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      idx.join(broadcast(cells), col("n_cell") === col("cell") && col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
-        .withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= 5)
+      val nv = normEmb(s, d)
+      val idx = nv.select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val q = nv.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("vd"), col("nrm"))
+      Vectors.ivfProbe(idx, q, "vec_id", "label", k = 5, probes = 2)
         .select(col("q_id"), col("n_id").as("neighbor_id"), r4(col("cos")).as("cos"),
           col("rn"), col("n_cell").as("cell"))
         .orderBy("q_id", "rn")
@@ -448,8 +297,15 @@ FROM (
 GROUP BY source ORDER BY source"""))
 
   /** Data-driven language ID: unigram naive Bayes trained on the corpus's own
-    * (token, lang) counts, evaluated against the `lang` column. Declared-only
-    * (the model join is algorithmic, not a fixed SQL shape).
+    * (token, lang) counts, evaluated against the `lang` column.
+    *
+    * Oracle-checked: per-token log-probs are quantized to DECIMAL(28,6)
+    * before the per-doc sum, so (a) the sum is order-independent within an
+    * engine and (b) a 1-ulp libm `ln` divergence between engines cannot
+    * change the quantized value except within ~1e-10 of a rounding boundary
+    * — both engines then rank languages over identical scores with an
+    * identical lang-name tiebreak. Accuracy is a raw count ratio (identical
+    * IEEE division in both engines, per H's ground rules).
     */
   private val llmLangId = Q(
     "llm_lang_id",
@@ -458,16 +314,14 @@ GROUP BY source ORDER BY source"""))
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       val langTok = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       val langTotal = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
-      // logp is cast to decimal so the per-doc score sum is order-independent
-      // (double summation across partitions is not run-deterministic, and a
-      // near-tie between two languages could flip ranks between runs)
+      // no broadcast hint: the (lang × vocab) model can outgrow broadcast
+      // limits at corpus scale — the planner/AQE picks the strategy
       val model = langTok.join(langTotal, Seq("lang"))
         .select(col("lang").as("m_lang"), col("tok").as("m_tok"),
           log((col("c") + 1.0) / (col("tot") + 1.0))
-            .cast(org.apache.spark.sql.types.DecimalType(28, 18)).as("logp"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("logp"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang").asc)
-      val scored = toks.join(broadcast(model),
-          col("tok") === col("m_tok"), "inner")
+      val scored = toks.join(model, col("tok") === col("m_tok"), "inner")
         .groupBy("doc_id", "lang", "m_lang")
         .agg(sum(col("logp")).as("score"))
         .withColumn("rn", row_number().over(w))
@@ -475,11 +329,26 @@ GROUP BY source ORDER BY source"""))
       scored.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           count(when(col("lang") === col("m_lang"), 1)).as("n_correct"),
-          r4(count(when(col("lang") === col("m_lang"), 1)).cast("double") / count(lit(1)))
+          (count(when(col("lang") === col("m_lang"), 1)).cast("double") / count(lit(1)))
             .as("accuracy"))
         .orderBy("lang")
     },
-    None)
+    Some("""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+lt AS (SELECT lang AS m_lang, tok AS m_tok, count(*) AS c FROM tk GROUP BY 1, 2),
+tot AS (SELECT lang AS m_lang, count(*) AS tot FROM tk GROUP BY 1),
+model AS (SELECT lt.m_lang AS m_lang, m_tok,
+            CAST(ln((c + 1.0) / (tot + 1.0)) AS DECIMAL(28,6)) AS logp
+          FROM lt JOIN tot ON lt.m_lang = tot.m_lang),
+sc AS (SELECT doc_id, lang, m_lang, sum(logp) AS score
+       FROM tk JOIN model ON tok = m_tok GROUP BY 1, 2, 3),
+best AS (SELECT doc_id, lang, m_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang ASC) AS rn
+         FROM sc)
+SELECT lang, count(*) AS n,
+count(*) FILTER (WHERE lang = m_lang) AS n_correct,
+CAST(count(*) FILTER (WHERE lang = m_lang) AS DOUBLE) / count(*) AS accuracy
+FROM best WHERE rn = 1
+GROUP BY lang ORDER BY lang"""))
 
   /** Token counting two ways: whitespace and a BPE-ish regex segmentation. */
   private val llmTokenCount = Q(
@@ -525,25 +394,23 @@ FROM documents ORDER BY doc_id"""))
   /** End-to-end corpus pipeline: quality filter → exact dedup → near-dup
     * drop (MinHash survivors keep the lower doc_id) → per-lang stats.
     * Demonstrates that the pipeline stages compose as one lazy plan; the
-    * oracle re-expresses the whole chain in SQL minus the LSH stage (near
-    * -dup pairs at sf fixtures come only from the planted duplicates, which
-    * the quality filter already removes or keeps deterministically).
+    * near-dup stage is the single salted-LSH pair plan from
+    * [[graft.api.Dedup.minhashPairs]] (built once — not re-planned per use).
     */
   private val llmPipelineE2e = Q(
     "llm_pipeline_e2e",
     (s, d) => {
-      graft.functions.SketchFunctions.register(s)
       val docs = T.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_toks", size(col("toks")))
         .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
         .filter(col("n_chars").between(100, 500) && col("n_toks") >= 20 &&
           col("n_stop").cast("double") / col("n_toks") < 0.3)
-      val wDup = Window.partitionBy(lower(trim(col("text")))).orderBy("doc_id")
-      val exact = docs.withColumn("rn", row_number().over(wDup))
-        .filter(col("rn") === 1).drop("rn")
+      val exact = Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
+        .filter(col("dup_rank") === 1).drop("dup_rank")
       // near-dup drop: keep the lower doc_id of every minhash-LSH pair
-      val pairs = llmMinhashNeardup.build(s, d).select(col("b_id").as("doc_id"))
+      val pairs = Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+        .select(col("b_id").as("doc_id"))
       val surviving = exact.join(pairs, Seq("doc_id"), "left_anti")
       surviving.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -315,24 +315,21 @@ AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
 ORDER BY a_id, b_id"""))
 
   /** As-of join: for each 'error' event, the latest same-user 'click' at or
-    * before it. Single pass over a per-user time-ordered window (no self-join
-    * shuffle; scales as one sort per user partition).
+    * before it — thin wrapper over [[graft.api.Fts.asofLastBefore]] (single
+    * window pass, no self-join shuffle; scales as one sort per user
+    * partition).
     */
   private val joinAsof = Q(
     "join_asof",
     (s, d) => {
       val ev = T.events(s, d).select(col("user_id"), col("event_id"),
         col("event_type"), em(col("ts")).as("em"))
-      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("click_id",
-          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_em",
-          last(when(col("event_type") === "click", col("em")), ignoreNulls = true).over(w))
+      graft.api.Fts.asofLastBefore(ev, Seq("user_id"), Seq("em", "event_id"),
+          col("event_type") === "click", Seq("event_id", "em"))
         .filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("err_id"),
-          coalesce(col("click_id"), lit(-1L)).as("click_id"),
-          coalesce(col("em") - col("click_em"), lit(-1L)).as("gap_us"))
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_id"),
+          coalesce(col("em") - col("asof_em"), lit(-1L)).as("gap_us"))
         .orderBy("err_id")
     },
     Some("""SELECT user_id, event_id AS err_id,
@@ -490,17 +487,12 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""))
 
   /** The core FTS metric: per-link (here per-user) totals, failure counts and
-    * success ratio via conditional aggregation.
+    * success ratio — thin wrapper over [[graft.api.Fts.successRate]].
     */
   private val aggSuccessRate = Q(
     "agg_success_rate",
-    (s, d) => T.events(s, d).groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        count(when(col("event_type") === "error", 1)).as("n_errors"),
-        (count(when(col("event_type") === "error", 1)) / count(lit(1)))
-          .as("error_rate"),
-        (lit(1) - count(when(col("event_type") === "error", 1)) / count(lit(1)))
-          .as("success_rate"))
+    (s, d) => graft.api.Fts.successRate(T.events(s, d), Seq("user_id"),
+        col("event_type") === "error")
       .orderBy("user_id"),
     Some("""SELECT user_id, count(*) AS n_events,
 count(*) FILTER (WHERE event_type = 'error') AS n_errors,

@@ -20,11 +20,9 @@ object StreamingBatch {
     */
   private val streamTumbling = Q(
     "stream_tumbling",
-    (s, d) => T.events(s, d)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .select(unix_timestamp(col("w.start")).as("hour_start"),
-        col("event_type"), col("n"), col("sum_value"))
+    (s, d) => graft.api.Fts.timeBucket(T.events(s, d), "ts", "1 hour",
+        Seq("event_type"), col("value"))
+      .withColumnRenamed("bucket_start", "hour_start")
       .orderBy("hour_start", "event_type"),
     Some(s"""SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_start, event_type,
 count(*) AS n, ${dsumSql("value")} AS sum_value
@@ -141,19 +139,13 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
     */
   private val streamResampleFill = Q(
     "stream_resample_fill",
-    (s, d) => {
-      val ev = T.events(s, d)
-        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
-          col("value"))
-      val hourly = ev.groupBy("hour_s")
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      val spine = ev.agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
-      spine.join(hourly, Seq("hour_s"), "left")
-        .select(col("hour_s"), coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-        .orderBy("hour_s")
-    },
+    (s, d) => graft.api.Fts.resampleFill(
+        T.events(s, d)
+          .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+            col("value")),
+        col("hour_s"), 3600L, col("value"))
+      .withColumnRenamed("bucket", "hour_s")
+      .orderBy("hour_s"),
     Some(s"""SELECT s.hour_s AS hour_s, coalesce(h.n, 0) AS n,
 coalesce(h.sum_value, 0) AS sum_value
 FROM (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s

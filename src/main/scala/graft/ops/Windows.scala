@@ -16,19 +16,15 @@ import H._
   */
 object Windows {
 
+  /** Top-3 orders per customer — thin wrapper over
+    * [[graft.api.Fts.topKPerGroup]] (the "top-k links" FTS metric shape).
+    */
   private val winRankTopk = Q(
     "win_rank_topk",
-    (s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      T.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("rk", rank().over(w))
-        .withColumn("drk", dense_rank().over(w))
-        .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
-        .orderBy("o_custkey", "rn")
-    },
+    (s, d) => graft.api.Fts.topKPerGroup(T.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+      .orderBy("o_custkey", "rn"),
     Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the stateful operators (top-level for encoder derivation). */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -25,11 +26,19 @@ case class Anomaly(user_id: Long, event_id: Long, value: Double, zscore: Double)
   */
 object Streams {
 
+  /** Exact, order-independent floating sum: incremental state accumulation
+    * (stream) and partial/final aggregation (batch) add doubles in different
+    * orders, so raw double sums would make the stream==batch equivalence
+    * bitwise-flaky; DECIMAL sums are associative-exact (mirrors graft.ops.H).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
   /** Tumbling 1h windows per event_type; 10 min watermark bounds state. */
   def tumbling(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")
     .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-    .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     .select(unix_timestamp(col("w.start")).as("hour_start"),
       col("event_type"), col("n"), col("sum_value"))
 
@@ -37,7 +46,7 @@ object Streams {
   def sliding(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")
     .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-    .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+    .agg(count(lit(1)).as("n"), (dsum(col("value")) / count(lit(1))).as("avg_value"))
     .select(unix_timestamp(col("w.start")).as("win_start"),
       col("event_type"), col("n"), col("avg_value"))
 
@@ -45,7 +54,7 @@ object Streams {
   def sessions(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")
     .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-    .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
       col("n_events"), col("sum_value"))
 

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Dedup, Fts, Vectors}
+
+import java.sql.Timestamp
+
+/** The parameterized API surface (graft.api.*) exercised on LITERAL frames —
+  * proving the operators are reusable builders over arbitrary conforming
+  * inputs, not fixture-bound query shapes.
+  */
+class ApiSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------------- Fts
+
+  test("successRate computes per-key ratios on a literal frame") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "ok"), (1L, "ok"), (1L, "error"), (1L, "ok"),
+      (2L, "error"), (2L, "error")).toDF("link", "status")
+    val r = Fts.successRate(ev, Seq("link"), col("status") === "error")
+      .orderBy("link")
+      .select("link", "n_events", "n_errors", "success_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 4L, 1L, 0.75), (2L, 2L, 2L, 0.0)))
+  }
+
+  test("timeBucket groups into tumbling windows on a literal frame") {
+    import spark.implicits._
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), "a", 1.5),
+      (ts("2024-01-01 10:55:00"), "a", 2.5),
+      (ts("2024-01-01 11:05:00"), "a", 4.0),
+      (ts("2024-01-01 10:10:00"), "b", 8.0)).toDF("ts", "kind", "v")
+    val r = Fts.timeBucket(ev, "ts", "1 hour", Seq("kind"), col("v"))
+      .orderBy("bucket_start", "kind")
+      .select("kind", "n", "sum_value").as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("a", 2L, 4.0), ("b", 1L, 8.0), ("a", 1L, 4.0)))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    import spark.implicits._
+    val df = Seq(("g1", 10, 1), ("g1", 10, 2), ("g1", 5, 3), ("g1", 1, 4),
+      ("g2", 7, 5)).toDF("g", "score", "id")
+    val r = Fts.topKPerGroup(df, Seq("g"), Seq(col("score").desc, col("id").asc), 2)
+      .orderBy("g", "rn").select("g", "id", "rn", "rk", "drk")
+      .as[(String, Int, Int, Int, Int)].collect().toSeq
+    // the id tiebreak makes the ordering total, so rk/drk coincide with rn
+    assert(r == Seq(("g1", 1, 1, 1, 1), ("g1", 2, 2, 2, 2), ("g2", 5, 1, 1, 1)))
+  }
+
+  test("resampleFill fills interior gaps with zeros") {
+    import spark.implicits._
+    val df = Seq((100L, 1.0), (100L, 2.0), (400L, 5.0)).toDF("b", "v")
+    val r = Fts.resampleFill(df, col("b"), 100L, col("v"))
+      .orderBy("bucket").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((100L, 2L, 3.0), (200L, 0L, 0.0), (300L, 0L, 0.0), (400L, 1L, 5.0)))
+  }
+
+  test("asofLastBefore carries the latest prior reference row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "click"), (1L, 2L, "view"), (1L, 3L, "error"),
+      (1L, 4L, "click"), (1L, 5L, "error"), (2L, 6L, "error"))
+      .toDF("user", "seq", "kind")
+    val r = Fts.asofLastBefore(df, Seq("user"), Seq("seq"),
+        col("kind") === "click", Seq("seq"))
+      .filter(col("kind") === "error")
+      .orderBy("seq")
+      .select(col("seq"), col("asof_seq")).as[(Long, Option[Long])].collect().toSeq
+    assert(r == Seq((3L, Some(1L)), (5L, Some(4L)), (6L, None)))
+  }
+
+  // ----------------------------------------------------------------- Dedup
+
+  test("minhashPairs finds planted near-identical docs on a literal corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x"), // near-identical to 1
+      (3L, "completely different content that shares absolutely nothing with any of the others here today"),
+      (4L, "yet another unrelated document body with its own distinct vocabulary and phrasing entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 0.8)
+  }
+
+  test("saltedBandPairs emits each in-bucket pair exactly once") {
+    import spark.implicits._
+    // two buckets: (0, 100L) holds ids 1..4, (1, 200L) holds ids 3..5
+    val sig = (Seq((1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), (4L, 0, 100L)) ++
+      Seq((3L, 1, 200L), (4L, 1, 200L), (5L, 1, 200L)))
+      .toDF("id", "band", "bsig")
+    val pairs = Dedup.saltedBandPairs(sig, salt = 4)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).sorted
+    assert(pairs == expected)
+  }
+
+  // --------------------------------------------------------------- Vectors
+
+  test("signLshPairs recovers planted near-duplicate vectors at cos >= 0.95") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val origs = (0 until 30).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    // plant 3 near-duplicates: tiny deterministic perturbations of 0, 1, 2
+    val planted = (0 until 3).map { i =>
+      (100L + i, origs(i)._2.zipWithIndex.map { case (x, p) => x * (1.0 + 0.02 * ((p % 5) - 2)) })
+    }
+    val df = (origs ++ planted).toDF("id", "vec")
+    val pairs = Vectors.signLshPairs(df, "id", "vec", threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L), (2L, 102L)),
+      s"expected exactly the 3 planted pairs, got $pairs")
+  }
+
+  test("ivfProbe finds neighbors from the query's own cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two well-separated clusters around +10 and -10 on every axis
+    def cluster(center: Double, cell: Int, idBase: Long) =
+      (0 until 20).map(i =>
+        (idBase + i, cell, Array.fill(16)(center + rnd.nextGaussian() * 0.1)))
+    val data = cluster(10.0, 0, 0L) ++ cluster(-10.0, 1, 1000L)
+    val nv = Vectors.normalized(data.toDF("id", "cell", "vec"), "vec")
+    val idx = nv.select(col("id"), col("cell"), col("vd"), col("nrm"))
+    val q = nv.filter(col("id").isin(0L, 1000L)).select(col("id"), col("vd"), col("nrm"))
+    val r = Vectors.ivfProbe(idx, q, "id", "cell", k = 3, probes = 1)
+      .select("q_id", "n_id", "n_cell").as[(Long, Long, Int)].collect()
+    assert(r.length == 6)
+    assert(r.filter(_._1 == 0L).forall(_._3 == 0))
+    assert(r.filter(_._1 == 1000L).forall(_._3 == 1))
+  }
+}

@@ -7,14 +7,10 @@ package graft
   */
 class GoldenSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set(
-    "llm_embed_neardup" // sign-LSH at cos>=0.95: fixtures may have no pairs
-  )
-
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name executes on sf0.001") {
       val n = q(name).count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 

@@ -98,6 +98,45 @@ class LlmSpec extends SparkSpec {
     assert(df.select("fp_md5").distinct().count() == df.count())
   }
 
+  test("hot LSH bucket (1000 identical docs) distributes: all candidate pairs emitted") {
+    import spark.implicits._
+    // mass-duplicated boilerplate is the NORM in web corpora: 1000 identical
+    // docs land in ONE (band, bsig) bucket in every band. The salted
+    // pair-join must emit all k(k-1)/2 candidate pairs spread over the salt
+    // fan-out — not one task holding a 1000-element collect_list row.
+    val hot = (1L to 1000L).map(i =>
+      (i, "mass duplicated boilerplate body that appears verbatim across the whole web corpus again and again"))
+    val cold = Seq(
+      (2001L, "one unrelated document with entirely distinct vocabulary and no shared phrasing at all"),
+      (2002L, "another standalone body of text sharing nothing with the boilerplate or with the first"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val n = graft.api.Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    assert(n == 1000L * 999 / 2, s"expected all hot-bucket pairs, got $n")
+  }
+
+  test("minhashPairs fully verifies a hot bucket: every pair at jaccard 1.0") {
+    import spark.implicits._
+    val hot = (1L to 60L).map(i =>
+      (i, "the very same boilerplate paragraph repeated verbatim in every single one of these documents"))
+    val docs = (hot :+ (999L, "a lone unrelated document that matches none of the duplicated boilerplate above"))
+      .toDF("doc_id", "text")
+    val pairs = graft.api.Dedup.minhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 60 * 59 / 2)
+    assert(pairs.forall(_._3 == 1.0))
+    assert(pairs.forall(p => p._1 < p._2 && p._2 <= 60L))
+  }
+
+  test("embed near-dup recovers exactly the 20 planted perturbed vectors, cos >= 0.95") {
+    import spark.implicits._
+    val rows = q("llm_embed_neardup").select("a_id", "b_id", "cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.length == 20, s"expected the 20 planted pairs, got ${rows.length}")
+    assert(rows.forall(r => r._2 == r._1 + 10000000L),
+      "every pair must link an original to its planted perturbation")
+    assert(rows.forall(_._3 >= 0.95))
+  }
+
   test("multimodal decode preserves row count and computes deterministic checksums") {
     val df = q("llm_multimodal_decode")
     val docs = graft.ops.T.documents(spark, sf).count()

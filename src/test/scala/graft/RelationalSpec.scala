@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
 
 /** §2.1–2.4: semantics + plan-shape assertions (SURVEY.md §5.2). */
 class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
@@ -78,5 +79,19 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bad = q("agg_success_rate")
       .filter(abs(col("success_rate") + col("error_rate") - 1.0) > 1e-12).count()
     assert(bad == 0)
+  }
+
+  test("approx_count_distinct is within 5% of exact per day (SURVEY §2.4)") {
+    import spark.implicits._
+    val both = graft.ops.T.events(spark, sf)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .select("approx", "exact").as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (0.05 * exact).toLong),
+        s"approx=$approx exact=$exact diverges >5%")
+    }
   }
 }

@@ -40,14 +40,15 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     if list(s.columns) != list(d.columns):
         fails.append((qname, f"COLUMNS spark={list(s.columns)} duck={list(d.columns)}"))
         continue
-    # strict dtype-family check: int-vs-float (etc.) would survive a lenient
-    # == compare but can break a hash-based compare on the driver side
+    # strict dtype-family check: ANY kind mismatch fails (int-vs-float,
+    # bool-vs-int, datetime-vs-object, ...) except string-ish object kinds,
+    # where pandas representation is not informative and the value compare
+    # decides. A kind mismatch can break a hash-based compare on the driver
+    # side even when Python == would pass (e.g. True == 1).
     kind_bad = None
     for c in s.columns:
         ks, kd = s[c].dtype.kind, d[c].dtype.kind
-        if ks != kd and {ks, kd} not in ({"i", "f"},):
-            pass  # let value compare decide for exotic kinds (object etc.)
-        if {ks, kd} == {"i", "f"}:
+        if ks != kd and not ({ks, kd} <= {"O", "S", "U"}):
             kind_bad = f"DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}"
             break
     if kind_bad:
