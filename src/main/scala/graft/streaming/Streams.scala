@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Typed rows for the stateful operators (top-level for encoder derivation). */
@@ -94,5 +95,43 @@ object Streams {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** The same per-user anomaly detector on Spark 4's `transformWithState`
+    * (the successor to flatMapGroupsWithState): running stats live in a
+    * typed [[ValueState]] obtained from the [[StatefulProcessorHandle]].
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); state is one small
+    * struct per user key — bounded, partitioned by the grouping key.
+    */
+  class AnomalyProcessor extends StatefulProcessor[Long, EventRow, Anomaly] {
+    @transient private var stats: ValueState[RunStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[RunStats]("runstats",
+        Encoders.product[RunStats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[Anomaly] = {
+      var st = if (stats.exists()) stats.get() else RunStats(0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (st.n >= 10) {
+          val mean = st.sum / st.n
+          val sd = math.sqrt(math.max(st.sumSq / st.n - mean * mean, 1e-9))
+          val z = (e.value - mean) / sd
+          if (math.abs(z) > 3.0) out += Anomaly(uid, e.event_id, e.value, z)
+        }
+        st = RunStats(st.n + 1, st.sum + e.value, st.sumSq + e.value * e.value)
+      }
+      stats.update(st)
+      out.iterator
+    }
+  }
+
+  def anomaliesTws(events: Dataset[EventRow]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

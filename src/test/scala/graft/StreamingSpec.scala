@@ -143,6 +143,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("transformWithState anomaly detector matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(400).map(e =>
+      graft.streaming.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[graft.streaming.EventRow]
+      val qy = Streams.anomaliesTws(mem.toDS()).writeStream
+        .format("memory").queryName("out_tws").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(rows)
+      qy.processAllAvailable()
+      qy.stop()
+      val got = spark.table("out_tws").select("event_id").as[Long].collect().toSet
+      // reference semantics: the fMGWS detector over the same replay
+      val mem2 = MemoryStream[graft.streaming.EventRow]
+      val qy2 = Streams.anomalies(mem2.toDS()).writeStream
+        .format("memory").queryName("out_tws_ref").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      mem2.addData(rows)
+      qy2.processAllAvailable()
+      qy2.stop()
+      val expected = spark.table("out_tws_ref").select("event_id").as[Long].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty || expected.isEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static join enriches with customer segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
