@@ -50,6 +50,30 @@ class PropSpec extends SparkSpec {
     })
   }
 
+  test("saltedBandPairs equals naive in-bucket pair expansion (batched random buckets)") {
+    import spark.implicits._
+    // 30 deterministic random bucket configurations, several salt fan-outs:
+    // the salted self-join must emit exactly the ordered pair set the naive
+    // per-bucket k(k-1)/2 expansion defines — no duplicates, no losses,
+    // regardless of how ids hash onto salts
+    val rnd = new scala.util.Random(13)
+    (0 until 30).foreach { _ =>
+      val nBuckets = 1 + rnd.nextInt(4)
+      val sig = (0 until nBuckets).flatMap { b =>
+        val ids = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(40).toLong).distinct
+        ids.map(id => (id, b, 1000L + b))
+      }
+      val salt = 1 + rnd.nextInt(7)
+      val got = graft.api.Dedup.saltedBandPairs(sig.toDF("id", "band", "bsig"), salt)
+        .as[(Long, Long)].collect().toSet
+      val expected = sig.groupBy(r => (r._2, r._3)).values.flatMap { bucket =>
+        val ids = bucket.map(_._1).distinct
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got == expected, s"salt=$salt sig=$sig")
+    }
+  }
+
   test("minhash signature match-rate estimates Jaccard within 4 sigma (batched)") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
