@@ -420,8 +420,96 @@ FROM documents ORDER BY doc_id"""))
     },
     None)
 
+  /** Deterministic hash-stratified sampling — the reproducible corpus-subset
+    * primitive a training pipeline runs before expensive stages. The sample
+    * key is the first md5 hex nibble of the doc id (engine-portable, no
+    * engine-specific hash), giving a fixed 5/16 rate per language stratum;
+    * pure per-row filter + aggregate, no shuffle beyond the group-by.
+    */
+  private val llmStratifiedSample = Q(
+    "llm_stratified_sample",
+    (s, d) => T.documents(s, d)
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("sampled",
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2", "3", "4"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_toks")).otherwise(0)).cast("bigint")
+          .as("sample_tokens"),
+        (count(when(col("sampled"), 1)).cast("double") / count(lit(1)))
+          .as("sample_rate"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+count(*) FILTER (WHERE sampled) AS n_sampled,
+CAST(sum(CASE WHEN sampled THEN n_toks ELSE 0 END) AS BIGINT) AS sample_tokens,
+CAST(count(*) FILTER (WHERE sampled) AS DOUBLE) / count(*) AS sample_rate
+FROM (SELECT lang, len(string_split(text, ' ')) AS n_toks,
+        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4') AS sampled
+      FROM documents)
+GROUP BY lang ORDER BY lang"""))
+
+  /** Sequence packing: assign docs (per lang, in doc_id order) to fixed
+    * token-budget bins by their running-token start offset — the streaming
+    * packer a training pipeline uses to build ~2048-token contexts. Window
+    * prefix-sum over integer token counts (exact in any engine); bin id =
+    * start_offset div budget.
+    */
+  private val llmContextPack = Q(
+    "llm_context_pack",
+    (s, d) => {
+      val budget = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("bin", expr(s"(cum - n_toks) div $budget"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+    Some("""SELECT lang, bin, count(*) AS n_docs,
+CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM (
+  SELECT lang, doc_id, n_toks,
+    (CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks) // 2048 AS bin
+  FROM (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents))
+GROUP BY lang, bin ORDER BY lang, bin"""))
+
+  /** PII-style scrubbing stats: redact digit runs (the stand-in sensitive
+    * pattern in the synthetic corpus) and report per-source redaction counts
+    * and post-redaction lengths. Pure per-row regex work — fully codegen'd,
+    * no shuffle beyond the final aggregate.
+    */
+  private val llmPiiScrub = Q(
+    "llm_pii_scrub",
+    (s, d) => T.documents(s, d)
+      .withColumn("n_num", expr("size(regexp_extract_all(text, '[0-9]+', 0))"))
+      .withColumn("clean", regexp_replace(col("text"), "[0-9]+", "<num>"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_num") > 0, 1)).as("docs_with_num"),
+        sum(col("n_num")).cast("bigint").as("total_redactions"),
+        avg(length(col("clean"))).as("avg_clean_len"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+count(*) FILTER (WHERE n_num > 0) AS docs_with_num,
+CAST(sum(n_num) AS BIGINT) AS total_redactions,
+avg(len(clean)) AS avg_clean_len
+FROM (SELECT source, len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        regexp_replace(text, '[0-9]+', '<num>', 'g') AS clean
+      FROM documents)
+GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
-    llmFingerprint, llmPipelineE2e)
+    llmFingerprint, llmPipelineE2e, llmStratifiedSample, llmContextPack,
+    llmPiiScrub)
 }

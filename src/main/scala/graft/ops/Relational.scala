@@ -694,6 +694,36 @@ JOIN (SELECT user_id, min(value) AS v FROM events GROUP BY user_id) amin
   ON amin.user_id = a.user_id
 ORDER BY user_id"""))
 
+  /** Fixed 10-bin histogram of `value` per event_type between the group's
+    * own min/max. Bounds come from an aggregate joined back (broadcast —
+    * one row per group), NOT a window over the low-cardinality partition
+    * (which would funnel the whole table through 5 reducers at scale).
+    * Bucket arithmetic is the same IEEE expression in both engines.
+    */
+  private val aggHistogram = Q(
+    "agg_histogram",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9L))))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    },
+    Some(s"""SELECT e.event_type AS event_type,
+CASE WHEN hi = lo THEN 0
+     ELSE CAST(least(floor((value - lo) / (hi - lo) * 10), 9) AS BIGINT) END AS bucket,
+count(*) AS n, ${dsumSql("value")} AS sum_value
+FROM events e
+JOIN (SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type) b
+ON e.event_type = b.event_type
+GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
   val all: Seq[Q] = Seq(
     srcParquetScan, srcCsvRoundtrip, srcJsonLines, srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
@@ -703,5 +733,6 @@ ORDER BY user_id"""))
     joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
-    aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy)
+    aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy,
+    aggHistogram)
 }
