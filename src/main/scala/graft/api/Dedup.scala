@@ -167,4 +167,50 @@ object Dedup {
   def exactDupRank(docs: DataFrame, idCol: String, key: org.apache.spark.sql.Column): DataFrame =
     docs.withColumn("dup_rank",
       row_number().over(Window.partitionBy(key).orderBy(col(idCol))))
+
+  /** Connected components over an (a_id, b_id) pair frame via iterative
+    * min-label propagation — the cluster step of corpus dedup (near-dup is
+    * transitive only through clustering: A~B, B~C must collapse to ONE
+    * survivor even when A!~C directly). Output: (id, component) with
+    * component = min id of the cluster; isolated ids never enter the input
+    * and are implicitly their own component.
+    *
+    * Scale shape: every iteration is one shuffle join + min-aggregate over
+    * the (symmetrized) edge frame, and iterations needed = cluster diameter
+    * — small for dedup graphs (near-dup clusters are dense). Each round
+    * `localCheckpoint`s its label frame: an iterative loop must TRUNCATE
+    * logical lineage (persist alone caches data but every round still
+    * re-analyzes the whole history, so driver planning cost grows
+    * superlinearly with iterations). Convergence is detected by the
+    * label-sum (labels only ever decrease, so an unchanged sum is a fixed
+    * point).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var labelSum = comp.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy("src").agg(min(col("nc")).as("nbr_min"))
+      val next = comp
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      comp = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      i += 1
+    }
+    comp
+  }
 }

@@ -420,6 +420,26 @@ FROM documents ORDER BY doc_id"""))
     },
     None)
 
+  /** Cluster-level dedup: near-dup similarity is NOT transitive (A~B, B~C
+    * but A!~C), yet a corpus dedup must keep one survivor per connected
+    * CLUSTER of pairs — so the MinHash pair frame feeds
+    * [[graft.api.Dedup.connectedComponents]] (iterative min-label
+    * propagation; the builder runs bounded distributed iterations, like any
+    * Pregel-style loop). Output: one row per non-singleton cluster with its
+    * size and deterministic survivor (min doc_id). Declared-only:
+    * algorithmic.
+    */
+  private val llmDedupClusters = Q(
+    "llm_dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+        .orderBy("component")
+    },
+    None)
+
   /** Deterministic hash-stratified sampling — the reproducible corpus-subset
     * primitive a training pipeline runs before expensive stages. The sample
     * key is the first md5 hex nibble of the doc id (engine-portable, no
@@ -511,5 +531,5 @@ GROUP BY source ORDER BY source"""))
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmStratifiedSample, llmContextPack,
-    llmPiiScrub)
+    llmPiiScrub, llmDedupClusters)
 }
