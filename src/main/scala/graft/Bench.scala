@@ -33,6 +33,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: absorb one-time JVM/Hadoop/codegen-infrastructure init
+    // so it isn't billed to whichever query happens to run first
+    spark.range(100000).selectExpr("count(DISTINCT id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val failed = mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMs

@@ -52,10 +52,15 @@ object Vectors {
 
   /** Per-cell mean centroids — a deterministic stand-in for a k-means
     * codebook; the codebook is small by construction (one row per cell).
+    * The per-position mean runs as an exact DECIMAL(28,10) sum divided by
+    * the count, so the codebook is bit-identical regardless of partitioning
+    * or engine (raw double sums are association-order-dependent).
     */
   def centroids(index: DataFrame, cellCol: String): DataFrame =
     index.select(col(cellCol).as("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
       .groupBy("cell")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cvd"))
       .withColumn("cnrm", expr("sqrt(vec_dot(cvd, cvd))"))

@@ -73,12 +73,30 @@ GROUP BY source ORDER BY source"""))
 
   /** Word-3-gram Jaccard near-dup — [[graft.api.Dedup.ngramJaccardPairs]]:
     * inverted shingle index with the df > 50 stop-shingle guard.
+    *
+    * Oracle-checked: the inverted index is EXACT (no LSH recall loss), so
+    * DuckDB can reproduce it with string trigrams where Spark uses xxhash64
+    * trigram keys — equal counts modulo a ~2⁻⁶⁵ hash-collision probability.
     */
   private val llmNgramJaccard = Q(
     "llm_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
       .orderBy("a_id", "b_id"),
-    None)
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+hot AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 50),
+cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
+         WHERE g NOT IN (SELECT g FROM hot)),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        count(*) AS common
+      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT a_id, b_id, common,
+round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) AS jaccard
+FROM p WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6
+ORDER BY a_id, b_id"""))
 
   // ----------------------------------------------------- similarity search
 
@@ -139,7 +157,40 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
             count(lit(1))).as("accuracy"))
         .orderBy("label")
     },
-    None)
+    // deterministic end to end (DECIMAL-exact centroids, total-ordered
+    // windows, raw count-ratio accuracy) → fully oracle-able
+    Some("""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+train AS (SELECT * FROM n0 WHERE vec_id % 20 != 0),
+cp AS (SELECT label, i AS pos,
+         CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+       FROM train, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
+cent AS (SELECT label, list(cx ORDER BY pos) AS cvd FROM cp GROUP BY label),
+cn AS (SELECT label, cvd, sqrt(list_dot_product(cvd, cvd)) AS cnrm FROM cent),
+q AS (SELECT vec_id AS q_id, label AS q_label, vd AS q_vd, nrm AS q_nrm
+      FROM n0 WHERE vec_id % 20 = 0),
+cellrank AS (SELECT q_id, q_label, q_vd, q_nrm, cn.label AS cell,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY list_dot_product(q_vd, cvd) / (q_nrm * cnrm) DESC, cn.label ASC) AS cr
+  FROM q CROSS JOIN cn),
+cells AS (SELECT q_id, q_label, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
+cand AS (SELECT q_id, q_label, t.vec_id AS n_id, t.label AS n_cell,
+    list_dot_product(q_vd, t.vd) / (q_nrm * t.nrm) AS cos
+  FROM cells JOIN train t ON t.label = cells.cell AND t.vec_id != q_id),
+knn AS (SELECT q_id, q_label, n_cell FROM (
+    SELECT q_id, q_label, n_cell,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM cand) WHERE rn <= 5),
+votes AS (SELECT q_id, q_label, n_cell, count(*) AS votes FROM knn GROUP BY 1, 2, 3),
+pred AS (SELECT q_id, q_label, n_cell AS pred_label FROM (
+    SELECT q_id, q_label, n_cell, votes,
+      row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_cell ASC) AS vr
+    FROM votes) WHERE vr = 1)
+SELECT q_label AS label, count(*) AS n,
+count(*) FILTER (WHERE q_label = pred_label) AS n_correct,
+CAST(count(*) FILTER (WHERE q_label = pred_label) AS DOUBLE) / count(*) AS accuracy
+FROM pred GROUP BY q_label ORDER BY label"""))
 
   /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
     * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
@@ -181,7 +232,30 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
           col("rn"), col("n_cell").as("cell"))
         .orderBy("q_id", "rn")
     },
-    None)
+    // fully deterministic thanks to the DECIMAL-exact centroid means: both
+    // engines rank identical cell cosines and identical neighbor cosines
+    Some("""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+cp AS (SELECT label, i AS pos,
+         CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+       FROM n, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
+cent AS (SELECT label, list(cx ORDER BY pos) AS cvd FROM cp GROUP BY label),
+cn AS (SELECT label, cvd, sqrt(list_dot_product(cvd, cvd)) AS cnrm FROM cent),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n WHERE vec_id % 50 = 0),
+cellrank AS (SELECT q_id, q_vd, q_nrm, cn.label AS cell,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY list_dot_product(q_vd, cvd) / (q_nrm * cnrm) DESC, cn.label ASC) AS cr
+  FROM q CROSS JOIN cn),
+cells AS (SELECT q_id, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
+cand AS (SELECT q_id, n.vec_id AS neighbor_id, n.label AS cell,
+    list_dot_product(q_vd, n.vd) / (q_nrm * n.nrm) AS cos
+  FROM cells JOIN n ON n.label = cells.cell AND n.vec_id != q_id),
+r AS (SELECT q_id, neighbor_id, cos, cell,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM cand)
+SELECT q_id, neighbor_id, round(cos, 4) AS cos, rn, cell
+FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   // ----------------------------------------------------------- text analysis
 

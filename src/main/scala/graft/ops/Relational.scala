@@ -22,7 +22,10 @@ object Relational {
     Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"))
 
   /** CSV sink + source round-trip with explicit schema (no inferSchema —
-    * SURVEY §1.3). Side-effecting → declared-only, no oracle.
+    * SURVEY §1.3). Side-effecting (writes the CSV), but the round-trip is
+    * LOSSLESS (shortest-roundtrip double formatting, day-precision
+    * timestamps), so the oracle is simply the sample itself from the
+    * fixture — a hash match proves the sink+source path loses nothing.
     */
   private val srcCsvRoundtrip = Q(
     "src_csv_roundtrip",
@@ -33,10 +36,12 @@ object Relational {
       s.read.schema(sample.schema).option("header", "true").csv(out)
         .orderBy("l_orderkey", "l_linenumber")
     },
-    None)
+    Some("""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
+ORDER BY l_orderkey, l_linenumber"""))
 
   /** JSON-lines sink + source round-trip (models the FTS REST JSON shape).
-    * ts is surfaced as epoch µs so the round-trip is precision-exact.
+    * ts is surfaced as epoch µs so the round-trip is precision-exact; the
+    * oracle is the sample from the fixture (lossless round-trip).
     */
   private val srcJsonLines = Q(
     "src_json_lines",
@@ -48,10 +53,11 @@ object Relational {
       sample.write.mode("overwrite").json(out)
       s.read.schema(sample.schema).json(out).orderBy("event_id")
     },
-    None)
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events WHERE event_id % 10 = 0 ORDER BY event_id"""))
 
   /** Multi-file scan — union across all three sf partitions of the datalake
-    * layout. Paths live outside the driver's sfDir → no oracle.
+    * layout. The oracle reads the same absolute paths via read_parquet.
     */
   private val srcUnionPartitions = Q(
     "src_union_partitions",
@@ -62,7 +68,11 @@ object Relational {
         .groupBy("r_regionkey", "r_name").agg(count(lit(1)).as("n_copies"))
         .orderBy("r_regionkey")
     },
-    None)
+    Some("""SELECT r_regionkey, r_name, count(*) AS n_copies
+FROM read_parquet(['/root/testdata/sf0.001/region.parquet',
+                   '/root/testdata/sf0.01/region.parquet',
+                   '/root/testdata/sf0.1/region.parquet'])
+GROUP BY r_regionkey, r_name ORDER BY r_regionkey"""))
 
   // ----------------------------------------------- §2.2 projection / filter
 
@@ -381,7 +391,8 @@ GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
   /** Partitioned-datalake layout: write events partitioned by event_type,
     * read back with a partition filter — partition pruning (not row
     * filtering) must eliminate the other partitions; asserted in PlanSpec.
-    * Side-effecting → declared-only.
+    * Side-effecting (writes the layout), but the pruned read must reproduce
+    * the direct filtered aggregate — which is the oracle.
     */
   private val srcPartitionedScan = Q(
     "src_partitioned_scan",
@@ -396,7 +407,9 @@ GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
     },
-    None)
+    Some(s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+FROM events WHERE event_type = 'error'
+GROUP BY event_type ORDER BY event_type"""))
 
   /** Co-located join via bucketing: lineitem and orders both bucketed 8 ways
     * on the join key — the join then runs WITHOUT a shuffle exchange on
@@ -437,7 +450,11 @@ GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
     },
-    None)
+    // the bucketed tables are copies of the fixtures, so the co-located
+    // join must reproduce the direct join aggregate
+    Some(s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   // ----------------------------------------------------------- §2.4 aggregation
 

@@ -113,7 +113,13 @@ GROUP BY event_type ORDER BY event_type"""))
           count(when(col("em") < col("max_em") - 86400000000L, 1)).as("n_older_24h"))
         .orderBy("event_type")
     },
-    None)
+    // integer epoch-µs arithmetic → exactly oracle-able (the true watermark
+    // drop behavior is exercised in StreamingSpec)
+    Some("""SELECT event_type, count(*) AS n,
+count(*) FILTER (WHERE em < mx - 86400000000) AS n_older_24h
+FROM (SELECT event_type, epoch_us(ts) AS em,
+        max(epoch_us(ts)) OVER () AS mx FROM events)
+GROUP BY event_type ORDER BY event_type"""))
 
   /** Stream-static enrichment: events joined to a static user dimension
     * derived from customer (user_id ranges align with c_custkey).

@@ -155,10 +155,16 @@ ORDER BY doc_id, pos"""))
         .select(
           element_at(split(col("path"), "/"), -1).as("file"),
           col("length"),
-          xxhash64(col("content")).as("content_hash"))
+          md5(col("content")).as("content_md5"))
         .orderBy("file")
     },
-    None)
+    // the media files are byte-exact projections of `documents`, so file
+    // name / size / content hash are all reconstructible from the fixture —
+    // a hash match proves the binaryFile ingestion path is lossless
+    Some("""SELECT 'media_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.bin' AS file,
+CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS length,
+md5(text) AS content_md5
+FROM documents WHERE doc_id < 20 ORDER BY file"""))
 
   /** Frame-sampling plumbing over opaque media payloads: each "video" row
     * explodes into evenly-spaced fixed-stride frame slices (binary substr),
@@ -181,13 +187,23 @@ ORDER BY doc_id, pos"""))
           col("doc_id"),
           col("frame_idx"),
           (col("frame_idx") * stride).as("byte_offset"),
-          xxhash64(expr(s"substring(payload, frame_idx * $stride + 1, $stride)"))
+          md5(expr(s"substring(payload, frame_idx * $stride + 1, $stride)"))
             .as("frame_checksum"),
           length(expr(s"substring(payload, frame_idx * $stride + 1, $stride)"))
             .as("frame_bytes"))
         .orderBy("doc_id", "frame_idx")
     },
-    None)
+    // the payload is the (ASCII) document text, so the oracle reproduces
+    // the byte slicing with varchar slicing — md5 of the same bytes
+    Some("""WITH m AS (SELECT doc_id, text,
+          -- floor, not bare CAST: DuckDB rounds double->int, Spark truncates
+          CAST(floor(least(greatest(len(text) / 64, 1), 8)) AS INT) AS n_frames
+        FROM documents WHERE doc_id < 100)
+SELECT doc_id, i AS frame_idx, CAST(i * 64 AS BIGINT) AS byte_offset,
+md5(substring(text, i * 64 + 1, 64)) AS frame_checksum,
+len(substring(text, i * 64 + 1, 64)) AS frame_bytes
+FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
     llmMultimodalDecode, llmMultimodalFrames, srcBinaryFiles)
