@@ -75,6 +75,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed join must not shuffle its inputs:\n$p")
   }
 
+  test("near-dup candidate generation plans equi-joins, never a cartesian/BNLJ") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Seq("llm_minhash_neardup", "llm_simhash_neardup", "llm_ngram_jaccard").foreach { name =>
+      val p = plan(name)
+      val bad = collectWithSubqueries(p) {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$name must pair via equi-joins only:\n$p")
+    }
+  }
+
+  test("agg_histogram broadcasts the per-group bounds (one row per group)") {
+    val bhj = collectWithSubqueries(plan("agg_histogram")) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "bounds should join back via broadcast")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
