@@ -543,38 +543,42 @@ FROM (SELECT lang, len(string_split(text, ' ')) AS n_toks,
       FROM documents)
 GROUP BY lang ORDER BY lang"""))
 
-  /** Sequence packing: assign docs (per lang, in doc_id order) to fixed
-    * token-budget bins by their running-token start offset — the streaming
-    * packer a training pipeline uses to build ~2048-token contexts. Window
-    * prefix-sum over integer token counts (exact in any engine); bin id =
-    * start_offset div budget.
+  /** Sequence packing: assign docs (per (lang, shard), in doc_id order) to
+    * fixed token-budget bins by their running-token start offset — the
+    * streaming packer a training pipeline uses to build ~2048-token
+    * contexts. The prefix-sum window partitions on (lang, SHARD), not lang
+    * alone: a window keyed by a low-cardinality column would funnel the
+    * whole corpus through a handful of reducers at 100 TB — packing is a
+    * per-shard operation by construction (contexts never span shards).
+    * Integer arithmetic throughout → exact in any engine.
     */
   private val llmContextPack = Q(
     "llm_context_pack",
     (s, d) => {
       val budget = 2048
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.documents(s, d)
-        .select(col("lang"), col("doc_id"),
+        .select(col("lang"), expr("doc_id div 1000").as("shard"), col("doc_id"),
           size(split(col("text"), " ")).cast("bigint").as("n_toks"))
         .withColumn("cum", sum(col("n_toks")).over(w))
         .withColumn("bin", expr(s"(cum - n_toks) div $budget"))
-        .groupBy("lang", "bin")
+        .groupBy("lang", "shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("lang", "bin")
+        .orderBy("lang", "shard", "bin")
     },
-    Some("""SELECT lang, bin, count(*) AS n_docs,
+    Some("""SELECT lang, shard, bin, count(*) AS n_docs,
 CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
 min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM (
-  SELECT lang, doc_id, n_toks,
-    (CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT lang, shard, doc_id, n_toks,
+    (CAST(sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks) // 2048 AS bin
-  FROM (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM (SELECT lang, doc_id // 1000 AS shard, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         FROM documents))
-GROUP BY lang, bin ORDER BY lang, bin"""))
+GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""))
 
   /** PII-style scrubbing stats: redact digit runs (the stand-in sensitive
     * pattern in the synthetic corpus) and report per-source redaction counts
