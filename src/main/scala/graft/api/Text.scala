@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parameterized text-analysis toolkit over any frame with an id column and
+  * a text column — quality scoring, TF-IDF, language ID, token counting.
+  * All per-row work is built-in-function only (codegen'd, pushdown-safe);
+  * shuffles happen on high-cardinality keys (doc id, token).
+  */
+object Text {
+
+  /** Adds `n_toks`, `n_stop`, `stop_ratio` and a `kept` quality flag
+    * (char-length band + token floor + stopword-ratio cap). Pure per-row
+    * projection — composes under any downstream filter or aggregate.
+    */
+  def qualityFlags(docs: DataFrame, textCol: String, nCharsCol: String,
+      stopwords: Seq[String], minChars: Int = 100, maxChars: Int = 500,
+      minToks: Int = 20, maxStopRatio: Double = 0.3): DataFrame =
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_toks"))
+      .withColumn("kept",
+        col(nCharsCol).between(minChars, maxChars) &&
+          col("n_toks") >= minToks && col("stop_ratio") < maxStopRatio)
+      .drop("toks")
+
+  /** Top-k tokens per document by tf·idf (smoothed idf = ln((1+N)/(1+df))).
+    * Two hash aggregates + one token join; the per-doc top-k window
+    * partitions on doc id (high cardinality, bounded partitions).
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"), col("rn"))
+  }
+
+  /** Per-document language prediction from a unigram naive-Bayes model
+    * trained on the labeled corpus itself. Log-probs are quantized to
+    * DECIMAL(28,6): the per-doc score sum becomes order-independent and a
+    * 1-ulp libm `ln` divergence cannot flip scores. The model join carries
+    * no broadcast hint — (lang × vocab) can outgrow broadcast limits at
+    * corpus scale, so the planner/AQE picks the strategy.
+    * Output: (id, lang, pred_lang, score).
+    */
+  def langIdPredictions(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val langTok = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val langTotal = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val model = langTok.join(langTotal, Seq("lang"))
+      .select(col("lang").as("m_lang"), col("tok").as("m_tok"),
+        log((col("c") + 1.0) / (col("tot") + 1.0))
+          .cast(DecimalType(28, 6)).as("logp"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("m_lang").asc)
+    toks.join(model, col("tok") === col("m_tok"), "inner")
+      .groupBy("id", "lang", "m_lang")
+      .agg(sum(col("logp")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang"), col("m_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Token counts three ways (whitespace, word/number regex, BPE-ish 4-char
+    * regex) as per-row columns.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = docs
+    .withColumn("n_ws", size(split(col(textCol), " ")))
+    .withColumn("n_re", expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0))"))
+    .withColumn("n_bpe4", expr(s"size(regexp_extract_all($textCol, '[a-z]{1,4}', 0))"))
+}

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.api.{Dedup, Vectors}
+import graft.api.{Dedup, Text, Vectors}
 import H._
 
 /** SURVEY.md §2.9 + builder-prompt extensions — LLM-training-data pipeline
@@ -304,27 +304,14 @@ avg_chars, top_toks
 FROM ls JOIN ds USING (lang) JOIN top USING (lang)
 ORDER BY lang"""))
 
-  /** TF-IDF top-3 tokens per document (smoothed idf = ln((1+N)/(1+df))). */
+  /** TF-IDF top-3 tokens per document — [[graft.api.Text.tfidfTopK]]
+    * (smoothed idf = ln((1+N)/(1+df))).
+    */
   private val llmTfidf = Q(
     "llm_tfidf",
-    (s, d) => {
-      val tf = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .persist()
-      // tf rows are distinct (doc, tok) pairs, so df is a plain count — no
-      // second explode + countDistinct expansion over raw tokens
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = T.documents(s, d).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
-      tf.join(df, Seq("tok")).crossJoin(broadcast(n))
-        .withColumn("tfidf", col("tf") * log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-          r4(col("tfidf")).as("tfidf"), col("rn"))
-        .orderBy("doc_id", "rn")
-    },
+    (s, d) => Text.tfidfTopK(T.documents(s, d), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rn"),
     Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
 df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
@@ -339,17 +326,12 @@ FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""))
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Quality filter: char-length band + token floor + stopword-ratio cap. */
+  /** Quality filter — [[graft.api.Text.qualityFlags]]: char-length band +
+    * token floor + stopword-ratio cap.
+    */
   private val llmQualityFilter = Q(
     "llm_quality_filter",
-    (s, d) => T.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_toks", size(col("toks")))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin(stopwords: _*))))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_toks"))
-      .withColumn("kept",
-        col("n_chars").between(100, 500) && col("n_toks") >= 20 && col("stop_ratio") < 0.3)
+    (s, d) => Text.qualityFlags(T.documents(s, d), "text", "n_chars", stopwords)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("kept"), 1)).as("n_kept"),
@@ -383,30 +365,13 @@ GROUP BY source ORDER BY source"""))
     */
   private val llmLangId = Q(
     "llm_lang_id",
-    (s, d) => {
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      val langTok = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      val langTotal = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
-      // no broadcast hint: the (lang × vocab) model can outgrow broadcast
-      // limits at corpus scale — the planner/AQE picks the strategy
-      val model = langTok.join(langTotal, Seq("lang"))
-        .select(col("lang").as("m_lang"), col("tok").as("m_tok"),
-          log((col("c") + 1.0) / (col("tot") + 1.0))
-            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("logp"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang").asc)
-      val scored = toks.join(model, col("tok") === col("m_tok"), "inner")
-        .groupBy("doc_id", "lang", "m_lang")
-        .agg(sum(col("logp")).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      scored.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"),
-          count(when(col("lang") === col("m_lang"), 1)).as("n_correct"),
-          (count(when(col("lang") === col("m_lang"), 1)).cast("double") / count(lit(1)))
-            .as("accuracy"))
-        .orderBy("lang")
-    },
+    (s, d) => Text.langIdPredictions(T.documents(s, d), "doc_id", "text", "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("lang") === col("pred_lang"), 1)).as("n_correct"),
+        (count(when(col("lang") === col("pred_lang"), 1)).cast("double") / count(lit(1)))
+          .as("accuracy"))
+      .orderBy("lang"),
     Some("""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
 lt AS (SELECT lang AS m_lang, tok AS m_tok, count(*) AS c FROM tk GROUP BY 1, 2),
 tot AS (SELECT lang AS m_lang, count(*) AS tot FROM tk GROUP BY 1),
@@ -424,14 +389,12 @@ CAST(count(*) FILTER (WHERE lang = m_lang) AS DOUBLE) / count(*) AS accuracy
 FROM best WHERE rn = 1
 GROUP BY lang ORDER BY lang"""))
 
-  /** Token counting two ways: whitespace and a BPE-ish regex segmentation. */
+  /** Token counting two ways ([[graft.api.Text.tokenCounts]]): whitespace
+    * and a BPE-ish regex segmentation.
+    */
   private val llmTokenCount = Q(
     "llm_token_count",
-    (s, d) => T.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).as("n_ws"),
-        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("n_re"),
-        expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").as("n_bpe4"))
+    (s, d) => Text.tokenCounts(T.documents(s, d), "text")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ws")).as("ws_tokens"),
@@ -474,12 +437,8 @@ FROM documents ORDER BY doc_id"""))
   private val llmPipelineE2e = Q(
     "llm_pipeline_e2e",
     (s, d) => {
-      val docs = T.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_toks", size(col("toks")))
-        .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
-        .filter(col("n_chars").between(100, 500) && col("n_toks") >= 20 &&
-          col("n_stop").cast("double") / col("n_toks") < 0.3)
+      val docs = Text.qualityFlags(T.documents(s, d), "text", "n_chars", stopwords)
+        .filter(col("kept"))
       val exact = Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
         .filter(col("dup_rank") === 1).drop("dup_rank")
       // near-dup drop: keep the lower doc_id of every minhash-LSH pair

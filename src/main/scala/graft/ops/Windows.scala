@@ -32,6 +32,13 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
 WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
+  /** Quartile assignment via a GLOBAL window — inherently a single-reducer
+    * total order (Spark shuffles everything to one partition for an
+    * unpartitioned window). Acceptable here because `customer` is a
+    * dimension table; for a fact-scale exact ntile, the scalable rewrite is
+    * percentile cutoffs (`percentile(value, array(...))` broadcast back and
+    * bucketed per-row) at the cost of tie-edge determinism.
+    */
   private val winNtile = Q(
     "win_ntile",
     (s, d) => {
@@ -127,6 +134,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY em
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, em, event_id"""))
 
+  /** percent_rank/cume_dist per event_type — a LOW-CARDINALITY window
+    * partition (5 types funnel through 5 reducers). Inherent to the
+    * declared semantics (a per-category distribution analysis, normally run
+    * on bounded slices); the fact-scale alternative is an exact-percentile
+    * aggregate joined back, which loses the per-row rank outputs.
+    */
   private val winFirstLastPctrank = Q(
     "win_first_last_pctrank",
     (s, d) => {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.api.{Dedup, Fts, Vectors}
+import graft.api.{Dedup, Fts, Text, Vectors}
 
 import java.sql.Timestamp
 
@@ -115,6 +115,49 @@ class ApiSpec extends SparkSpec {
     assert(Seq(4L, 5L).forall(comp(_) == 4L))
     assert((10L to 16L).forall(comp(_) == 10L))
     assert(comp.size == 12)
+  }
+
+  // ------------------------------------------------------------------ Text
+
+  test("qualityFlags scores and filters a literal corpus") {
+    import spark.implicits._
+    val good = ("w " * 60).trim + " tail"                 // 61 toks, few stopwords
+    val stoppy = ("the a of and to in " * 12).trim        // all stopwords
+    val docs = Seq((1L, good, good.length.toLong), (2L, stoppy, stoppy.length.toLong),
+      (3L, "short", 5L)).toDF("doc_id", "text", "n_chars")
+    val r = Text.qualityFlags(docs, "text", "n_chars", Seq("the", "a", "of", "and", "to", "in"))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(r(1L) && !r(2L) && !r(3L))
+  }
+
+  test("tfidfTopK ranks distinctive tokens above common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared zebra zebra zebra"),
+      (2L, "shared shared apple"),
+      (3L, "shared banana banana")).toDF("doc_id", "text")
+    val top1 = Text.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .select("id", "tok").as[(Long, String)].collect().toMap
+    assert(top1 == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
+  }
+
+  test("langIdPredictions recovers the language of distinctive literal docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "bonjour le monde le monde", "fr"),
+      (2L, "bonjour le chat le chien", "fr"),
+      (3L, "hello the world the world", "en"),
+      (4L, "hello the cat the dog", "en")).toDF("doc_id", "text", "lang")
+    val preds = Text.langIdPredictions(docs, "doc_id", "text", "lang")
+      .select("id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "fr", 2L -> "fr", 3L -> "en", 4L -> "en"))
+  }
+
+  test("tokenCounts segments whitespace and regex tokens") {
+    import spark.implicits._
+    val r = Text.tokenCounts(Seq(("ab cd12 ef", 1)).toDF("text", "x"), "text")
+      .select("n_ws", "n_re", "n_bpe4").as[(Int, Int, Int)].head()
+    assert(r == ((3, 4, 3))) // ws: 3; re: ab,cd,12,ef; bpe4: ab,cd,ef (letters only)
   }
 
   // --------------------------------------------------------------- Vectors
