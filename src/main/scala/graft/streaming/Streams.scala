@@ -70,6 +70,18 @@ object Streams {
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
       col("c_mktsegment"))
 
+  /** The core FTS metric as a live stream: running per-key success/error
+    * rates (complete-mode aggregation; state is one row per key — bounded
+    * by key cardinality, the per-link monitoring shape). Count-ratio
+    * outputs are exactly stream==batch (integer counts, one division).
+    */
+  def successRate(events: DataFrame): DataFrame = events
+    .groupBy("user_id")
+    .agg(count(lit(1)).as("n_events"),
+      count(when(col("event_type") === "error", 1)).as("n_errors"),
+      (count(when(col("event_type") === "error", 1)) / count(lit(1)))
+        .as("error_rate"))
+
   /** Arbitrary stateful processing (§2.10 advanced): per-user running
     * mean/variance state via flatMapGroupsWithState; emits events whose
     * value is > 3 sigma from that user's running stats (after a 10-event

@@ -67,6 +67,10 @@ class StreamingSpec extends SparkSpec {
     assertStreamEqualsBatch("sessions", Streams.sessions, "complete")
   }
 
+  test("running success-rate: stream == batch") {
+    assertStreamEqualsBatch("success", Streams.successRate, "complete")
+  }
+
   test("stateful dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
