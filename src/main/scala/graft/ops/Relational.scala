@@ -741,7 +741,28 @@ JOIN (SELECT event_type, min(value) AS lo, max(value) AS hi
 ON e.event_type = b.event_type
 GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** The reference's headline report: top-10 problem links (here: users) by
+    * error rate with an event-count floor — [[graft.api.Fts.successRate]]
+    * composed with an orderBy+limit that plans as TakeOrderedAndProject
+    * (per-partition top-k, then merge — no global sort).
+    */
+  private val aggProblemLinks = Q(
+    "agg_problem_links",
+    (s, d) => graft.api.Fts.successRate(T.events(s, d), Seq("user_id"),
+        col("event_type") === "error")
+      .filter(col("n_events") >= 20)
+      .orderBy(col("error_rate").desc, col("user_id").asc)
+      .limit(10),
+    Some("""SELECT user_id, count(*) AS n_events,
+count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+count(*) FILTER (WHERE event_type = 'error') / count(*) AS error_rate,
+1 - count(*) FILTER (WHERE event_type = 'error') / count(*) AS success_rate
+FROM events GROUP BY user_id
+HAVING count(*) >= 20
+ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
+    aggProblemLinks,
     srcParquetScan, srcCsvRoundtrip, srcJsonLines, srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
     filtSubqueryScalar, projDistinct,
