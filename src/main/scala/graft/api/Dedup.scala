@@ -28,6 +28,9 @@ object Dedup {
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame =
     docs
+      // guard: Spark's sequence(1, stop) runs DESCENDING for stop < 1, so a
+      // doc shorter than k chars would explode into nonsense positions
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"), col(textCol).as("text"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"))
       .select(col("id"), xxhash64(expr(s"substring(text, i, $k)")).as("h"))
@@ -139,6 +142,9 @@ object Dedup {
     // re-splits the text per n-gram: O(tokens²) per doc)
     val tri = docs
       .withColumn("toks", split(col(textCol), " "))
+      // guard: sequence(1, stop) runs DESCENDING for stop < 1 (docs with
+      // fewer than n tokens)
+      .filter(size(col("toks")) >= n)
       .select(col(idCol).as("id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"),
@@ -192,7 +198,9 @@ object Dedup {
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var labelSum = comp.agg(sum(col("component"))).head().getLong(0)
+    // coalesce: sum over an empty pair frame is null, not 0
+    var labelSum = comp.agg(coalesce(sum(col("component")), lit(0L)))
+      .head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -205,7 +213,8 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("component")), lit(0L)))
+        .head().getLong(0)
       comp = next
       converged = nextSum == labelSum
       labelSum = nextSum

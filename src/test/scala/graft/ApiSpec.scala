@@ -103,6 +103,19 @@ class ApiSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("dedup builders tolerate degenerate inputs (short docs, empty pair sets)") {
+    import spark.implicits._
+    // docs shorter than the shingle/ngram size must be dropped, not explode
+    // into descending-sequence garbage (Spark sequence(1, stop<1) descends)
+    val tiny = Seq((1L, "ab"), (2L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.shingleHashes(tiny, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashPairs(tiny, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count() == 0)
+    // an empty pair frame must yield an empty component frame, not an NPE
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+  }
+
   test("connectedComponents collapses transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 (1!~3 directly), pair 4-5, long chain 10..16 — min-label
