@@ -191,7 +191,7 @@ object Dedup {
     * label-sum (labels only ever decrease, so an unchanged sum is a fixed
     * point).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
@@ -220,6 +220,13 @@ object Dedup {
       labelSum = nextSum
       i += 1
     }
+    // an unconverged result silently splits clusters (duplicate survivors
+    // downstream) — surface it instead; convergence costs one cheap extra
+    // round, so hitting the cap means the graph diameter exceeds maxIter
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(graph diameter exceeds the cap); raise maxIter")
     comp
   }
 }

@@ -70,16 +70,17 @@ object Fts {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
-  /** As-of enrichment: for every row, the most recent prior row (per
-    * `partCols`, ordered by `ordCols`) satisfying `isRef`, surfaced as
-    * `asof_<col>` for each of `payloadCols`. Single window pass — no
-    * self-join, one sort per partition.
+  /** As-of enrichment: for every row, the most recent STRICTLY PRIOR row
+    * (per `partCols`, ordered by `ordCols`) satisfying `isRef`, surfaced as
+    * `asof_<col>` for each of `payloadCols`. The frame ends at -1 so a row
+    * that itself satisfies `isRef` matches its predecessor, not itself.
+    * Single window pass — no self-join, one sort per partition.
     */
   def asofLastBefore(df: DataFrame, partCols: Seq[String], ordCols: Seq[String],
       isRef: Column, payloadCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*)
       .orderBy(ordCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, -1)
     payloadCols.foldLeft(df) { (acc, c) =>
       acc.withColumn(s"asof_$c",
         last(when(isRef, col(c)), ignoreNulls = true).over(w))

@@ -78,10 +78,13 @@ object Text {
   }
 
   /** Token counts three ways (whitespace, word/number regex, BPE-ish 4-char
-    * regex) as per-row columns.
+    * regex) as per-row columns. Column-based functions (no spliced SQL
+    * strings) so any column name works.
     */
   def tokenCounts(docs: DataFrame, textCol: String): DataFrame = docs
     .withColumn("n_ws", size(split(col(textCol), " ")))
-    .withColumn("n_re", expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0))"))
-    .withColumn("n_bpe4", expr(s"size(regexp_extract_all($textCol, '[a-z]{1,4}', 0))"))
+    .withColumn("n_re",
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))))
+    .withColumn("n_bpe4",
+      size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}"), lit(0))))
 }

@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Adds `vd` (double vector) and `nrm` (L2 norm) to a frame with an
-    * embedding array column; keeps all other columns.
+    * embedding array column; keeps all other columns. Column-based
+    * `transform` (not a spliced SQL string) so any column name works.
     */
   def normalized(emb: DataFrame, vecCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     emb
-      .withColumn("vd", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("vd", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
   }
 
@@ -114,9 +115,13 @@ object Vectors {
     */
   def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, bandBits: Int = 4,
-      dim: Int = 64, seed: Long = 42L, salt: Int = 16): DataFrame = {
+      maxDim: Int = 256, seed: Long = 42L, salt: Int = 16): DataFrame = {
+    // planes are generated at maxDim and vec_dot truncates to the VECTOR
+    // length, so any embedding dimension <= maxDim projects against a valid
+    // (prefix) Gaussian hyperplane — no silent truncation of the DATA side
+    // when the caller's dimension differs from a hardcoded plane size
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    val planes = Array.fill(numPlanes, maxDim)(rnd.nextGaussian())
     val nv = normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm"))
       .persist()
     val bitCols = (0 until numPlanes).map { j =>

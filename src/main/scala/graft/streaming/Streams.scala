@@ -72,15 +72,14 @@ object Streams {
 
   /** The core FTS metric as a live stream: running per-key success/error
     * rates (complete-mode aggregation; state is one row per key — bounded
-    * by key cardinality, the per-link monitoring shape). Count-ratio
-    * outputs are exactly stream==batch (integer counts, one division).
+    * by key cardinality, the per-link monitoring shape). Delegates to the
+    * SAME builder as the batch query ([[graft.api.Fts.successRate]] is a
+    * plain groupBy/agg, streaming-compatible), so the stream and batch
+    * definitions cannot drift apart.
     */
-  def successRate(events: DataFrame): DataFrame = events
-    .groupBy("user_id")
-    .agg(count(lit(1)).as("n_events"),
-      count(when(col("event_type") === "error", 1)).as("n_errors"),
-      (count(when(col("event_type") === "error", 1)) / count(lit(1)))
-        .as("error_rate"))
+  def successRate(events: DataFrame): DataFrame =
+    graft.api.Fts.successRate(events, Seq("user_id"),
+      col("event_type") === "error")
 
   /** Arbitrary stateful processing (§2.10 advanced): per-user running
     * mean/variance state via flatMapGroupsWithState; emits events whose

@@ -118,16 +118,22 @@ class ApiSpec extends SparkSpec {
 
   test("connectedComponents collapses transitive near-dup chains") {
     import spark.implicits._
-    // chain 1-2-3 (1!~3 directly), pair 4-5, long chain 10..16 — min-label
+    // chain 1-2-3 (1!~3 directly), pair 4-5, and a LONG chain 10..35
+    // (diameter 25 — deeper than near-dup clusters ever get) — min-label
     // propagation must collapse each to its minimum id
-    val chain = (10L until 16L).map(i => (i, i + 1))
+    val chain = (10L until 35L).map(i => (i, i + 1))
     val pairs = (Seq((1L, 2L), (2L, 3L), (4L, 5L)) ++ chain).toDF("a_id", "b_id")
     val comp = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert(Seq(4L, 5L).forall(comp(_) == 4L))
-    assert((10L to 16L).forall(comp(_) == 10L))
-    assert(comp.size == 12)
+    assert((10L to 35L).forall(comp(_) == 10L))
+    assert(comp.size == 31)
+    // a diameter beyond the cap must fail loudly, not return split clusters
+    val deep = (100L until 104L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(deep, maxIter = 2)
+    }
   }
 
   // ------------------------------------------------------------------ Text

@@ -11,6 +11,11 @@ class GoldenSpec extends SparkSpec {
     test(s"$name executes on sf0.001") {
       val n = q(name).count()
       assert(n > 0, s"$name returned 0 rows")
+      // operators persist/checkpoint internally; don't let blocks pile up
+      // across the ~100-query sweep
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
   }
 
