@@ -205,6 +205,35 @@ len(substring(text, i * 64 + 1, 64)) AS frame_bytes
 FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
 ORDER BY doc_id, frame_idx"""))
 
+  /** Resize plumbing over opaque media payloads: each payload downsamples to a
+    * fixed 64-byte "thumbnail" by stride sampling (every k-th byte) — the
+    * row shape and batching of a real image-resize stage with the codec
+    * itself stubbed as deterministic byte selection (no media libs
+    * in-container). Fully codegen'd per-row work; exactly oracle-able since
+    * the payloads are ASCII document bytes.
+    */
+  private val llmMultimodalResize = Q(
+    "llm_multimodal_resize",
+    (s, d) => T.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"),
+        greatest(expr("length(text) div 64"), lit(1)).as("stride"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_bytes"),
+        expr("concat_ws('', transform(sequence(0, 63), i -> substring(text, i * stride + 1, 1)))")
+          .as("thumb"))
+      .select(col("doc_id"), col("n_bytes"), col("thumb"),
+        length(col("thumb")).as("thumb_bytes"), md5(col("thumb")).as("thumb_md5"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_bytes, thumb, len(thumb) AS thumb_bytes,
+md5(thumb) AS thumb_md5
+FROM (
+  SELECT doc_id, len(text) AS n_bytes,
+    array_to_string(list_transform(generate_series(0, 63),
+      i -> substring(text, i * greatest(len(text) // 64, 1) + 1, 1)), '') AS thumb
+  FROM documents WHERE doc_id < 200)
+ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
-    llmMultimodalDecode, llmMultimodalFrames, srcBinaryFiles)
+    llmMultimodalDecode, llmMultimodalFrames, llmMultimodalResize,
+    srcBinaryFiles)
 }
