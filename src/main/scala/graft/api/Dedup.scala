@@ -174,59 +174,102 @@ object Dedup {
     docs.withColumn("dup_rank",
       row_number().over(Window.partitionBy(key).orderBy(col(idCol))))
 
-  /** Connected components over an (a_id, b_id) pair frame via iterative
-    * min-label propagation — the cluster step of corpus dedup (near-dup is
-    * transitive only through clustering: A~B, B~C must collapse to ONE
-    * survivor even when A!~C directly). Output: (id, component) with
-    * component = min id of the cluster; isolated ids never enter the input
-    * and are implicitly their own component.
+  /** Connected components over an (a_id, b_id) pair frame — the cluster step
+    * of corpus dedup (near-dup is transitive only through clustering: A~B,
+    * B~C must collapse to ONE survivor even when A!~C directly). Output:
+    * (id, component) with component = min id of the cluster; isolated ids
+    * never enter the input and are implicitly their own component.
     *
-    * Scale shape: every iteration is one shuffle join + min-aggregate over
-    * the (symmetrized) edge frame, and iterations needed = cluster diameter
-    * — small for dedup graphs (near-dup clusters are dense). Each round
-    * `localCheckpoint`s its label frame: an iterative loop must TRUNCATE
-    * logical lineage (persist alone caches data but every round still
-    * re-analyzes the whole history, so driver planning cost grows
-    * superlinearly with iterations). Convergence is detected by the
-    * label-sum (labels only ever decrease, so an unchanged sum is a fixed
-    * point).
+    * Algorithm: Shiloach–Vishkin-style hook + pointer-jump. Each round
+    *  1. HOOK: every node takes the minimum of its own label and its
+    *     neighbors' labels (one shuffle join + min-aggregate over the
+    *     symmetrized edge frame), then
+    *  2. JUMP: every node follows its label's own label (one self-join of
+    *     the label frame), halving the remaining label-chain depth.
+    * The jump is what makes this O(log n) rounds instead of O(diameter):
+    * a 1000-node chain converges in ~12 rounds where pure min-label
+    * propagation needs ~1000 (each a full distributed job wave — the
+    * difference between seconds and a blown iteration cap at scale).
+    *
+    * Every round `localCheckpoint`s its label frame — an iterative loop must
+    * TRUNCATE logical lineage (persist alone caches data but every round
+    * still re-analyzes the whole history, so driver planning cost grows
+    * superlinearly with iterations) — and unpersists the superseded round's
+    * blocks, so at most one generation of labels is materialized at a time
+    * (plus the edge frame, freed on exit; the FINAL label frame stays
+    * materialized because it backs the returned DataFrame).
+    *
+    * Convergence is a label-sum fixed point (labels only ever decrease, so
+    * an unchanged sum means no label moved). The probe is a driver action,
+    * so it runs every 2nd round — an unchanged sum across two rounds is
+    * still exactly a fixed point, and the probe count halves.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    def persisted = sc.getPersistentRDDs
+    // localCheckpoint blocks register in persistentRdds, not the SQL cache —
+    // diffing ids around each checkpoint is the handle for freeing them
+    def checkpointTracked(df: DataFrame): (DataFrame, collection.Set[Int]) = {
+      val before = persisted.keySet
+      val out = df.localCheckpoint(true)
+      (out, persisted.keySet.diff(before))
+    }
+    def free(ids: collection.Set[Int]): Unit =
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var (comp, compIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     // coalesce: sum over an empty pair frame is null, not 0
-    var labelSum = comp.agg(coalesce(sum(col("component")), lit(0L)))
-      .head().getLong(0)
+    def labelSumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    var labelSum = labelSumOf(comp)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(comp.select(col("id").as("dst"), col("component").as("nc")), "dst")
         .groupBy("src").agg(min(col("nc")).as("nbr_min"))
-      val next = comp
+      val hooked = comp
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(coalesce(sum(col("component")), lit(0L)))
-        .head().getLong(0)
+        // the jump self-joins this frame; persist so the hook subplan
+        // (join + aggregate) computes once, not once per join side
+        .persist()
+      // labels are always ids of nodes in the same component, so the jump
+      // stays within the component and only ever decreases labels
+      val (next, nextIds) = checkpointTracked(
+        hooked
+          .join(hooked.select(col("id").as("pid"), col("component").as("pc")),
+            col("component") === col("pid"), "left")
+          .select(col("id"), coalesce(col("pc"), col("component")).as("component")))
+      hooked.unpersist(blocking = false)
+      free(compIds)
       comp = next
-      converged = nextSum == labelSum
-      labelSum = nextSum
+      compIds = nextIds
       i += 1
+      if (i % 2 == 0 || i == maxIter) {
+        val nextSum = labelSumOf(comp)
+        converged = nextSum == labelSum
+        labelSum = nextSum
+      }
     }
+    free(edgeIds)
     // an unconverged result silently splits clusters (duplicate survivors
     // downstream) — surface it instead; convergence costs one cheap extra
-    // round, so hitting the cap means the graph diameter exceeds maxIter
-    if (!converged)
+    // round, so hitting the cap means the label chains outlived 2^maxIter
+    // doubling steps — far past any real graph; raise maxIter if it happens
+    if (!converged) {
+      free(compIds)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter iterations " +
-          "(graph diameter exceeds the cap); raise maxIter")
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "raise maxIter")
+    }
     comp
   }
 }

@@ -456,11 +456,10 @@ FROM documents ORDER BY doc_id"""))
   /** Cluster-level dedup: near-dup similarity is NOT transitive (A~B, B~C
     * but A!~C), yet a corpus dedup must keep one survivor per connected
     * CLUSTER of pairs — so the MinHash pair frame feeds
-    * [[graft.api.Dedup.connectedComponents]] (iterative min-label
-    * propagation; the builder runs bounded distributed iterations, like any
-    * Pregel-style loop). Output: one row per non-singleton cluster with its
-    * size and deterministic survivor (min doc_id). Declared-only:
-    * algorithmic.
+    * [[graft.api.Dedup.connectedComponents]] (Shiloach–Vishkin hook +
+    * pointer-jump: O(log n) bounded distributed rounds, not O(diameter)).
+    * Output: one row per non-singleton cluster with its size and
+    * deterministic survivor (min doc_id). Declared-only: algorithmic.
     */
   private val llmDedupClusters = Q(
     "llm_dedup_clusters",

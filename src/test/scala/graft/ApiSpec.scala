@@ -118,21 +118,43 @@ class ApiSpec extends SparkSpec {
 
   test("connectedComponents collapses transitive near-dup chains") {
     import spark.implicits._
-    // chain 1-2-3 (1!~3 directly), pair 4-5, and a LONG chain 10..35
-    // (diameter 25 — deeper than near-dup clusters ever get) — min-label
-    // propagation must collapse each to its minimum id
-    val chain = (10L until 35L).map(i => (i, i + 1))
+    // chain 1-2-3 (1!~3 directly), pair 4-5, and a 1000-node chain
+    // 1000..2000 (diameter 1000 — the shape that kills O(diameter)
+    // min-label propagation; serial boilerplate edits produce exactly this).
+    // Pointer doubling must collapse it in O(log n) rounds WITHOUT raising
+    // the default maxIter.
+    val chain = (1000L until 2000L).map(i => (i, i + 1))
     val pairs = (Seq((1L, 2L), (2L, 3L), (4L, 5L)) ++ chain).toDF("a_id", "b_id")
-    val comp = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
+    // start from a clean slate so the block-hygiene assertion below sees
+    // only this builder's blocks, not earlier tests' caches
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val comp =
+      try Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      finally spark.sparkContext.removeSparkListener(listener)
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert(Seq(4L, 5L).forall(comp(_) == 4L))
-    assert((10L to 35L).forall(comp(_) == 10L))
-    assert(comp.size == 31)
-    // a diameter beyond the cap must fail loudly, not return split clusters
+    assert((1000L to 2000L).forall(comp(_) == 1000L))
+    assert(comp.size == 1006)
+    // O(log n) rounds (~12 for the 1000-chain; AQE splits each round's
+    // checkpoint into per-shuffle-stage jobs, measured ~126 total) —
+    // O(diameter) min-label propagation would need ~1000 rounds here, i.e.
+    // an order of magnitude more jobs and a blown iteration cap
+    assert(jobs < 200, s"expected O(log n) job count, saw $jobs")
+    // only the returned frame's blocks may remain materialized
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "intermediate CC rounds must unpersist their blocks")
+    // a round budget too small for convergence must fail loudly, not return
+    // split clusters
     val deep = (100L until 104L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(deep, maxIter = 2)
+      Dedup.connectedComponents(deep, maxIter = 1)
     }
   }
 
