@@ -8,9 +8,16 @@ import scala.jdk.CollectionConverters._
   * Queries run in sorted-name order (deterministic run order across rounds,
   * so positional effects like JIT/code-cache drift are comparable). Failures
   * are recorded as NEGATIVE seconds plus a "failed" list — a broken query
-  * cannot masquerade as a fast one. Per-query stderr logs split planning vs
-  * execution and track GC + JIT code-cache usage to make late-run JVM
-  * degradation visible.
+  * cannot masquerade as a fast one.
+  *
+  * The JSON record carries its own diagnostics: the system load average at
+  * run start/end (host contention from OUTSIDE the harness inflates totals
+  * 2-4×, so a contended record must be self-identifying — totals are only
+  * comparable between runs at similar load) and a per-query
+  * build/plan/exec/gc split (a driver-side planning regression and an
+  * executor-side data regression need different fixes; one aggregate number
+  * hides which one moved). Stderr additionally tracks JIT code-cache usage
+  * to make late-run JVM degradation visible.
   */
 object Bench {
   private def codeCacheMB: Double =
@@ -19,6 +26,9 @@ object Bench {
   private def gcMs: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,6 +47,7 @@ object Bench {
     // so it isn't billed to whichever query happens to run first
     spark.range(100000).selectExpr("count(DISTINCT id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val loadStart = loadAvg
     val failed = mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMs
@@ -52,10 +63,14 @@ object Bench {
           buildSec = (System.nanoTime() - t0) / 1e9
           df.queryExecution.executedPlan // force analyze+optimize+plan
           planSec = (System.nanoTime() - t0) / 1e9 - buildSec
-          df.count()
+          // execute the ALREADY-planned query: df.count() would wrap the
+          // plan in a new Aggregate QueryExecution, re-planning from scratch
+          // and billing that second planning pass to exec time
+          df.queryExecution.toRdd.count()
           true
         } catch { case _: Throwable => failed += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMs - gc0) / 1000.0
       // drop blocks persisted inside operators so queries stay independent
       // and cold (cache build-up also degrades later queries via GC
       // pressure); localCheckpoint blocks live in persistentRdds, not the
@@ -63,14 +78,19 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.err.println(
-        f"[bench] $name%-28s $sec%8.2f s  (build $buildSec%6.2f, plan $planSec%6.2f, gc +${(gcMs - gc0) / 1000.0}%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
-      name -> (if (ok) sec else -sec)
+        f"[bench] $name%-28s $sec%8.2f s  (build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
+      (name, if (ok) sec else -sec, buildSec, planSec, gcSec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detail = results.map { case (k, v, b, p, g) =>
+      val e = r3(math.abs(v) - b - p)
+      s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)}}"""
+    }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val total = results.map { case (_, v, _, _, _) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
