@@ -639,6 +639,28 @@ round(quantile_cont(value, 0.99), 4) AS p99,
 count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Approximate percentiles — the 100 TB twin of [[aggPercentiles]]: exact
+    * `percentile` fully sorts every group's values (all rows shuffle to the
+    * group's reducer and materialize), which does not survive a 100 TB
+    * latency report. `approx_percentile` keeps a bounded KLL-style sketch
+    * per group (mergeable partial aggregate, map-side combined), so memory
+    * is O(accuracy), not O(rows). accuracy=10000 bounds the rank error to
+    * ~0.01% of each group — tested against exact in RelationalSpec.
+    * Declared-only: sketch contents are engine-specific by construction.
+    */
+  private val aggApproxPercentiles = Q(
+    "agg_approx_percentiles",
+    (s, d) => T.events(s, d).groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"),
+        col("n"))
+      .orderBy("event_type"),
+    None)
+
   private val aggStats = Q(
     "agg_stats",
     (s, d) => T.lineitem(s, d).groupBy("l_returnflag")
@@ -771,6 +793,7 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
     joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
-    aggPercentiles, aggStats, aggCollectSorted, aggPivot, aggMinmaxBy,
+    aggPercentiles, aggApproxPercentiles, aggStats, aggCollectSorted,
+    aggPivot, aggMinmaxBy,
     aggHistogram)
 }

@@ -81,6 +81,30 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad == 0)
   }
 
+  test("approx_percentile lands within ±1 percentile rank of exact") {
+    import spark.implicits._
+    // the sketch's rank error at accuracy=10000 is ~0.01%; asserting the
+    // approx p-quantile lies between the exact (p-1)% and (p+1)% quantiles
+    // leaves two orders of magnitude of slack while still catching a broken
+    // sketch or a mis-wired percentile position
+    val r = q("agg_approx_percentiles")
+      .join(graft.ops.T.events(spark, sf).groupBy("event_type")
+          .agg(expr("percentile(value, array(0.49D,0.51D,0.89D,0.91D,0.98D,1.0D))").as("ex")),
+        "event_type")
+      .select(col("p50"), col("p90"), col("p99"),
+        element_at(col("ex"), 1), element_at(col("ex"), 2),
+        element_at(col("ex"), 3), element_at(col("ex"), 4),
+        element_at(col("ex"), 5), element_at(col("ex"), 6))
+      .as[(Double, Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { case (p50, p90, p99, lo50, hi50, lo90, hi90, lo99, hi99) =>
+      assert(p50 >= lo50 && p50 <= hi50, s"p50=$p50 outside [$lo50,$hi50]")
+      assert(p90 >= lo90 && p90 <= hi90, s"p90=$p90 outside [$lo90,$hi90]")
+      assert(p99 >= lo99 && p99 <= hi99, s"p99=$p99 outside [$lo99,$hi99]")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact per day (SURVEY §2.4)") {
     import spark.implicits._
     val both = graft.ops.T.events(spark, sf)
