@@ -1,22 +1,53 @@
 package graft
 
-/** Golden regression net: every declared query must build and execute on
-  * sf0.001 without throwing (the driver's Verify would silently score a
-  * throw as a missing key). Row-count expectations are loose on purpose —
-  * exact values are the DuckDB oracle's job (tools/check.py).
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Golden regression net: every declared query must execute on sf0.001 AND
+  * reproduce the committed (rowCount, sha256) fingerprint from
+  * `src/test/resources/golden_sf0.001.json` (see [[GoldenGen]] for the
+  * canonical form and the regeneration path). The DuckDB oracle
+  * (tools/check.py) owns cross-engine value correctness for oracled keys;
+  * this file is what catches a silent result drift on the declared-only keys
+  * the oracle never sees.
   */
 class GoldenSpec extends SparkSpec {
 
+  private lazy val golden: Map[String, (Long, String)] = {
+    val node = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(GoldenGen.goldenPath)))
+    val it = node.fields()
+    val b = Map.newBuilder[String, (Long, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> (e.getValue.get("rows").asLong(), e.getValue.get("hash").asText())
+    }
+    b.result()
+  }
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name executes on sf0.001") {
-      val n = q(name).count()
-      assert(n > 0, s"$name returned 0 rows")
+    test(s"$name matches its golden fingerprint on sf0.001") {
+      val (rows, hash) = GoldenGen.fingerprint(q(name))
       // operators persist/checkpoint internally; don't let blocks pile up
       // across the ~100-query sweep
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      assert(rows > 0, s"$name returned 0 rows")
+      val (gRows, gHash) = golden.getOrElse(name,
+        fail(s"$name missing from ${GoldenGen.goldenPath} — regenerate via " +
+          "`sbt \"runMain graft.GoldenGen /root/testdata/sf0.001\"` and commit"))
+      assert(rows == gRows, s"$name row count drifted: $rows vs golden $gRows")
+      if (!GoldenGen.mergeOrderSensitive(name))
+        assert(hash == gHash,
+          s"$name result drifted from the committed golden hash — if the " +
+            "change is intentional, regenerate via " +
+            "`sbt \"runMain graft.GoldenGen /root/testdata/sf0.001\"`")
     }
+  }
+
+  test("golden file has no orphan keys") {
+    val orphans = golden.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"golden entries without queries: $orphans")
   }
 
   test("every oracleSql key has a matching queries key") {
