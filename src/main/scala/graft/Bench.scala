@@ -74,7 +74,8 @@ object Bench {
       // drop blocks persisted inside operators so queries stay independent
       // and cold (cache build-up also degrades later queries via GC
       // pressure); localCheckpoint blocks live in persistentRdds, not the
-      // SQL cache manager, so clear those too
+      // SQL cache manager, and api builders register frames with Caches
+      graft.api.Caches.sweep(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.err.println(

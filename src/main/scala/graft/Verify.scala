@@ -24,7 +24,9 @@ object Verify {
       }
       // blocks persisted inside operators must not accumulate across the
       // 90+ query loop (a memory bomb at bigger verify scales); local
-      // checkpoints live in persistentRdds, outside the SQL cache manager
+      // checkpoints live in persistentRdds, outside the SQL cache manager,
+      // and the api builders register their frames with Caches
+      graft.api.Caches.sweep(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *    `salt` ways, so a bucket of k docs costs k²/salt per task instead of
   *    one task holding a k-element array and emitting k² pairs in-row.
   *  - the exact verify step (Jaccard / Hamming) runs only on candidates.
+  *
+  * Column-name contract: builders emit fixed output schemas (`id`/`h`,
+  * `a_id`/`b_id`/`jaccard`/`hamming`, `id`/`component`, `dup_rank`); a
+  * caller column with the same name is overwritten. Interior frames persist
+  * via [[Caches]] — call `Caches.sweep(spark)` when results are consumed.
   */
 object Dedup {
 
@@ -54,41 +59,51 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
-  /** (id, band, bsig) LSH rows from 32-perm MinHash signatures (custom
-    * [[graft.functions.MinHashAgg]]: one buffer per doc on the wire,
-    * partial+final mergeable).
+  /** (id, band, bsig) LSH rows from a pre-built [[shingleHashes]] frame via
+    * 32-perm MinHash signatures (custom [[graft.functions.MinHashAgg]]: one
+    * buffer per doc on the wire, partial+final mergeable).
     */
-  def minhashBandSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numBands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
-    graft.functions.SketchFunctions.register(docs.sparkSession)
-    val hs = shingleHashes(docs, idCol, textCol)
+  def minhashBandSignaturesOf(hs: DataFrame, numBands: Int = 4,
+      rowsPerBand: Int = 8): DataFrame = {
+    graft.functions.SketchFunctions.register(hs.sparkSession)
     val mh = hs.groupBy("id").agg(expr("minhash_agg(h)").as("mh"))
     val bands = (0 until numBands).map(b =>
       xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand), lit(b)).as(s"band$b"))
     mh.select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
   }
 
+  /** (id, band, bsig) LSH rows straight from a document frame. */
+  def minhashBandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numBands: Int = 4, rowsPerBand: Int = 8): DataFrame =
+    minhashBandSignaturesOf(shingleHashes(docs, idCol, textCol), numBands,
+      rowsPerBand)
+
   /** MinHash-LSH candidate pairs (pre-verify), ordered a_id < b_id. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       salt: Int = 16): DataFrame =
-    saltedBandPairs(minhashBandSignatures(docs, idCol, textCol).persist(), salt)
+    saltedBandPairs(Caches.cache(minhashBandSignatures(docs, idCol, textCol)),
+      salt)
 
   /** MinHash + LSH near-dup pairs: 5-char shingles → 32-perm MinHash →
     * 4 bands × 8 rows → salted band-bucket equi-join → exact Jaccard verify.
-    * Output: (a_id, b_id, jaccard) with jaccard >= `threshold`.
+    * Output: (a_id, b_id, jaccard) with jaccard >= `threshold`. Interior
+    * frames persist via [[Caches]] — call `Caches.sweep(spark)` when done.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, salt: Int = 16): DataFrame = {
-    val hs = shingleHashes(docs, idCol, textCol)
-    val cand = minhashCandidates(docs, idCol, textCol, salt).persist()
+    // the shingle pipeline (explode + substring + xxhash64 over every char
+    // position of every doc) is the expensive scan — build it ONCE and share
+    // it between the signature stage and the exact-Jaccard verify stage
+    val hs = Caches.cache(shingleHashes(docs, idCol, textCol))
+    val cand = Caches.cache(
+      saltedBandPairs(Caches.cache(minhashBandSignaturesOf(hs)), salt))
     // exact verify on candidates only: distinct shingle sets via joins (the
     // candidate-id filter is a semi-join — the planner broadcasts it when
     // small, shuffles it when a mass-duplication corpus makes it big)
     val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
-    val candSh = hs.join(candIds, Seq("id"), "left_semi").distinct()
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
-      .persist()
+    val candSh = Caches.cache(hs.join(candIds, Seq("id"), "left_semi").distinct()
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id"))))
     cand
       .join(candSh.select(col("id").as("a_id"), col("h"), col("n_sh").as("a_n")),
         "a_id")
@@ -115,7 +130,7 @@ object Dedup {
     val h = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val sig = h.groupBy("id").agg(expr("simhash_agg(h)").as("bits")).persist()
+    val sig = Caches.cache(h.groupBy("id").agg(expr("simhash_agg(h)").as("bits")))
     val bands = (0 until 4).map(b =>
       xxhash64(slice(col("bits"), b * 16 + 1, 16), lit(b)).as(s"band$b"))
     val withBands = sig.select(col("id"),
@@ -140,7 +155,7 @@ object Dedup {
     // materialize the token array ONCE, then explode positions — slice +
     // concat_ws + xxhash64 all run codegen'd (the naive transform-lambda
     // re-splits the text per n-gram: O(tokens²) per doc)
-    val tri = docs
+    val tri0 = docs
       .withColumn("toks", split(col(textCol), " "))
       // guard: sequence(1, stop) runs DESCENDING for stop < 1 (docs with
       // fewer than n tokens)
@@ -150,7 +165,7 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
       .distinct()
-      .persist()
+    val tri = Caches.cache(tri0)
     val sh = tri.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inv = tri.join(sh, "id").select(col("id"), col("n_sh"), col("g"))
     val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)

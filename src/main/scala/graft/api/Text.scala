@@ -9,12 +9,21 @@ import org.apache.spark.sql.types.DecimalType
   * a text column — quality scoring, TF-IDF, language ID, token counting.
   * All per-row work is built-in-function only (codegen'd, pushdown-safe);
   * shuffles happen on high-cardinality keys (doc id, token).
+  *
+  * Column-name contract: builders install fixed intermediate/output column
+  * names (listed per method); a caller column with the same name is
+  * overwritten (and intermediates like `toks` are dropped on return).
   */
 object Text {
 
   /** Adds `n_toks`, `n_stop`, `stop_ratio` and a `kept` quality flag
     * (char-length band + token floor + stopword-ratio cap). Pure per-row
     * projection — composes under any downstream filter or aggregate.
+    *
+    * Reserved column names: `n_toks`, `n_stop`, `stop_ratio`, `kept`
+    * (outputs — caller columns of the same name are overwritten) and `toks`
+    * (intermediate — dropped, INCLUDING a pre-existing caller column of
+    * that name).
     */
   def qualityFlags(docs: DataFrame, textCol: String, nCharsCol: String,
       stopwords: Seq[String], minChars: Int = 100, maxChars: Int = 500,
@@ -32,13 +41,16 @@ object Text {
   /** Top-k tokens per document by tf·idf (smoothed idf = ln((1+N)/(1+df))).
     * Two hash aggregates + one token join; the per-doc top-k window
     * partitions on doc id (high cardinality, bounded partitions).
+    *
+    * Output schema is fixed: (id, tok, tf, df, tfidf, rn) — input columns
+    * other than the id/text pair do not survive. The tf frame persists via
+    * [[Caches]] — call `Caches.sweep(spark)` when done.
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val tf = docs
+    val tf = Caches.cache(docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("tok").asc)

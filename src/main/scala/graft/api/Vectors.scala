@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *  - candidate generation for near-dup ([[signLshPairs]]) and ANN
   *    ([[ivfProbe]]) is blocked (LSH bands / IVF cells) and the block joins
   *    are salted so hot cells spread over `salt` reducers.
+  *
+  * Column-name contract: builders install fixed intermediate/output column
+  * names (`vd`/`nrm` from [[normalized]]; `q_id`/`n_id`/`cos`/`rn` and
+  * friends from the search builders); a caller column with the same name is
+  * overwritten.
   */
 object Vectors {
 
@@ -107,7 +112,8 @@ object Vectors {
     * (seeded — deterministic literals compiled into the plan), grouped into
     * bands of `bandBits` bits for candidate blocking through the salted
     * band pair-join, then an exact cosine >= `threshold` verify on
-    * candidates only. Output: (a_id, b_id, cos).
+    * candidates only. Output: (a_id, b_id, cos). Interior frames persist via
+    * [[Caches]] — call `Caches.sweep(spark)` when done.
     *
     * The projections are `vec_dot(vd, <literal plane>)` columns — one
     * codegen'd primitive loop per plane, no explode/join/re-aggregate of the
@@ -115,15 +121,21 @@ object Vectors {
     */
   def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, bandBits: Int = 4,
-      maxDim: Int = 256, seed: Long = 42L, salt: Int = 16): DataFrame = {
-    // planes are generated at maxDim and vec_dot truncates to the VECTOR
-    // length, so any embedding dimension <= maxDim projects against a valid
-    // (prefix) Gaussian hyperplane — no silent truncation of the DATA side
-    // when the caller's dimension differs from a hardcoded plane size
+      minPlaneDim: Int = 256, seed: Long = 42L, salt: Int = 16): DataFrame = {
+    // plane length = max(actual embedding dimension, minPlaneDim): vec_dot
+    // truncates to the SHORTER array, so planes shorter than the data would
+    // silently project onto a prefix of the embedding and degrade LSH
+    // quality with no error. The dimension probe reads a single row.
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val planeDim = math.max(dim, minPlaneDim)
+    require(planeDim <= 4096,
+      s"embedding dimension $dim exceeds the 4096 literal-plane bound; " +
+        "project the vectors down before LSH")
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, maxDim)(rnd.nextGaussian())
-    val nv = normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm"))
-      .persist()
+    val planes = Array.fill(numPlanes, planeDim)(rnd.nextGaussian())
+    val nv = Caches.cache(
+      normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm")))
     val bitCols = (0 until numPlanes).map { j =>
       val planeSql = planes(j).mkString("array(", "D, ", "D)")
       when(expr(s"vec_dot(vd, $planeSql)") >= 0, 1).otherwise(0).as(s"bit$j")

@@ -158,6 +158,36 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("Caches.sweep frees every block the pair builders persist") {
+    import spark.implicits._
+    import graft.api.Caches
+    // clean slate: earlier tests may have left builder caches behind
+    Caches.sweep(spark)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "some altogether different body of text that is not similar at all"))
+      .toDF("doc_id", "text")
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 10).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    // consume one builder from each family, then sweep
+    Dedup.minhashPairs(docs, "doc_id", "text").count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()
+    Dedup.simhashPairs(docs, "doc_id", "text").count()
+    Text.tfidfTopK(docs, "doc_id", "text").count()
+    Vectors.signLshPairs(emb, "id", "vec").count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "builders should have persisted interior frames")
+    Caches.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "sweep must free every builder-persisted block")
+    // idempotent
+    Caches.sweep(spark)
+  }
+
   // ------------------------------------------------------------------ Text
 
   test("qualityFlags scores and filters a literal corpus") {

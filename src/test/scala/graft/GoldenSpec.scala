@@ -29,6 +29,7 @@ class GoldenSpec extends SparkSpec {
       val (rows, hash) = GoldenGen.fingerprint(q(name))
       // operators persist/checkpoint internally; don't let blocks pile up
       // across the ~100-query sweep
+      graft.api.Caches.sweep(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
