@@ -12,6 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   * Floating sums route through DECIMAL(18,4) so results are order-independent
   * across partitionings (see graft.ops.H); count ratios are emitted raw —
   * identical IEEE division in any engine.
+  *
+  * Column-name contract: builders install fixed OUTPUT column names (listed
+  * per method — e.g. `n_events`/`error_rate`, `bucket_start`, `rn`/`rk`/
+  * `drk`, `asof_<col>`); a caller column with the same name is overwritten.
   */
 object Fts {
 

@@ -31,6 +31,13 @@ object T {
     * legacy conf, then rebuild a µs TimestampType column. `div` (integer
     * division) is load-bearing: ns epoch values ≈ 1.7e18 exceed double's
     * 2^53 exact-integer range, so `/ 1000` would corrupt low microseconds.
+    *
+    * SESSION-LEVEL CONTRACT: the `nanosAsLong` flag is session config and
+    * stays set after this call (scoping it to the read is unsafe — the
+    * returned frame is lazy and re-analysis/scan consult the conf later).
+    * Its only effect is that OTHER TIMESTAMP(NANOS) parquet columns read in
+    * the same session also surface as ns longs instead of failing; columns
+    * of every other type are untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
