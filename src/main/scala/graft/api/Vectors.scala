@@ -71,6 +71,75 @@ object Vectors {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)").as("cvd"))
       .withColumn("cnrm", expr("sqrt(vec_dot(cvd, cvd))"))
 
+  // ------------------------------------------------------------- k-means
+
+  private def collectCodebook(cb: DataFrame): Array[(Int, Seq[Double], Double)] =
+    cb.select(col("cell").cast("int"), col("cvd"), col("cnrm")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Nearest-cell assignment with the codebook compiled into the projection
+    * as literals: one codegen'd `vec_dot` loop per cell and an `array_max`
+    * argmax (ties → lowest cell). A pure per-row map — no join, no shuffle,
+    * no k× row blowup — the scale-correct shape for scoring a 100 TB corpus
+    * against a small codebook (k rows of doubles always fit in a plan).
+    */
+  private def assignCellsTo(nv: DataFrame,
+      cb: Array[(Int, Seq[Double], Double)]): DataFrame = {
+    graft.functions.VectorFunctions.register(nv.sparkSession)
+    val scored = cb.map { case (cell, cvd, cnrm) =>
+      val planeSql = cvd.mkString("array(", "D, ", "D)")
+      struct((expr(s"vec_dot(vd, $planeSql)") / (col("nrm") * lit(cnrm))).as("acos"),
+        lit(-cell).as("nc"))
+    }
+    nv.withColumn("best", array_max(array(scored.toSeq: _*)))
+      .withColumn("cell", -col("best.nc"))
+      .drop("best")
+  }
+
+  /** Adds a `cell` column: the id of the nearest `codebook` centroid by
+    * cosine (tie → lowest cell). `nv` is a [[normalized]] frame;
+    * `codebook` has (cell, cvd, cnrm) rows, e.g. from [[kmeansCodebook]].
+    */
+  def assignCells(nv: DataFrame, codebook: DataFrame): DataFrame =
+    assignCellsTo(nv, collectCodebook(codebook))
+
+  /** Deterministic distributed k-means codebook over a [[normalized]] frame
+    * — unsupervised cell training for the IVF/ANN path (real embedding
+    * corpora carry no labels). Output: (cell, cvd, cnrm), k rows.
+    *
+    *  - init: the k rows with the smallest `md5(id || ':' || seedTag)` —
+    *    engine-portable hash seeding (no RNG state), one TakeOrdered.
+    *  - assign: [[assignCells]] — literal-codebook codegen projection, the
+    *    only full-corpus work per iteration, shuffle-free.
+    *  - update: per-cell DECIMAL(28,10)-exact per-position means (the
+    *    [[centroids]] discipline) — bit-identical regardless of
+    *    partitioning; empty cells keep their previous centroid.
+    *  - a FIXED iteration count, so the job graph and the result are fully
+    *    deterministic (no convergence wobble between runs or engines).
+    *
+    * Each iteration collects only the k×dim codebook to the driver (tiny by
+    * construction); the corpus itself never moves.
+    */
+  def kmeansCodebook(nv: DataFrame, idCol: String, k: Int, iters: Int = 2,
+      seedTag: String = "cb"): DataFrame = {
+    val spark = nv.sparkSession
+    val seeds = nv
+      .withColumn("hk", md5(concat(col(idCol).cast("string"), lit(":" + seedTag))))
+      .orderBy("hk").limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy("hk")) - 1)
+      .select(col("cell"), col("vd").as("cvd"), col("nrm").as("cnrm"))
+    var cb = collectCodebook(seeds)
+    for (_ <- 1 to iters) {
+      val assigned = assignCellsTo(nv, cb).select(col("cell"), col("vd"))
+      val updMap = collectCodebook(centroids(assigned, "cell"))
+        .map(c => c._1 -> c).toMap
+      cb = cb.map(c => updMap.getOrElse(c._1, c))
+    }
+    import spark.implicits._
+    cb.toSeq.toDF("cell", "cvd", "cnrm")
+  }
+
   /** IVF-style ANN probe: rank cells per query against the broadcast
     * centroid codebook, probe the top `probes` cells, exact-rank inside them.
     * The query→index join is a salted shuffle equi-join on (cell, salt) —
@@ -82,10 +151,23 @@ object Vectors {
     * `queries`: [[normalized]] frame with (idCol, vd, nrm) + extra columns,
     * which are all kept on the output rows.
     * Output: per (q_id, rank<=k): n_id, n_cell, cos + query extras.
+    *
+    * This overload derives the codebook as the per-cell means of the index
+    * (right for pre-clustered/bucketed corpora); pair [[kmeansCodebook]] +
+    * [[assignCells]] + [[ivfProbeWith]] for unlabeled corpora.
     */
   def ivfProbe(index: DataFrame, queries: DataFrame, idCol: String,
-      cellCol: String, k: Int = 5, probes: Int = 2, salt: Int = 8): DataFrame = {
-    val cent = centroids(index, cellCol)
+      cellCol: String, k: Int = 5, probes: Int = 2, salt: Int = 8): DataFrame =
+    ivfProbeWith(index, centroids(index, cellCol), queries, idCol, cellCol,
+      k, probes, salt)
+
+  /** [[ivfProbe]] with an explicit (cell, cvd, cnrm) codebook — e.g. a
+    * [[kmeansCodebook]] — instead of one derived from the index's cells.
+    */
+  def ivfProbeWith(index: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, cellCol: String, k: Int = 5, probes: Int = 2,
+      salt: Int = 8): DataFrame = {
+    val cent = codebook
     val q = queries.withColumnRenamed(idCol, "q_id")
       .withColumnRenamed("vd", "q_vd").withColumnRenamed("nrm", "q_nrm")
     val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell").asc)

@@ -130,10 +130,40 @@ r AS (SELECT q_id, neighbor_id, cos,
 SELECT q_id, neighbor_id, round(cos, 3) AS cos, rn
 FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
 
-  /** kNN classification routed through the IVF cell probe (top-2 cells per
-    * query via the broadcast centroid codebook, salted shuffle join into the
-    * cells) — no broadcast whose size scales with the corpus. Majority label
-    * of the 5 nearest probed neighbors, accuracy per true label.
+  /** The unrolled k-means CTE chain shared by the two trained-codebook
+    * oracles: seeds (k lowest md5-hashed ids) → `iters`×(assign via cosine
+    * argmax, DECIMAL(28,10)-exact mean update, empty-cell fallback) —
+    * the SQL twin of [[graft.api.Vectors.kmeansCodebook]] over a CTE `n0`
+    * with (vec_id, vd, nrm). Emits c0..c{iters} and a{1..iters}.
+    */
+  private def kmeansSql(src: String, k: Int, iters: Int): String = {
+    val seeds = s"""seeds AS (SELECT vd AS cvd, nrm AS cnrm, rn0 - 1 AS cell FROM (
+    SELECT vd, nrm,
+      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cb')) AS rn0
+    FROM $src) WHERE rn0 <= $k),
+c0 AS (SELECT cell, cvd, cnrm FROM seeds)"""
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM $src s CROSS JOIN c${i - 1} c) WHERE r = 1),
+u${i}p AS (SELECT cell, i AS pos,
+         CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+       FROM a$i, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
+u$i AS (SELECT cell, list(cx ORDER BY pos) AS cvd FROM u${i}p GROUP BY cell),
+c$i AS (SELECT c.cell AS cell, coalesce(u$i.cvd, c.cvd) AS cvd,
+         sqrt(list_dot_product(coalesce(u$i.cvd, c.cvd), coalesce(u$i.cvd, c.cvd))) AS cnrm
+       FROM c${i - 1} c LEFT JOIN u$i ON c.cell = u$i.cell)"""
+    }
+    (seeds +: steps).mkString(",\n")
+  }
+
+  /** kNN classification over the UNSUPERVISED trained index: k-means cells
+    * ([[graft.api.Vectors.kmeansCodebook]], labels play no structural role),
+    * top-2 cells per query via the broadcast codebook, salted shuffle join
+    * into the cells, majority TRUE label of the 5 nearest probed neighbors
+    * (labels are evaluation/vote data only). Accuracy per true label.
     */
   private val llmKnnLabel = Q(
     "llm_knn_label",
@@ -141,15 +171,23 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
       val nv = normEmb(s, d)
       val train = nv.filter(col("vec_id") % 20 =!= 0)
         .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val cb = Vectors.kmeansCodebook(
+        train.select(col("vec_id"), col("vd"), col("nrm")), "vec_id",
+        k = 8, iters = 2)
+      val idx = Vectors.assignCells(train, cb)
+        .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id"), col("label").as("q_label"), col("vd"), col("nrm"))
-      val knn = Vectors.ivfProbe(train, q, "vec_id", "label", k = 5, probes = 2)
-      val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_cell").asc)
-      val pred = knn.groupBy("q_id", "q_label", "n_cell")
+      val knn = Vectors.ivfProbeWith(idx, cb, q, "vec_id", "cell",
+          k = 5, probes = 2)
+        .join(train.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+          "n_id")
+      val wV = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label").asc)
+      val pred = knn.groupBy("q_id", "q_label", "n_label")
         .agg(count(lit(1)).as("votes"))
         .withColumn("vr", row_number().over(wV))
         .filter(col("vr") === 1)
-        .select(col("q_id"), col("q_label"), col("n_cell").as("pred_label"))
+        .select(col("q_id"), col("q_label"), col("n_label").as("pred_label"))
       pred.groupBy(col("q_label").as("label"))
         .agg(count(lit(1)).as("n"),
           count(when(col("q_label") === col("pred_label"), 1)).as("n_correct"),
@@ -157,35 +195,40 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
             count(lit(1))).as("accuracy"))
         .orderBy("label")
     },
-    // deterministic end to end (DECIMAL-exact centroids, total-ordered
-    // windows, raw count-ratio accuracy) → fully oracle-able
-    Some("""WITH e AS (SELECT vec_id, label,
+    // deterministic end to end (hash-seeded init, DECIMAL-exact centroid
+    // means, total-ordered windows, raw count-ratio accuracy) → the full
+    // k-means training loop unrolls into SQL and both engines walk the
+    // identical codebook trajectory
+    Some(s"""WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
-n0 AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-train AS (SELECT * FROM n0 WHERE vec_id % 20 != 0),
-cp AS (SELECT label, i AS pos,
-         CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
-       FROM train, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
-cent AS (SELECT label, list(cx ORDER BY pos) AS cvd FROM cp GROUP BY label),
-cn AS (SELECT label, cvd, sqrt(list_dot_product(cvd, cvd)) AS cnrm FROM cent),
+nall AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+n0 AS (SELECT vec_id, vd, nrm FROM nall WHERE vec_id % 20 != 0),
+${kmeansSql("n0", 8, 2)},
+idx AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
 q AS (SELECT vec_id AS q_id, label AS q_label, vd AS q_vd, nrm AS q_nrm
-      FROM n0 WHERE vec_id % 20 = 0),
-cellrank AS (SELECT q_id, q_label, q_vd, q_nrm, cn.label AS cell,
+      FROM nall WHERE vec_id % 20 = 0),
+cellrank AS (SELECT q_id, q_label, q_vd, q_nrm, c.cell AS cell,
     row_number() OVER (PARTITION BY q_id
-      ORDER BY list_dot_product(q_vd, cvd) / (q_nrm * cnrm) DESC, cn.label ASC) AS cr
-  FROM q CROSS JOIN cn),
+      ORDER BY list_dot_product(q_vd, c.cvd) / (q_nrm * c.cnrm) DESC, c.cell ASC) AS cr
+  FROM q CROSS JOIN c2 c),
 cells AS (SELECT q_id, q_label, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
-cand AS (SELECT q_id, q_label, t.vec_id AS n_id, t.label AS n_cell,
+cand AS (SELECT q_id, q_label, t.vec_id AS n_id,
     list_dot_product(q_vd, t.vd) / (q_nrm * t.nrm) AS cos
-  FROM cells JOIN train t ON t.label = cells.cell AND t.vec_id != q_id),
-knn AS (SELECT q_id, q_label, n_cell FROM (
-    SELECT q_id, q_label, n_cell,
+  FROM cells JOIN idx t ON t.cell = cells.cell AND t.vec_id != q_id),
+knn AS (SELECT q_id, q_label, n_id FROM (
+    SELECT q_id, q_label, n_id,
       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
     FROM cand) WHERE rn <= 5),
-votes AS (SELECT q_id, q_label, n_cell, count(*) AS votes FROM knn GROUP BY 1, 2, 3),
-pred AS (SELECT q_id, q_label, n_cell AS pred_label FROM (
-    SELECT q_id, q_label, n_cell, votes,
-      row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_cell ASC) AS vr
+lbl AS (SELECT knn.q_id, knn.q_label, t.label AS n_label
+        FROM knn JOIN nall t ON knn.n_id = t.vec_id),
+votes AS (SELECT q_id, q_label, n_label, count(*) AS votes FROM lbl GROUP BY 1, 2, 3),
+pred AS (SELECT q_id, q_label, n_label AS pred_label FROM (
+    SELECT q_id, q_label, n_label, votes,
+      row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS vr
     FROM votes) WHERE vr = 1)
 SELECT q_label AS label, count(*) AS n,
 count(*) FILTER (WHERE q_label = pred_label) AS n_correct,
@@ -214,43 +257,48 @@ FROM pred GROUP BY q_label ORDER BY label"""))
     },
     None)
 
-  /** IVF-style ANN — [[graft.api.Vectors.ivfProbe]]: coarse cells =
-    * per-label centroids (deterministic stand-in for a k-means codebook),
-    * rank cells per query against the broadcast codebook, probe only the top
-    * 2 cells through the salted shuffle join — the index side is scanned
+  /** IVF-style ANN over an UNSUPERVISED index: coarse cells come from a
+    * deterministic distributed k-means ([[graft.api.Vectors.kmeansCodebook]]
+    * — hash-seeded init, DECIMAL-exact mean updates, fixed iterations; the
+    * fixture's labels are unused, as on a real unlabeled 100 TB corpus).
+    * Queries rank cells against the broadcast codebook and probe only the
+    * top 2 through the salted shuffle join — the index side is scanned
     * cell-selectively, the 100 TB path.
     */
   private val llmAnnIvf = Q(
     "llm_ann_ivf",
     (s, d) => {
-      val nv = normEmb(s, d)
-      val idx = nv.select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val idx = Vectors.assignCells(nv, cb)
+        .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id"), col("vd"), col("nrm"))
-      Vectors.ivfProbe(idx, q, "vec_id", "label", k = 5, probes = 2)
+      Vectors.ivfProbeWith(idx, cb, q, "vec_id", "cell", k = 5, probes = 2)
         .select(col("q_id"), col("n_id").as("neighbor_id"), r4(col("cos")).as("cos"),
           col("rn"), col("n_cell").as("cell"))
         .orderBy("q_id", "rn")
     },
-    // fully deterministic thanks to the DECIMAL-exact centroid means: both
-    // engines rank identical cell cosines and identical neighbor cosines
-    Some("""WITH e AS (SELECT vec_id, label,
+    // fully deterministic (hash-seeded init, DECIMAL-exact centroid means,
+    // total-ordered ranks): the training loop unrolls into SQL and both
+    // engines derive the bit-identical codebook, cells, and neighbor ranks
+    Some(s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
-n AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-cp AS (SELECT label, i AS pos,
-         CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
-       FROM n, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
-cent AS (SELECT label, list(cx ORDER BY pos) AS cvd FROM cp GROUP BY label),
-cn AS (SELECT label, cvd, sqrt(list_dot_product(cvd, cvd)) AS cnrm FROM cent),
-q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n WHERE vec_id % 50 = 0),
-cellrank AS (SELECT q_id, q_vd, q_nrm, cn.label AS cell,
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+${kmeansSql("n0", 8, 2)},
+idx AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n0 WHERE vec_id % 50 = 0),
+cellrank AS (SELECT q_id, q_vd, q_nrm, c.cell AS cell,
     row_number() OVER (PARTITION BY q_id
-      ORDER BY list_dot_product(q_vd, cvd) / (q_nrm * cnrm) DESC, cn.label ASC) AS cr
-  FROM q CROSS JOIN cn),
+      ORDER BY list_dot_product(q_vd, c.cvd) / (q_nrm * c.cnrm) DESC, c.cell ASC) AS cr
+  FROM q CROSS JOIN c2 c),
 cells AS (SELECT q_id, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
-cand AS (SELECT q_id, n.vec_id AS neighbor_id, n.label AS cell,
-    list_dot_product(q_vd, n.vd) / (q_nrm * n.nrm) AS cos
-  FROM cells JOIN n ON n.label = cells.cell AND n.vec_id != q_id),
+cand AS (SELECT q_id, t.vec_id AS neighbor_id, t.cell AS cell,
+    list_dot_product(q_vd, t.vd) / (q_nrm * t.nrm) AS cos
+  FROM cells JOIN idx t ON t.cell = cells.cell AND t.vec_id != q_id),
 r AS (SELECT q_id, neighbor_id, cos, cell,
     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM cand)

@@ -248,6 +248,44 @@ class ApiSpec extends SparkSpec {
       s"expected exactly the 3 planted pairs, got $pairs")
   }
 
+  test("kmeansCodebook trains pure cells on planted clusters and is bit-deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three well-separated directions: all-positive, antipodal, alternating
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 20).map(i =>
+        (ci * 100L + i, c.map(x => x + rnd.nextGaussian() * 0.05)))
+    }
+    val nv = Vectors.normalized(data.toDF("id", "vec"), "vec")
+      .select(col("id"), col("vd"), col("nrm"))
+    val cb = Vectors.kmeansCodebook(nv, "id", k = 4, iters = 3)
+    assert(cb.count() == 4)
+    // purity: no trained cell mixes points from two planted clusters
+    // (over-segmentation k=4 > 3 clusters is fine; impurity is not)
+    val assigned = Vectors.assignCells(nv, cb)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect()
+    val clustersPerCell = assigned.groupBy(_._2)
+      .map { case (_, rows) => rows.map(_._1 / 100).distinct.length }
+    assert(clustersPerCell.forall(_ == 1),
+      s"a trained cell mixes planted clusters: ${assigned.mkString(",")}")
+    // IVF recall through the trained codebook: every probed neighbor of a
+    // cluster-member query comes from the query's own planted cluster
+    val idx = Vectors.assignCells(nv, cb)
+      .select(col("id"), col("cell"), col("vd"), col("nrm"))
+    val q = nv.filter(col("id").isin(0L, 100L, 200L))
+    val r = Vectors.ivfProbeWith(idx, cb, q, "id", "cell", k = 3, probes = 2)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    assert(r.length == 9)
+    assert(r.forall { case (qId, nId) => qId / 100 == nId / 100 },
+      s"probe escaped the query's cluster: ${r.mkString(",")}")
+    // fixed seeds + DECIMAL-exact means → a retrain is bit-identical
+    val cb2 = Vectors.kmeansCodebook(nv, "id", k = 4, iters = 3)
+    assert(cb.collect().map(_.toString).sorted
+      .sameElements(cb2.collect().map(_.toString).sorted))
+  }
+
   test("ivfProbe finds neighbors from the query's own cluster") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
