@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *  - candidate generation is always an equi-join on (band, signature) —
   *    never an O(n²) cross product and never a per-bucket array collect.
   *  - hot buckets (mass-duplicated boilerplate is the NORM in web corpora)
-  *    are spread over `salt` reducers by a salted pair-join: the left side
-  *    takes a deterministic salt from its id, the right side replicates
-  *    `salt` ways, so a bucket of k docs costs k²/salt per task instead of
-  *    one task holding a k-element array and emitting k² pairs in-row.
+  *    are spread over `salt` reducers by a two-sided (grid) salted
+  *    pair-join: each side takes a deterministic id-hash salt on one axis
+  *    and replicates only √salt ways on the other, so a bucket of k docs
+  *    costs ~k²/salt per task instead of one task holding a k-element array
+  *    and emitting k² pairs in-row — at √salt× shuffle volume per side.
   *  - the exact verify step (Jaccard / Hamming) runs only on candidates.
   *
   * Column-name contract: builders emit fixed output schemas (`id`/`h`,
@@ -41,21 +42,28 @@ object Dedup {
       .select(col("id"), xxhash64(expr(s"substring(text, i, $k)")).as("h"))
 
   /** Ordered candidate pairs (a_id < b_id) from an (id, band, bsig) signature
-    * frame via a salted self equi-join. The left side carries a deterministic
-    * id-hash salt, the right side explodes into all `salt` values, so every
-    * in-bucket pair matches on exactly one salt and a hot (band, bsig) bucket
-    * distributes over `salt` tasks instead of one unbounded collect_list row.
+    * frame via a TWO-SIDED salted self equi-join. With s = ⌈√salt⌉, each row
+    * takes a deterministic id-hash salt on its own axis and replicates only
+    * s ways across the other axis, so a pair (a, b) meets in exactly one of
+    * the s×s (sa, sb) grid blocks: a hot (band, bsig) bucket of k docs
+    * spreads over ~salt tasks at ~k²/salt pairs each — same parallelism as a
+    * one-sided salt but with each side shuffled s× instead of the right side
+    * salt× (8× less shuffle volume at salt=16).
     */
   def saltedBandPairs(sig: DataFrame, salt: Int = 16): DataFrame = {
+    val s = math.max(1, math.ceil(math.sqrt(salt.toDouble)).toInt)
     val a = sig.select(col("band").as("a_band"), col("bsig").as("a_bsig"),
         col("id").as("a_id"))
-      .withColumn("a_salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)).cast("int"))
+      .withColumn("a_sa", pmod(xxhash64(col("a_id")), lit(s.toLong)).cast("int"))
+      .withColumn("a_sb", explode(sequence(lit(0), lit(s - 1))))
     val b = sig.select(col("band").as("b_band"), col("bsig").as("b_bsig"),
         col("id").as("b_id"))
-      .withColumn("b_salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("b_sb", pmod(xxhash64(col("b_id")), lit(s.toLong)).cast("int"))
+      .withColumn("b_sa", explode(sequence(lit(0), lit(s - 1))))
     a.join(b,
         col("a_band") === col("b_band") && col("a_bsig") === col("b_bsig") &&
-          col("a_salt") === col("b_salt") && col("a_id") < col("b_id"))
+          col("a_sa") === col("b_sa") && col("a_sb") === col("b_sb") &&
+          col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
 

@@ -501,6 +501,61 @@ FROM documents ORDER BY doc_id"""))
     },
     None)
 
+  /** Oracle-checkable end-to-end pipeline twin: same quality → exact-dedup →
+    * near-dup-drop → per-lang stats composition as [[llmPipelineE2e]], but
+    * the near-dup stage is the EXACT inverted-index n-gram Jaccard
+    * ([[graft.api.Dedup.ngramJaccardPairs]] — no LSH recall loss), so the
+    * whole pipeline reproduces in DuckDB and the composition itself is under
+    * the cross-engine gate, not just its stages.
+    */
+  private val llmPipelineE2eNgram = Q(
+    "llm_pipeline_e2e_ngram",
+    (s, d) => {
+      val docs = Text.qualityFlags(T.documents(s, d), "text", "n_chars", stopwords)
+        .filter(col("kept"))
+      val exact = Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
+        .filter(col("dup_rank") === 1).drop("dup_rank")
+      val pairs = Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+        .select(col("b_id").as("doc_id"))
+      val surviving = exact.join(pairs, Seq("doc_id"), "left_anti")
+      surviving.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("bigint").as("total_toks"),
+          avg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH q0 AS (
+  SELECT doc_id, lang, n_chars, text,
+    len(string_split(text, ' ')) AS n_toks,
+    (n_chars BETWEEN 100 AND 500)
+      AND len(string_split(text, ' ')) >= 20
+      AND (CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+           / len(string_split(text, ' ')) < 0.3) AS kept
+  FROM documents),
+q1 AS (SELECT doc_id, lang, n_chars, n_toks, text FROM q0 WHERE kept),
+ex AS (SELECT doc_id, lang, n_chars, n_toks,
+         row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+       FROM q1),
+keep1 AS (SELECT doc_id, lang, n_chars, n_toks FROM ex WHERE rn = 1),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+hot AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 50),
+cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
+         WHERE g NOT IN (SELECT g FROM hot)),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        count(*) AS common
+      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+dropped AS (SELECT DISTINCT b_id AS doc_id FROM p
+            WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6)
+SELECT lang, count(*) AS n_docs,
+CAST(sum(n_toks) AS BIGINT) AS total_toks,
+avg(n_chars) AS avg_chars
+FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang ORDER BY lang"""))
+
   /** Cluster-level dedup: near-dup similarity is NOT transitive (A~B, B~C
     * but A!~C), yet a corpus dedup must keep one survivor per connected
     * CLUSTER of pairs — so the MinHash pair frame feeds
@@ -614,6 +669,6 @@ GROUP BY source ORDER BY source"""))
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
-    llmFingerprint, llmPipelineE2e, llmStratifiedSample, llmContextPack,
-    llmPiiScrub, llmDedupClusters)
+    llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
+    llmContextPack, llmPiiScrub, llmDedupClusters)
 }
