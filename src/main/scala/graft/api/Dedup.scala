@@ -158,12 +158,15 @@ object Dedup {
     * quadratic hot-shingle blowup at corpus scale. Output:
     * (a_id, b_id, common, jaccard) with jaccard >= `threshold`.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6, maxDf: Long = 50): DataFrame = {
-    // materialize the token array ONCE, then explode positions — slice +
-    // concat_ws + xxhash64 all run codegen'd (the naive transform-lambda
-    // re-splits the text per n-gram: O(tokens²) per doc)
-    val tri0 = docs
+  /** Distinct (id, g) word-n-gram xxhash64 rows — the shared shingle unit of
+    * the n-gram Jaccard index and corpus decontamination. The token array is
+    * materialized ONCE, then positions explode — slice + concat_ws +
+    * xxhash64 all run codegen'd (the naive transform-lambda re-splits the
+    * text per n-gram: O(tokens²) per doc).
+    */
+  def wordGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs
       .withColumn("toks", split(col(textCol), " "))
       // guard: sequence(1, stop) runs DESCENDING for stop < 1 (docs with
       // fewer than n tokens)
@@ -173,7 +176,10 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
       .distinct()
-    val tri = Caches.cache(tri0)
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, maxDf: Long = 50): DataFrame = {
+    val tri = Caches.cache(wordGrams(docs, idCol, textCol, n))
     val sh = tri.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inv = tri.join(sh, "id").select(col("id"), col("n_sh"), col("g"))
     val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)

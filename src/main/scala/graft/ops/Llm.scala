@@ -575,6 +575,83 @@ GROUP BY lang ORDER BY lang"""))
     },
     None)
 
+  /** Benchmark decontamination — the overlap check every training pipeline
+    * runs before eval: for each held-out "benchmark" doc (doc_id % 100 == 0
+    * stands in for the eval set), the fraction of its distinct word-5-grams
+    * that also appear anywhere in the training corpus (the rest). Scale
+    * shape: distinct corpus grams hash-shuffle once; the eval side is a
+    * left-semi join on the gram key — no pairwise doc×doc comparison.
+    * Oracled with string 5-grams where Spark uses xxhash64 keys.
+    */
+  private val llmDecontaminate = Q(
+    "llm_decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val eg = Dedup.wordGrams(docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", 5)
+      val cg = Dedup.wordGrams(docs.filter(col("doc_id") % 100 =!= 0),
+        "doc_id", "text", 5).select("g").distinct()
+      val tot = eg.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      val hit = eg.join(cg, Seq("g"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+      tot.join(hit, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"))
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      WHERE len(t) >= 5),
+eg AS (SELECT doc_id, g FROM g WHERE doc_id % 100 = 0),
+cg AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 != 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_contaminated FROM eg
+        WHERE g IN (SELECT g FROM cg) GROUP BY doc_id)
+SELECT tot.doc_id AS doc_id, n_grams,
+coalesce(n_contaminated, 0) AS n_contaminated,
+CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams AS contamination
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+ORDER BY doc_id"""))
+
+  /** Training-shard writer — the output stage of a corpus pipeline: docs
+    * assigned to 8 shards by an ENGINE-PORTABLE hash (first md5 nibble of
+    * the doc id — no engine-specific hash in the layout contract), written
+    * once as a shard-partitioned parquet layout with deterministic
+    * within-shard order, then READ BACK and summarized — so the checked
+    * result covers the physical round trip, not just the plan. At 100 TB
+    * this is `repartition(shards)` + `partitionBy` — each shard written by
+    * its own tasks, no driver involvement.
+    */
+  private val llmShardWrite = Q(
+    "llm_shard_write",
+    (s, d) => {
+      val outBase = new java.io.File(
+        s"target/graft_shards_${new java.io.File(d).getName}").getAbsolutePath
+      val marker = new java.io.File(s"$outBase/_GRAFT_DONE")
+      val sharded = T.documents(s, d).withColumn("shard",
+        expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) % 8"))
+      if (!marker.exists()) {
+        sharded.repartition(8, col("shard"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$outBase/data")
+        marker.createNewFile()
+      }
+      s.read.parquet(s"$outBase/data")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("total_toks"))
+        .orderBy("shard")
+    },
+    Some("""SELECT (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+FROM documents GROUP BY 1 ORDER BY shard"""))
+
   /** Deterministic hash-stratified sampling — the reproducible corpus-subset
     * primitive a training pipeline runs before expensive stages. The sample
     * key is the first md5 hex nibble of the doc id (engine-portable, no
@@ -670,5 +747,6 @@ GROUP BY source ORDER BY source"""))
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
-    llmContextPack, llmPiiScrub, llmDedupClusters)
+    llmContextPack, llmPiiScrub, llmDedupClusters, llmDecontaminate,
+    llmShardWrite)
 }

@@ -456,6 +456,37 @@ GROUP BY event_type ORDER BY event_type"""))
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Ingest-time data-quality profiling — the per-column (rows, nulls,
+    * distincts) report a datalake runs on every new partition before
+    * admitting it. One aggregate pass over the table (all column stats
+    * partial-aggregated map-side in one job), then a literal `stack` unpivot
+    * to one row per column — no per-column scans.
+    */
+  private val srcProfile = {
+    val cols = Seq("event_id", "event_type", "props", "user_id", "value")
+    Q(
+      "src_profile",
+      (s, d) => {
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"), countDistinct(col(c)).as(s"${c}_nd")))
+        T.events(s, d)
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(col("n_rows"), expr(
+            s"stack(${cols.size}, " +
+              cols.map(c => s"'$c', ${c}_nn, ${c}_nd").mkString(", ") +
+              ") as (col_name, n_not_null, n_distinct)"))
+          .select(col("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_not_null")).as("n_null"),
+            col("n_not_null"), col("n_distinct"))
+          .orderBy("col_name")
+      },
+      Some(cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+count(*) - count($c) AS n_null, count($c) AS n_not_null,
+count(DISTINCT $c) AS n_distinct FROM events""")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+  }
+
   // ----------------------------------------------------------- §2.4 aggregation
 
   private val aggGlobal = Q(
@@ -790,7 +821,7 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan,
+    joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggStats, aggCollectSorted,

@@ -96,6 +96,49 @@ FROM (
   SELECT r_regionkey + 100 AS r_regionkey, r_name, 'gen2-' || r_name AS r_comment FROM region)
 ORDER BY r_regionkey"""))
 
+  /** Keyed upsert (MERGE): a change batch — updates for every 10th order
+    * plus synthesized brand-new keys — merged into the base snapshot;
+    * updates win on key collision. The datalake table-maintenance primitive.
+    * Scale shape: one left-anti shuffle join on the key + a union — both
+    * hash-partition on o_orderkey; nothing driver-side, no window. Summary
+    * output per resulting status keeps the oracle compact.
+    */
+  private val setUpsert = Q(
+    "set_upsert",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice").cast(DecimalType(18, 4)) + lit(100))
+            .cast("double").as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      val merged = base
+        .join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(updates)
+      merged.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), H.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 1000 = 1),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd)
+SELECT o_orderstatus, count(*) AS n, ${H.dsumSql("o_totalprice")} AS sum_price,
+count(DISTINCT o_orderkey) AS n_keys
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(sortMulticol, sortNullsOrder, limitTopk,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept, setUnionEvolve)
+    setUnionAll, setUnionDistinct, setIntersect, setExcept, setUnionEvolve,
+    setUpsert)
 }

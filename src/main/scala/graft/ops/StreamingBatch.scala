@@ -138,6 +138,30 @@ count(DISTINCT user_id) AS n_users, ${dsumSql("value")} AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Batch-declared twin of the STREAM-STREAM interval join
+    * ([[graft.streaming.Streams.clickErrorJoin]] — the same builder, since
+    * watermarks are no-ops on batch frames): per user, (click, error) pairs
+    * with the error within 30 minutes after the click, aggregated to
+    * per-user funnel counts. Timestamp bounds are integer-µs comparisons →
+    * exactly oracle-able; stream==batch equivalence is exercised for real
+    * in StreamingSpec.
+    */
+  private val streamStreamJoin = Q(
+    "stream_stream_join",
+    (s, d) => graft.streaming.Streams.clickErrorJoin(T.events(s, d))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_with_error"),
+        countDistinct(col("error_id")).as("n_errors_after_click"))
+      .orderBy("user_id"),
+    Some("""SELECT c.user_id AS user_id, count(*) AS n_pairs,
+count(DISTINCT c.event_id) AS n_clicks_with_error,
+count(DISTINCT e.event_id) AS n_errors_after_click
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, epoch_us(ts) AS em FROM events WHERE event_type = 'error') e
+ON c.user_id = e.user_id AND e.em >= c.em AND e.em <= c.em + 1800000000
+GROUP BY 1 ORDER BY user_id"""))
+
   /** Time resample with gap filling — the reference's "time-resample" stage:
     * a generated hourly spine (min..max hour) left-joined to the hourly
     * aggregates, empty buckets filled with zeros. The spine is a sequence
@@ -164,5 +188,6 @@ ON s.hour_s = h.hour_s
 ORDER BY hour_s"""))
 
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
-    streamDedup, streamLateData, streamStaticJoin, streamResampleFill)
+    streamDedup, streamLateData, streamStaticJoin, streamStreamJoin,
+    streamResampleFill)
 }

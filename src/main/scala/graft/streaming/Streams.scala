@@ -70,6 +70,35 @@ object Streams {
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
       col("c_mktsegment"))
 
+  /** STREAM-STREAM interval join: per user, every (click, error) pair where
+    * the error lands within 30 minutes after the click — the funnel /
+    * root-cause primitive. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, which is what lets Structured
+    * Streaming evict state: clicks are held ~30min + watermark behind the
+    * max seen event time, errors just the watermark — bounded state at any
+    * stream length. An unbounded-condition stream-stream join would grow
+    * state forever; this is the canonical bounded shape.
+    *
+    * `withWatermark` is a no-op on batch frames, so the same builder serves
+    * the batch-declared twin (`stream_stream_join`) and the true stream.
+    */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "10 minutes")
+    clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   /** The core FTS metric as a live stream: running per-key success/error
     * rates (complete-mode aggregation; state is one row per key — bounded
     * by key cardinality, the per-link monitoring shape). Delegates to the

@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream interval join: stream == batch, late side dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(400).sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Ev]
+    val qy = Streams.clickErrorJoin(mem.toDF()).writeStream
+      .format("memory").queryName("out_ssj").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // inner stream-stream joins emit on match; a single in-order replay
+    // compares exactly against batch (an out-of-order replay would
+    // legitimately drop watermark-late rows that batch keeps)
+    mem.addData(rows)
+    qy.processAllAvailable()
+    val streamed = spark.table("out_ssj")
+    val batch = Streams.clickErrorJoin(spark.createDataFrame(rows))
+    val cols = batch.columns.sorted.map(col)
+    assert(streamed.select(cols: _*).exceptAll(batch.select(cols: _*)).count() == 0)
+    assert(batch.select(cols: _*).exceptAll(streamed.select(cols: _*)).count() == 0)
+    assert(batch.count() > 0, "fixture must produce click->error pairs")
+    // a click far behind the watermark must be dropped, not matched
+    val before = streamed.count()
+    val old = rows.head
+    mem.addData(Seq(old.copy(event_id = 99999901L, event_type = "click")))
+    qy.processAllAvailable()
+    qy.stop()
+    assert(spark.table("out_ssj").count() == before,
+      "watermark-late click must not produce new join output")
+  }
+
   test("stream-static join enriches with customer segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
