@@ -94,6 +94,33 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "bounds should join back via broadcast")
   }
 
+  test("src_profile computes every column stat in ONE scan of events") {
+    // all per-column counts/distincts partial-aggregate out of a single
+    // pass; a per-column-scan plan would read the table 5x
+    assert(scans(plan("src_profile")).size == 1,
+      s"profile must be a single-pass aggregate:\n${plan("src_profile")}")
+  }
+
+  test("new joins (stream-stream twin, decontaminate, upsert) avoid cartesian/BNLJ") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Seq("stream_stream_join", "llm_decontaminate", "set_upsert").foreach { name =>
+      val p = plan(name)
+      val bad = collectWithSubqueries(p) {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$name must join on equi-keys only:\n$p")
+    }
+  }
+
+  test("llm_shard_write reads back a shard-partitioned layout") {
+    val sc = scans(plan("llm_shard_write"))
+    assert(sc.nonEmpty)
+    // the written layout must actually be partitioned by shard directories
+    assert(sc.exists(_.relation.location.inputFiles.exists(_.contains("shard="))),
+      "read-back must come from shard= partition directories")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
