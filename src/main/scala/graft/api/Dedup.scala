@@ -144,12 +144,13 @@ object Dedup {
     val withBands = sig.select(col("id"),
       posexplode(array(bands: _*)).as(Seq("band", "bsig")))
     val cand = saltedBandPairs(withBands, salt)
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     cand
       .join(sig.select(col("id").as("a_id"), col("bits").as("a_bits")), "a_id")
       .join(sig.select(col("id").as("b_id"), col("bits").as("b_bits")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        expr("aggregate(zip_with(a_bits, b_bits, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)")
-          .as("hamming"))
+      // codegen'd BitsHamming — the interpreted zip_with/aggregate lambda
+      // chain was the one non-codegen fragment in this verify path
+      .select(col("a_id"), col("b_id"), expr("bits_hamming(a_bits, b_bits)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -97,10 +97,65 @@ case class PermuteHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: Hamming distance between two
+  * ArrayType(IntegerType) bit-vector columns (count of positions that
+  * differ over the common prefix) with whole-stage codegen. The SimHash
+  * verify step runs this once per candidate pair — as an interpreted
+  * `aggregate(zip_with(...))` lambda chain it was the one non-codegen
+  * fragment in the near-dup hot path.
+  */
+case class BitsHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bits_hamming requires two ARRAY<INT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bits_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) { if (x.getInt(i) != y.getInt(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getInt($i) != $b.getInt($i)) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitsHamming =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   val dotBuilder: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
   val permuteBuilder: Seq[Expression] => Expression =
     exprs => PermuteHash(exprs(0), exprs(1))
+  val hammingBuilder: Seq[Expression] => Expression =
+    exprs => BitsHamming(exprs(0), exprs(1))
 
   /** Runtime registration on a live session (used by the query builders). */
   def register(spark: SparkSession): Unit = {
@@ -108,6 +163,8 @@ object VectorFunctions {
       "vec_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "permute_hash", permuteBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bits_hamming", hammingBuilder, "built-in")
   }
 }
 
@@ -126,5 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("permute_hash"),
       new ExpressionInfo(classOf[PermuteHash].getName, "permute_hash"),
       VectorFunctions.permuteBuilder))
+    e.injectFunction((
+      FunctionIdentifier("bits_hamming"),
+      new ExpressionInfo(classOf[BitsHamming].getName, "bits_hamming"),
+      VectorFunctions.hammingBuilder))
   }
 }

@@ -44,6 +44,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bits_hamming matches the interpreted zip_with fold (codegen + random bits)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // deterministic pseudo-random bit vectors; compare against the
+    // interpreted higher-order-function formulation it replaced
+    val df = spark.range(500).select(
+      expr("transform(sequence(0, 63), i -> CAST(pmod(xxhash64(id, i), 2) AS INT))").as("a"),
+      expr("transform(sequence(0, 63), i -> CAST(pmod(xxhash64(id + 7, i), 2) AS INT))").as("b"))
+    val mism = df.select(
+        expr("bits_hamming(a, b)").as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)")
+          .as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism == 0)
+    // identical arrays → 0; truncates to the shorter prefix like vec_dot
+    val edge = Seq((Seq(1, 0, 1), Seq(1, 0, 1), Seq(0, 0)), (Seq(1, 1, 1), Seq(0, 1, 0), Seq(0, 0)))
+      .toDF("x", "y", "z")
+    assert(edge.select(expr("bits_hamming(x, x)")).as[Int].collect().forall(_ == 0))
+    assert(edge.select(expr("bits_hamming(x, y)")).as[Int].collect().toSeq == Seq(0, 2))
+    assert(edge.select(expr("bits_hamming(x, z)")).as[Int].collect().toSeq == Seq(1, 2))
+  }
+
   test("minhash_agg: identical inputs give identical signatures; distinct differ") {
     import spark.implicits._
     SketchFunctions.register(spark)
@@ -70,7 +92,7 @@ class FunctionsSpec extends SparkSpec {
     assert(bits.length == 64)
   }
 
-  test("GraftExtensions installs both functions on a fresh session") {
+  test("GraftExtensions installs the custom functions on a fresh session") {
     val ext = spark.newSession()
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     // builder-level injection can't be tested against the shared test
@@ -80,5 +102,7 @@ class FunctionsSpec extends SparkSpec {
     import ext.implicits._
     assert(ext.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .as[Double].head() == 11.0)
+    assert(ext.sql("SELECT bits_hamming(array(1, 0, 1), array(1, 1, 1))")
+      .as[Int].head() == 1)
   }
 }
