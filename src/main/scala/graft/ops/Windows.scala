@@ -35,9 +35,9 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
   /** Quartile assignment via a GLOBAL window — inherently a single-reducer
     * total order (Spark shuffles everything to one partition for an
     * unpartitioned window). Acceptable here because `customer` is a
-    * dimension table; for a fact-scale exact ntile, the scalable rewrite is
-    * percentile cutoffs (`percentile(value, array(...))` broadcast back and
-    * bucketed per-row) at the cost of tie-edge determinism.
+    * dimension table; [[winNtileScalable]] is the fact-scale rewrite
+    * (percentile cutoffs broadcast back, bucketed per-row) at the cost of
+    * tie-edge bucket counts.
     */
   private val winNtile = Q(
     "win_ntile",
@@ -50,6 +50,33 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
     Some("""SELECT c_custkey, c_acctbal,
 ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
 FROM customer ORDER BY c_custkey"""))
+
+  /** The fact-scale twin of [[winNtile]]: quartiles via exact percentile
+    * CUTOFFS (one aggregate) broadcast back and bucketed per-row — no
+    * global window, no single-reducer total order, so the shape survives a
+    * table 10⁶× this size. The trade named in [[winNtile]]'s caveat is
+    * explicit here: rows tied exactly AT a cutoff land in the lower bucket
+    * (deterministic, but bucket populations can differ from exact ntile by
+    * the tie count). Declared-only: the cutoff interpolation path is
+    * engine-divergent at the last ulp (see agg_percentiles' round(4)); the
+    * golden fingerprint pins the Spark result and WindowsSpec bounds the
+    * divergence from exact ntile.
+    */
+  private val winNtileScalable = Q(
+    "win_ntile_scalable",
+    (s, d) => {
+      val cuts = T.customer(s, d)
+        .agg(expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      T.customer(s, d).crossJoin(broadcast(cuts))
+        .select(col("c_custkey"), col("c_acctbal"),
+          (lit(1) +
+            when(col("c_acctbal") > element_at(col("qs"), 1), 1).otherwise(0) +
+            when(col("c_acctbal") > element_at(col("qs"), 2), 1).otherwise(0) +
+            when(col("c_acctbal") > element_at(col("qs"), 3), 1).otherwise(0))
+            .as("quartile"))
+        .orderBy("c_custkey")
+    },
+    None)
 
   /** Inter-event gap per user — the sessionization input. */
   private val winLagLead = Q(
@@ -164,6 +191,6 @@ WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY event_type, value, event_id"""))
 
-  val all: Seq[Q] = Seq(winRankTopk, winNtile, winLagLead, winRunningSum,
-    winSlidingAvg, winRangeFrame, winFirstLastPctrank)
+  val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
+    winRunningSum, winSlidingAvg, winRangeFrame, winFirstLastPctrank)
 }

@@ -45,6 +45,31 @@ class WindowsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("win_ntile_scalable agrees with exact ntile away from cutoff ties") {
+    import spark.implicits._
+    val exact = q("win_ntile").select(col("c_custkey"),
+      col("quartile").as("q_exact"))
+    val scal = q("win_ntile_scalable").select(col("c_custkey"),
+      col("c_acctbal"), col("quartile").as("q_scal"))
+    val j = scal.join(exact, "c_custkey").persist()
+    val n = j.count()
+    // only rows at/tied-with a quartile cutoff may bucket differently
+    // (ntile splits ties by the custkey tiebreak; the cutoff form keeps
+    // them together) — a boundary effect, not a population shift
+    val diff = j.filter(col("q_scal") =!= col("q_exact")).count()
+    assert(diff <= n / 50 + 1, s"$diff of $n rows diverge from exact ntile")
+    // buckets are monotone in value: max of quartile k <= min of k+1
+    val bounds = j.groupBy("q_scal")
+      .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      .orderBy("q_scal")
+      .as[(Int, Double, Double)].collect()
+    assert(bounds.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    bounds.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"quartile ${a._1} max ${a._3} > ${b._1} min ${b._2}")
+    }
+    j.unpersist()
+  }
+
   test("limit_topk returns exactly 10 descending prices") {
     import spark.implicits._
     val prices = q("limit_topk").select("o_totalprice").as[Double].collect()
