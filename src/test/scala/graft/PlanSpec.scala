@@ -121,6 +121,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "read-back must come from shard= partition directories")
   }
 
+  test("hot per-row paths run inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // the flagship aggregate, the pure per-row corpus filters, and the
+    // custom-expression paths (vec_dot / bits_hamming) must all plan
+    // WholeStageCodegen spans — an interpreted fragment here multiplies
+    // per-row cost at 100 TB
+    Seq("agg_groupby_hash", "llm_quality_filter", "llm_pii_scrub",
+      "llm_cosine_topk", "llm_simhash_neardup").foreach { name =>
+      val qe = q(name).queryExecution
+      qe.toRdd.count() // finalize AQE stages — codegen collapses on execution
+      val spans = collectWithSubqueries(qe.executedPlan) {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$name has no WholeStageCodegen span:\n${qe.executedPlan}")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")

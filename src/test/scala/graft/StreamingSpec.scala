@@ -208,6 +208,34 @@ class StreamingSpec extends SparkSpec {
       "watermark-late click must not produce new join output")
   }
 
+  test("checkpointed parquet file sink is exactly-once across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(200)
+    val (chunk1, chunk2) = rows.splitAt(100)
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val (out, ckpt) = (s"$base/data", s"$base/ckpt")
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF().select("event_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    mem.addData(chunk1)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the SAME checkpoint: the committed batch must not be
+    // rewritten, the new data must land exactly once
+    val q2 = start()
+    mem.addData(chunk2)
+    q2.processAllAvailable()
+    q2.stop()
+    val sink = spark.read.parquet(out)
+    assert(sink.count() == rows.length,
+      s"expected ${rows.length} rows exactly once, got ${sink.count()}")
+    assert(sink.select("event_id").distinct().count() == rows.length)
+  }
+
   test("stream-static join enriches with customer segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
