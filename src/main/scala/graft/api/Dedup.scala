@@ -187,7 +187,16 @@ object Dedup {
     val cold = inv.join(hot, Seq("g"), "left_anti")
     val a = cold.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
     val b = cold.select(col("g").as("g2"), col("id").as("b_id"), col("n_sh").as("b_n"))
-    a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
+    a.join(b, col("g") === col("g2") && col("a_id") < col("b_id") &&
+        // length-compatibility prune: J = common/(a_n+b_n-common) <=
+        // min(a_n,b_n)/max(a_n,b_n), so size-incompatible pairs can never
+        // reach `threshold` — drop them IN the join (codegen'd predicate)
+        // before they inflate the pair aggregate. The +0.5 slack makes the
+        // double comparison safe at exact integer boundaries (counts are
+        // integers, so only true > -by-a-full-step pairs are pruned) —
+        // result-identical to the unpruned join.
+        col("a_n") * lit(threshold) <= col("b_n") + lit(0.5) &&
+        col("b_n") * lit(threshold) <= col("a_n") + lit(0.5))
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
