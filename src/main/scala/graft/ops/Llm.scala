@@ -652,6 +652,48 @@ count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
 FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  /** The cluster-dedup twin that puts [[graft.api.Dedup.connectedComponents]]
+    * ITSELF under the cross-engine gate: the pair input is the exact n-gram
+    * Jaccard index (reproducible in DuckDB, unlike MinHash), and DuckDB
+    * computes the components with a completely different algorithm — a
+    * recursive-CTE transitive closure — so matching hashes verify the
+    * pointer-doubling implementation, not just its input.
+    */
+  private val llmDedupClustersNgram = Q(
+    "llm_dedup_clusters_ngram",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+        .orderBy("component")
+    },
+    Some("""WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+hot AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 50),
+cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
+         WHERE g NOT IN (SELECT g FROM hot)),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        count(*) AS common
+      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+p2 AS (SELECT a_id, b_id FROM p
+       WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members, min(id) AS survivor_id
+FROM cc GROUP BY component ORDER BY component"""))
+
   /** Deterministic hash-stratified sampling — the reproducible corpus-subset
     * primitive a training pipeline runs before expensive stages. The sample
     * key is the first md5 hex nibble of the doc id (engine-portable, no
@@ -747,6 +789,6 @@ GROUP BY source ORDER BY source"""))
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
-    llmContextPack, llmPiiScrub, llmDedupClusters, llmDecontaminate,
-    llmShardWrite)
+    llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
+    llmDecontaminate, llmShardWrite)
 }
