@@ -32,9 +32,15 @@ object GoldenGen {
     */
   val mergeOrderSensitive: Set[String] = Set("agg_approx_percentiles")
 
-  /** Canonical, engine-version-stable rendering of one result value. */
+  /** Canonical, engine-version-stable rendering of one result value.
+    * Doubles/floats render as IEEE hex (`toHexString`) — bit-exact and
+    * independent of `Double.toString`'s decimal formatting, which changed
+    * across JDK releases (a golden file must not "drift" on a JDK upgrade).
+    */
   def render(v: Any): String = v match {
     case null => "\\N"
+    case d: java.lang.Double => java.lang.Double.toHexString(d)
+    case f: java.lang.Float => java.lang.Float.toHexString(f)
     case b: Array[Byte] => b.map(x => f"$x%02x").mkString
     case s: collection.Seq[_] => s.map(render).mkString("[", ",", "]")
     case m: collection.Map[_, _] =>

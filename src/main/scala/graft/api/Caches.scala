@@ -26,8 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  // entries whose SparkContext has stopped can never be swept (unpersist
+  // would throw) and would otherwise pin their analyzed plans for the JVM
+  // lifetime — drop them on every registry mutation
+  private def purgeStopped(): Unit =
+    frames.filterInPlace(f => !f.sparkSession.sparkContext.isStopped)
+
   /** Persist `df` and register it for a later [[sweep]]. */
   private[api] def cache(df: DataFrame): DataFrame = synchronized {
+    purgeStopped()
     val out = df.persist()
     frames += out
     out
@@ -36,10 +43,16 @@ object Caches {
   /** Unpersist every builder-cached frame belonging to `spark`'s session.
     * Blocking, so `sparkContext.getPersistentRDDs` is clean on return;
     * idempotent (a second sweep, or one after a harness-side unpersist, is
-    * a no-op).
+    * a no-op). Entries are dropped from the registry even if an unpersist
+    * throws (e.g. the session stopped mid-sweep) — a frame is never kept
+    * in a state where it can only leak.
     */
   def sweep(spark: SparkSession): Unit = synchronized {
-    frames.filter(_.sparkSession eq spark).foreach(_.unpersist(blocking = true))
+    frames.filter(_.sparkSession eq spark).foreach { f =>
+      try f.unpersist(blocking = true)
+      catch { case _: Exception => () }
+    }
     frames.filterInPlace(_.sparkSession ne spark)
+    purgeStopped()
   }
 }

@@ -190,13 +190,16 @@ object Dedup {
     a.join(b, col("g") === col("g2") && col("a_id") < col("b_id") &&
         // length-compatibility prune: J = common/(a_n+b_n-common) <=
         // min(a_n,b_n)/max(a_n,b_n), so size-incompatible pairs can never
-        // reach `threshold` — drop them IN the join (codegen'd predicate)
-        // before they inflate the pair aggregate. The +0.5 slack makes the
-        // double comparison safe at exact integer boundaries (counts are
-        // integers, so only true > -by-a-full-step pairs are pruned) —
-        // result-identical to the unpruned join.
-        col("a_n") * lit(threshold) <= col("b_n") + lit(0.5) &&
-        col("b_n") * lit(threshold) <= col("a_n") + lit(0.5))
+        // reach the output filter — drop them IN the join (codegen'd
+        // predicate) before they inflate the pair aggregate. The output
+        // filter admits round(J,4) >= threshold, i.e. true J down to
+        // threshold - 5e-5, so prune against (threshold - 1e-4): covers the
+        // rounding slack at ANY document length, and the extra 5e-5 margin
+        // absorbs fp error in the comparison itself. The +0.5 additionally
+        // protects exact integer boundaries. Result-identical to the
+        // unpruned join.
+        col("a_n") * lit(threshold - 1e-4) <= col("b_n") + lit(0.5) &&
+        col("b_n") * lit(threshold - 1e-4) <= col("a_n") + lit(0.5))
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",

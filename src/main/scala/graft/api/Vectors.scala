@@ -86,6 +86,9 @@ object Vectors {
     */
   private def assignCellsTo(nv: DataFrame,
       cb: Array[(Int, Seq[Double], Double)]): DataFrame = {
+    // fail HERE with the actual mistake, not deep in analysis where
+    // array_max over zero struct children produces an unresolvable plan
+    require(cb.nonEmpty, "assignCells requires a non-empty codebook")
     graft.functions.VectorFunctions.register(nv.sparkSession)
     val scored = cb.map { case (cell, cvd, cnrm) =>
       val planeSql = cvd.mkString("array(", "D, ", "D)")
@@ -123,6 +126,7 @@ object Vectors {
     */
   def kmeansCodebook(nv: DataFrame, idCol: String, k: Int, iters: Int = 2,
       seedTag: String = "cb"): DataFrame = {
+    require(k > 0, s"kmeansCodebook requires k > 0, got $k")
     val spark = nv.sparkSession
     val seeds = nv
       .withColumn("hk", md5(concat(col(idCol).cast("string"), lit(":" + seedTag))))
@@ -130,6 +134,9 @@ object Vectors {
       .withColumn("cell", row_number().over(Window.orderBy("hk")) - 1)
       .select(col("cell"), col("vd").as("cvd"), col("nrm").as("cnrm"))
     var cb = collectCodebook(seeds)
+    // fewer rows than k → fewer seeds; empty corpora cannot train at all
+    require(cb.nonEmpty,
+      "kmeansCodebook requires a non-empty input frame (0 seed rows found)")
     for (_ <- 1 to iters) {
       val assigned = assignCellsTo(nv, cb).select(col("cell"), col("vd"))
       val updMap = collectCodebook(centroids(assigned, "cell"))
@@ -207,9 +214,12 @@ object Vectors {
     // plane length = max(actual embedding dimension, minPlaneDim): vec_dot
     // truncates to the SHORTER array, so planes shorter than the data would
     // silently project onto a prefix of the embedding and degrade LSH
-    // quality with no error. The dimension probe reads a single row.
-    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // quality with no error. The probe aggregates max(size) — one pruned
+    // single-column scan at build time — because probing one arbitrary row
+    // would miss longer vectors in a mixed-dimension corpus (and max()
+    // skips null vectors instead of NPEing on them).
+    val dim = emb.agg(coalesce(max(size(col(vecCol))), lit(0)))
+      .head().getInt(0)
     val planeDim = math.max(dim, minPlaneDim)
     require(planeDim <= 4096,
       s"embedding dimension $dim exceeds the 4096 literal-plane bound; " +

@@ -120,13 +120,20 @@ case class BitsHamming(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bits_hamming"
 
+  // a NULL element can never equal anything → counts as a differing
+  // position, matching the zip_with(CASE WHEN x = y ...) formulation this
+  // expression replaced (and never calling getInt on a null slot, which is
+  // undefined behavior on ArrayData)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var d = 0
     var i = 0
-    while (i < n) { if (x.getInt(i) != y.getInt(i)) d += 1; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i) || x.getInt(i) != y.getInt(i)) d += 1
+      i += 1
+    }
     d
   }
 
@@ -139,7 +146,8 @@ case class BitsHamming(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $d = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getInt($i) != $b.getInt($i)) $d++;
+         |  if ($a.isNullAt($i) || $b.isNullAt($i) ||
+         |      $a.getInt($i) != $b.getInt($i)) $d++;
          |}
          |${ev.value} = $d;
        """.stripMargin

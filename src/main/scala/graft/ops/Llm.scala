@@ -631,15 +631,14 @@ ORDER BY doc_id"""))
     (s, d) => {
       val outBase = new java.io.File(
         s"target/graft_shards_${new java.io.File(d).getName}").getAbsolutePath
-      val marker = new java.io.File(s"$outBase/_GRAFT_DONE")
       val sharded = T.documents(s, d).withColumn("shard",
         expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) % 8"))
-      if (!marker.exists()) {
-        sharded.repartition(8, col("shard"))
-          .sortWithinPartitions("doc_id")
-          .write.mode("overwrite").partitionBy("shard").parquet(s"$outBase/data")
-        marker.createNewFile()
-      }
+      // the write runs on EVERY build (no done-marker): a cached layout
+      // would let fixture or shard-logic changes verify against stale data
+      // — the write IS the operator, its cost belongs in the measurement
+      sharded.repartition(8, col("shard"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$outBase/data")
       s.read.parquet(s"$outBase/data")
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),

@@ -129,15 +129,30 @@ class ApiSpec extends SparkSpec {
     // only this builder's blocks, not earlier tests' caches
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    var jobs = 0
+    // listener events arrive on the bus thread: count atomically (JMM
+    // visibility) and poll until the count stabilizes before asserting,
+    // since there is no public listener-bus drain API
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobCounter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     val comp =
-      try Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-      finally spark.sparkContext.removeSparkListener(listener)
+      try {
+        val m = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+        var prev = -1
+        var stable = 0
+        var attempts = 0
+        while (stable < 3 && attempts < 20) { // <=2 s; counts plateau fast
+          Thread.sleep(100)
+          attempts += 1
+          val now = jobCounter.get()
+          if (now == prev) stable += 1 else { stable = 0; prev = now }
+        }
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = jobCounter.get()
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert(Seq(4L, 5L).forall(comp(_) == 4L))
     assert((1000L to 2000L).forall(comp(_) == 1000L))
