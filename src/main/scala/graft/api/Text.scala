@@ -99,4 +99,30 @@ object Text {
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))))
     .withColumn("n_bpe4",
       size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}"), lit(0))))
+
+  /** Benchmark decontamination: for every doc in `evalDocs`, the fraction of
+    * its distinct word-`n`-grams that appear anywhere in `corpusDocs` — the
+    * overlap check a training pipeline runs before trusting an eval set.
+    * Output: (id, n_grams, n_contaminated, contamination), one row per
+    * eval doc that has at least n tokens.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT gram keys (one
+    * hash-shuffle, no doc ids carried); the eval side left-semi-joins on
+    * the gram key — never a doc×doc comparison, and the (small) eval side
+    * is the build side when the planner broadcasts.
+    */
+  def contamination(evalDocs: DataFrame, corpusDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val eg = Dedup.wordGrams(evalDocs, idCol, textCol, n)
+    val cg = Dedup.wordGrams(corpusDocs, idCol, textCol, n)
+      .select("g").distinct()
+    val tot = eg.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hit = eg.join(cg, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
 }

@@ -587,18 +587,9 @@ GROUP BY lang ORDER BY lang"""))
     "llm_decontaminate",
     (s, d) => {
       val docs = T.documents(s, d)
-      val eg = Dedup.wordGrams(docs.filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", 5)
-      val cg = Dedup.wordGrams(docs.filter(col("doc_id") % 100 =!= 0),
-        "doc_id", "text", 5).select("g").distinct()
-      val tot = eg.groupBy("id").agg(count(lit(1)).as("n_grams"))
-      val hit = eg.join(cg, Seq("g"), "left_semi")
-        .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
-      tot.join(hit, Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("n_grams"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"))
-            .as("contamination"))
+      Text.contamination(docs.filter(col("doc_id") % 100 === 0),
+          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
     Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

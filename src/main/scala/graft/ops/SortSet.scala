@@ -115,9 +115,7 @@ ORDER BY r_regionkey"""))
         .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             lit("N").as("o_orderstatus"), col("o_totalprice")))
-      val merged = base
-        .join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-        .unionByName(updates)
+      val merged = graft.api.Tables.upsert(base, updates, Seq("o_orderkey"))
       merged.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), H.dsum(col("o_totalprice")).as("sum_price"),
           countDistinct(col("o_orderkey")).as("n_keys"))

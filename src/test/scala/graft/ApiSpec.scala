@@ -246,6 +246,38 @@ class ApiSpec extends SparkSpec {
     assert(r == ((3, 4, 3))) // ws: 3; re: ab,cd,12,ef; bpe4: ab,cd,ef (letters only)
   }
 
+  test("contamination scores planted overlap on literal corpora") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // full copy
+      (11L, "totally fresh words that overlap with nothing at all here"),
+      (12L, "ab")) // shorter than n tokens -> no row
+    .toDF("doc_id", "text")
+    val r = Text.contamination(eval, corpus, "doc_id", "text", n = 5)
+      .select("id", "contamination").as[(Long, Double)].collect().toMap
+    assert(r(10L) == 1.0, s"verbatim copy must be fully contaminated: $r")
+    assert(r(11L) == 0.0, s"fresh doc must be clean: $r")
+    assert(!r.contains(12L), "sub-n-token docs produce no row")
+  }
+
+  test("Tables.upsert merges updates over base and is idempotent") {
+    import spark.implicits._
+    import graft.api.Tables
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "status", "v")
+    val once = Tables.upsert(base, updates, Seq("k"))
+    val got = once.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+    val twice = Tables.upsert(once, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(twice == got, "upsert must be idempotent for a fixed change batch")
+  }
+
   // --------------------------------------------------------------- Vectors
 
   test("signLshPairs recovers planted near-duplicate vectors at cos >= 0.95") {
