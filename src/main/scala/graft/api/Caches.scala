@@ -43,16 +43,25 @@ object Caches {
   /** Unpersist every builder-cached frame belonging to `spark`'s session.
     * Blocking, so `sparkContext.getPersistentRDDs` is clean on return;
     * idempotent (a second sweep, or one after a harness-side unpersist, is
-    * a no-op). Entries are dropped from the registry even if an unpersist
-    * throws (e.g. the session stopped mid-sweep) — a frame is never kept
-    * in a state where it can only leak.
+    * a no-op). A TRANSIENT unpersist failure on a live session keeps the
+    * entry registered (logged; the next sweep retries) — dropping the
+    * handle would turn a recoverable error into a permanent block leak.
+    * Entries of stopped sessions are dropped without unpersisting (their
+    * blocks died with the context).
     */
   def sweep(spark: SparkSession): Unit = synchronized {
-    frames.filter(_.sparkSession eq spark).foreach { f =>
-      try f.unpersist(blocking = true)
-      catch { case _: Exception => () }
+    frames.filterInPlace { f =>
+      if (f.sparkSession ne spark) true
+      else if (f.sparkSession.sparkContext.isStopped) false
+      else {
+        try { f.unpersist(blocking = true); false }
+        catch {
+          case e: Exception =>
+            System.err.println(s"[graft.api.Caches] unpersist failed, keeping handle for retry: $e")
+            true
+        }
+      }
     }
-    frames.filterInPlace(_.sparkSession ne spark)
     purgeStopped()
   }
 }

@@ -159,13 +159,15 @@ object Dedup {
     * quadratic hot-shingle blowup at corpus scale. Output:
     * (a_id, b_id, common, jaccard) with jaccard >= `threshold`.
     */
-  /** Distinct (id, g) word-n-gram xxhash64 rows — the shared shingle unit of
-    * the n-gram Jaccard index and corpus decontamination. The token array is
-    * materialized ONCE, then positions explode — slice + concat_ws +
-    * xxhash64 all run codegen'd (the naive transform-lambda re-splits the
-    * text per n-gram: O(tokens²) per doc).
+  /** Raw (id, g) word-n-gram xxhash64 rows, one per POSITION (duplicates
+    * kept). The token array is materialized ONCE, then positions explode —
+    * slice + concat_ws + xxhash64 all run codegen'd (the naive
+    * transform-lambda re-splits the text per n-gram: O(tokens²) per doc).
+    * Use this form when the consumer runs its own aggregation/distinct on a
+    * different key (e.g. gram-only), so the per-doc dedup shuffle isn't
+    * paid twice.
     */
-  def wordGrams(docs: DataFrame, idCol: String, textCol: String,
+  def wordGramsRaw(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs
       .withColumn("toks", split(col(textCol), " "))
@@ -176,7 +178,13 @@ object Dedup {
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
-      .distinct()
+
+  /** Distinct (id, g) word-n-gram rows — the shared shingle-SET unit of the
+    * n-gram Jaccard index and the decontamination eval side.
+    */
+  def wordGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    wordGramsRaw(docs, idCol, textCol, n).distinct()
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDf: Long = 50): DataFrame = {

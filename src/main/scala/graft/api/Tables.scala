@@ -11,9 +11,17 @@ object Tables {
     * both sides hash-partition on the key, nothing driver-side, so the
     * shape is the same at 10⁶ or 10¹² rows.
     *
-    * Idempotent for a fixed change batch: `upsert(upsert(b, u), u)` equals
-    * `upsert(b, u)` (the anti-join removes exactly the keys the union
-    * re-adds).
+    * PRECONDITIONS the caller owns (checking them would force an eager job
+    * on every lazy build): `updates` must carry at most ONE row per key —
+    * duplicate-keyed update rows all land in the result (pre-aggregate the
+    * change batch, e.g. keep the latest by version, before merging); and
+    * key columns must be non-null — SQL null-equality means a null-keyed
+    * base row is never anti-joined away, so a null-keyed update INSERTS
+    * alongside it rather than replacing it.
+    *
+    * Idempotent for a fixed conforming change batch:
+    * `upsert(upsert(b, u), u)` equals `upsert(b, u)` (the anti-join removes
+    * exactly the keys the union re-adds).
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base

@@ -114,7 +114,9 @@ object Text {
   def contamination(evalDocs: DataFrame, corpusDocs: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     val eg = Dedup.wordGrams(evalDocs, idCol, textCol, n)
-    val cg = Dedup.wordGrams(corpusDocs, idCol, textCol, n)
+    // gram-ONLY distinct on the huge side: the per-doc (id, g) distinct
+    // would be a second full shuffle just to be thrown away
+    val cg = Dedup.wordGramsRaw(corpusDocs, idCol, textCol, n)
       .select("g").distinct()
     val tot = eg.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val hit = eg.join(cg, Seq("g"), "left_semi")

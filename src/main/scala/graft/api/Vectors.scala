@@ -214,20 +214,20 @@ object Vectors {
     // plane length = max(actual embedding dimension, minPlaneDim): vec_dot
     // truncates to the SHORTER array, so planes shorter than the data would
     // silently project onto a prefix of the embedding and degrade LSH
-    // quality with no error. The probe aggregates max(size) — one pruned
-    // single-column scan at build time — because probing one arbitrary row
-    // would miss longer vectors in a mixed-dimension corpus (and max()
-    // skips null vectors instead of NPEing on them).
-    val dim = emb.agg(coalesce(max(size(col(vecCol))), lit(0)))
-      .head().getInt(0)
+    // quality with no error. The probe aggregates max(size) over the CACHED
+    // normalized frame — populating the cache the signature/verify stages
+    // reuse, so the input is scanned once total — because probing one
+    // arbitrary row would miss longer vectors in a mixed-dimension corpus
+    // (and max() skips null vectors instead of NPEing on them).
+    val nv = Caches.cache(
+      normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm")))
+    val dim = nv.agg(coalesce(max(size(col("vd"))), lit(0))).head().getInt(0)
     val planeDim = math.max(dim, minPlaneDim)
     require(planeDim <= 4096,
       s"embedding dimension $dim exceeds the 4096 literal-plane bound; " +
         "project the vectors down before LSH")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes, planeDim)(rnd.nextGaussian())
-    val nv = Caches.cache(
-      normalized(emb, vecCol).select(col(idCol).as("id"), col("vd"), col("nrm")))
     val bitCols = (0 until numPlanes).map { j =>
       val planeSql = planes(j).mkString("array(", "D, ", "D)")
       when(expr(s"vec_dot(vd, $planeSql)") >= 0, 1).otherwise(0).as(s"bit$j")
