@@ -74,6 +74,39 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals driver union-find on random graphs (batched)") {
+    import spark.implicits._
+    // 6 deterministic random graphs spanning the shapes pointer doubling
+    // must handle: sparse forests, dense blobs, and graphs mixing both —
+    // compared against an independent driver-side union-find
+    val rnd = new scala.util.Random(17)
+    (0 until 6).foreach { gi =>
+      val nNodes = 10 + rnd.nextInt(50)
+      val nEdges = 1 + rnd.nextInt(nNodes * 2)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = graft.api.Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap
+        // reference: plain union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        assert(got == expected, s"graph $gi: nodes=$nNodes edges=$edges")
+      }
+    }
+  }
+
   test("minhash signature match-rate estimates Jaccard within 4 sigma (batched)") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
