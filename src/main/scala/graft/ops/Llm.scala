@@ -235,6 +235,68 @@ count(*) FILTER (WHERE q_label = pred_label) AS n_correct,
 CAST(count(*) FILTER (WHERE q_label = pred_label) AS DOUBLE) / count(*) AS accuracy
 FROM pred GROUP BY q_label ORDER BY label"""))
 
+  /** ANN index-quality measurement: recall@5 of the k-means IVF probe
+    * against the brute-force cosine ground truth, per query — the
+    * acceptance metric a real pipeline computes before trusting an ANN
+    * index. Output: one row per query with the overlap count and recall.
+    * Both paths are deterministic, so the whole evaluation — training loop
+    * included — reproduces in DuckDB.
+    */
+  private val llmAnnRecall = Q(
+    "llm_ann_recall",
+    (s, d) => {
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val idx = Vectors.assignCells(nv, cb)
+        .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
+      val approx = Vectors.ivfProbeWith(idx, cb, q, "vec_id", "cell",
+          k = 5, probes = 2)
+        .select(col("q_id"), col("n_id"))
+      val exact = Vectors.cosineTopK(nv, q, "vec_id", 5)
+        .select(col("q_id").as("e_qid"), col("n_id").as("e_nid"))
+      approx.join(exact,
+          col("q_id") === col("e_qid") && col("n_id") === col("e_nid"),
+          "inner")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+${kmeansSql("n0", 8, 2)},
+idx AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n0 WHERE vec_id % 50 = 0),
+cellrank AS (SELECT q_id, q_vd, q_nrm, c.cell AS cell,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY list_dot_product(q_vd, c.cvd) / (q_nrm * c.cnrm) DESC, c.cell ASC) AS cr
+  FROM q CROSS JOIN c2 c),
+cells AS (SELECT q_id, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
+acand AS (SELECT q_id, t.vec_id AS n_id,
+    list_dot_product(q_vd, t.vd) / (q_nrm * t.nrm) AS cos
+  FROM cells JOIN idx t ON t.cell = cells.cell AND t.vec_id != q_id),
+approx AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM acand) WHERE rn <= 5),
+ecand AS (SELECT q.q_id, n.vec_id AS n_id,
+    list_dot_product(q.q_vd, n.vd) / (q.q_nrm * n.nrm) AS cos
+  FROM n0 n CROSS JOIN q WHERE n.vec_id != q.q_id),
+exact AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM ecand) WHERE rn <= 5)
+SELECT a.q_id AS q_id, count(*) AS n_hits,
+CAST(count(*) AS DOUBLE) / 5 AS recall_at_5
+FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+GROUP BY a.q_id ORDER BY q_id"""))
+
   /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
     * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
     * verify). The fixture corpus contains no organic near-duplicates (max
@@ -777,6 +839,7 @@ GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
+    llmAnnRecall,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
