@@ -32,7 +32,8 @@ object Dedup {
     * interpreted higher-order lambdas, no per-element re-`split`.
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5): DataFrame =
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"shingle size must be positive, got $k")
     docs
       // guard: Spark's sequence(1, stop) runs DESCENDING for stop < 1, so a
       // doc shorter than k chars would explode into nonsense positions
@@ -40,6 +41,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"))
       .select(col("id"), xxhash64(expr(s"substring(text, i, $k)")).as("h"))
+  }
 
   /** Ordered candidate pairs (a_id < b_id) from an (id, band, bsig) signature
     * frame via a TWO-SIDED salted self equi-join. With s = ⌈√salt⌉, each row
@@ -73,6 +75,10 @@ object Dedup {
     */
   def minhashBandSignaturesOf(hs: DataFrame, numBands: Int = 4,
       rowsPerBand: Int = 8): DataFrame = {
+    // MinHashAgg emits exactly 32 permutation minima; bands sliced past the
+    // signature end would silently hash short/empty slices (degenerate LSH)
+    require(numBands > 0 && rowsPerBand > 0 && numBands * rowsPerBand <= 32,
+      s"numBands*rowsPerBand must be in 1..32, got $numBands x $rowsPerBand")
     graft.functions.SketchFunctions.register(hs.sparkSession)
     val mh = hs.groupBy("id").agg(expr("minhash_agg(h)").as("mh"))
     val bands = (0 until numBands).map(b =>
@@ -168,7 +174,8 @@ object Dedup {
     * paid twice.
     */
   def wordGramsRaw(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     docs
       .withColumn("toks", split(col(textCol), " "))
       // guard: sequence(1, stop) runs DESCENDING for stop < 1 (docs with
@@ -178,6 +185,7 @@ object Dedup {
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+  }
 
   /** Distinct (id, g) word-n-gram rows — the shared shingle-SET unit of the
     * n-gram Jaccard index and the decontamination eval side.

@@ -211,6 +211,10 @@ object Vectors {
   def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, bandBits: Int = 4,
       minPlaneDim: Int = 256, seed: Long = 42L, salt: Int = 16): DataFrame = {
+    // numBands = numPlanes / bandBits truncates: a non-divisor bandBits
+    // would silently drop the trailing planes from every band
+    require(numPlanes > 0 && bandBits > 0 && numPlanes % bandBits == 0,
+      s"numPlanes ($numPlanes) must be a positive multiple of bandBits ($bandBits)")
     // plane length = max(actual embedding dimension, minPlaneDim): vec_dot
     // truncates to the SHORTER array, so planes shorter than the data would
     // silently project onto a prefix of the embedding and degrade LSH
