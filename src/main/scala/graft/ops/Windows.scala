@@ -78,6 +78,40 @@ FROM customer ORDER BY c_custkey"""))
     },
     None)
 
+  /** Per-user event-type transition matrix — the state-machine report of
+    * transfer monitoring (which states follow which, e.g. click→error
+    * density): one lag window per user's time-ordered events, then a global
+    * (prev, curr) count with each transition's share of its source state.
+    * The window partitions on user_id (high cardinality); the matrix
+    * aggregate output is |states|² rows.
+    */
+  private val winTransitionMatrix = Q(
+    "win_transition_matrix",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("from_total")).as("p"))
+        .orderBy("prev_type", "event_type")
+    },
+    Some("""SELECT prev_type, event_type, count(*) AS n,
+CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+FROM (
+  SELECT user_id, event_type,
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      AS prev_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type ORDER BY prev_type, event_type"""))
+
   /** Inter-event gap per user — the sessionization input. */
   private val winLagLead = Q(
     "win_lag_lead",
@@ -192,5 +226,6 @@ WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
 ORDER BY event_type, value, event_id"""))
 
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
-    winRunningSum, winSlidingAvg, winRangeFrame, winFirstLastPctrank)
+    winTransitionMatrix, winRunningSum, winSlidingAvg, winRangeFrame,
+    winFirstLastPctrank)
 }
