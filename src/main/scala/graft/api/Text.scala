@@ -118,6 +118,46 @@ object Text {
     // would be a second full shuffle just to be thrown away
     val cg = Dedup.wordGramsRaw(corpusDocs, idCol, textCol, n)
       .select("g").distinct()
+    contaminationScore(eg, cg)
+  }
+
+  /** Bloom-accelerated [[contamination]] with IDENTICAL output: the corpus
+    * side (the 100 TB side) is pre-filtered by a Bloom filter built over the
+    * eval grams (the small side, by contract of decontamination) before its
+    * distinct + semi-join. A corpus gram that matches no eval gram — the
+    * overwhelming majority — is dropped at scan time by a broadcast bit
+    * array instead of surviving into the gram shuffle, so the corpus-side
+    * distinct shrinks from |corpus grams| to ~|eval grams| (+fpp noise).
+    * Bloom false positives are removed by the exact semi-join that follows;
+    * false negatives don't exist — the result is EXACTLY the contamination
+    * score, not an approximation.
+    *
+    * Eager: building the filter runs one aggregation job over the eval
+    * grams (`DataFrameStatFunctions.bloomFilter`). The probe is a UDF
+    * because Spark exposes no public Column function for Bloom membership
+    * (`might_contain` is internal to runtime filtering); the input is the
+    * already-hashed 64-bit gram, so the per-row cost is a few hashes on a
+    * long — no string work outside codegen.
+    */
+  def contaminationBloom(evalDocs: DataFrame, corpusDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val eg = Caches.cache(Dedup.wordGrams(evalDocs, idCol, textCol, n))
+    val egKeys = eg.select("g").distinct()
+    val expected = math.max(egKeys.count(), 1000L)
+    val bf = egKeys.stat.bloomFilter("g", expected, fpp)
+    val bfB = corpusDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    val cg = Dedup.wordGramsRaw(corpusDocs, idCol, textCol, n)
+      .filter(mightContain(col("g")))
+      .select("g").distinct()
+    contaminationScore(eg, cg)
+  }
+
+  /** Shared scoring tail: distinct eval grams `eg` = (id, g) vs candidate
+    * corpus gram keys `cg` = (g).
+    */
+  private def contaminationScore(eg: DataFrame, cg: DataFrame): DataFrame = {
     val tot = eg.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val hit = eg.join(cg, Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))

@@ -281,7 +281,42 @@ p_name[1:3] AS l3,
 p_name[-3:] AS r3
 FROM part ORDER BY p_partkey"""))
 
+  /** URL parsing — the transfer-log staple (every FTS record carries
+    * source/destination endpoints). URLs are CONSTRUCTED from fixture
+    * columns so both engines parse the identical strings; Spark's
+    * `parse_url` (java.net.URI-backed) is then cross-checked against an
+    * independent regex decomposition in DuckDB — component-level parity,
+    * not string-equality theater. Pure per-row codegen'd work.
+    */
+  private val fnUrl = Q(
+    "fn_url",
+    (s, d) => T.supplier(s, d)
+      .select(col("s_suppkey"),
+        concat(lit("https://sup-"), col("s_suppkey"),
+          lit(".example.org:8443/n/"), col("s_nationkey"),
+          lit("/items?k="), col("s_suppkey") % 7, lit("&v=2#frag")).as("url"))
+      .select(col("s_suppkey"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'REF')").as("frag"),
+        expr("parse_url(url, 'QUERY', 'k')").cast("int").as("k"))
+      .orderBy("s_suppkey"),
+    Some("""SELECT s_suppkey, url,
+regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+regexp_extract(url, '://([^/:]+)', 1) AS host,
+regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+regexp_extract(url, '\?([^#]*)', 1) AS query,
+regexp_extract(url, '#(.*)$', 1) AS frag,
+CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INTEGER) AS k
+FROM (SELECT s_suppkey,
+  'https://sup-' || s_suppkey || '.example.org:8443/n/' || s_nationkey ||
+  '/items?k=' || (s_suppkey % 7) || '&v=2#frag' AS url
+  FROM supplier)
+ORDER BY s_suppkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
     fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
-    fnString2)
+    fnString2, fnUrl)
 }

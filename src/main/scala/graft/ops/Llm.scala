@@ -662,7 +662,27 @@ GROUP BY lang ORDER BY lang"""))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    Some(decontOracle))
+
+  /** The 100 TB fast path of [[llmDecontaminate]]: a Bloom filter over the
+    * eval grams prunes the corpus gram stream before its distinct/semi-join
+    * (broadcast bit-probe at scan time; false positives removed by the exact
+    * join). Same output, SAME ORACLE — the Bloom stage is provably
+    * transparent, and the shared DuckDB twin proves it cross-engine.
+    */
+  private val llmDecontaminateBloom = Q(
+    "llm_decontaminate_bloom",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Text.contaminationBloom(docs.filter(col("doc_id") % 100 === 0),
+          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(decontOracle))
+
+  private lazy val decontOracle =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (SELECT DISTINCT doc_id,
         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
       FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
@@ -676,7 +696,7 @@ SELECT tot.doc_id AS doc_id, n_grams,
 coalesce(n_contaminated, 0) AS n_contaminated,
 CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams AS contamination
 FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
-ORDER BY doc_id"""))
+ORDER BY doc_id"""
 
   /** Training-shard writer — the output stage of a corpus pipeline: docs
     * assigned to 8 shards by an ENGINE-PORTABLE hash (first md5 nibble of
@@ -851,5 +871,5 @@ GROUP BY source ORDER BY source"""))
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
-    llmDecontaminate, llmShardWrite)
+    llmDecontaminate, llmDecontaminateBloom, llmShardWrite)
 }

@@ -692,6 +692,67 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
       .orderBy("event_type"),
     None)
 
+  /** Robust anomaly detection — flag events whose value sits > 3.5 robust
+    * z-scores from its type's median (MAD-based, the estimator monitoring
+    * pipelines use because mean/stddev are themselves dragged by the
+    * outliers being hunted). Two tiny per-type aggregates (median, then
+    * median absolute deviation) broadcast back onto the fact — the fact
+    * table never shuffles, so the plan is two broadcast joins + one codegen
+    * filter at any corpus size. Median/MAD are r4-rounded (percentile
+    * interpolation is path-divergent between engines, SURVEY §5.4); every
+    * downstream comparison then runs identical IEEE ops on identical bits.
+    */
+  private val aggMadOutliers = Q(
+    "agg_mad_outliers",
+    (s, d) => {
+      val e = T.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"))
+      val med = e.groupBy("event_type")
+        .agg(r4(expr("percentile(value, 0.5D)")).as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(r4(expr("percentile(adev, 0.5D)")).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("adev") > lit(3.5) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"), col("med"),
+          col("mad"), (col("adev") / (lit(1.4826) * col("mad"))).as("robust_z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY event_type),
+dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+          abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value, d.med, ma.mad,
+d.adev / (1.4826 * ma.mad) AS robust_z
+FROM dev d JOIN mad ma USING (event_type)
+WHERE d.adev > 3.5 * 1.4826 * ma.mad
+ORDER BY d.event_id"""))
+
+  /** Heavy hitters via a mergeable frequent-items sketch
+    * (`approx_top_k`, DataSketches ItemsSketch under the hood): the scale
+    * path for "top talkers" reports — each partition keeps a bounded sketch,
+    * partials merge associatively, nothing proportional to cardinality
+    * shuffles. Oracled EXACTLY: with maxItemsTracked (100) above the true
+    * key cardinality the sketch provably never evicts, so every estimate
+    * equals the exact count — the same guarantee a 100 TB run gets whenever
+    * the tracked-item budget exceeds the hot-key count. Output re-sorted by
+    * item so the comparison is independent of the sketch's tie order.
+    */
+  private val aggApproxTopk = Q(
+    "agg_approx_topk",
+    (s, d) => T.events(s, d)
+      .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type"""))
+
   private val aggStats = Q(
     "agg_stats",
     (s, d) => T.lineitem(s, d).groupBy("l_returnflag")
@@ -824,7 +885,8 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
     joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
-    aggPercentiles, aggApproxPercentiles, aggStats, aggCollectSorted,
+    aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
+    aggStats, aggCollectSorted,
     aggPivot, aggMinmaxBy,
     aggHistogram)
 }

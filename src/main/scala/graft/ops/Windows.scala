@@ -112,6 +112,91 @@ FROM (
 WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type ORDER BY prev_type, event_type"""))
 
+  /** Batch sessionization — the gap-threshold session assignment every
+    * event pipeline needs (the batch twin of `stream_session`): a >30-min
+    * silence opens a new session. One lag window flags boundaries, a running
+    * sum over the SAME window numbers the sessions (no second shuffle — both
+    * windows share the (user_id) partitioning), then a per-session rollup.
+    * Partitions on high-cardinality user_id, so the plan is one shuffle +
+    * one partial+final aggregate regardless of corpus size.
+    */
+  private val winSessionize = Q(
+    "win_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("value"))
+        .withColumn("gap", col("em") - lag(col("em"), 1).over(w))
+        .withColumn("boundary",
+          when(col("gap").isNull || col("gap") > lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("boundary")).over(w))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min(col("em")).as("start_em"),
+          max(col("em")).as("end_em"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "sess")
+    },
+    Some(s"""WITH b AS (
+  SELECT user_id, event_id, em, value,
+    CASE WHEN em - lag(em, 1) OVER w IS NULL
+           OR em - lag(em, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+sx AS (SELECT user_id, em, value,
+  CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY em, event_id) AS BIGINT) AS sess
+  FROM b)
+SELECT user_id, sess, count(*) AS n_events, min(em) AS start_em,
+max(em) AS end_em, ${H.dsumSql("value")} AS sum_value
+FROM sx GROUP BY user_id, sess ORDER BY user_id, sess"""))
+
+  /** SCD2-style interval build — collapse each user's run of consecutive
+    * identical states into one validity interval (`valid_from`,
+    * `valid_to` = next interval's start, NULL while current): the classic
+    * gaps-and-islands rewrite (island id = running sum of change flags), the
+    * shape of every temporal-dimension / state-history table. Both windows
+    * partition on user_id; the post-rollup lead() window reuses the same key,
+    * and island counts are ≤ event counts, so nothing here outgrows the
+    * event shuffle itself.
+    */
+  private val winScd2Intervals = Q(
+    "win_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+      val prev = lag(col("event_type"), 1).over(w)
+      val islands = T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("event_type"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(w))
+        .groupBy("user_id", "island", "event_type")
+        .agg(min(col("em")).as("valid_from"), max(col("em")).as("last_seen"),
+          count(lit(1)).as("n_collapsed"))
+      val w2 = Window.partitionBy("user_id").orderBy("island")
+      islands
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "last_seen", "n_collapsed")
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH f AS (
+  SELECT user_id, event_id, em, event_type,
+    CASE WHEN lag(event_type, 1) OVER w IS NULL
+           OR lag(event_type, 1) OVER w != event_type THEN 1 ELSE 0 END AS chg
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS em, event_type FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+i AS (SELECT user_id, event_type,
+        CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY em, event_id) AS BIGINT) AS island,
+        em FROM f),
+r AS (SELECT user_id, island, event_type, min(em) AS valid_from,
+        max(em) AS last_seen, count(*) AS n_collapsed
+      FROM i GROUP BY user_id, island, event_type)
+SELECT user_id, event_type, valid_from,
+lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+last_seen, n_collapsed
+FROM r ORDER BY user_id, valid_from"""))
+
   /** Inter-event gap per user — the sessionization input. */
   private val winLagLead = Q(
     "win_lag_lead",
@@ -226,6 +311,6 @@ WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
 ORDER BY event_type, value, event_id"""))
 
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
-    winTransitionMatrix, winRunningSum, winSlidingAvg, winRangeFrame,
-    winFirstLastPctrank)
+    winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
+    winSlidingAvg, winRangeFrame, winFirstLastPctrank)
 }

@@ -263,6 +263,28 @@ class ApiSpec extends SparkSpec {
     assert(!r.contains(12L), "sub-n-token docs produce no row")
   }
 
+  test("contaminationBloom equals exact contamination even at fpp=0.5") {
+    import spark.implicits._
+    // fpp=0.5 floods the prefilter with false positives on purpose: the
+    // exact semi-join behind it must still produce the identical score set.
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until 8).map(j => s"w${(i * 3 + j * 7) % 29}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val exact = Text.contamination(eval, corpus, "doc_id", "text", n = 5)
+      .select("id", "n_grams", "n_contaminated").as[(Long, Long, Long)]
+      .collect().toSet
+    val bloom = Text.contaminationBloom(eval, corpus, "doc_id", "text", n = 5,
+        fpp = 0.5)
+      .select("id", "n_grams", "n_contaminated").as[(Long, Long, Long)]
+      .collect().toSet
+    graft.api.Caches.sweep(spark)
+    assert(exact.nonEmpty, "planted corpus must produce contamination rows")
+    assert(bloom == exact,
+      s"bloom path must be exact: only=${bloom.diff(exact)} missing=${exact.diff(bloom)}")
+  }
+
   test("Tables.upsert merges updates over base and is idempotent") {
     import spark.implicits._
     import graft.api.Tables
