@@ -113,6 +113,58 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("agg_mad_outliers never shuffles the fact table (broadcast-back only)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("agg_mad_outliers")
+    val bhj = collectWithSubqueries(p) { case b: BroadcastHashJoinExec => b }
+    val smj = collectWithSubqueries(p) { case s: SortMergeJoinExec => s }
+    // 3, not 2: the deviation frame is re-derived under the MAD aggregate,
+    // so the median join appears twice — extra SCANS (column-pruned, cheap),
+    // never an extra fact SHUFFLE, which is the property asserted here.
+    assert(bhj.size >= 2, s"median and MAD must broadcast back onto the fact:\n$p")
+    assert(smj.isEmpty, s"the fact side must never shuffle for a join:\n$p")
+  }
+
+  test("sessionize/scd2 reuse ONE hash shuffle across window + rollup stages") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // lag-window, running-sum window and the grouped rollup all cluster on
+    // user_id (or a superset): a plan that re-exchanges between them would
+    // shuffle the event stream 2-3x at 100 TB for nothing.
+    Seq("win_sessionize", "win_scd2_intervals").foreach { name =>
+      val hashEx = collectWithSubqueries(plan(name)) {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size == 1,
+        s"$name must cluster once on user_id, found ${hashEx.size} hash exchanges:\n${plan(name)}")
+    }
+  }
+
+  test("llm_decontaminate_bloom probes the Bloom filter before any shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val p = plan("llm_decontaminate_bloom")
+    val preShuffleProbe = collectWithSubqueries(p) {
+      case f: FilterExec
+          if f.condition.exists(_.isInstanceOf[ScalaUDF]) &&
+            f.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec]) &&
+            f.collect { case e: ShuffleExchangeExec => e }.isEmpty => f
+    }
+    assert(preShuffleProbe.nonEmpty,
+      s"the corpus-side Bloom probe must run scan-side, ahead of the gram shuffle:\n$p")
+  }
+
+  test("agg_approx_topk partial-aggregates the sketch map-side") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val aggs = collectWithSubqueries(plan("agg_approx_topk")) {
+      case a: ObjectHashAggregateExec => a
+    }
+    assert(aggs.size == 2,
+      s"frequent-items sketch must merge partials (partial+final), got ${aggs.size}")
+  }
+
   test("llm_shard_write reads back a shard-partitioned layout") {
     val sc = scans(plan("llm_shard_write"))
     assert(sc.nonEmpty)
