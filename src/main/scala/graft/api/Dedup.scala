@@ -174,6 +174,18 @@ object Dedup {
     * paid twice.
     */
   def wordGramsRaw(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    wordGramStrings(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("g")).as("g"))
+
+  /** Raw (id, g) word-n-gram STRING rows, one per position (duplicates
+    * kept) — the single definition of the gram space every n-gram operator
+    * keys on; [[wordGramsRaw]] layers the xxhash64 key on top. The token
+    * array is materialized once, then positions explode — slice + concat_ws
+    * run codegen'd (a naive transform-lambda re-splits the text per n-gram:
+    * O(tokens²) per doc).
+    */
+  def wordGramStrings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
     docs
@@ -184,7 +196,39 @@ object Dedup {
       .select(col(idCol).as("id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"),
-        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+  }
+
+  /** Engine-portable MinHash-LSH candidate pairs over word n-grams: each
+    * permutation hash is an md5 hex string (fixed-width lowercase hex, so a
+    * string MIN is exactly the numeric MIN of the 128-bit hash in any
+    * engine with binary collation), and the band signature is md5 over the
+    * concatenated per-band minima — every stage reproduces verbatim in
+    * DuckDB. This is the METRIC twin of the xxhash64 production path
+    * ([[minhashCandidates]]): `llm_minhash_recall` joins it against the
+    * exact n-gram-Jaccard truth set, putting LSH candidate recall itself
+    * under the cross-engine gate. The scale shape is the production one:
+    * per-doc signatures are `perms` MIN-aggregates over the raw gram stream
+    * (duplicate-tolerant — MIN ignores repeats — so no distinct shuffle is
+    * paid, and the partials combine map-side), then candidates come from
+    * the two-sided salted (band, bsig) equi-join.
+    */
+  def md5MinhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, perms: Int = 16, bands: Int = 4, salt: Int = 16): DataFrame = {
+    require(bands > 0 && perms > 0 && perms % bands == 0,
+      s"perms must split evenly into bands, got $perms perms / $bands bands")
+    val rows = perms / bands
+    val mins = (0 until perms).map(j =>
+      min(md5(concat(col("g"), lit(s":$j")))).as(s"m$j"))
+    val sig = wordGramStrings(docs, idCol, textCol, n)
+      .groupBy("id").agg(mins.head, mins.drop(1): _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*))
+    }
+    saltedBandPairs(
+      sig.select(col("id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bsig"))),
+      salt)
   }
 
   /** Distinct (id, g) word-n-gram rows — the shared shingle-SET unit of the
@@ -263,22 +307,28 @@ object Dedup {
     * still exactly a fixed point, and the probe count halves.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    def persisted = sc.getPersistentRDDs
-    // localCheckpoint blocks register in persistentRdds, not the SQL cache —
-    // diffing ids around each checkpoint is the handle for freeing them
-    def checkpointTracked(df: DataFrame): (DataFrame, collection.Set[Int]) = {
-      val before = persisted.keySet
+    // localCheckpoint blocks register in persistentRdds, not the SQL cache.
+    // The handle for freeing them is taken DIRECTLY off the returned plan
+    // (an eager localCheckpoint always yields a LogicalRDD wrapping the
+    // persisted RDD) — never by diffing sparkContext.getPersistentRDDs,
+    // which would misattribute (and later evict) RDDs another thread
+    // persisted concurrently in the same shared SparkContext.
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint(true)
-      (out, persisted.keySet.diff(before))
+      val rdd = out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None // unexpected plan shape: leak (bounded) over misfree
+      }
+      (out, rdd)
     }
-    def free(ids: collection.Set[Int]): Unit =
-      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    def free(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      r.foreach(_.unpersist(blocking = false))
 
-    val (edges, edgeIds) = checkpointTracked(
+    val (edges, edgeRdd) = checkpointTracked(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
-    var (comp, compIds) = checkpointTracked(
+    var (comp, compRdd) = checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
     // coalesce: sum over an empty pair frame is null, not 0
@@ -301,15 +351,15 @@ object Dedup {
         .persist()
       // labels are always ids of nodes in the same component, so the jump
       // stays within the component and only ever decreases labels
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextRdd) = checkpointTracked(
         hooked
           .join(hooked.select(col("id").as("pid"), col("component").as("pc")),
             col("component") === col("pid"), "left")
           .select(col("id"), coalesce(col("pc"), col("component")).as("component")))
       hooked.unpersist(blocking = false)
-      free(compIds)
+      free(compRdd)
       comp = next
-      compIds = nextIds
+      compRdd = nextRdd
       i += 1
       if (i % 2 == 0 || i == maxIter) {
         val nextSum = labelSumOf(comp)
@@ -317,13 +367,13 @@ object Dedup {
         labelSum = nextSum
       }
     }
-    free(edgeIds)
+    free(edgeRdd)
     // an unconverged result silently splits clusters (duplicate survivors
     // downstream) — surface it instead; convergence costs one cheap extra
     // round, so hitting the cap means the label chains outlived 2^maxIter
     // doubling steps — far past any real graph; raise maxIter if it happens
     if (!converged) {
-      free(compIds)
+      free(compRdd)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations; " +
           "raise maxIter")

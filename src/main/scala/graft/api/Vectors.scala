@@ -73,10 +73,21 @@ object Vectors {
 
   // ------------------------------------------------------------- k-means
 
-  private def collectCodebook(cb: DataFrame): Array[(Int, Seq[Double], Double)] =
-    cb.select(col("cell").cast("int"), col("cvd"), col("cnrm")).collect()
+  private def collectCodebook(cb: DataFrame): Array[(Int, Seq[Double], Double)] = {
+    val rows = cb.select(col("cell").cast("int"), col("cvd"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // centroid components are spliced into SQL as double literals
+    // (assignCellsTo); a NaN/Infinity component — a zero-norm vector in a
+    // seed, or a degenerate cell mean — would render as 'NaND'/'InfinityD'
+    // and die unparseable deep in analysis. Fail HERE with the real cause.
+    rows.foreach { case (cell, cvd, cnrm) =>
+      require(cvd.forall(java.lang.Double.isFinite) && java.lang.Double.isFinite(cnrm),
+        s"codebook cell $cell has a non-finite centroid component — " +
+          "check the input for zero-norm or otherwise degenerate vectors")
+    }
+    rows
+  }
 
   /** Nearest-cell assignment with the codebook compiled into the projection
     * as literals: one codegen'd `vec_dot` loop per cell and an `array_max`

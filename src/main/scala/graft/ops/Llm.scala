@@ -78,11 +78,17 @@ GROUP BY source ORDER BY source"""))
     * DuckDB can reproduce it with string trigrams where Spark uses xxhash64
     * trigram keys — equal counts modulo a ~2⁻⁶⁵ hash-collision probability.
     */
-  private val llmNgramJaccard = Q(
-    "llm_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
-      .orderBy("a_id", "b_id"),
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The n-gram inverted-index CTE chain (toks → tri → sh → hot → cold → p)
+    * shared by EVERY n-gram-Jaccard oracle — one definition, four call
+    * sites (llm_ngram_jaccard, llm_pipeline_e2e_ngram,
+    * llm_dedup_clusters_ngram, llm_minhash_recall), so the cross-engine
+    * gates all verify the SAME semantics; a drifted pasted copy would
+    * silently verify different ones. Mirrors
+    * [[graft.api.Dedup.ngramJaccardPairs]]: word-3-grams, df > 50
+    * stop-shingle cap, pair counts grouped with both set sizes.
+    */
+  private val ngramPairCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
         FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
 sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
@@ -92,11 +98,79 @@ cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
 p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
         count(*) AS common
       FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3, 4)"""
+
+  /** The matching similarity predicate over `p` (round-to-4 Jaccard at the
+    * 0.6 threshold [[graft.api.Dedup.ngramJaccardPairs]] applies).
+    */
+  private val ngramSimFilter =
+    "round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6"
+
+  private val llmNgramJaccard = Q(
+    "llm_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+      .orderBy("a_id", "b_id"),
+    Some(s"""WITH $ngramPairCtes
 SELECT a_id, b_id, common,
 round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) AS jaccard
-FROM p WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6
+FROM p WHERE $ngramSimFilter
 ORDER BY a_id, b_id"""))
+
+  /** LSH-recall acceptance metric for the MinHash near-dup path — the twin
+    * of [[llmAnnRecall]] for the dedup stack: how much of the EXACT n-gram
+    * Jaccard truth set (>= 0.6, the oracled [[llmNgramJaccard]] semantics)
+    * does MinHash-LSH candidate generation recover, and how clean is its
+    * candidate set. The MinHash side is [[graft.api.Dedup.md5MinhashCandidates]]
+    * — 16 md5-string permutations × 4 bands over the same word-3-gram space,
+    * every stage engine-portable — so BOTH sides, and the metric join
+    * itself, reproduce in DuckDB; without this the LSH family's recall loss
+    * is invisible to every gate. One summary row: truth/candidate/hit
+    * counts, recall, precision. (4 bands × 4 rows ⇒ P(candidate) =
+    * 1-(1-j⁴)⁴ ≈ 0.43 at j = 0.6, → 1 as j → 1: border-threshold pairs are
+    * expected misses; high-similarity pairs must essentially all land.)
+    */
+  private val llmMinhashRecall = Q(
+    "llm_minhash_recall",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("a_id", "b_id")
+      val cand = Dedup.md5MinhashCandidates(docs, "doc_id", "text")
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
+          sum(when(col("t") === 1 && col("c") === 1, 1).otherwise(0))
+            .cast("bigint").as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_truth"))
+            .as("lsh_recall"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_cand"))
+            .as("lsh_precision"))
+    },
+    Some(s"""WITH $ngramPairCtes,
+truth AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
+mh AS (SELECT doc_id,
+${(0 until 16).map(j => s"  min(md5(g || ':$j')) AS m$j").mkString(",\n")}
+  FROM tri GROUP BY doc_id),
+sig AS (
+${(0 until 4).map(b => s"  SELECT doc_id, $b AS band, md5(${(4 * b until 4 * b + 4).map(j => s"m$j").mkString(" || '|' || ")}) AS bsig FROM mh").mkString("\n  UNION ALL\n")}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
+    AND a.doc_id < b.doc_id),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM truth t JOIN cand c
+     ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+CAST(n_hit AS BIGINT) AS n_hit,
+CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS lsh_recall,
+CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS lsh_precision
+FROM m"""))
 
   // ----------------------------------------------------- similarity search
 
@@ -238,7 +312,11 @@ FROM pred GROUP BY q_label ORDER BY label"""))
   /** ANN index-quality measurement: recall@5 of the k-means IVF probe
     * against the brute-force cosine ground truth, per query — the
     * acceptance metric a real pipeline computes before trusting an ANN
-    * index. Output: one row per query with the overlap count and recall.
+    * index. Output: one row per query with the overlap count and recall —
+    * driven from the QUERY side (left join + coalesce 0), so a query whose
+    * approx and exact top-k share nothing still contributes its zero (an
+    * inner join here would silently drop it and read the mean recall high;
+    * at sf0.001 that bias is real: 9/10 rows, 0.64 vs the true 0.58).
     * Both paths are deterministic, so the whole evaluation — training loop
     * included — reproduces in DuckDB.
     *
@@ -263,12 +341,17 @@ FROM pred GROUP BY q_label ORDER BY label"""))
         .select(col("q_id"), col("n_id"))
       val exact = Vectors.cosineTopK(nv, q, "vec_id", 5)
         .select(col("q_id").as("e_qid"), col("n_id").as("e_nid"))
-      approx.join(exact,
+      // Drive the output from the query side: a query whose approx and
+      // exact top-k share NOTHING must still emit a row with n_hits = 0,
+      // or the mean recall reads higher than it is.
+      val hits = approx.join(exact,
           col("q_id") === col("e_qid") && col("n_id") === col("e_nid"),
           "inner")
-        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-        .select(col("q_id"), col("n_hits"),
-          (col("n_hits").cast("double") / 5).as("recall_at_5"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / 5).as("recall_at_5"))
         .orderBy("q_id")
     },
     Some(s"""WITH e AS (SELECT vec_id,
@@ -299,11 +382,14 @@ ecand AS (SELECT q.q_id, n.vec_id AS n_id,
 exact AS (SELECT q_id, n_id FROM (
     SELECT q_id, n_id,
       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
-    FROM ecand) WHERE rn <= 5)
-SELECT a.q_id AS q_id, count(*) AS n_hits,
-CAST(count(*) AS DOUBLE) / 5 AS recall_at_5
-FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
-GROUP BY a.q_id ORDER BY q_id"""))
+    FROM ecand) WHERE rn <= 5),
+hits AS (SELECT a.q_id, count(*) AS h
+  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+  GROUP BY a.q_id)
+SELECT q.q_id AS q_id, COALESCE(h.h, 0) AS n_hits,
+CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
+FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+ORDER BY q_id"""))
 
   /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
     * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
@@ -607,19 +693,8 @@ ex AS (SELECT doc_id, lang, n_chars, n_toks,
          row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
        FROM q1),
 keep1 AS (SELECT doc_id, lang, n_chars, n_toks FROM ex WHERE rn = 1),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
-sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
-hot AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 50),
-cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
-         WHERE g NOT IN (SELECT g FROM hot)),
-p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        count(*) AS common
-      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4),
-dropped AS (SELECT DISTINCT b_id AS doc_id FROM p
-            WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6)
+$ngramPairCtes,
+dropped AS (SELECT DISTINCT b_id AS doc_id FROM p WHERE $ngramSimFilter)
 SELECT lang, count(*) AS n_docs,
 CAST(sum(n_toks) AS BIGINT) AS total_toks,
 avg(n_chars) AS avg_chars
@@ -749,20 +824,9 @@ FROM documents GROUP BY 1 ORDER BY shard"""))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
         .orderBy("component")
     },
-    Some("""WITH RECURSIVE
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
-sh AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
-hot AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 50),
-cold AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)
-         WHERE g NOT IN (SELECT g FROM hot)),
-p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        count(*) AS common
-      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4),
-p2 AS (SELECT a_id, b_id FROM p
-       WHERE round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6),
+    Some(s"""WITH RECURSIVE
+$ngramPairCtes,
+p2 AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
 edges AS (SELECT a_id AS src, b_id AS dst FROM p2
           UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
 nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -866,8 +930,8 @@ FROM (SELECT source, len(regexp_extract_all(text, '[0-9]+')) AS n_num,
 GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmCosineTopk, llmKnnLabel, llmEmbedNeardup, llmAnnIvf,
-    llmAnnRecall,
+    llmNgramJaccard, llmMinhashRecall, llmCosineTopk, llmKnnLabel,
+    llmEmbedNeardup, llmAnnIvf, llmAnnRecall,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,

@@ -89,16 +89,19 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 
 ORDER BY doc_id, pos"""))
 
   /** Multimodal-column plumbing (builder prompt): media rows modeled as
-    * binary payload + typed metadata struct; a deterministic fake "decode"
-    * stage runs distributed via mapPartitions (the container has no codec
-    * libraries — the decode itself is a clearly-marked stand-in, the Spark
-    * plumbing: schema, batching, partition-local iteration, is real).
+    * binary payload + typed metadata struct, pushed through a deterministic
+    * byte-arithmetic "decode" stage. The container has no codec libraries,
+    * so instead of pixels the stage extracts byte-level features (octet
+    * count, a position-weighted byte checksum, a plain byte sum) — but the
+    * engine-side shape is the REAL one: per-row feature extraction over the
+    * binary column entirely inside the engine (higher-order `aggregate`
+    * over the payload bytes — no UDF, no mapPartitions, no driver hop), the
+    * exact plan a real decoder Expression would slot into. The features are
+    * pure byte arithmetic, so DuckDB reproduces them bit-for-bit.
     */
   private val llmMultimodalDecode = Q(
     "llm_multimodal_decode",
     (s, d) => {
-      val spark = s
-      import spark.implicits._
       val media = T.documents(s, d).select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
@@ -106,22 +109,36 @@ ORDER BY doc_id, pos"""))
           lit("image/fake").as("mime"),
           (col("n_chars") % 640).cast("int").as("width"),
           (col("n_chars") % 480).cast("int").as("height")).as("meta"))
-      val decoded = media
-        .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
-        .as[(Long, Array[Byte], Int, Int)]
-        .mapPartitions { it =>
-          // STUB decode: a real pipeline would decode payload → pixels here
-          // (libs unavailable in-container). The deterministic stand-in
-          // extracts byte-level "features" so downstream plumbing is real.
-          it.map { case (id, payload, w, h) =>
-            val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-            (id, payload.length, w.toLong * h, checksum)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "pixel_budget", "payload_checksum")
-      decoded.orderBy("doc_id")
+      // position-weighted fold: order-sensitive, so it proves the byte
+      // STREAM decoded intact, not just the multiset of bytes
+      def byteFold(weighted: Boolean): org.apache.spark.sql.Column = {
+        val term = if (weighted) "i * ascii(CAST(substring(payload, i, 1) AS STRING))"
+          else "ascii(CAST(substring(payload, i, 1) AS STRING))"
+        // sequence(1, 0) runs DESCENDING (same landmine as shingleHashes) —
+        // route empty payloads around the fold
+        when(length(col("payload")) === 0, lit(0L))
+          .otherwise(expr(
+            s"aggregate(sequence(1, length(payload)), 0L, (acc, i) -> acc + $term)"))
+      }
+      media.select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          (col("meta.width").cast("long") * col("meta.height")).as("pixel_budget"),
+          byteFold(weighted = true).as("payload_checksum"),
+          byteFold(weighted = false).as("byte_sum"))
+        .orderBy("doc_id")
     },
-    None)
+    // the payload is the UTF-8 (ASCII) document text, so DuckDB recomputes
+    // every feature from the same bytes: ord == ascii on ASCII, and the
+    // position-weighted sum is exact integer arithmetic in both engines
+    Some("""SELECT doc_id,
+CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+CAST((n_chars % 640) AS BIGINT) * (n_chars % 480) AS pixel_budget,
+CAST(coalesce(list_sum(list_transform(generate_series(1, len(text)),
+  i -> i * ord(substring(text, i, 1)))), 0) AS BIGINT) AS payload_checksum,
+CAST(coalesce(list_sum(list_transform(generate_series(1, len(text)),
+  i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+FROM documents ORDER BY doc_id"""))
 
   /** Multimodal ingestion path: opaque media files on disk read through
     * Spark's `binaryFile` source (path/length/modificationTime metadata +

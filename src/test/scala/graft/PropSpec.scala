@@ -107,6 +107,38 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("md5 MinHash-LSH recovers high-similarity planted pairs (batched corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 deterministic generated corpora; each plants 10 near-dups (one
+    // mid-token edit of a 60-100-token doc → word-3-gram Jaccard ≈ 0.93,
+    // per-pair LSH miss probability ≈ (1-j⁴)⁴ ≈ 0.5%). The md5-permutation
+    // pipeline is fully deterministic given the seeded corpus, so this
+    // pins recall ≥ 9/10 per corpus as a stable bound — the generated-data
+    // backstop behind the oracled llm_minhash_recall fixture metric.
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 200).map(i => s"w$i")
+    (0 until 3).foreach { ci =>
+      val nDocs = 30 + rnd.nextInt(20)
+      val docs = (0 until nDocs).map { i =>
+        val len = 60 + rnd.nextInt(41)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = docs.take(10).map { case (id, text) =>
+        val toks = text.split(" ")
+        toks(toks.length / 2) = "edited"
+        (id + 1000L, toks.mkString(" "))
+      }
+      val df = (docs ++ planted).toDF("doc_id", "text")
+      val cand = graft.api.Dedup.md5MinhashCandidates(df, "doc_id", "text")
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      val expected = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+      val found = expected.intersect(cand)
+      assert(found.size >= 9,
+        s"corpus $ci: LSH recovered only ${found.size}/10 planted near-dup pairs")
+    }
+  }
+
   test("minhash signature match-rate estimates Jaccard within 4 sigma (batched)") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
