@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import scala.jdk.CollectionConverters._
+
+/** Scale-stress evidence for the dedup/ANN stack (SURVEY.md §6): generates a
+  * SKEWED synthetic corpus far past bench scale and runs the two iterative /
+  * candidate-generating paths end-to-end at two sizes, recording per-stage
+  * wall time, shuffle volume, task-level peak execution memory, and the
+  * connected-components round count as one JSON line (committed as
+  * `STRESS.json`).
+  *
+  * What the record is evidence FOR: the 100 TB design claims that rest on
+  * plan shape alone at sf0.1 —
+  *  - salted-LSH candidate generation + exact verify grows ~linearly with
+  *    corpus size when the duplication-rate/cluster-size DISTRIBUTION is
+  *    held fixed (the realistic scale-up: more of the same corpus, not
+  *    quadratically denser duplication),
+  *  - a FIXED-size mass-duplication mega-cluster (boilerplate) costs the
+  *    same at both scales and never concentrates in one task (the two-sided
+  *    salt grid; the per-block distribution is asserted in ApiSpec),
+  *  - connected components converges in O(log n) rounds — measured directly
+  *    on a 4096-link chain (worst label-chain shape) and on the corpus run,
+  *  - k-means IVF training/assign/probe grows ~linearly in the index size
+  *    (per-iteration work is one shuffle-free codegen projection pass plus a
+  *    k×dim codebook collect).
+  *
+  * Corpus shape (all generation is distributed + hash-deterministic — no
+  * RNG state, no driver materialization):
+  *  - clusters of near-duplicate docs; cluster sizes follow a bounded
+  *    Zipf-ish profile (mass at 1–3, tail to ~51: `1 + ⌊50·v¹⁰⌋` over a
+  *    uniform hash v — E[k]≈5.5) that is INDEPENDENT of corpus size, so
+  *    expected pair output scales linearly with doc count;
+  *  - cluster 0 is the mega-cluster: 1000 near-identical docs at BOTH
+  *    sizes (fixed absolute size — real boilerplate does not get denser
+  *    when a corpus grows, it gets more clusters);
+  *  - mixed doc lengths 10–60 tokens; each doc mutates 2 token positions
+  *    of its cluster template (word-level edits ≈ char-5-shingle Jaccard
+  *    well above the 0.8 pair threshold within a cluster, ≈0 across).
+  *
+  * Run: `sbt "runMain graft.Stress [out.json]"` (sizes via
+  * SPARK_GRAFT_STRESS_DOCS / _VECS as comma-separated doc/vector counts).
+  */
+object Stress {
+
+  /** Aggregates the physical-cost observables the record reports. */
+  private final class MetricListener extends SparkListener {
+    val jobs = new AtomicInteger
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val maxTaskPeakExecMem = new AtomicLong
+    val spill = new AtomicLong
+    override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.localBytesRead +
+          m.shuffleReadMetrics.remoteBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        var cur = maxTaskPeakExecMem.get()
+        while (m.peakExecutionMemory > cur &&
+          !maxTaskPeakExecMem.compareAndSet(cur, m.peakExecutionMemory)) {
+          cur = maxTaskPeakExecMem.get()
+        }
+      }
+    }
+    def reset(): Unit = {
+      jobs.set(0); shuffleWrite.set(0); shuffleRead.set(0)
+      maxTaskPeakExecMem.set(0); spill.set(0)
+    }
+  }
+
+  private def peakHeapMB: Long =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1 << 20)
+
+  private def resetPeaks(): Unit =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .foreach(p => try p.resetPeakUsage() catch { case _: Exception => () })
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+  }
+
+  /** `hash01(key expr)` — uniform [0,1) from xxhash64, engine-deterministic. */
+  private def h01(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(1000000L)).cast("double") / 1000000.0
+
+  /** The skewed near-dup corpus: (doc_id long, text string). */
+  def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    // E[cluster size] ≈ 5.53 for k = 1 + ⌊50·v¹⁰⌋ ⇒ clusters ≈ nDocs/5.53,
+    // minus the mega-cluster's fixed 1000 docs
+    val clusters = math.max(1L, ((nDocs - 1000) / 5.53).toLong)
+    val tok = (key: org.apache.spark.sql.Column) => substring(md5(key), 1, 6)
+    spark.range(0L, clusters).select(col("id").as("c"))
+      .withColumn("k",
+        when(col("c") === 0, lit(1000))
+          .otherwise((lit(1) + floor(lit(50) * pow(h01(concat(col("c"), lit("sz"))), 10))).cast("int")))
+      .withColumn("len", (lit(10) + pmod(xxhash64(concat(col("c"), lit("ln"))), lit(51L))).cast("int"))
+      .select(col("c"), col("len"), explode(sequence(lit(1), col("k"))).as("j"))
+      .withColumn("doc_id", col("c") * 1024 + col("j"))
+      .withColumn("p1", lit(1) + pmod(xxhash64(concat(col("doc_id"), lit("p1"))), col("len").cast("long")).cast("int"))
+      .withColumn("p2", lit(1) + pmod(xxhash64(concat(col("doc_id"), lit("p2"))), col("len").cast("long")).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("len")), t =>
+          when(t === col("p1") || t === col("p2"),
+            tok(concat(col("doc_id"), lit("m"), t)))
+            .otherwise(tok(concat(col("c"), lit("g"), t))))))
+      .select("doc_id", "text")
+  }
+
+  /** Clusterable synthetic embeddings: (vec_id long, vec array<double>) —
+    * 64 latent centers + 0.3-amplitude per-id noise, all hash-derived.
+    */
+  def vectors(spark: SparkSession, nVecs: Long, dim: Int = 64): DataFrame =
+    spark.range(0L, nVecs).select(col("id").as("vec_id"))
+      .withColumn("ctr", pmod(xxhash64(concat(col("vec_id"), lit("c"))), lit(64L)))
+      .withColumn("vec", transform(sequence(lit(0), lit(dim - 1)), j =>
+        (h01(concat(col("ctr"), lit("b"), j)) * 2 - 1) +
+          (h01(concat(col("vec_id"), lit("n"), j)) * 2 - 1) * 0.3))
+      .select("vec_id", "vec")
+
+  private case class StageRec(name: String, sec: Double, rows: Long,
+      extra: Seq[(String, String)] = Nil) {
+    def json: String = {
+      val e = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+      s"""{"name":"$name","sec":$sec,"rows":$rows$e}"""
+    }
+  }
+
+  private def dedupRun(spark: SparkSession, nDocs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((docs, nOut), genSec) = timed {
+      val d = corpus(spark, nDocs).persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_corpus", genSec, nOut)
+    val ((pairs, nPairs), pairSec) = timed {
+      val p = graft.api.Dedup.minhashPairs(docs, "doc_id", "text").persist()
+      val n = p.count()
+      // the pair frame is materialized: free the builder's interior caches
+      // (the ~N×240-row shingle frame dominates) BEFORE the CC rounds — the
+      // documented consume-then-sweep lifecycle. Leaving them cached
+      // squeezes execution memory for every CC round (first measured run:
+      // CC wall 8.3× at 3× corpus, pure GC/spill pressure, rounds unchanged)
+      (p, n)
+    }
+    graft.api.Caches.sweep(spark)
+    recs += StageRec("minhash_pairs", pairSec, nPairs)
+    val ((rounds, nComp), ccSec) = timed {
+      val (c, r) = graft.api.Dedup.connectedComponentsWithRounds(pairs)
+      (r, c.agg(countDistinct(col("component"))).head().getLong(0))
+    }
+    recs += StageRec("connected_components", ccSec, nComp,
+      Seq("rounds" -> rounds.toString))
+    // free everything this size pinned (incl. the final CC label frame's
+    // localCheckpoint blocks, which live in persistentRdds)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    graft.api.Caches.sweep(spark)
+    pairs.unpersist(blocking = true)
+    docs.unpersist(blocking = true)
+    recs.toSeq
+  }
+
+  private def annRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((nv, nRows), genSec) = timed {
+      val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
+        .select(col("vec_id"), col("vd"), col("nrm")).persist()
+      (n, n.count())
+    }
+    recs += StageRec("gen_vectors", genSec, nRows)
+    val (cb, trainSec) = timed(
+      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = 64, iters = 2))
+    recs += StageRec("kmeans_train_k64_i2", trainSec, 64)
+    val ((assigned, aRows), assignSec) = timed {
+      val a = graft.api.Vectors.assignCells(nv, cb).persist()
+      (a, a.count())
+    }
+    recs += StageRec("assign_cells", assignSec, aRows)
+    val (probeRows, probeSec) = timed {
+      val queries = nv.filter(col("vec_id") < 100)
+      graft.api.Vectors.ivfProbeWith(assigned, cb, queries, "vec_id", "cell",
+        k = 10, probes = 2, salt = 8).count()
+    }
+    recs += StageRec("ivf_probe_100q", probeSec, probeRows)
+    graft.api.Caches.sweep(spark)
+    assigned.unpersist(blocking = true)
+    nv.unpersist(blocking = true)
+    recs.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000")
+      .split(",").map(_.trim.toLong).toSeq
+    val vecSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "20000,60000")
+      .split(",").map(_.trim.toLong).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricListener
+    spark.sparkContext.addSparkListener(listener)
+    spark.range(100000).selectExpr("count(DISTINCT id)").collect() // warm-up
+
+    // unrecorded warm-up at toy size: JIT + codegen-infrastructure compile
+    // time otherwise bills entirely to the FIRST measured size and fakes a
+    // sublinear growth ratio (the small size looks slower than it is)
+    dedupRun(spark, 3000)
+    annRun(spark, 2000)
+
+    case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
+        json: String)
+    def measured(tag: String, size: Long, body: => Seq[StageRec]): Run = {
+      listener.reset(); resetPeaks()
+      val (stages, wallSec) = timed(body)
+      System.err.println(f"[stress] $tag size=$size wall=$wallSec%.1f s " +
+        stages.map(s => f"${s.name}=${s.sec}%.1f").mkString(" "))
+      val shuffleMB = listener.shuffleWrite.get / (1 << 20)
+      Run(tag, size, wallSec, shuffleMB,
+        s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,""" +
+          s""""stages":[${stages.map(_.json).mkString(",")}],""" +
+          s""""jobs":${listener.jobs.get},""" +
+          s""""shuffle_write_mb":$shuffleMB,""" +
+          s""""shuffle_read_mb":${listener.shuffleRead.get / (1 << 20)},""" +
+          s""""disk_spill_mb":${listener.spill.get / (1 << 20)},""" +
+          s""""max_task_peak_exec_mb":${listener.maxTaskPeakExecMem.get / (1 << 20)},""" +
+          s""""peak_heap_mb":$peakHeapMB}""")
+    }
+
+    val runs = scala.collection.mutable.ListBuffer.empty[Run]
+    docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
+    vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
+
+    // growth ratios between consecutive sizes of each path: the linearity
+    // evidence in one place (wall/shuffle ratio ≈ size ratio = linear)
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val ratios = runs.toList.groupBy(_.path).toSeq.sortBy(_._1).flatMap { case (p, rs) =>
+      rs.sortBy(_.size).sliding(2).collect { case List(a, b) =>
+        s"""{"path":"$p","size_ratio":${r2(b.size.toDouble / a.size)},""" +
+          s""""wall_ratio":${r2(b.wall / a.wall)},""" +
+          s""""shuffle_ratio":${r2(b.shuffleMB.toDouble / math.max(1, a.shuffleMB))}}"""
+      }
+    }
+
+    // worst-case label-chain shape: a single 4096-link chain — pointer
+    // doubling must close it in ~log2(4096)=12 rounds (+probe granularity)
+    import spark.implicits._
+    val chain = (0L until 4096L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ((chainRounds, chainComps), chainSec) = timed {
+      val (c, r) = graft.api.Dedup.connectedComponentsWithRounds(chain)
+      (r, c.agg(countDistinct(col("component"))).head().getLong(0))
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val chainJson = s"""{"chain_links":4096,"rounds":$chainRounds,""" +
+      s""""components":$chainComps,"sec":$chainSec}"""
+
+    val heap = Runtime.getRuntime.maxMemory() / (1 << 20)
+    val out =
+      s"""{"harness":"graft.Stress","cpus":$cpus,"driver_max_heap_mb":$heap,""" +
+        s""""runs":[${runs.map(_.json).mkString(",")}],""" +
+        s""""growth":[${ratios.mkString(",")}],"cc_chain":$chainJson}"""
+    println(out)
+    args.headOption.foreach { p =>
+      val w = new java.io.PrintWriter(p); try w.println(out) finally w.close()
+    }
+    spark.stop()
+  }
+}

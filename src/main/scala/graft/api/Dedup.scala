@@ -306,7 +306,16 @@ object Dedup {
     * so it runs every 2nd round — an unchanged sum across two rounds is
     * still exactly a fixed point, and the probe count halves.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of hook+jump rounds it ran —
+    * the observable behind the O(log n) claim. `graft.Stress` records it
+    * (rounds ≈ log₂(longest label chain) + the 2-round convergence probe
+    * granularity) and ApiSpec asserts it on a 1000-chain.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Int) = {
     // localCheckpoint blocks register in persistentRdds, not the SQL cache.
     // The handle for freeing them is taken DIRECTLY off the returned plan
     // (an eager localCheckpoint always yields a LogicalRDD wrapping the
@@ -378,6 +387,6 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter iterations; " +
           "raise maxIter")
     }
-    comp
+    (comp, i)
   }
 }

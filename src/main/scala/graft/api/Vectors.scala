@@ -90,25 +90,28 @@ object Vectors {
   }
 
   /** Nearest-cell assignment with the codebook compiled into the projection
-    * as literals: one codegen'd `vec_dot` loop per cell and an `array_max`
-    * argmax (ties → lowest cell). A pure per-row map — no join, no shuffle,
-    * no k× row blowup — the scale-correct shape for scoring a 100 TB corpus
-    * against a small codebook (k rows of doubles always fit in a plan).
+    * as literals, fused into ONE codegen'd loop over a primitive `double[][]`
+    * ([[graft.functions.ArgmaxCell]]: ties → lowest cell id, `Double.compare`
+    * total order). A pure per-row map — no join, no shuffle, no k× row
+    * blowup — the scale-correct shape for scoring a 100 TB corpus against a
+    * small codebook (k rows of doubles always fit in a plan).
+    *
+    * The earlier `array_max(array(struct(acos, -cell)...))` formulation was
+    * result-identical but ~1000× slower per row (per-row struct-array
+    * materialization); graft.Stress flagged it at 60k×64×64.
     */
   private def assignCellsTo(nv: DataFrame,
       cb: Array[(Int, Seq[Double], Double)]): DataFrame = {
     // fail HERE with the actual mistake, not deep in analysis where
-    // array_max over zero struct children produces an unresolvable plan
+    // argmax_cell over an empty codebook produces an unresolvable plan
     require(cb.nonEmpty, "assignCells requires a non-empty codebook")
     graft.functions.VectorFunctions.register(nv.sparkSession)
-    val scored = cb.map { case (cell, cvd, cnrm) =>
-      val planeSql = cvd.mkString("array(", "D, ", "D)")
-      struct((expr(s"vec_dot(vd, $planeSql)") / (col("nrm") * lit(cnrm))).as("acos"),
-        lit(-cell).as("nc"))
-    }
-    nv.withColumn("best", array_max(array(scored.toSeq: _*)))
-      .withColumn("cell", -col("best.nc"))
-      .drop("best")
+    val cellsSql = cb.map(_._2.mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    val cnrmsSql = cb.map(_._3).mkString("array(", "D, ", "D)")
+    val idsSql = cb.map(_._1).mkString("array(", ", ", ")")
+    nv.withColumn("cell",
+      expr(s"argmax_cell(vd, nrm, $cellsSql, $cnrmsSql, $idsSql)"))
   }
 
   /** Adds a `cell` column: the id of the nearest `codebook` centroid by

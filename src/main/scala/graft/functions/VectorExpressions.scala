@@ -158,12 +158,141 @@ case class BitsHamming(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: fused nearest-centroid argmax against a
+  * LITERAL codebook — `argmax_cell(vd, nrm, cells, cnrms, ids)` returns the
+  * id of the centroid maximizing `vec_dot(vd, cells[c]) / (nrm * cnrms[c])`
+  * (cosine; ties and NaN resolved by `Double.compare` total order with the
+  * FIRST maximal cell winning — bit-identical to the
+  * `array_max(array(struct(acos, -cell)...))` formulation it replaced).
+  *
+  * Exists because the struct/array_max formulation, though whole-stage
+  * codegen'd, ran ~1000× slower than a primitive loop (measured 12 s for
+  * 60k rows × 64 cells × 64 dims on 32 cores — per-row materialization of a
+  * 64-struct array plus non-primitive max ordering; the fused loop runs the
+  * same 245M multiplies in <0.3 s). This is THE inner loop of scoring a
+  * 100 TB corpus against a k-means codebook, and of every k-means training
+  * iteration, so it must be a tight primitive loop.
+  *
+  * The codebook children must be foldable (literals after constant folding);
+  * they are extracted ONCE into primitive `double[][]`/`double[]`/`int[]`
+  * reference objects — never re-materialized per row.
+  */
+case class ArgmaxCell(children: Seq[Expression]) extends Expression {
+  private def vd = children(0)
+  private def nrm = children(1)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDA(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    }
+    val shapeOk = children.length == 5 && isDA(vd.dataType) &&
+      nrm.dataType == DoubleType &&
+      (children(2).dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false
+      }) && isDA(children(3).dataType) &&
+      (children(4).dataType match {
+        case ArrayType(IntegerType, _) => true; case _ => false
+      })
+    if (!shapeOk)
+      TypeCheckResult.TypeCheckFailure(
+        "argmax_cell requires (ARRAY<DOUBLE>, DOUBLE, ARRAY<ARRAY<DOUBLE>>, " +
+          "ARRAY<DOUBLE>, ARRAY<INT>)")
+    else if (!children.drop(2).forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "argmax_cell codebook arguments (cells, cnrms, ids) must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val (cellsArr, cnrmsArr, idsArr) = {
+    val ca = children(2).eval(null).asInstanceOf[ArrayData]
+    val cells = Array.tabulate(ca.numElements())(i => ca.getArray(i).toDoubleArray())
+    val cns = children(3).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    val ids = children(4).eval(null).asInstanceOf[ArrayData].toIntArray()
+    require(cells.length > 0 && cells.length == cns.length && cells.length == ids.length,
+      s"argmax_cell codebook arity mismatch: ${cells.length} cells, " +
+        s"${cns.length} norms, ${ids.length} ids")
+    (cells, cns, ids)
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = vd.nullable || nrm.nullable
+  override def prettyName: String = "argmax_cell"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vdv = vd.eval(input)
+    val nrmv = nrm.eval(input)
+    if (vdv == null || nrmv == null) null
+    else {
+      val xs = vdv.asInstanceOf[ArrayData]
+      val nr = nrmv.asInstanceOf[Double]
+      var best = -1
+      var bestV = 0.0
+      var c = 0
+      while (c < cellsArr.length) {
+        val cv = cellsArr(c)
+        val n = math.min(cv.length, xs.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += cv(j) * xs.getDouble(j); j += 1 }
+        val acos = s / (nr * cnrmsArr(c))
+        if (best < 0 || java.lang.Double.compare(acos, bestV) > 0) {
+          best = c; bestV = acos
+        }
+        c += 1
+      }
+      idsArr(best)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vdCode = vd.genCode(ctx)
+    val nrmCode = nrm.genCode(ctx)
+    val cellsRef = ctx.addReferenceObj("cells", cellsArr, "double[][]")
+    val cnrmsRef = ctx.addReferenceObj("cnrms", cnrmsArr, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", idsArr, "int[]")
+    val (best, bestV, c, cv, n, s, j, acos) = (ctx.freshName("best"),
+      ctx.freshName("bestV"), ctx.freshName("c"), ctx.freshName("cv"),
+      ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("j"),
+      ctx.freshName("acos"))
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${vdCode.code}
+        ${nrmCode.code}
+        boolean ${ev.isNull} = ${vdCode.isNull} || ${nrmCode.isNull};
+        int ${ev.value} = -1;
+        if (!${ev.isNull}) {
+          int $best = -1;
+          double $bestV = 0.0;
+          for (int $c = 0; $c < $cellsRef.length; $c++) {
+            double[] $cv = $cellsRef[$c];
+            int $n = java.lang.Math.min($cv.length, ${vdCode.value}.numElements());
+            double $s = 0.0;
+            for (int $j = 0; $j < $n; $j++) {
+              $s += $cv[$j] * ${vdCode.value}.getDouble($j);
+            }
+            double $acos = $s / (${nrmCode.value} * $cnrmsRef[$c]);
+            if ($best < 0 || java.lang.Double.compare($acos, $bestV) > 0) {
+              $best = $c; $bestV = $acos;
+            }
+          }
+          ${ev.value} = $idsRef[$best];
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArgmaxCell =
+    copy(children = newChildren)
+}
+
 object VectorFunctions {
   val dotBuilder: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
   val permuteBuilder: Seq[Expression] => Expression =
     exprs => PermuteHash(exprs(0), exprs(1))
   val hammingBuilder: Seq[Expression] => Expression =
     exprs => BitsHamming(exprs(0), exprs(1))
+  val argmaxCellBuilder: Seq[Expression] => Expression = exprs => ArgmaxCell(exprs)
 
   /** Runtime registration on a live session (used by the query builders). */
   def register(spark: SparkSession): Unit = {
@@ -173,6 +302,8 @@ object VectorFunctions {
       "permute_hash", permuteBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bits_hamming", hammingBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmax_cell", argmaxCellBuilder, "built-in")
   }
 }
 
@@ -195,5 +326,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bits_hamming"),
       new ExpressionInfo(classOf[BitsHamming].getName, "bits_hamming"),
       VectorFunctions.hammingBuilder))
+    e.injectFunction((
+      FunctionIdentifier("argmax_cell"),
+      new ExpressionInfo(classOf[ArgmaxCell].getName, "argmax_cell"),
+      VectorFunctions.argmaxCellBuilder))
   }
 }

@@ -103,6 +103,35 @@ class ApiSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("saltedBandPairs spreads a hot bucket's pairs ~evenly over the salt grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the 100 TB skew claim, asserted: a mass-duplication bucket of k=1000
+    // docs produces k(k-1)/2 = 499500 candidate pairs; the two-sided grid
+    // salt must spread them over all s×s blocks (each block one join task's
+    // work unit) at ~k²/(2·salt) pairs each — NOT one k²-pair task. Each
+    // pair meets in exactly ONE grid block (a's own-axis salt × b's
+    // own-axis salt), so recomputing the block key from the output pairs
+    // reproduces the per-task pair distribution exactly.
+    val k = 1000
+    val salt = 16
+    val s = 4 // ceil(sqrt(16))
+    val sig = (0 until k).map(i => (i.toLong, 0, 42L)).toDF("id", "band", "bsig")
+    val blocks = Dedup.saltedBandPairs(sig, salt)
+      .groupBy(pmod(xxhash64(col("a_id")), lit(s.toLong)).as("ba"),
+        pmod(xxhash64(col("b_id")), lit(s.toLong)).as("bb"))
+      .count().as[(Long, Long, Long)].collect()
+    val total = blocks.map(_._3).sum
+    assert(total == k.toLong * (k - 1) / 2, "pair universe must be complete")
+    assert(blocks.length == s * s, "every grid block must carry work")
+    val mean = total.toDouble / (s * s)
+    val maxBlock = blocks.map(_._3).max
+    // xxhash64 spreads ids ~uniformly: the largest task's share must stay
+    // within 1.5× the ideal k²/(2·salt) split (observed ≈1.1×)
+    assert(maxBlock <= 1.5 * mean,
+      s"hot-bucket skew: max block $maxBlock vs ideal $mean")
+  }
+
   test("dedup builders tolerate degenerate inputs (short docs, empty pair sets)") {
     import spark.implicits._
     // docs shorter than the shingle/ngram size must be dropped, not explode
@@ -138,9 +167,10 @@ class ApiSpec extends SparkSpec {
         jobCounter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
-    val comp =
+    val (comp, rounds) =
       try {
-        val m = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+        val (compDf, r) = Dedup.connectedComponentsWithRounds(pairs)
+        val m = compDf.as[(Long, Long)].collect().toMap
         var prev = -1
         var stable = 0
         var attempts = 0
@@ -150,9 +180,14 @@ class ApiSpec extends SparkSpec {
           val now = jobCounter.get()
           if (now == prev) stable += 1 else { stable = 0; prev = now }
         }
-        m
+        (m, r)
       } finally spark.sparkContext.removeSparkListener(listener)
     val jobs = jobCounter.get()
+    // the direct observable behind the job-count proxy below: pointer
+    // doubling halves the label-chain depth per round, so the 1000-link
+    // chain closes in ~log2(1000)=10 rounds + the 2-round convergence-probe
+    // granularity — an O(diameter) propagation would need ~1000
+    assert(rounds <= 14, s"expected O(log n) CC rounds, ran $rounds")
     assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
     assert(Seq(4L, 5L).forall(comp(_) == 4L))
     assert((1000L to 2000L).forall(comp(_) == 1000L))
