@@ -6,7 +6,11 @@ import scala.jdk.CollectionConverters._
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
   * Queries run in sorted-name order (deterministic run order across rounds,
-  * so positional effects like JIT/code-cache drift are comparable). Failures
+  * so positional effects like JIT/code-cache drift are comparable). Each
+  * query runs THREE times (fresh plan each run, caches swept between) and
+  * records the MEDIAN, so one contended sample cannot define a round's
+  * record; the per-query "detail" map keeps the first (cold) run's
+  * build/plan/exec split plus the median and min-max spread. Failures
   * are recorded as NEGATIVE seconds plus a "failed" list — a broken query
   * cannot masquerade as a fast one.
   *
@@ -49,12 +53,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val loadStart = loadAvg
     val failed = mutable.ListBuffer.empty[String]
+    // drop blocks persisted inside operators so runs stay independent and
+    // cold (cache build-up also degrades later queries via GC pressure);
+    // localCheckpoint blocks live in persistentRdds, not the SQL cache
+    // manager, and api builders register frames with Caches
+    def sweepAll(): Unit = {
+      graft.api.Caches.sweep(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMs
       val t0 = System.nanoTime()
       var buildSec = 0.0
       var planSec = 0.0
-      val ok =
+      var ok =
         try {
           val df = fn(spark, sfDir)
           // builders with eager setup (bucketed-table writes, iterative
@@ -69,29 +82,43 @@ object Bench {
           df.queryExecution.toRdd.count()
           true
         } catch { case _: Throwable => failed += name; false }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val run1 = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMs - gc0) / 1000.0
-      // drop blocks persisted inside operators so queries stay independent
-      // and cold (cache build-up also degrades later queries via GC
-      // pressure); localCheckpoint blocks live in persistentRdds, not the
-      // SQL cache manager, and api builders register frames with Caches
-      graft.api.Caches.sweep(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      sweepAll()
+      // two more full fn()+execute samples (fresh plan each — re-running
+      // the SAME QueryExecution's RDD would reuse its shuffle map outputs
+      // and time only the final stage), caches swept between samples so
+      // each is cold w.r.t. builder-persisted frames. The MEDIAN is the
+      // recorded number: a single contended sample (outside-host noise
+      // inflates cold runs 2-4x) no longer defines the round's record.
+      val extra = if (!ok) Seq.empty else (1 to 2).flatMap { _ =>
+        val t = System.nanoTime()
+        val r =
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t) / 1e9)
+          } catch { case _: Throwable => failed += name; ok = false; None }
+        sweepAll()
+        r
+      }
+      val samples = (run1 +: extra).sorted
+      val med = samples(samples.size / 2)
+      val spread = samples.last - samples.head
       System.err.println(
-        f"[bench] $name%-28s $sec%8.2f s  (build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
-      (name, if (ok) sec else -sec, buildSec, planSec, gcSec)
+        f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${samples.size} runs, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
+      (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v, b, p, g) =>
-      val e = r3(math.abs(v) - b - p)
-      s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)}}"""
+    val detail = results.map { case (k, v, b, p, g, run1, spread) =>
+      val e = r3(run1 - b - p)
+      s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)},""" +
+        s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)}}"""
     }.mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map { case (_, v, _, _, _) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"sf":"$sfDir"}""")
+    val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map { case (_, v, _, _, _, _, _) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -213,6 +213,15 @@ object Stress {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // force the 100 TB join regime at BOTH sizes: with auto-broadcast on,
+      // the small size broadcasts candidate/dimension frames the big size
+      // shuffles, and the cross-size shuffle ratio measures the plan
+      // TRANSITION (observed 26×) instead of the data growth. At corpus
+      // scale none of these frames is broadcastable, so the all-shuffle
+      // plan is the one whose growth the record must demonstrate.
+      // (The deliberate broadcast() hints in the operators are unaffected.)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -230,12 +239,14 @@ object Stress {
         json: String)
     def measured(tag: String, size: Long, body: => Seq[StageRec]): Run = {
       listener.reset(); resetPeaks()
+      val load0 = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       val (stages, wallSec) = timed(body)
       System.err.println(f"[stress] $tag size=$size wall=$wallSec%.1f s " +
         stages.map(s => f"${s.name}=${s.sec}%.1f").mkString(" "))
       val shuffleMB = listener.shuffleWrite.get / (1 << 20)
       Run(tag, size, wallSec, shuffleMB,
-        s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,""" +
+        s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,"loadavg_start":$load0,""" +
           s""""stages":[${stages.map(_.json).mkString(",")}],""" +
           s""""jobs":${listener.jobs.get},""" +
           s""""shuffle_write_mb":$shuffleMB,""" +
@@ -273,8 +284,13 @@ object Stress {
       s""""components":$chainComps,"sec":$chainSec}"""
 
     val heap = Runtime.getRuntime.maxMemory() / (1 << 20)
+    // self-identifying contention telemetry (the r3 bench lesson): totals
+    // are only comparable between records taken at similar machine load
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     val out =
       s"""{"harness":"graft.Stress","cpus":$cpus,"driver_max_heap_mb":$heap,""" +
+        s""""loadavg_end":$load,""" +
         s""""runs":[${runs.map(_.json).mkString(",")}],""" +
         s""""growth":[${ratios.mkString(",")}],"cc_chain":$chainJson}"""
     println(out)

@@ -51,9 +51,11 @@ object Caches {
     frames.filterInPlace(f => !f.sparkSession.sparkContext.isStopped)
 
   /** Persist `df` and register it for a later [[sweep]] (or, inside
-    * [[scoped]], for that scope's exit).
+    * [[scoped]], for that scope's exit). Public: composed operators outside
+    * `graft.api` (e.g. the `graft.ops` registry queries) persist interior
+    * frames under the same lifecycle discipline.
     */
-  private[api] def cache(df: DataFrame): DataFrame = {
+  def cache(df: DataFrame): DataFrame = {
     val out = df.persist()
     val s = scope.get
     if (s != null) { s += out }

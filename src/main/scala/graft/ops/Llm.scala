@@ -399,6 +399,79 @@ ORDER BY q_id"""))
     * to its original) derived from the corpus itself — the full LSH + verify
     * path must recover exactly these 20 pairs at any scale.
     */
+  /** SemDeDup-style semantic dedup: k-means cells as the blocking
+    * structure, exact cosine ≥ 0.4 pairs WITHIN a cell only, and the
+    * deterministic greedy keep-lowest-id rule (any vector that is a
+    * cosine-dup of a lower id in its cell is dropped). Output: per-cell
+    * summary (docs, dup pairs, dropped, kept).
+    *
+    * Scale: the only full-corpus passes are the codebook scoring projection
+    * (fused literal-codebook `argmax_cell` loop — shuffle-free) and the
+    * within-cell pair join, which rides the two-sided salted grid (a hot
+    * cell of k vectors costs ~k²/salt per task, never one task); nothing
+    * broadcast grows with the corpus, and the greedy rule needs no
+    * iteration (one distinct over the pair frame) — semantic dedup without
+    * a connected-components pass. Threshold 0.4 sits inside the fixture's
+    * organic cosine range (the synthetic embeddings plant no near-dups; max
+    * organic pairwise cos ≈ 0.5) so the fixture exercises nonzero drops;
+    * real corpora run ~0.95.
+    *
+    * Deterministic end to end (hash-seeded k-means, DECIMAL-exact centroid
+    * means, round(cos,4) thresholds over same-order dot products), so the
+    * whole pipeline — training loop included — unrolls into DuckDB CTEs.
+    */
+  private val llmSemdedup = Q(
+    "llm_semdedup",
+    (s, d) => {
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val idx = graft.api.Caches.cache(Vectors.assignCells(nv, cb)
+        .select(col("vec_id"), col("cell"), col("vd"), col("nrm")))
+      val sig = idx.select(col("vec_id").as("id"), lit(0).as("band"),
+        col("cell").as("bsig"))
+      val pairs = graft.api.Caches.cache(Dedup.saltedBandPairs(sig, salt = 8)
+        .join(idx.select(col("vec_id").as("a_id"), col("cell"),
+          col("vd").as("a_vd"), col("nrm").as("a_nrm")), "a_id")
+        .join(idx.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+          col("nrm").as("b_nrm")), "b_id")
+        .filter(round(Vectors.cosine("a_vd", "a_nrm", "b_vd", "b_nrm"), 4) >= 0.4)
+        .select(col("cell"), col("a_id"), col("b_id")))
+      val perCell = idx.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+      val pairAgg = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+      val dropAgg = pairs.select(col("cell"), col("b_id")).distinct()
+        .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+      perCell
+        .join(pairAgg, Seq("cell"), "left")
+        .join(dropAgg, Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+${kmeansSql("n0", 8, 2)},
+idx AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+pairs AS (SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id
+  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 4) >= 0.4),
+pc AS (SELECT cell, count(*) AS n_docs FROM idx GROUP BY 1),
+pa AS (SELECT cell, count(*) AS n_pairs FROM pairs GROUP BY 1),
+da AS (SELECT cell, count(*) AS n_dropped
+       FROM (SELECT DISTINCT cell, b_id FROM pairs) GROUP BY 1)
+SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_docs,
+  coalesce(pa.n_pairs, 0) AS n_pairs,
+  coalesce(da.n_dropped, 0) AS n_dropped,
+  pc.n_docs - coalesce(da.n_dropped, 0) AS n_kept
+FROM pc LEFT JOIN pa ON pc.cell = pa.cell LEFT JOIN da ON pc.cell = da.cell
+ORDER BY cell"""))
+
   private val llmEmbedNeardup = Q(
     "llm_embed_neardup",
     (s, d) => {
@@ -931,7 +1004,7 @@ GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmCosineTopk, llmKnnLabel,
-    llmEmbedNeardup, llmAnnIvf, llmAnnRecall,
+    llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,

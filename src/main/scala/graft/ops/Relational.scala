@@ -855,6 +855,55 @@ JOIN (SELECT event_type, min(value) AS lo, max(value) AS hi
 ON e.event_type = b.event_type
 GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** Weighted percentiles (§2.4 ext): smallest l_extendedprice whose
+    * cumulative l_quantity weight reaches p × the flag's total weight —
+    * the volume-weighted price percentile a shipping/flow report asks for
+    * and `percentile()` can't express.
+    *
+    * Scale + determinism in one shape: the raw fact PRE-AGGREGATES to one
+    * row per (flag, DISTINCT price) — map-side-combinable, and the
+    * cumulative window then runs over distinct values with a TIE-FREE
+    * order (price is unique within the flag after the group-by, so the
+    * running sum is reproducible without a synthetic tiebreak). Quantities
+    * are integer-valued doubles (≪2^53): every sum is exact in any
+    * association order, and the p-thresholds multiply instead of divide
+    * (cw·2 ≥ tw, cw·10 ≥ tw·9) — pure integer arithmetic, no float
+    * rounding to diverge between engines. min(CASE WHEN qualifies) picks
+    * the crossing price without a second window pass (all prices past the
+    * crossing also qualify, so their min IS the crossing value). Output
+    * prices are raw fixture doubles.
+    */
+  private val aggWeightedPercentile = Q(
+    "agg_weighted_percentile",
+    (s, d) => {
+      val pre = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity")).as("w"))
+      val cum = pre
+        .withColumn("cw", sum(col("w")).over(
+          Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy("l_returnflag")))
+      cum.groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cw") * 2 >= col("tw"), col("l_extendedprice"))).as("wp50"),
+          min(when(col("cw") * 10 >= col("tw") * 9, col("l_extendedprice"))).as("wp90"),
+          sum(col("w")).as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH pre AS (
+  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, l_extendedprice, w,
+    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pre)
+SELECT l_returnflag,
+  min(CASE WHEN cw * 2 >= tw THEN l_extendedprice END) AS wp50,
+  min(CASE WHEN cw * 10 >= tw * 9 THEN l_extendedprice END) AS wp90,
+  sum(w) AS total_weight
+FROM cum GROUP BY 1 ORDER BY 1"""))
+
   /** The reference's headline report: top-10 problem links (here: users) by
     * error rate with an event-count floor — [[graft.api.Fts.successRate]]
     * composed with an orderBy+limit that plans as TakeOrderedAndProject
@@ -886,7 +935,7 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
-    aggStats, aggCollectSorted,
+    aggWeightedPercentile, aggStats, aggCollectSorted,
     aggPivot, aggMinmaxBy,
     aggHistogram)
 }

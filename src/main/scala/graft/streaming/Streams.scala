@@ -144,12 +144,13 @@ object Streams {
     * (`spark.sql.streaming.stateStore.providerClass`); state is one small
     * struct per user key — bounded, partitioned by the grouping key.
     */
-  class AnomalyProcessor extends StatefulProcessor[Long, EventRow, Anomaly] {
+  class AnomalyProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EventRow, Anomaly] {
     @transient private var stats: ValueState[RunStats] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       stats = getHandle.getValueState[RunStats]("runstats",
-        Encoders.product[RunStats], TTLConfig.NONE)
+        Encoders.product[RunStats], ttl)
 
     override def handleInputRows(uid: Long, rows: Iterator[EventRow],
         timerValues: TimerValues): Iterator[Anomaly] = {
@@ -169,9 +170,18 @@ object Streams {
     }
   }
 
-  def anomaliesTws(events: Dataset[EventRow]): Dataset[Anomaly] = {
+  /** `ttl` bounds per-key state lifetime: a key idle past the TTL has its
+    * running stats evicted by the store and the detector restarts its
+    * warm-up — the abandoned-key hygiene a billion-key stream needs (state
+    * for users who stop emitting must not accumulate forever). TTL is
+    * processing-time-based, so a non-NONE ttl switches the operator to
+    * `TimeMode.ProcessingTime`.
+    */
+  def anomaliesTws(events: Dataset[EventRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
-      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new AnomalyProcessor(ttl), mode, OutputMode.Append())
   }
 }

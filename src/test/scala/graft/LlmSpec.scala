@@ -137,6 +137,45 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_._3 >= 0.95))
   }
 
+  test("semdedup partitions the corpus and drops only cosine-dups of lower ids") {
+    import spark.implicits._
+    val rows = q("llm_semdedup")
+      .select("cell", "n_docs", "n_pairs", "n_dropped", "n_kept")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val corpus = graft.ops.T.embeddings(spark, sf).count()
+    // cells partition the corpus exactly; greedy keep-lowest invariants hold
+    assert(rows.map(_._2).sum == corpus, "cells must partition the corpus")
+    assert(rows.forall(r => r._5 == r._2 - r._4))
+    assert(rows.forall(r => r._4 <= r._3), "can't drop more docs than pairs")
+    assert(rows.forall(r => r._4 < r._2), "the lowest id of a cell always survives")
+    // threshold 0.4 sits inside the fixture's organic cosine range, so the
+    // fixture must actually exercise the drop path
+    assert(rows.map(_._3).sum > 0, "fixture should produce in-cell dup pairs")
+  }
+
+  test("weighted percentile equals a driver-side weighted-rank fold") {
+    import spark.implicits._
+    val got = q("agg_weighted_percentile")
+      .select("l_returnflag", "wp50", "wp90")
+      .as[(String, Double, Double)].collect()
+      .map { case (f, a, b) => f -> (a, b) }.toMap
+    val rows = graft.ops.T.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .as[(String, Double, Double)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (flag, es) =>
+      val sorted = es.sortBy(_._2)
+      val total = es.map(_._3).sum
+      // same exact integer arithmetic as the operator (cw·q ≥ tw·p): a
+      // float p*total can sit one ulp off an exact integer boundary
+      def wp(num: Int, den: Int): Double = {
+        var cum = 0.0
+        sorted.find { e => cum += e._3; cum * den >= total * num }.get._2
+      }
+      assert(got(flag)._1 == wp(1, 2), s"$flag wp50")
+      assert(got(flag)._2 == wp(9, 10), s"$flag wp90")
+    }
+  }
+
   test("multimodal decode preserves row count and computes deterministic checksums") {
     val df = q("llm_multimodal_decode")
     val docs = graft.ops.T.documents(spark, sf).count()

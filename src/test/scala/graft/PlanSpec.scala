@@ -192,6 +192,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("cell assignment plans as ONE codegen'd argmax projection (no join, no struct array)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.functions._
+    // the k-means scoring pass is the whole-corpus hot loop of the ANN /
+    // semdedup stack: it must stay a shuffle-free projection whose argmax
+    // runs inside whole-stage codegen via the fused ArgmaxCell expression —
+    // the array_max(struct...) shape it replaced was codegen'd too but
+    // cost ~6 core-ms/row materializing a 64-struct array per row
+    val nv = graft.api.Vectors.normalized(
+      graft.ops.T.embeddings(spark, sf), "embedding")
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val cb = graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 1)
+    val assigned = graft.api.Vectors.assignCells(nv, cb)
+    val qe = assigned.queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan
+    assert(plan.toString.contains("argmax_cell"),
+      s"assignment must go through the fused ArgmaxCell expression:\n$plan")
+    val spans = collectWithSubqueries(plan) { case w: WholeStageCodegenExec => w }
+    assert(spans.nonEmpty, s"assignment projection fell out of codegen:\n$plan")
+    val shuffles = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"cell assignment must be a pure per-row map, found shuffle:\n$plan")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")

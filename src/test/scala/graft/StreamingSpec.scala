@@ -208,6 +208,100 @@ class StreamingSpec extends SparkSpec {
       "watermark-late click must not produce new join output")
   }
 
+  test("stream-stream join state plateaus: watermark actually evicts (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a LONG replay with steadily advancing event time: 30 batches, 10
+    // minutes apart, 30 events each (clicks+errors interleaved). The join
+    // holds clicks ~30min+watermark and errors ~watermark behind max event
+    // time, so state must PLATEAU at a few batches' worth — result
+    // equality alone (the test above) cannot distinguish bounded state
+    // from a join that never evicts and grows for the stream's lifetime.
+    val mem = MemoryStream[Ev]
+    val qy = Streams.clickErrorJoin(mem.toDF()).writeStream
+      .format("memory").queryName("out_ssj_state").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val stateRows = scala.collection.mutable.ListBuffer.empty[Long]
+    var fed = 0L
+    (0 until 30).foreach { b =>
+      val t0 = base + b * 10L * 60 * 1000
+      val evs = (0 until 30).map { i =>
+        Ev(b * 1000L + i, new Timestamp(t0 + i * 1000L), i % 5L,
+          if (i % 2 == 0) "click" else "error", 1.0, "{}")
+      }
+      fed += evs.length
+      mem.addData(evs)
+      qy.processAllAvailable()
+      val p = qy.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        stateRows += p.stateOperators.map(_.numRowsTotal).sum
+    }
+    qy.stop()
+    assert(stateRows.nonEmpty, "no state-operator progress reported")
+    // eviction evidence: the final batch's state is far below everything
+    // fed, and no bigger than the early-plateau level — an unbounded join
+    // would grow state ~linearly with batch count (3x between batch 10
+    // and 30)
+    assert(stateRows.last < fed / 3,
+      s"state ${stateRows.last} rows should be a small fraction of $fed fed")
+    assert(stateRows.last <= stateRows(9) * 3 / 2,
+      s"state must plateau, not grow: batch10=${stateRows(9)} " +
+        s"batch30=${stateRows.last} (history: ${stateRows.mkString(",")})")
+  }
+
+  test("transformWithState TTL evicts idle per-key state (detector re-warms)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // 15 constant-value warm-up events then one wild outlier for the same
+      // user: with retained state the outlier trips the 3-sigma detector;
+      // if the key's state was TTL-evicted between batches, the detector is
+      // back in warm-up (n=0 < 10) and must emit nothing
+      def warmup = (0 until 15).map(i =>
+        graft.streaming.EventRow(i.toLong, new Timestamp(base + i * 1000L), 7L, "m", 10.0))
+      def outlier(id: Long) =
+        graft.streaming.EventRow(id, new Timestamp(base + 99000L), 7L, "m", 100.0)
+      // ONE continuous query per run. processing-time TTL runs no-data
+      // maintenance batches between triggers, which starves
+      // processAllAvailable (and Trigger.AvailableNow hangs outright with
+      // transformWithState+RocksDB), so data delivery is confirmed by
+      // polling the cumulative numInputRows instead; a 1s trigger interval
+      // keeps the maintenance batches off the hot loop
+      def run(name: String, ttl: org.apache.spark.sql.streaming.TTLConfig,
+          sleepMs: Long): Long = {
+        val mem = MemoryStream[graft.streaming.EventRow]
+        val qy = Streams.anomaliesTws(mem.toDS(), ttl).writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .trigger(Trigger.ProcessingTime(1000)).start()
+        def awaitInputRows(n: Long): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (qy.recentProgress.map(_.numInputRows).sum < n &&
+            System.nanoTime() < deadline) Thread.sleep(100)
+          assert(qy.recentProgress.map(_.numInputRows).sum >= n,
+            s"$name: stream did not consume $n rows within 60s")
+        }
+        mem.addData(warmup)
+        awaitInputRows(15) // constant warm-up values → z=0 → emits nothing
+        Thread.sleep(sleepMs)
+        mem.addData(Seq(outlier(100L)))
+        awaitInputRows(16) // proves the outlier batch WAS processed
+        qy.stop()
+        spark.table(name).count()
+      }
+      // control: no TTL — state survives the pause, outlier detected
+      assert(run("out_ttl_none", org.apache.spark.sql.streaming.TTLConfig.NONE, 3000) == 1L,
+        "without TTL the outlier must be flagged from retained state")
+      // 1s TTL + 3s idle: state evicted, detector re-warms, nothing emitted
+      assert(run("out_ttl_1s",
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(1)), 3000) == 0L,
+        "TTL-evicted state must put the detector back into warm-up")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed parquet file sink is exactly-once across a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
