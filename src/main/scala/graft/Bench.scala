@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-/** Driver-run benchmark: one JSON line with per-query seconds.
+/** Driver-run benchmark: a detail JSON line with per-query seconds, then a
+  * short summary JSON line (total/failures/top-5) that survives tail
+  * truncation of the captured stdout.
   *
   * Queries run in sorted-name order (deterministic run order across rounds,
   * so positional effects like JIT/code-cache drift are comparable). Each
@@ -102,7 +104,11 @@ object Bench {
         r
       }
       val samples = (run1 +: extra).sorted
-      val med = samples(samples.size / 2)
+      // true median: with an even sample count (reachable when an extra run
+      // fails) average the two middle samples instead of taking the upper one
+      val med =
+        if (samples.size % 2 == 1) samples(samples.size / 2)
+        else (samples(samples.size / 2 - 1) + samples(samples.size / 2)) / 2
       val spread = samples.last - samples.head
       System.err.println(
         f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${samples.size} runs, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
@@ -117,8 +123,17 @@ object Bench {
         s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)}}"""
     }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map { case (_, v, _, _, _, _, _) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":3,"queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"sf":"$sfDir"}""")
+    val total = r3(results.map { case (_, v, _, _, _, _, _) => math.abs(v) }.sum)
+    // Two lines, detail first: the committed record keeps only the LAST 2000
+    // chars of stdout, so rounds 1-4's single line (headline total at the
+    // head, detail at the tail) lost its total to truncation. The final line
+    // is a short, complete JSON object — whatever window the recorder keeps,
+    // the headline number and the slowest queries survive as parseable JSON.
+    println(s"""{"queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    val top5 = results.sortBy { case (_, v, _, _, _, _, _) => -math.abs(v) }
+      .take(5).map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -203,11 +203,57 @@ object Stress {
     recs.toSeq
   }
 
+  /** SemDeDup at stress scale: trained cells as blocking structure, then the
+    * within-cell salted pair join (the llm_semdedup shape) over the
+    * clusterable corpus. The extra observables are the per-cell pair-count
+    * skew — the quantity that decides whether a hot cell can concentrate in
+    * one task — alongside the listener's max-task-memory bound.
+    */
+  private def semdedupRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((nv, nRows), genSec) = timed {
+      val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
+        .select(col("vec_id"), col("vd"), col("nrm")).persist()
+      (n, n.count())
+    }
+    recs += StageRec("gen_vectors", genSec, nRows)
+    val (cb, trainSec) = timed(
+      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = 64, iters = 2))
+    recs += StageRec("kmeans_train_k64_i2", trainSec, 64)
+    val ((idx, aRows), assignSec) = timed {
+      val a = graft.api.Vectors.assignCells(nv, cb)
+        .select(col("vec_id"), col("cell"), col("vd"), col("nrm")).persist()
+      (a, a.count())
+    }
+    recs += StageRec("assign_cells", assignSec, aRows)
+    val ((nPairs, skew), pairSec) = timed {
+      val sig = idx.select(col("vec_id").as("id"), lit(0).as("band"),
+        col("cell").as("bsig"))
+      val pairs = graft.api.Dedup.saltedBandPairs(sig, salt = 8)
+        .join(idx.select(col("vec_id").as("a_id"), col("cell"),
+          col("vd").as("a_vd"), col("nrm").as("a_nrm")), "a_id")
+        .join(idx.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+          col("nrm").as("b_nrm")), "b_id")
+        .filter(graft.api.Vectors.cosine("a_vd", "a_nrm", "b_vd", "b_nrm") >= 0.8)
+        .select(col("cell"), col("a_id"), col("b_id"))
+      val row = pairs.groupBy("cell").agg(count(lit(1)).as("np"))
+        .agg(coalesce(sum(col("np")), lit(0L)), coalesce(max(col("np")), lit(0L)),
+          count(lit(1))).head()
+      (row.getLong(0), Seq("max_cell_pairs" -> row.getLong(1).toString,
+        "cells_with_pairs" -> row.getLong(2).toString))
+    }
+    recs += StageRec("semdedup_pairs", pairSec, nPairs, skew)
+    graft.api.Caches.sweep(spark)
+    idx.unpersist(blocking = true)
+    nv.unpersist(blocking = true)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000")
+    val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
-    val vecSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "20000,60000")
+    val vecSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "20000,60000,120000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -234,6 +280,7 @@ object Stress {
     // sublinear growth ratio (the small size looks slower than it is)
     dedupRun(spark, 3000)
     annRun(spark, 2000)
+    semdedupRun(spark, 2000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -259,6 +306,7 @@ object Stress {
     val runs = scala.collection.mutable.ListBuffer.empty[Run]
     docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
     vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
+    vecSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
 
     // growth ratios between consecutive sizes of each path: the linearity
     // evidence in one place (wall/shuffle ratio ≈ size ratio = linear)

@@ -201,14 +201,24 @@ object Vectors {
     val idx = index.select(col(idCol).as("n_id"), col(cellCol).as("n_cell"),
         col("vd").as("n_vd"), col("nrm").as("n_nrm"))
       .withColumn("i_salt", pmod(xxhash64(col("n_id")), lit(salt.toLong)).cast("int"))
+    // two-stage top-k: pre-rank per (q_id, salt) block and keep k, so the
+    // final per-query window sees at most salt×k rows per query — without
+    // the pre-rank, every candidate the salted join just spread over `salt`
+    // reducers re-concentrates in ONE reducer for the global rank. A block's
+    // non-top-k row can never be in the global top-k, and both stages break
+    // ties identically (cos desc, n_id asc), so the result is unchanged.
+    val wPre = Window.partitionBy("q_id", "q_salt")
+      .orderBy(col("cos").desc, col("n_id").asc)
     val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     idx.join(qCells,
         col("n_cell") === col("cell") && col("i_salt") === col("q_salt") &&
           col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= k)
       .withColumn("rn", row_number().over(wK))
       .filter(col("rn") <= k)
-      .drop("cell", "q_salt", "i_salt", "q_vd", "q_nrm", "n_vd", "n_nrm")
+      .drop("prn", "cell", "q_salt", "i_salt", "q_vd", "q_nrm", "n_vd", "n_nrm")
   }
 
   /** Embedding near-dup via sign-LSH: `numPlanes` fixed Gaussian hyperplanes

@@ -391,14 +391,6 @@ CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
 FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 ORDER BY q_id"""))
 
-  /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
-    * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
-    * verify). The fixture corpus contains no organic near-duplicates (max
-    * pairwise cos ≈ 0.51), so the query plants deterministic probes: a
-    * slightly perturbed copy of each of the first 20 vectors (cos ≈ 0.999
-    * to its original) derived from the corpus itself — the full LSH + verify
-    * path must recover exactly these 20 pairs at any scale.
-    */
   /** SemDeDup-style semantic dedup: k-means cells as the blocking
     * structure, exact cosine ≥ 0.4 pairs WITHIN a cell only, and the
     * deterministic greedy keep-lowest-id rule (any vector that is a
@@ -472,6 +464,14 @@ SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_docs,
 FROM pc LEFT JOIN pa ON pc.cell = pa.cell LEFT JOIN da ON pc.cell = da.cell
 ORDER BY cell"""))
 
+  /** Embedding near-dup — [[graft.api.Vectors.signLshPairs]] (16 seeded
+    * hyperplanes, 4×4-bit salted band blocking, exact cosine >= 0.95
+    * verify). The fixture corpus contains no organic near-duplicates (max
+    * pairwise cos ≈ 0.51), so the query plants deterministic probes: a
+    * slightly perturbed copy of each of the first 20 vectors (cos ≈ 0.999
+    * to its original) derived from the corpus itself — the full LSH + verify
+    * path must recover exactly these 20 pairs at any scale.
+    */
   private val llmEmbedNeardup = Q(
     "llm_embed_neardup",
     (s, d) => {
@@ -858,8 +858,12 @@ ORDER BY doc_id"""
   private val llmShardWrite = Q(
     "llm_shard_write",
     (s, d) => {
-      val outBase = new java.io.File(
-        s"target/graft_shards_${new java.io.File(d).getName}").getAbsolutePath
+      // absolute output root: CWD-relative target/ would scatter shard dirs
+      // when the harness invokes Verify/Bench from another working directory
+      val root = sys.props.getOrElse("graft.shard.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val outBase = new java.io.File(root,
+        s"graft_shards_${new java.io.File(d).getName}").getAbsolutePath
       val sharded = T.documents(s, d).withColumn("shard",
         expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) % 8"))
       // the write runs on EVERY build (no done-marker): a cached layout

@@ -51,32 +51,68 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
 FROM customer ORDER BY c_custkey"""))
 
-  /** The fact-scale twin of [[winNtile]]: quartiles via exact percentile
-    * CUTOFFS (one aggregate) broadcast back and bucketed per-row — no
-    * global window, no single-reducer total order, so the shape survives a
-    * table 10⁶× this size. The trade named in [[winNtile]]'s caveat is
-    * explicit here: rows tied exactly AT a cutoff land in the lower bucket
-    * (deterministic, but bucket populations can differ from exact ntile by
-    * the tie count). Declared-only: the cutoff interpolation path is
-    * engine-divergent at the last ulp (see agg_percentiles' round(4)); the
-    * golden fingerprint pins the Spark result and WindowsSpec bounds the
-    * divergence from exact ntile.
+  /** The fact-scale twin of [[winNtile]]: quartiles via exact RANK-THRESHOLD
+    * cutoffs broadcast back and bucketed per-row — no global window, no
+    * single-reducer total order, so the shape survives a table 10⁶× this
+    * size. Cutoff k is the smallest value whose cumulative row count cw
+    * satisfies cw·4 ≥ k·n (percentile_disc semantics spelled out in pure
+    * integer arithmetic — both engines agree exactly, unlike interpolated
+    * percentiles, so this is fully oracled; r1–r4 kept it declared-only on
+    * an interpolated-cutoff formulation). The cumulative count reuses the
+    * two-stage bucketed prefix sum of agg_weighted_percentile: range-bucket
+    * distinct values, per-bucket partials → exclusive offsets via a tiny
+    * triangular self-join, within-bucket cumulative window on (bucket) with
+    * reducer input corpus/buckets. The trade named in [[winNtile]]'s caveat
+    * stays: rows tied exactly AT a cutoff land in the lower bucket
+    * (deterministic; populations can differ from exact ntile by tie counts
+    * and the ceil-rank boundary, bounded in WindowsSpec).
     */
+  private val ntBuckets = 32
+
   private val winNtileScalable = Q(
     "win_ntile_scalable",
     (s, d) => {
-      val cuts = T.customer(s, d)
-        .agg(expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").as("qs"))
-      T.customer(s, d).crossJoin(broadcast(cuts))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val pre = cust.groupBy("c_acctbal").agg(count(lit(1)).as("w"))
+      val stats = pre.agg(sum(col("w")).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      val bucketed = pre.crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("c_acctbal") - col("lo"))
+              / (col("hi") - col("lo")) * ntBuckets), lit(ntBuckets - 1L))))
+      val bw = bucketed.groupBy("bucket").agg(sum(col("w")).as("bw"))
+      val bw2 = bw.select(col("bucket").as("b2"), col("bw").as("w2"))
+      val offsets = bw.join(bw2, col("b2") < col("bucket"), "left")
+        .groupBy("bucket").agg(coalesce(sum(col("w2")), lit(0L)).as("off"))
+      val cum = bucketed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cw", col("off") + sum(col("w")).over(
+          Window.partitionBy("bucket").orderBy("c_acctbal")))
+      val cuts = cum.agg(
+        min(when(col("cw") * 4 >= col("n"), col("c_acctbal"))).as("v1"),
+        min(when(col("cw") * 4 >= col("n") * 2, col("c_acctbal"))).as("v2"),
+        min(when(col("cw") * 4 >= col("n") * 3, col("c_acctbal"))).as("v3"))
+      cust.crossJoin(broadcast(cuts))
         .select(col("c_custkey"), col("c_acctbal"),
           (lit(1) +
-            when(col("c_acctbal") > element_at(col("qs"), 1), 1).otherwise(0) +
-            when(col("c_acctbal") > element_at(col("qs"), 2), 1).otherwise(0) +
-            when(col("c_acctbal") > element_at(col("qs"), 3), 1).otherwise(0))
+            when(col("c_acctbal") > col("v1"), 1).otherwise(0) +
+            when(col("c_acctbal") > col("v2"), 1).otherwise(0) +
+            when(col("c_acctbal") > col("v3"), 1).otherwise(0))
             .as("quartile"))
         .orderBy("c_custkey")
     },
-    None)
+    Some("""WITH t AS (SELECT count(*) AS n FROM customer),
+pre AS (SELECT c_acctbal AS v, count(*) AS w FROM customer GROUP BY 1),
+cum AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM pre),
+cuts AS (SELECT
+    min(CASE WHEN cw * 4 >= n THEN v END) AS v1,
+    min(CASE WHEN cw * 4 >= n * 2 THEN v END) AS v2,
+    min(CASE WHEN cw * 4 >= n * 3 THEN v END) AS v3
+  FROM cum, t)
+SELECT c_custkey, c_acctbal,
+1 + CAST(c_acctbal > v1 AS INT) + CAST(c_acctbal > v2 AS INT)
+  + CAST(c_acctbal > v3 AS INT) AS quartile
+FROM customer, cuts ORDER BY c_custkey"""))
 
   /** Per-user event-type transition matrix — the state-machine report of
     * transfer monitoring (which states follow which, e.g. click→error

@@ -390,6 +390,30 @@ class ApiSpec extends SparkSpec {
       .sameElements(cb2.collect().map(_.toString).sorted))
   }
 
+  test("ivfProbeWith two-stage top-k equals single-window ranking, plan keeps the partial rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // ONE cell, 60 vectors: the probed cell is the whole index, so exact
+    // brute-force top-k is the reference; with salt=8 blocks of ~7 rows and
+    // k=5, the per-(query, salt) pre-rank genuinely filters candidates
+    val data = (0 until 60).map(i => (i.toLong, 0, Array.fill(16)(rnd.nextGaussian())))
+    val nv = Vectors.normalized(data.toDF("id", "cell", "vec"), "vec")
+    val idx = nv.select(col("id"), col("cell"), col("vd"), col("nrm"))
+    val q = nv.filter(col("id").isin(3L, 17L, 42L))
+      .select(col("id"), col("vd"), col("nrm"))
+    val r = Vectors.ivfProbe(idx, q, "id", "cell", k = 5, probes = 1)
+    val got = r.select("q_id", "rn", "n_id").as[(Long, Int, Long)].collect().toSet
+    val ref = Vectors.cosineTopK(idx.drop("cell"), q, "id", k = 5)
+      .select("q_id", "rn", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == ref, s"two-stage top-k diverged:\n got=$got\n ref=$ref")
+    // the pre-rank stage must survive optimization as a second Window
+    val wins = r.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size >= 2,
+      s"expected partial + final rank windows:\n${r.queryExecution.optimizedPlan}")
+  }
+
   test("ivfProbe finds neighbors from the query's own cluster") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -221,6 +221,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  test("agg_weighted_percentile never windows on the flag alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // partitionBy(l_returnflag) — 3 distinct values — funnels every distinct
+    // price of a flag through one reducer at scale; the two-stage prefix sum
+    // must leave only windows keyed on (flag, bucket)
+    val p = plan("agg_weighted_percentile")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"within-bucket cumulative sum should still be a window:\n$p")
+    val bad = wins.filter(_.partitionSpec.size < 2)
+    assert(bad.isEmpty,
+      s"every window must partition on (flag, bucket), not the flag alone:\n$p")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
