@@ -284,7 +284,24 @@ object Stress {
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
+    // loadavg is a LAGGING average: right after a measured run finishes, the
+    // 1-min loadavg still carries the harness's own (completed) local[32]
+    // work, so an un-quiesced loadavg_start reads ~20-30 and is useless for
+    // spotting EXTERNAL contention (the r4 record's flaw). Wait — bounded —
+    // for the decayed average to drop before sampling; the harness is idle
+    // while waiting, so a reading that stays high means outside load.
+    def quiesce(targetLoad: Double = 4.0, maxWaitSec: Int = 240): Unit = {
+      val deadline = System.nanoTime() + maxWaitSec * 1e9
+      var l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      while (l > targetLoad && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    }
     def measured(tag: String, size: Long, body: => Seq[StageRec]): Run = {
+      quiesce()
       listener.reset(); resetPeaks()
       val load0 = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage

@@ -133,11 +133,13 @@ object Text {
     * score, not an approximation.
     *
     * Eager: building the filter runs one aggregation job over the eval
-    * grams (`DataFrameStatFunctions.bloomFilter`). The probe is a UDF
-    * because Spark exposes no public Column function for Bloom membership
-    * (`might_contain` is internal to runtime filtering); the input is the
+    * grams (`DataFrameStatFunctions.bloomFilter`). The probe is the
+    * codegen'd [[graft.functions.BloomProbe]] expression over the serialized
+    * filter (Spark exposes no public Column function for Bloom membership —
+    * `might_contain` is internal to runtime filtering; this was the
+    * engine's one hot-path ScalaUDF before r5); the input is the
     * already-hashed 64-bit gram, so the per-row cost is a few hashes on a
-    * long — no string work outside codegen.
+    * long, fused into the scan-side whole-stage-codegen span.
     */
   def contaminationBloom(evalDocs: DataFrame, corpusDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
@@ -146,10 +148,11 @@ object Text {
     val egKeys = eg.select("g").distinct()
     val expected = math.max(egKeys.count(), 1000L)
     val bf = egKeys.stat.bloomFilter("g", expected, fpp)
-    val bfB = corpusDocs.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    graft.functions.VectorFunctions.register(corpusDocs.sparkSession)
     val cg = Dedup.wordGramsRaw(corpusDocs, idCol, textCol, n)
-      .filter(mightContain(col("g")))
+      .filter(call_function("bloom_probe", lit(bytes.toByteArray), col("g")))
       .select("g").distinct()
     contaminationScore(eg, cg)
   }

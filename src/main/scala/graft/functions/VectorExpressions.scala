@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression: dot product of two ArrayType(DoubleType)
   * columns with whole-stage codegen (a tight primitive loop — no per-element
@@ -286,6 +286,59 @@ case class ArgmaxCell(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
+/** Native Catalyst expression: Bloom-filter membership probe of a 64-bit key
+  * against a CONSTANT serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (the format `DataFrameStatFunctions.bloomFilter` produces). The filter
+  * bytes arrive as a foldable BinaryType child, deserialize ONCE per plan
+  * (lazily, on driver and on each executor from the shipped literal), and
+  * codegen references the live filter object — so the probe runs inside
+  * whole-stage codegen like every other hot-path predicate. Exists because
+  * Spark has no public Column function for Bloom membership (its
+  * `BloomFilterMightContain` is internal to runtime join-filter injection);
+  * this replaced the engine's one hot-path ScalaUDF
+  * ([[graft.api.Text.contaminationBloom]]).
+  *
+  * The filter rides the PLAN (a literal), not a broadcast variable — right
+  * for decontamination, where the eval-gram filter is small by contract;
+  * genuinely huge filters should go back to an explicit broadcast.
+  */
+case class BloomProbe(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && left.foldable &&
+        right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe requires (constant BINARY, BIGINT), got " +
+        s"${left.dataType.simpleString} (foldable=${left.foldable}) and " +
+        s"${right.dataType.simpleString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    require(bytes != null, "bloom_probe filter bytes must be a non-null literal")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(bytesIgnored: Any, g: Any): Any =
+    filter.mightContainLong(g.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    // left is foldable: its "evaluation" in the generated code is a constant
+    // reference, so per-row work is exactly one mightContainLong call
+    nullSafeCodeGen(ctx, ev, (_, g) => s"${ev.value} = $bfRef.mightContainLong($g);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   val dotBuilder: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
   val permuteBuilder: Seq[Expression] => Expression =
@@ -293,6 +346,8 @@ object VectorFunctions {
   val hammingBuilder: Seq[Expression] => Expression =
     exprs => BitsHamming(exprs(0), exprs(1))
   val argmaxCellBuilder: Seq[Expression] => Expression = exprs => ArgmaxCell(exprs)
+  val bloomProbeBuilder: Seq[Expression] => Expression =
+    exprs => BloomProbe(exprs(0), exprs(1))
 
   /** Runtime registration on a live session (used by the query builders). */
   def register(spark: SparkSession): Unit = {
@@ -304,6 +359,8 @@ object VectorFunctions {
       "bits_hamming", hammingBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "argmax_cell", argmaxCellBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe", bloomProbeBuilder, "built-in")
   }
 }
 
@@ -330,5 +387,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("argmax_cell"),
       new ExpressionInfo(classOf[ArgmaxCell].getName, "argmax_cell"),
       VectorFunctions.argmaxCellBuilder))
+    e.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "bloom_probe"),
+      VectorFunctions.bloomProbeBuilder))
   }
 }

@@ -141,19 +141,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("llm_decontaminate_bloom probes the Bloom filter before any shuffle") {
+  test("llm_decontaminate_bloom probes the Bloom filter before any shuffle, in codegen") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val p = plan("llm_decontaminate_bloom")
     val preShuffleProbe = collectWithSubqueries(p) {
       case f: FilterExec
-          if f.condition.exists(_.isInstanceOf[ScalaUDF]) &&
+          if f.condition.exists(_.isInstanceOf[graft.functions.BloomProbe]) &&
             f.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec]) &&
             f.collect { case e: ShuffleExchangeExec => e }.isEmpty => f
     }
     assert(preShuffleProbe.nonEmpty,
       s"the corpus-side Bloom probe must run scan-side, ahead of the gram shuffle:\n$p")
+    // the probe replaced the engine's one hot-path ScalaUDF — keep it gone
+    val udfs = collectWithSubqueries(p) {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+    }
+    assert(udfs.isEmpty, s"no ScalaUDF may remain in the bloom path:\n$p")
   }
 
   test("agg_approx_topk partial-aggregates the sketch map-side") {
