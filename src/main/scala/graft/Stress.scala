@@ -95,6 +95,19 @@ object Stress {
     (r, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
   }
 
+  /** Blocking unpersist that tolerates blocks already removed by an earlier
+    * NON-blocking sweep still draining in the background (the blanket
+    * `getPersistentRDDs` sweep and `Caches.sweep` are async; a subsequent
+    * blocking removal of the same blocks races them and Spark throws
+    * "Block rdd_X_Y does not exist" — observed killing a full stress run).
+    * The goal of blocking here is back-pressure (memory actually freed
+    * before the next size starts), not the removal itself, so a
+    * does-not-exist loss is success, not failure.
+    */
+  private def unpersistQuietly(df: org.apache.spark.sql.Dataset[_]): Unit =
+    try df.unpersist(blocking = true)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** `hash01(key expr)` — uniform [0,1) from xxhash64, engine-deterministic. */
   private def h01(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(c), lit(1000000L)).cast("double") / 1000000.0
@@ -166,12 +179,15 @@ object Stress {
     }
     recs += StageRec("connected_components", ccSec, nComp,
       Seq("rounds" -> rounds.toString))
-    // free everything this size pinned (incl. the final CC label frame's
-    // localCheckpoint blocks, which live in persistentRdds)
+    // free everything this size pinned: OUR frames first with blocking
+    // back-pressure (their blocks verifiably exist at this point), THEN the
+    // blanket async sweep for the CC label frame's localCheckpoint blocks,
+    // which live in persistentRdds — the reverse order raced (see
+    // unpersistQuietly)
+    unpersistQuietly(pairs)
+    unpersistQuietly(docs)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     graft.api.Caches.sweep(spark)
-    pairs.unpersist(blocking = true)
-    docs.unpersist(blocking = true)
     recs.toSeq
   }
 
@@ -197,9 +213,9 @@ object Stress {
         k = 10, probes = 2, salt = 8).count()
     }
     recs += StageRec("ivf_probe_100q", probeSec, probeRows)
+    unpersistQuietly(assigned)
+    unpersistQuietly(nv)
     graft.api.Caches.sweep(spark)
-    assigned.unpersist(blocking = true)
-    nv.unpersist(blocking = true)
     recs.toSeq
   }
 
@@ -208,9 +224,22 @@ object Stress {
     * clusterable corpus. The extra observables are the per-cell pair-count
     * skew — the quantity that decides whether a hot cell can concentrate in
     * one task — alongside the listener's max-task-memory bound.
+    *
+    * k SCALES WITH THE CORPUS (k = n/128, i.e. ~128 vectors per cell): with
+    * k fixed, cell populations grow linearly and the within-cell pair join
+    * grows QUADRATICALLY — measured: 3× corpus → 8.5× pair-join wall, and
+    * the next 2× step filled the machine's disk with shuffle (every
+    * candidate pair carries a 64-dim vector through the verify join). That
+    * is the semantic scale contract of SemDeDup, not an implementation
+    * artifact: a 100 TB run must size its codebook to bound cell size, and
+    * this path measures that the BOUNDED-cell formulation grows linearly.
+    * (The literal-codebook assignment holds to k ~ tens of thousands — plan
+    * literals of k×dim doubles; past that, assignment becomes a broadcast
+    * join of the codebook, the ivfProbe query-side shape.)
     */
   private def semdedupRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
     val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val k = math.max(16, (nVecs / 128).toInt)
     val ((nv, nRows), genSec) = timed {
       val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
         .select(col("vec_id"), col("vd"), col("nrm")).persist()
@@ -218,8 +247,8 @@ object Stress {
     }
     recs += StageRec("gen_vectors", genSec, nRows)
     val (cb, trainSec) = timed(
-      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = 64, iters = 2))
-    recs += StageRec("kmeans_train_k64_i2", trainSec, 64)
+      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = k, iters = 2))
+    recs += StageRec(s"kmeans_train_i2", trainSec, k)
     val ((idx, aRows), assignSec) = timed {
       val a = graft.api.Vectors.assignCells(nv, cb)
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm")).persist()
@@ -243,9 +272,9 @@ object Stress {
         "cells_with_pairs" -> row.getLong(2).toString))
     }
     recs += StageRec("semdedup_pairs", pairSec, nPairs, skew)
+    unpersistQuietly(idx)
+    unpersistQuietly(nv)
     graft.api.Caches.sweep(spark)
-    idx.unpersist(blocking = true)
-    nv.unpersist(blocking = true)
     recs.toSeq
   }
 
@@ -253,7 +282,15 @@ object Stress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
-    val vecSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "20000,60000,120000")
+    // ivf sizes are LARGE so per-stage work dominates the few-second fixed
+    // costs (plan/codegen/collect) that otherwise bury the growth signal —
+    // the r4 record showed 3× size inside ±5% wall, pure fixed-cost noise
+    val vecSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "100000,300000,900000")
+      .split(",").map(_.trim.toLong).toSeq
+    // semdedup candidate volume is ~64×n rows each carrying a 64-dim vector
+    // (cell size bounded at ~128 by the scaled codebook): sizes stay below
+    // the ivf path's so the verify-join shuffle stays disk-safe
+    val semSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SEMS", "20000,60000,180000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -323,7 +360,7 @@ object Stress {
     val runs = scala.collection.mutable.ListBuffer.empty[Run]
     docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
     vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
-    vecSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
+    semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
 
     // growth ratios between consecutive sizes of each path: the linearity
     // evidence in one place (wall/shuffle ratio ≈ size ratio = linear)
