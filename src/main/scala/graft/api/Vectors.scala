@@ -121,6 +121,33 @@ object Vectors {
   def assignCells(nv: DataFrame, codebook: DataFrame): DataFrame =
     assignCellsTo(nv, collectCodebook(codebook))
 
+  /** [[assignCells]] for codebooks too large to compile into the plan as
+    * literals (the literal path holds to k ~ tens of thousands; the
+    * stress record shows its n×k scoring cost going superlinear once k
+    * scales with the corpus). The codebook BROADCASTS instead: each row
+    * scores all cells through the broadcast join, a map-side partial
+    * `min_by` collapses the n×k scored rows back to one winner per row
+    * before anything shuffles, and the assignment joins back onto `nv` by
+    * `idCol`. Same argmax semantics as [[assignCells]] — ties to the
+    * lowest cell id — for finite cosines (a NaN cosine loses here but wins
+    * under `Double.compare`; [[kmeansCodebook]] rejects the degenerate
+    * vectors that could produce one).
+    *
+    * Cost shape vs [[assignCells]]: one broadcast (k×dim doubles), n×k
+    * scored rows map-side (never shuffled), one n-row shuffle for the
+    * reattach join — the right trade exactly when k no longer fits a plan.
+    */
+  def assignCellsJoin(nv: DataFrame, codebook: DataFrame,
+      idCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(nv.sparkSession)
+    val scored = nv.select(col(idCol), col("vd"), col("nrm"))
+      .crossJoin(broadcast(codebook.select(col("cell"), col("cvd"), col("cnrm"))))
+      .withColumn("acos", cosine("vd", "nrm", "cvd", "cnrm"))
+    val assign = scored.groupBy(idCol)
+      .agg(min_by(col("cell"), struct((-col("acos")).as("na"), col("cell"))).as("cell"))
+    nv.join(assign, idCol)
+  }
+
   /** Deterministic distributed k-means codebook over a [[normalized]] frame
     * — unsupervised cell training for the IVF/ANN path (real embedding
     * corpora carry no labels). Output: (cell, cvd, cnrm), k rows.
@@ -221,6 +248,17 @@ object Vectors {
       .drop("prn", "cell", "q_salt", "i_salt", "q_vd", "q_nrm", "n_vd", "n_nrm")
   }
 
+  /** The fixed Gaussian hyperplane family sign-LSH projects onto —
+    * deterministic for a given (numPlanes, planeDim, seed), and PUBLIC so an
+    * oracle can splice the identical constants into its own SQL: every
+    * stage of [[signLshPairs]] downstream of these planes is plain
+    * arithmetic both engines reproduce bit-for-bit.
+    */
+  def lshPlanes(numPlanes: Int, planeDim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, planeDim)(rnd.nextGaussian())
+  }
+
   /** Embedding near-dup via sign-LSH: `numPlanes` fixed Gaussian hyperplanes
     * (seeded — deterministic literals compiled into the plan), grouped into
     * bands of `bandBits` bits for candidate blocking through the salted
@@ -230,7 +268,12 @@ object Vectors {
     *
     * The projections are `vec_dot(vd, <literal plane>)` columns — one
     * codegen'd primitive loop per plane, no explode/join/re-aggregate of the
-    * vector elements.
+    * vector elements. Band signatures are the band's bits PACKED into an
+    * integer (bit 0 highest) rather than hashed: candidate blocking only
+    * needs injectivity on the band's bit tuple, and the packed form is
+    * reproducible in any engine — which is what lets the embed near-dup
+    * query run fully under the DuckDB oracle (r1–r4 hashed the bits with
+    * xxhash64: identical candidate sets, but engine-private).
     */
   def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 16, bandBits: Int = 4,
@@ -254,8 +297,7 @@ object Vectors {
     require(planeDim <= 4096,
       s"embedding dimension $dim exceeds the 4096 literal-plane bound; " +
         "project the vectors down before LSH")
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, planeDim)(rnd.nextGaussian())
+    val planes = lshPlanes(numPlanes, planeDim, seed)
     val bitCols = (0 until numPlanes).map { j =>
       val planeSql = planes(j).mkString("array(", "D, ", "D)")
       when(expr(s"vec_dot(vd, $planeSql)") >= 0, 1).otherwise(0).as(s"bit$j")
@@ -263,8 +305,9 @@ object Vectors {
     val numBands = numPlanes / bandBits
     val sigBits = nv.select(col("id") +: bitCols: _*)
     val bands = (0 until numBands).map(b =>
-      xxhash64((b * bandBits until (b + 1) * bandBits).map(i => col(s"bit$i")) :+ lit(b): _*)
-        .as(s"band$b"))
+      (0 until bandBits).map(i =>
+          col(s"bit${b * bandBits + i}") * lit(1 << (bandBits - 1 - i)))
+        .reduce(_ + _).as(s"band$b"))
     val sig = sigBits.select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bsig")))
     Dedup.saltedBandPairs(sig, salt)
       .join(nv.select(col("id").as("a_id"), col("vd").as("a_vd"),

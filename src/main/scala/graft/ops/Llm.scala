@@ -471,7 +471,48 @@ ORDER BY cell"""))
     * slightly perturbed copy of each of the first 20 vectors (cos ≈ 0.999
     * to its original) derived from the corpus itself — the full LSH + verify
     * path must recover exactly these 20 pairs at any scale.
+    *
+    * FULLY ORACLED (new r5; declared-only before): the hyperplanes are
+    * deterministic constants ([[graft.api.Vectors.lshPlanes]]) spliced into
+    * the DuckDB SQL verbatim, and the band signature packs the band's sign
+    * bits into an integer instead of xxhash64 (injective on the bit tuple →
+    * identical candidate sets, but engine-portable) — so projection, sign,
+    * banding, pair-join and exact verify all replay bit-for-bit in DuckDB.
+    * The salt grid is internal distribution plumbing and never touches the
+    * output. Planes are generated at dim 256 (the `minPlaneDim` floor) and
+    * spliced truncated to the fixture's 64 dims — exactly the prefix
+    * `vec_dot`'s shorter-array truncation uses.
     */
+  private def embedNeardupOracle: String = {
+    val planes = Vectors.lshPlanes(16, 256, 42L).map(_.take(64))
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN list_dot_product(vd, CAST([${p.mkString(", ")}] AS DOUBLE[])) >= 0 THEN 1 ELSE 0 END AS bit$j"
+    }.mkString(",\n  ")
+    val sigSelects = (0 until 4).map { b =>
+      val packed = (0 until 4).map(i => s"bit${b * 4 + i} * ${1 << (3 - i)}").mkString(" + ")
+      s"SELECT id, $b AS band, $packed AS bsig FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH planted AS (SELECT vec_id + 10000000 AS vec_id,
+    list_transform(embedding, (x, i) ->
+      CAST(CAST(x AS DOUBLE) * (1.0 + 0.03 * (((i - 1) % 5) - 2)) AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 20),
+u AS (SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted),
+n0 AS (SELECT vec_id AS id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM u),
+n1 AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM n0),
+bits AS (SELECT id,
+  $bitCols
+  FROM n1),
+sig AS ($sigSelects),
+pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+v AS (SELECT p.a_id, p.b_id,
+    round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 4) AS cos
+  FROM pairs p JOIN n1 x ON p.a_id = x.id JOIN n1 y ON p.b_id = y.id)
+SELECT a_id, b_id, cos FROM v WHERE cos >= 0.95 ORDER BY a_id, b_id"""
+  }
+
   private val llmEmbedNeardup = Q(
     "llm_embed_neardup",
     (s, d) => {
@@ -484,7 +525,7 @@ ORDER BY cell"""))
       Vectors.signLshPairs(base.unionByName(planted), "vec_id", "embedding", 0.95)
         .orderBy("a_id", "b_id")
     },
-    None)
+    Some(embedNeardupOracle))
 
   /** IVF-style ANN over an UNSUPERVISED index: coarse cells come from a
     * deterministic distributed k-means ([[graft.api.Vectors.kmeansCodebook]]

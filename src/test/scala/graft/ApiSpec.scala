@@ -390,6 +390,28 @@ class ApiSpec extends SparkSpec {
       .sameElements(cb2.collect().map(_.toString).sorted))
   }
 
+  test("assignCellsJoin (broadcast-codebook path) equals the literal-codebook assignCells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // includes near-boundary vectors (small noise around 3 centers) so the
+    // two argmax formulations must agree on close calls, not just obvious ones
+    val centers = Seq(Array.fill(16)(3.0), Array.fill(16)(-3.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 3.0 else -3.0))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 25).map(i => (ci * 100L + i, c.map(x => x + rnd.nextGaussian())))
+    }
+    val nv = Vectors.normalized(data.toDF("id", "vec"), "vec")
+      .select(col("id"), col("vd"), col("nrm"))
+    val cb = Vectors.kmeansCodebook(nv, "id", k = 5, iters = 2)
+    val lit = Vectors.assignCells(nv, cb)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    val join = Vectors.assignCellsJoin(nv, cb, "id")
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(join == lit,
+      s"broadcast-join assignment diverged from literal-codebook assignment: " +
+        s"${(join.toSet -- lit.toSet).take(5)} vs ${(lit.toSet -- join.toSet).take(5)}")
+  }
+
   test("ivfProbeWith two-stage top-k equals single-window ranking, plan keeps the partial rank") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

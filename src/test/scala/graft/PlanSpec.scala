@@ -239,6 +239,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"every window must partition on (flag, bucket), not the flag alone:\n$p")
   }
 
+  test("win_ntile_scalable has no global (single-reducer) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the whole point of the scalable twin: quartiles WITHOUT an
+    // unpartitioned window (win_ntile's shape, which moves every row to one
+    // reducer); the only windows allowed are the bucket-partitioned
+    // within-bucket cumulative sums
+    val wins = collectWithSubqueries(plan("win_ntile_scalable")) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the within-bucket cumulative window")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty,
+      s"no window may be unpartitioned:\n${plan("win_ntile_scalable")}")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
