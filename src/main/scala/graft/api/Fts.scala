@@ -90,4 +90,55 @@ object Fts {
         last(when(isRef, col(c)), ignoreNulls = true).over(w))
     }
   }
+
+  /** Weighted 50th/90th percentile of `valueCol` per key: the smallest value
+    * whose cumulative `weightCol` reaches p × the key's total weight (the
+    * volume-weighted price percentile `percentile()` can't express).
+    * Output: keyCol, wp50, wp90, total_weight.
+    *
+    * Scale shape — NO window partitioned on the (possibly low-cardinality)
+    * key alone, which would funnel every distinct value of a key through
+    * one reducer: the raw frame pre-aggregates to one row per (key,
+    * DISTINCT value) map-side; per-key totals and value bounds come from a
+    * tiny aggregate broadcast back; values range-bucket into `buckets`
+    * slices; per-bucket partial sums (keys × buckets rows) turn into
+    * exclusive offsets via a triangular self-join over that tiny frame; and
+    * the only window partitions on (key, bucket) — reducer input is
+    * corpus/buckets, tunable, not corpus/|keys|. The cumulative order is
+    * tie-free (value is unique within a key after the pre-aggregate), and
+    * for integer-valued weights (≪2^53) every sum is exact in any
+    * association order, so the two-stage addition is bit-identical to a
+    * single-pass prefix sum. The p-thresholds multiply instead of divide
+    * (cw·2 ≥ tw, cw·10 ≥ tw·9): pure integer arithmetic, no float rounding
+    * to diverge between engines; min(CASE WHEN qualifies) picks the
+    * crossing value without a second window pass.
+    */
+  def weightedPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, buckets: Int = 32): DataFrame = {
+    val pre = df.groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("w"))
+    val stats = pre.groupBy(keyCol)
+      .agg(sum(col("w")).as("tw"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val bucketed = pre.join(broadcast(stats), Seq(keyCol))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col(valueCol) - col("lo"))
+            / (col("hi") - col("lo")) * buckets), lit(buckets - 1L))))
+    val bw = bucketed.groupBy(keyCol, "bucket").agg(sum(col("w")).as("bw"))
+    val bw2 = bw.select(col(keyCol).as("k2"), col("bucket").as("b2"),
+      col("bw").as("w2"))
+    val offsets = bw.join(bw2,
+        col(keyCol) === col("k2") && col("b2") < col("bucket"), "left")
+      .groupBy(keyCol, "bucket")
+      .agg(coalesce(sum(col("w2")), lit(0.0)).as("off"))
+    val cum = bucketed.join(broadcast(offsets), Seq(keyCol, "bucket"))
+      .withColumn("cw", col("off") + sum(col("w")).over(
+        Window.partitionBy(col(keyCol), col("bucket")).orderBy(valueCol)))
+    cum.groupBy(col(keyCol))
+      .agg(
+        min(when(col("cw") * 2 >= col("tw"), col(valueCol))).as("wp50"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col(valueCol))).as("wp90"),
+        sum(col("w")).as("total_weight"))
+  }
 }

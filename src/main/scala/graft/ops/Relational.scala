@@ -858,70 +858,22 @@ GROUP BY 1, 2 ORDER BY event_type, bucket"""))
   /** Weighted percentiles (§2.4 ext): smallest l_extendedprice whose
     * cumulative l_quantity weight reaches p × the flag's total weight —
     * the volume-weighted price percentile a shipping/flow report asks for
-    * and `percentile()` can't express.
-    *
-    * Scale + determinism in one shape: the raw fact PRE-AGGREGATES to one
-    * row per (flag, DISTINCT price) — map-side-combinable — and the global
-    * prefix sum is TWO-STAGE so no window ever partitions on the
-    * 3-distinct-value flag alone (that shape funnels every distinct price
-    * of a flag through one reducer at 100 TB; PlanSpec pins its absence):
-    * per-flag totals and price bounds come from a tiny aggregate broadcast
-    * back; prices then range-bucket into `wpBuckets` slices, per-bucket
-    * partial sums (flags × buckets rows) turn into exclusive bucket
-    * offsets via a triangular self-join over that tiny frame, and the
-    * within-bucket cumulative window partitions on (flag, bucket) — its
-    * reducer input is corpus/buckets, tunable, not corpus/3. The order is
-    * TIE-FREE (price is unique within the flag after the group-by), so the
-    * running sum is reproducible without a synthetic tiebreak. Quantities
-    * are integer-valued doubles (≪2^53): every sum is exact in any
-    * association order — bucketed two-stage addition gives bit-identical
-    * cw — and the p-thresholds multiply instead of divide (cw·2 ≥ tw,
-    * cw·10 ≥ tw·9) — pure integer arithmetic, no float rounding to
-    * diverge between engines. min(CASE WHEN qualifies) picks the crossing
-    * price without a second window pass (all prices past the crossing also
-    * qualify, so their min IS the crossing value). Output prices are raw
-    * fixture doubles.
+    * and `percentile()` can't express. Thin wrapper over
+    * [[graft.api.Fts.weightedPercentiles]], which carries the scale
+    * contract: NO window partitioned on the 3-distinct-value flag alone
+    * (PlanSpec pins its absence) — two-stage bucketed prefix sum with the
+    * only window on (flag, bucket). Quantities are integer-valued doubles
+    * (≪2^53), so the builder's two-stage sums are bit-identical to the
+    * single-pass form; PropSpec property-checks the crossing rule on
+    * generated corpora. Output prices are raw fixture doubles.
     */
-  private val wpBuckets = 32
-
   private val aggWeightedPercentile = Q(
     "agg_weighted_percentile",
-    (s, d) => {
-      val pre = T.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(sum(col("l_quantity")).as("w"))
-      // one row per flag: total weight + price range, broadcast back
-      val stats = pre.groupBy("l_returnflag")
-        .agg(sum(col("w")).as("tw"),
-          min(col("l_extendedprice")).as("lo"),
-          max(col("l_extendedprice")).as("hi"))
-      val bucketed = pre.join(broadcast(stats), Seq("l_returnflag"))
-        .withColumn("bucket",
-          when(col("hi") === col("lo"), lit(0L))
-            .otherwise(least(floor((col("l_extendedprice") - col("lo"))
-              / (col("hi") - col("lo")) * wpBuckets), lit(wpBuckets - 1L))))
-      // stage 1: per-bucket partial sums — flags × wpBuckets rows
-      val bw = bucketed.groupBy("l_returnflag", "bucket")
-        .agg(sum(col("w")).as("bw"))
-      // stage 2: exclusive prefix offsets over the tiny partials frame —
-      // a triangular self-join (≤ flags × buckets² pairs), not a window
-      val bw2 = bw.select(col("l_returnflag").as("f2"),
-        col("bucket").as("b2"), col("bw").as("w2"))
-      val offsets = bw.join(bw2,
-          col("l_returnflag") === col("f2") && col("b2") < col("bucket"), "left")
-        .groupBy("l_returnflag", "bucket")
-        .agg(coalesce(sum(col("w2")), lit(0.0)).as("off"))
-      // stage 3: within-bucket running sum + bucket offset = global prefix
-      val cum = bucketed.join(broadcast(offsets), Seq("l_returnflag", "bucket"))
-        .withColumn("cw", col("off") + sum(col("w")).over(
-          Window.partitionBy("l_returnflag", "bucket").orderBy("l_extendedprice")))
-      cum.groupBy(col("l_returnflag"))
-        .agg(
-          min(when(col("cw") * 2 >= col("tw"), col("l_extendedprice"))).as("wp50"),
-          min(when(col("cw") * 10 >= col("tw") * 9, col("l_extendedprice"))).as("wp90"),
-          sum(col("w")).as("total_weight"))
-        .orderBy("l_returnflag")
-    },
+    (s, d) => graft.api.Fts.weightedPercentiles(
+        T.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity")),
+        "l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy("l_returnflag"),
     Some("""WITH pre AS (
   SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS w
   FROM lineitem GROUP BY 1, 2),

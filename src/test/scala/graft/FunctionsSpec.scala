@@ -92,6 +92,35 @@ class FunctionsSpec extends SparkSpec {
     assert(bits.length == 64)
   }
 
+  test("bloom_probe: no false negatives, few false positives, null-safe (codegen + interpreted)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // build a filter over 0..999 exactly as contaminationBloom does
+    val keys = spark.range(1000).select(col("id").as("g"))
+    val bf = keys.stat.bloomFilter("g", 1000, 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val lit = org.apache.spark.sql.functions.lit(bytes.toByteArray)
+    // codegen path: probe 0..9999 in a projection over many rows
+    val probed = spark.range(10000)
+      .select(col("id"), call_function("bloom_probe", lit, col("id")).as("hit"))
+      .as[(Long, Boolean)].collect()
+    val inMiss = probed.filter(p => p._1 < 1000 && !p._2)
+    assert(inMiss.isEmpty, s"Bloom false NEGATIVES are impossible: $inMiss")
+    val fpRate = probed.count(p => p._1 >= 1000 && p._2) / 9000.0
+    assert(fpRate < 0.05, s"fp rate $fpRate far above the 0.01 target")
+    // interpreted eval path (no codegen in a driver-side Literal-only plan)
+    val one = Seq(5L, 5000L).toDF("g")
+      .select(call_function("bloom_probe", lit, col("g")).as("hit"))
+      .as[Boolean].collect()
+    assert(one(0), "key 5 is in the filter")
+    // null key → null result, not a crash
+    val n = Seq[Option[Long]](None).toDF("g")
+      .select(call_function("bloom_probe", lit, col("g")).as("hit"))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("GraftExtensions installs the custom functions on a fresh session") {
     val ext = spark.newSession()
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

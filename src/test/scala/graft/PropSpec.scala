@@ -209,4 +209,43 @@ class PropSpec extends SparkSpec {
         s"pair $pid: estimate $est vs true $jac")
     }
   }
+
+  test("weightedPercentiles crossing rule matches driver-side naive accumulation (batched)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 deterministic generated corpora exercising the two-stage bucketed
+    // prefix sum off the fixture: 1-decimal values force duplicate-value
+    // pre-aggregation, integer weights keep every sum exact so the naive
+    // driver accumulation is a bit-exact reference, and a degenerate
+    // single-value key pins the hi==lo bucket branch
+    val rnd = new scala.util.Random(47)
+    (0 until 4).foreach { ci =>
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map { _ =>
+        ("k" + rnd.nextInt(3),
+          math.rint(rnd.nextDouble() * 1000) / 10,
+          (1 + rnd.nextInt(9)).toDouble)
+      } ++ Seq(("solo", 42.0, 3.0), ("solo", 42.0, 2.0))
+      val got = graft.api.Fts.weightedPercentiles(
+          rows.toDF("k", "v", "w"), "k", "v", "w")
+        .select("k", "wp50", "wp90", "total_weight")
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val byVal = rs.groupBy(_._2).map { case (v, g) => (v, g.map(_._3).sum) }
+          .toSeq.sortBy(_._1)
+        val total = byVal.map(_._2).sum
+        var cum = 0.0
+        var wp50 = Double.NaN
+        var wp90 = Double.NaN
+        byVal.foreach { case (v, w) =>
+          cum += w
+          if (wp50.isNaN && cum * 2 >= total) wp50 = v
+          if (wp90.isNaN && cum * 10 >= total * 9) wp90 = v
+        }
+        k -> ((wp50, wp90, total))
+      }
+      assert(got == expected, s"corpus $ci: got=$got expected=$expected")
+    }
+  }
 }
