@@ -114,6 +114,22 @@ object Fts {
     * crossing value without a second window pass.
     */
   def weightedPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, buckets: Int = 32): DataFrame =
+    cumulativeWeights(df, keyCol, valueCol, weightCol, buckets)
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("cw") * 2 >= col("tw"), col(valueCol))).as("wp50"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col(valueCol))).as("wp90"),
+        sum(col("w")).as("total_weight"))
+
+  /** The shared core of the weighted-percentile / rank-cutoff family: one
+    * row per (key, DISTINCT value) with its aggregated weight `w`, the
+    * key's total weight `tw`, and the key-global cumulative weight `cw`
+    * (sum of `w` over values ≤ this one), computed by the two-stage
+    * bucketed prefix sum described on [[weightedPercentiles]]. Consumers
+    * derive crossings from (cw, tw) with pure integer-multiply thresholds.
+    */
+  def cumulativeWeights(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, buckets: Int = 32): DataFrame = {
     val pre = df.groupBy(col(keyCol), col(valueCol))
       .agg(sum(col(weightCol)).as("w"))
@@ -132,13 +148,9 @@ object Fts {
         col(keyCol) === col("k2") && col("b2") < col("bucket"), "left")
       .groupBy(keyCol, "bucket")
       .agg(coalesce(sum(col("w2")), lit(0.0)).as("off"))
-    val cum = bucketed.join(broadcast(offsets), Seq(keyCol, "bucket"))
+    bucketed.join(broadcast(offsets), Seq(keyCol, "bucket"))
       .withColumn("cw", col("off") + sum(col("w")).over(
         Window.partitionBy(col(keyCol), col("bucket")).orderBy(valueCol)))
-    cum.groupBy(col(keyCol))
-      .agg(
-        min(when(col("cw") * 2 >= col("tw"), col(valueCol))).as("wp50"),
-        min(when(col("cw") * 10 >= col("tw") * 9, col(valueCol))).as("wp90"),
-        sum(col("w")).as("total_weight"))
+      .select(col(keyCol), col(valueCol), col("w"), col("tw"), col("cw"))
   }
 }

@@ -129,9 +129,12 @@ object Vectors {
     * `min_by` collapses the n×k scored rows back to one winner per row
     * before anything shuffles, and the assignment joins back onto `nv` by
     * `idCol`. Same argmax semantics as [[assignCells]] — ties to the
-    * lowest cell id — for finite cosines (a NaN cosine loses here but wins
-    * under `Double.compare`; [[kmeansCodebook]] rejects the degenerate
-    * vectors that could produce one).
+    * lowest cell id — for normal finite cosines. Two measure-zero cases
+    * diverge from `Double.compare`'s total order: a NaN cosine loses here
+    * but wins there ([[kmeansCodebook]] rejects the degenerate vectors
+    * that could produce one), and a winning ±0.0 pair ties here (Spark's
+    * ordering treats -0.0 == +0.0, so the cell-id tiebreak decides) where
+    * `Double.compare` ranks +0.0 above -0.0.
     *
     * Cost shape vs [[assignCells]]: one broadcast (k×dim doubles), n×k
     * scored rows map-side (never shuffled), one n-row shuffle for the

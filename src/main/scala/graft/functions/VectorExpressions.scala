@@ -323,8 +323,15 @@ case class BloomProbe(left: Expression, right: Expression)
       new java.io.ByteArrayInputStream(bytes))
   }
 
-  override def nullSafeEval(bytesIgnored: Any, g: Any): Any =
-    filter.mightContainLong(g.asInstanceOf[Long])
+  // override eval (not nullSafeEval): BinaryExpression's null short-circuit
+  // would silently return null for a NULL filter literal on the interpreted
+  // path while codegen fails loudly in doGenCode — force the filter FIRST
+  // so both paths surface the misuse identically
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = filter
+    val g = right.eval(input)
+    if (g == null) null else f.mightContainLong(g.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bfRef = ctx.addReferenceObj("bloomFilter", filter,

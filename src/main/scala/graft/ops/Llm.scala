@@ -29,6 +29,15 @@ import H._
   */
 object Llm {
 
+  /** Per-JVM shard-output root (override: -Dgraft.shard.dir=...). A lazy
+    * temp dir, created on first shard write — unique per process, absolute
+    * (CWD-independent), reused across builds within the JVM so the
+    * overwrite-per-build contract still exercises the overwrite path.
+    */
+  private lazy val shardRoot: java.io.File =
+    sys.props.get("graft.shard.dir").map(new java.io.File(_)).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_shards_").toFile)
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup on normalized text; survivor = lowest doc_id (deterministic,
@@ -900,10 +909,11 @@ ORDER BY doc_id"""
     "llm_shard_write",
     (s, d) => {
       // absolute output root: CWD-relative target/ would scatter shard dirs
-      // when the harness invokes Verify/Bench from another working directory
-      val root = sys.props.getOrElse("graft.shard.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-      val outBase = new java.io.File(root,
+      // when the harness invokes Verify/Bench from another working
+      // directory; per-JVM-unique so concurrent runs (two checkouts, a
+      // bench next to a test suite) can't overwrite each other's layout
+      // mid-read — a fixed shared /tmp path raced exactly that way
+      val outBase = new java.io.File(shardRoot,
         s"graft_shards_${new java.io.File(d).getName}").getAbsolutePath
       val sharded = T.documents(s, d).withColumn("shard",
         expr("(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) % 8"))

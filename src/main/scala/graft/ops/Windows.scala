@@ -58,40 +58,25 @@ FROM customer ORDER BY c_custkey"""))
     * satisfies cw·4 ≥ k·n (percentile_disc semantics spelled out in pure
     * integer arithmetic — both engines agree exactly, unlike interpolated
     * percentiles, so this is fully oracled; r1–r4 kept it declared-only on
-    * an interpolated-cutoff formulation). The cumulative count reuses the
-    * two-stage bucketed prefix sum of agg_weighted_percentile: range-bucket
-    * distinct values, per-bucket partials → exclusive offsets via a tiny
-    * triangular self-join, within-bucket cumulative window on (bucket) with
-    * reducer input corpus/buckets. The trade named in [[winNtile]]'s caveat
-    * stays: rows tied exactly AT a cutoff land in the lower bucket
-    * (deterministic; populations can differ from exact ntile by tie counts
-    * and the ceil-rank boundary, bounded in WindowsSpec).
+    * an interpolated-cutoff formulation). The cumulative count is
+    * [[graft.api.Fts.cumulativeWeights]] — the same two-stage bucketed
+    * prefix sum agg_weighted_percentile rides (unit weights, one constant
+    * key) — so the subtle machinery lives once. The trade named in
+    * [[winNtile]]'s caveat stays: rows tied exactly AT a cutoff land in the
+    * lower bucket (deterministic; populations can differ from exact ntile
+    * by tie counts and the ceil-rank boundary, bounded in WindowsSpec).
     */
-  private val ntBuckets = 32
-
   private val winNtileScalable = Q(
     "win_ntile_scalable",
     (s, d) => {
       val cust = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-      val pre = cust.groupBy("c_acctbal").agg(count(lit(1)).as("w"))
-      val stats = pre.agg(sum(col("w")).as("n"),
-        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
-      val bucketed = pre.crossJoin(broadcast(stats))
-        .withColumn("bucket",
-          when(col("hi") === col("lo"), lit(0L))
-            .otherwise(least(floor((col("c_acctbal") - col("lo"))
-              / (col("hi") - col("lo")) * ntBuckets), lit(ntBuckets - 1L))))
-      val bw = bucketed.groupBy("bucket").agg(sum(col("w")).as("bw"))
-      val bw2 = bw.select(col("bucket").as("b2"), col("bw").as("w2"))
-      val offsets = bw.join(bw2, col("b2") < col("bucket"), "left")
-        .groupBy("bucket").agg(coalesce(sum(col("w2")), lit(0L)).as("off"))
-      val cum = bucketed.join(broadcast(offsets), Seq("bucket"))
-        .withColumn("cw", col("off") + sum(col("w")).over(
-          Window.partitionBy("bucket").orderBy("c_acctbal")))
+      val cum = graft.api.Fts.cumulativeWeights(
+        cust.withColumn("g", lit(1)).withColumn("one", lit(1L)),
+        "g", "c_acctbal", "one")
       val cuts = cum.agg(
-        min(when(col("cw") * 4 >= col("n"), col("c_acctbal"))).as("v1"),
-        min(when(col("cw") * 4 >= col("n") * 2, col("c_acctbal"))).as("v2"),
-        min(when(col("cw") * 4 >= col("n") * 3, col("c_acctbal"))).as("v3"))
+        min(when(col("cw") * 4 >= col("tw"), col("c_acctbal"))).as("v1"),
+        min(when(col("cw") * 4 >= col("tw") * 2, col("c_acctbal"))).as("v2"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("c_acctbal"))).as("v3"))
       cust.crossJoin(broadcast(cuts))
         .select(col("c_custkey"), col("c_acctbal"),
           (lit(1) +

@@ -243,13 +243,14 @@ class StreamingSpec extends SparkSpec {
     // fed, and no bigger than the early-plateau level — an unbounded join
     // would grow state ~linearly with batch count (3x between batch 10
     // and 30)
-    assert(stateRows.last < fed / 3,
-      s"state ${stateRows.last} rows should be a small fraction of $fed fed")
     // lastProgress can be null for some batches; fail with the history, not
-    // an IndexOutOfBoundsException, if fewer than 10 batches reported state
+    // a raw NoSuchElement/IndexOutOfBounds, if too few batches reported
+    // state — guarded BEFORE any .last/.apply use
     assert(stateRows.length > 9,
       s"only ${stateRows.length} batches reported state-operator progress " +
         s"(history: ${stateRows.mkString(",")})")
+    assert(stateRows.last < fed / 3,
+      s"state ${stateRows.last} rows should be a small fraction of $fed fed")
     assert(stateRows.last <= stateRows(9) * 3 / 2,
       s"state must plateau, not grow: batch10=${stateRows(9)} " +
         s"batch30=${stateRows.last} (history: ${stateRows.mkString(",")})")
