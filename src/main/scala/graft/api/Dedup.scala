@@ -231,6 +231,44 @@ object Dedup {
       salt)
   }
 
+  /** Engine-portable SimHash-LSH candidate pairs over whitespace tokens:
+    * the 64 signature bits come from per-token md5 hex nibbles (bit b of a
+    * token = bit (3 - b%4) of nibble b/4 — fixed-width lowercase hex, so
+    * `instr`/`strpos` against '0123456789abcdef' decodes identically in any
+    * engine), per-doc majority votes are exact integer sums (tie → 1), and
+    * each band signature is the band's 16 bits PACKED into an integer — no
+    * engine-private hash anywhere. This is the METRIC twin of the xxhash64
+    * production path ([[simhashPairs]]), consumed by `llm_simhash_recall`
+    * to put the family's candidate recall under the cross-engine gate, the
+    * same role [[md5MinhashCandidates]] plays for MinHash. Scale shape is
+    * the production one: one explode of the raw token stream (duplicates
+    * vote, as in `SimHashAgg`), 64 map-side-combinable SUM aggregates per
+    * doc, then the two-sided salted (band, bsig) equi-join.
+    */
+  def md5SimhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      salt: Int = 16): DataFrame = {
+    val th = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), md5(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      val nib = b / 4 + 1
+      val shift = 3 - b % 4
+      sum(expr(
+        s"CASE WHEN (shiftright(instr('0123456789abcdef', substring(h, $nib, 1)) - 1, $shift) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"v$b")
+    }
+    val sig = th.groupBy("id").agg(votes.head, votes.drop(1): _*)
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map(i =>
+          when(col(s"v${16 * k + i}") >= 0, 1 << (15 - i)).otherwise(0))
+        .reduce(_ + _)
+    }
+    saltedBandPairs(
+      sig.select(col("id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bsig"))),
+      salt)
+  }
+
   /** Distinct (id, g) word-n-gram rows — the shared shingle-SET unit of the
     * n-gram Jaccard index and the decontamination eval side.
     */

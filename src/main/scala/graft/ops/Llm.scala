@@ -181,6 +181,76 @@ CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS lsh_recall,
 CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS lsh_precision
 FROM m"""))
 
+  /** [[llmMinhashRecall]]'s twin for the SIMHASH family — the last near-dup
+    * path whose candidate quality had no cross-engine anchor. Candidates
+    * come from [[graft.api.Dedup.md5SimhashCandidates]] (md5-nibble sign
+    * bits, exact integer majority votes, integer-packed 16-bit band
+    * signatures — every stage engine-portable), joined against the same
+    * exact n-gram Jaccard truth set. SimHash's blocking is coarser than
+    * MinHash's (a 16-bit band matches only if all 16 signature bits agree,
+    * and token-vote signatures blur under moderate edits), so its recall
+    * on a >= 0.6-Jaccard truth set is EXPECTED to sit below the MinHash
+    * number — that gap is precisely what this metric makes visible and
+    * pins across engines.
+    */
+  private def simhashRecallOracle: String = {
+    val voteCols = (0 until 64).map { b =>
+      val nib = b / 4 + 1
+      val shift = 3 - b % 4
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, $nib, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n  ")
+    val sigSelects = (0 until 4).map { k =>
+      val packed = (0 until 16).map(i =>
+        s"(CASE WHEN v${16 * k + i} >= 0 THEN ${1 << (15 - i)} ELSE 0 END)").mkString(" + ")
+      s"SELECT doc_id, $k AS band, $packed AS bsig FROM votes"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ngramPairCtes,
+truth AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, md5(t) AS h FROM tok),
+votes AS (SELECT doc_id,
+  $voteCols
+  FROM th GROUP BY doc_id),
+sig AS ($sigSelects),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
+    AND a.doc_id < b.doc_id),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM truth t JOIN cand c
+     ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+CAST(n_hit AS BIGINT) AS n_hit,
+CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS lsh_recall,
+CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS lsh_precision
+FROM m"""
+  }
+
+  private val llmSimhashRecall = Q(
+    "llm_simhash_recall",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("a_id", "b_id")
+      val cand = Dedup.md5SimhashCandidates(docs, "doc_id", "text")
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
+          sum(when(col("t") === 1 && col("c") === 1, 1).otherwise(0))
+            .cast("bigint").as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_truth"))
+            .as("lsh_recall"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_cand"))
+            .as("lsh_precision"))
+    },
+    Some(simhashRecallOracle))
+
   // ----------------------------------------------------- similarity search
 
   private def normEmb(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -1058,7 +1128,8 @@ FROM (SELECT source, len(regexp_extract_all(text, '[0-9]+')) AS n_num,
 GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmMinhashRecall, llmCosineTopk, llmKnnLabel,
+    llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmCosineTopk,
+    llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
