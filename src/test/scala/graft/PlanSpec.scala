@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("near-dup candidate generation plans equi-joins, never a cartesian/BNLJ") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    Seq("llm_minhash_neardup", "llm_simhash_neardup", "llm_ngram_jaccard").foreach { name =>
+    Seq("llm_minhash_neardup", "llm_simhash_neardup", "llm_ngram_jaccard",
+      "llm_minhash_recall", "llm_simhash_recall").foreach { name =>
       val p = plan(name)
       val bad = collectWithSubqueries(p) {
         case c: CartesianProductExec => c

@@ -210,6 +210,41 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("md5 SimHash-LSH recovers one-edit planted near-dups (batched corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the generated-data backstop behind the oracled llm_simhash_recall
+    // fixture metric (mirrors the md5 MinHash test above). Doc length is
+    // the recall lever: a one-token edit shifts each bit's vote by at most
+    // ±2, so only bits with |vote margin| < 2 can flip — probability
+    // ~1/√len per bit (central limit), so 200-300-token docs flip ~2% of
+    // bits, P(a 16-bit band survives) ≈ 0.7, P(≥1 of 4 bands) ≈ 0.99.
+    // (At 60-100 tokens ~6% of bits flip and expected recall is only
+    // ~0.77 — SimHash blocking is genuinely weaker on short docs, which
+    // is the same property the fixture metric quantifies.)
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 200).map(i => s"w$i")
+    (0 until 3).foreach { ci =>
+      val nDocs = 30 + rnd.nextInt(20)
+      val docs = (0 until nDocs).map { i =>
+        val len = 200 + rnd.nextInt(101)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = docs.take(10).map { case (id, text) =>
+        val toks = text.split(" ")
+        toks(toks.length / 2) = "edited"
+        (id + 1000L, toks.mkString(" "))
+      }
+      val df = (docs ++ planted).toDF("doc_id", "text")
+      val cand = graft.api.Dedup.md5SimhashCandidates(df, "doc_id", "text")
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      val expected = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+      val found = expected.intersect(cand)
+      assert(found.size >= 9,
+        s"corpus $ci: SimHash LSH recovered only ${found.size}/10 planted pairs")
+    }
+  }
+
   test("weightedPercentiles crossing rule matches driver-side naive accumulation (batched)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
