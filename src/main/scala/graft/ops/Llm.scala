@@ -749,6 +749,63 @@ FROM (
   FROM documents)
 GROUP BY source ORDER BY source"""))
 
+  /** Gopher-style within-document repetition signals — the quality family's
+    * missing axis: [[llmQualityFilter]] scores length/stopword shape, but a
+    * document can pass those while being 90% copy-pasted boilerplate.
+    * Per doc: duplicate-word fraction (1 − distinct/total tokens),
+    * duplicate-2-gram fraction, and the most-frequent-token share, plus the
+    * keep verdict at Gopher-ish thresholds (dup words ≤ 0.3, dup 2-grams
+    * ≤ 0.2, top token ≤ 0.2).
+    *
+    * Scale + oracle shape: the array-side fractions are pure per-row
+    * expressions over the doc's own token array (no shuffle — documents are
+    * the natural unit, bounded by doc length); only the top-token share
+    * aggregates through an explode (map-side-combinable (doc, token)
+    * counts, one shuffle on doc_id×token then doc_id). Every emitted
+    * fraction is an exact-integer ratio — identical IEEE division in both
+    * engines, emitted raw per H's ground rules.
+    */
+  private val llmRepetitionFilter = Q(
+    "llm_repetition_filter",
+    (s, d) => {
+      val base = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n_toks", size(col("t")))
+        .select(col("doc_id"), col("n_toks"),
+          (lit(1.0) - size(array_distinct(col("t"))).cast("double")
+            / col("n_toks")).as("dup_word_frac"),
+          when(col("n_toks") < 2, lit(0.0)).otherwise(
+            lit(1.0) - size(array_distinct(expr(
+              "transform(sequence(1, n_toks - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
+              .cast("double") / (col("n_toks") - 1)).as("dup_2gram_frac"))
+      val top = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_tok_share"))
+      base.join(top, "doc_id")
+        .withColumn("kept", col("dup_word_frac") <= 0.3 &&
+          col("dup_2gram_frac") <= 0.2 && col("top_tok_share") <= 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n_toks,
+  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac,
+  CASE WHEN len(t) < 2 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(list_transform(
+              generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])))
+            AS DOUBLE) / (len(t) - 1) END AS dup_2gram_frac
+  FROM toks),
+tt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_share
+        FROM tc GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, n_toks, dup_word_frac, dup_2gram_frac,
+top_tok_share,
+dup_word_frac <= 0.3 AND dup_2gram_frac <= 0.2 AND top_tok_share <= 0.2 AS kept
+FROM base b JOIN top USING (doc_id)
+ORDER BY doc_id"""))
+
   /** Data-driven language ID: unigram naive Bayes trained on the corpus's own
     * (token, lang) counts, evaluated against the `lang` column.
     *
@@ -1131,7 +1188,8 @@ GROUP BY source ORDER BY source"""))
     llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
-    llmTextStats, llmTfidf, llmQualityFilter, llmLangId, llmTokenCount,
+    llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
+    llmTokenCount,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)
