@@ -42,7 +42,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 96 queries compile far more than the default 100 cached generated
+      // 121 queries compile far more than the default 100 cached generated
       // classes; shared fragments (signature pipelines, fixture scans)
       // re-compile on eviction without a bigger Janino cache
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -53,6 +53,19 @@ object Bench {
     // so it isn't billed to whichever query happens to run first
     spark.range(100000).selectExpr("count(DISTINCT id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Wait — bounded — for the 1-min loadavg to decay below target before the
+    // first measured query (the Stress r5 lesson): loadavg is a LAGGING
+    // average, and a host that was busy minutes before this JVM started can
+    // poison the first alphabetical queries 10-20x while the late-alphabet
+    // keys measure clean (the r5 committed record's exact failure shape:
+    // agg_global 25.3 s contended vs 1.24 s quiet). The harness is idle while
+    // waiting, so a loadavg that stays high past the deadline means genuinely
+    // external load — recorded via quiesce_timeout so a contention-poisoned
+    // record is self-identifying rather than silently trusted.
+    val quiesceDeadline = System.nanoTime() + 240 * 1e9.toLong
+    while (loadAvg > 2.0 && System.nanoTime() < quiesceDeadline)
+      Thread.sleep(5000)
+    val quiesceTimedOut = loadAvg > 2.0
     val loadStart = loadAvg
     val failed = mutable.ListBuffer.empty[String]
     // drop blocks persisted inside operators so runs stay independent and
@@ -66,6 +79,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMs
+      // per-query loadavg sample: a contention spike MID-run (the quiesce
+      // gate only protects the start) shows up against the specific keys it
+      // inflated instead of smearing suspicion over the whole record
+      val qLoad = loadAvg
       val t0 = System.nanoTime()
       var buildSec = 0.0
       var planSec = 0.0
@@ -112,28 +129,32 @@ object Bench {
       val spread = samples.last - samples.head
       System.err.println(
         f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${samples.size} runs, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
-      (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread)
+      (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread, qLoad)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v, b, p, g, run1, spread) =>
+    val detail = results.map { case (k, v, b, p, g, run1, spread, qLoad) =>
       val e = r3(run1 - b - p)
       s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)},""" +
-        s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)}}"""
+        s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)},""" +
+        s""""loadavg":${r3(qLoad)}}"""
     }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r3(results.map { case (_, v, _, _, _, _, _) => math.abs(v) }.sum)
+    val total = r3(results.map { case (_, v, _, _, _, _, _, _) => math.abs(v) }.sum)
     // Two lines, detail first: the committed record keeps only the LAST 2000
     // chars of stdout, so rounds 1-4's single line (headline total at the
     // head, detail at the tail) lost its total to truncation. The final line
     // is a short, complete JSON object — whatever window the recorder keeps,
     // the headline number and the slowest queries survive as parseable JSON.
-    println(s"""{"queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
-    val top5 = results.sortBy { case (_, v, _, _, _, _, _) => -math.abs(v) }
-      .take(5).map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
+    // Only the summary line carries "metric":"total" (a grep-oriented consumer
+    // matching on the metric name must find exactly one total per run); the
+    // detail line identifies itself as "detail" with no value field.
+    println(s"""{"metric":"detail","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total}""")
+    val top5 = results.sortBy { case (_, v, _, _, _, _, _, _) => -math.abs(v) }
+      .take(5).map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

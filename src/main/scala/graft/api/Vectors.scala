@@ -77,10 +77,10 @@ object Vectors {
     val rows = cb.select(col("cell").cast("int"), col("cvd"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
-    // centroid components are spliced into SQL as double literals
-    // (assignCellsTo); a NaN/Infinity component — a zero-norm vector in a
-    // seed, or a degenerate cell mean — would render as 'NaND'/'InfinityD'
-    // and die unparseable deep in analysis. Fail HERE with the real cause.
+    // a NaN/Infinity centroid component — a zero-norm vector in a seed, or
+    // a degenerate cell mean — would silently poison every cosine it scores
+    // (NaN wins/loses by Double.compare order, not geometry). Fail HERE
+    // with the real cause instead.
     rows.foreach { case (cell, cvd, cnrm) =>
       require(cvd.forall(java.lang.Double.isFinite) && java.lang.Double.isFinite(cnrm),
         s"codebook cell $cell has a non-finite centroid component — " +
@@ -106,12 +106,20 @@ object Vectors {
     // argmax_cell over an empty codebook produces an unresolvable plan
     require(cb.nonEmpty, "assignCells requires a non-empty codebook")
     graft.functions.VectorFunctions.register(nv.sparkSession)
-    val cellsSql = cb.map(_._2.mkString("array(", "D, ", "D)"))
-      .mkString("array(", ", ", ")")
-    val cnrmsSql = cb.map(_._3).mkString("array(", "D, ", "D)")
-    val idsSql = cb.map(_._1).mkString("array(", ", ", ")")
+    // ONE Literal node per codebook argument (typedLit through
+    // call_function), NOT a spliced `array(array(…))` SQL string: parsing +
+    // analyzing a k×dim-node literal expression text is O(k·dim)
+    // single-threaded driver work PER PLAN, and was the dominant cost of
+    // this path in the stress record once k scaled with the corpus (r5
+    // kmeans_train 3.0→7.0→27.1 s at 1×/3×/9×). The generated code
+    // references the arrays as JVM objects either way (addReferenceObj), so
+    // this only deletes the parse/analyze tax — same expression, same
+    // result, bit-for-bit (golden unchanged).
+    val cells = typedLit(cb.map(_._2).toSeq)
+    val cnrms = typedLit(cb.map(_._3).toSeq)
+    val ids = typedLit(cb.map(_._1).toSeq)
     nv.withColumn("cell",
-      expr(s"argmax_cell(vd, nrm, $cellsSql, $cnrmsSql, $idsSql)"))
+      call_function("argmax_cell", col("vd"), col("nrm"), cells, cnrms, ids))
   }
 
   /** Adds a `cell` column: the id of the nearest `codebook` centroid by
@@ -121,10 +129,10 @@ object Vectors {
   def assignCells(nv: DataFrame, codebook: DataFrame): DataFrame =
     assignCellsTo(nv, collectCodebook(codebook))
 
-  /** [[assignCells]] for codebooks too large to compile into the plan as
-    * literals (the literal path holds to k ~ tens of thousands; the
-    * stress record shows its n×k scoring cost going superlinear once k
-    * scales with the corpus). The codebook BROADCASTS instead: each row
+  /** [[assignCells]] for codebooks too large to ship inside the task binary
+    * as plan literals (the literal path holds to k ~ tens of thousands —
+    * beyond that the k×dim reference arrays serialize with every task).
+    * The codebook BROADCASTS instead: each row
     * scores all cells through the broadcast join, a map-side partial
     * `min_by` collapses the n×k scored rows back to one winner per row
     * before anything shuffles, and the assignment joins back onto `nv` by
@@ -158,7 +166,19 @@ object Vectors {
     *  - init: the k rows with the smallest `md5(id || ':' || seedTag)` —
     *    engine-portable hash seeding (no RNG state), one TakeOrdered.
     *  - assign: [[assignCells]] — literal-codebook codegen projection, the
-    *    only full-corpus work per iteration, shuffle-free.
+    *    only full-corpus work per iteration, shuffle-free — while the
+    *    codebook fits a task binary (`literalMaxK`, default 32768 ≈ 17 MB of
+    *    centroid doubles at dim 64); above it, the [[assignCellsJoin]]
+    *    broadcast path, whose shipped state is a real broadcast instead of a
+    *    plan literal. SemDeDup's own scale contract (k = n/128) guarantees
+    *    large k at corpus scale, so the training loop must not silently hold
+    *    onto a plan that ships the codebook with every task. The two paths
+    *    agree except in two measure-zero tie cases documented on
+    *    [[assignCellsJoin]], none reachable from the finite codebooks
+    *    [[collectCodebook]] enforces. (Measured at n=180k/k=1406/dim=64,
+    *    local[32]: literal 5.6 s, join 8.4 s for iters=2 — the literal path
+    *    stopped being the superlinear stage when [[assignCellsTo]] switched
+    *    from SQL-string splicing to typedLit literals, r6.)
     *  - update: per-cell DECIMAL(28,10)-exact per-position means (the
     *    [[centroids]] discipline) — bit-identical regardless of
     *    partitioning; empty cells keep their previous centroid.
@@ -169,9 +189,10 @@ object Vectors {
     * construction); the corpus itself never moves.
     */
   def kmeansCodebook(nv: DataFrame, idCol: String, k: Int, iters: Int = 2,
-      seedTag: String = "cb"): DataFrame = {
+      seedTag: String = "cb", literalMaxK: Int = 32768): DataFrame = {
     require(k > 0, s"kmeansCodebook requires k > 0, got $k")
     val spark = nv.sparkSession
+    import spark.implicits._
     val seeds = nv
       .withColumn("hk", md5(concat(col(idCol).cast("string"), lit(":" + seedTag))))
       .orderBy("hk").limit(k)
@@ -182,12 +203,14 @@ object Vectors {
     require(cb.nonEmpty,
       "kmeansCodebook requires a non-empty input frame (0 seed rows found)")
     for (_ <- 1 to iters) {
-      val assigned = assignCellsTo(nv, cb).select(col("cell"), col("vd"))
+      val assigned =
+        if (cb.length <= literalMaxK) assignCellsTo(nv, cb).select(col("cell"), col("vd"))
+        else assignCellsJoin(nv, cb.toSeq.toDF("cell", "cvd", "cnrm"), idCol)
+          .select(col("cell"), col("vd"))
       val updMap = collectCodebook(centroids(assigned, "cell"))
         .map(c => c._1 -> c).toMap
       cb = cb.map(c => updMap.getOrElse(c._1, c))
     }
-    import spark.implicits._
     cb.toSeq.toDF("cell", "cvd", "cnrm")
   }
 
