@@ -276,6 +276,30 @@ object Dedup {
       n: Int): DataFrame =
     wordGramsRaw(docs, idCol, textCol, n).distinct()
 
+  /** Exact word-n-gram Jaccard pairs (>= `threshold`) via an inverted
+    * shingle index: no LSH, no recall loss from blocking — this IS the
+    * truth set the LSH recall metrics are judged against.
+    *
+    * `maxDf` — the stop-shingle cap — is this path's ONE heuristic: a
+    * shingle present in more than `maxDf` docs is dropped from the index
+    * before the pair join (such a gram contributes up to df² join rows of
+    * near-zero Jaccard evidence: boilerplate). Dropping grams only ever
+    * REMOVES common-count mass (per-doc set sizes `n_sh` are computed
+    * BEFORE the cap), so the capped pair set is a strict subset of the
+    * uncapped one — the loss is pure recall, and it is measured
+    * cross-engine by the oracled `llm_ngram_dfcap_recall` key (at a
+    * fixture-engaging cap; at sf0.01/maxDf=3 the cap keeps 12 of 25 true
+    * pairs, recall 0.48 — the cap is NOT free). SCALING RULE: hold the
+    * cap's SELECTIVITY, not its value — grow `maxDf` linearly with the
+    * corpus document count (the default 50 ≈ 0.1% of a 50k-doc corpus; at
+    * 50M docs use ~50k). A cap held FIXED while the corpus grows 1000×
+    * reclassifies every moderately-common phrase as boilerplate and
+    * silently shrinks the index — rerun the recall metric at the
+    * production cap whenever the corpus jumps an order of magnitude. The
+    * flip side is the scale guard: per-gram pair work is bounded by
+    * maxDf², so the cap is also what keeps a boilerplate shingle from
+    * concentrating a quadratic pair blowup in one task.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDf: Long = 50): DataFrame = {
     val tri = Caches.cache(wordGrams(docs, idCol, textCol, n))

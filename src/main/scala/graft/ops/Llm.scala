@@ -88,11 +88,10 @@ GROUP BY source ORDER BY source"""))
     * trigram keys — equal counts modulo a ~2⁻⁶⁵ hash-collision probability.
     */
   /** The n-gram inverted-index CTE chain (toks → tri → sh → hot → cold → p)
-    * shared by EVERY n-gram-Jaccard oracle — one definition, four call
-    * sites (llm_ngram_jaccard, llm_pipeline_e2e_ngram,
-    * llm_dedup_clusters_ngram, llm_minhash_recall), so the cross-engine
-    * gates all verify the SAME semantics; a drifted pasted copy would
-    * silently verify different ones. Mirrors
+    * shared by EVERY n-gram-Jaccard oracle (llm_ngram_jaccard,
+    * llm_pipeline_e2e_ngram, llm_dedup_clusters_ngram, the three recall
+    * metrics), so the cross-engine gates all verify the SAME semantics; a
+    * drifted pasted copy would silently verify different ones. Mirrors
     * [[graft.api.Dedup.ngramJaccardPairs]]: word-3-grams, df > 50
     * stop-shingle cap, pair counts grouped with both set sizes.
     */
@@ -250,6 +249,71 @@ FROM m"""
             .as("lsh_precision"))
     },
     Some(simhashRecallOracle))
+
+  /** Recall metric for the EXACT n-gram path's one heuristic: the `maxDf`
+    * stop-shingle cap ([[graft.api.Dedup.ngramJaccardPairs]]). The LSH
+    * families both have oracled recall metrics ([[llmMinhashRecall]] /
+    * [[llmSimhashRecall]]); this closes the last unmeasured similarity
+    * knob. Truth = the UNCAPPED exact-Jaccard pair set; kept = the pair
+    * set under a cap tight enough to ENGAGE at fixture scale (maxDf = 3 —
+    * the production default of 50 never fires on the synthetic corpus,
+    * max df 7-9, and a metric of a cap that never fires measures nothing).
+    * Dropping hot grams only removes common-count mass, so kept ⊆ truth
+    * and the loss is pure recall; `n_hit` is still computed explicitly so
+    * a subset-property violation (an implementation bug) would surface as
+    * n_hit < n_kept instead of silently inflating recall. One summary row:
+    * truth/kept/hit counts, the number of dropped (hot) shingles, recall.
+    */
+  private val llmNgramDfcapRecall = Q(
+    "llm_ngram_dfcap_recall",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        maxDf = Long.MaxValue).select("a_id", "b_id")
+      val kept = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDf = 3)
+        .select("a_id", "b_id")
+      val hot = Dedup.wordGrams(docs, "doc_id", "text", 3)
+        .groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > 3)
+        .agg(count(lit(1)).cast("bigint").as("n_hot_shingles"))
+      truth.withColumn("t", lit(1))
+        .join(kept.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_kept"),
+          sum(when(col("t") === 1 && col("c") === 1, 1).otherwise(0))
+            .cast("bigint").as("n_hit"))
+        .crossJoin(hot)
+        .select(col("n_truth"), col("n_kept"), col("n_hit"),
+          col("n_hot_shingles"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_truth"))
+            .as("dfcap_recall"))
+    },
+    Some(s"""WITH $ngramPairCtes,
+hot3 AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 3),
+coldu AS (SELECT tri.doc_id AS doc_id, g, n_sh FROM tri JOIN sh USING (doc_id)),
+coldc AS (SELECT doc_id, g, n_sh FROM coldu WHERE g NOT IN (SELECT g FROM hot3)),
+pu AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        count(*) AS common
+      FROM coldu a JOIN coldu b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        count(*) AS common
+      FROM coldc a JOIN coldc b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+truth AS (SELECT a_id, b_id FROM pu WHERE $ngramSimFilter),
+kept AS (SELECT a_id, b_id FROM pc WHERE $ngramSimFilter),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM kept) AS n_kept,
+  (SELECT count(*) FROM truth t JOIN kept k
+     ON t.a_id = k.a_id AND t.b_id = k.b_id) AS n_hit,
+  (SELECT count(*) FROM hot3) AS n_hot_shingles)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_kept AS BIGINT) AS n_kept,
+CAST(n_hit AS BIGINT) AS n_hit,
+CAST(n_hot_shingles AS BIGINT) AS n_hot_shingles,
+CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS dfcap_recall
+FROM m"""))
 
   // ----------------------------------------------------- similarity search
 
@@ -1185,7 +1249,8 @@ FROM (SELECT source, len(regexp_extract_all(text, '[0-9]+')) AS n_num,
 GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmCosineTopk,
+    llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
+    llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
