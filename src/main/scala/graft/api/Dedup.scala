@@ -231,6 +231,42 @@ object Dedup {
       salt)
   }
 
+  /** Engine-portable MinHash near-dup PAIRS: [[md5MinhashCandidates]]
+    * blocking + exact word-n-gram Jaccard verify on candidates only —
+    * the full candidate→verify near-dup shape of [[minhashPairs]] with
+    * every stage reproducible in DuckDB (md5 permutation minima, string
+    * grams, integer common counts). Same scale discipline as the
+    * production path: the gram frame is built once and shared between
+    * blocking and verify, the verify join touches only candidate ids
+    * (left-semi restriction first), and candidates come from the salted
+    * band join — never all-pairs. Output: (a_id, b_id, jaccard), with
+    * round-4 Jaccard at `threshold` over the DISTINCT gram sets.
+    */
+  def md5MinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, perms: Int = 16, bands: Int = 4,
+      salt: Int = 16): DataFrame = {
+    val wg = Caches.cache(wordGrams(docs, idCol, textCol, n))
+    val cand = Caches.cache(
+      md5MinhashCandidates(docs, idCol, textCol, n, perms, bands, salt))
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+    val candWg = Caches.cache(wg.join(candIds, Seq("id"), "left_semi")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id"))))
+    cand
+      .join(candWg.select(col("id").as("a_id"), col("g"), col("n_sh").as("a_n")),
+        "a_id")
+      .join(candWg.select(col("id").as("d2"), col("g").as("g2"),
+        col("n_sh").as("b_n")),
+        col("b_id") === col("d2") && col("g") === col("g2"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
+        first(col("b_n")).as("b_n"))
+      .select(col("a_id"), col("b_id"),
+        round(col("common").cast("double") /
+          (col("a_n") + col("b_n") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Engine-portable SimHash-LSH candidate pairs over whitespace tokens:
     * the 64 signature bits come from per-token md5 hex nibbles (bit b of a
     * token = bit (3 - b%4) of nibble b/4 — fixed-width lowercase hex, so

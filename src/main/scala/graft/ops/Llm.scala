@@ -114,6 +114,22 @@ p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
   private val ngramSimFilter =
     "round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) >= 0.6"
 
+  /** The md5-permutation MinHash candidate CTE chain (mh → sig → cand over
+    * `tri` from [[ngramPairCtes]]) — the DuckDB twin of
+    * [[graft.api.Dedup.md5MinhashCandidates]] (16 permutations × 4 bands),
+    * shared by llm_minhash_recall and the llm_pipeline_e2e oracle so both
+    * gates verify the same blocking semantics.
+    */
+  private val md5MinhashCandCtes =
+    s"""mh AS (SELECT doc_id,
+${(0 until 16).map(j => s"  min(md5(g || ':$j')) AS m$j").mkString(",\n")}
+  FROM tri GROUP BY doc_id),
+sig AS (
+${(0 until 4).map(b => s"  SELECT doc_id, $b AS band, md5(${(4 * b until 4 * b + 4).map(j => s"m$j").mkString(" || '|' || ")}) AS bsig FROM mh").mkString("\n  UNION ALL\n")}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
+    AND a.doc_id < b.doc_id)"""
+
   private val llmNgramJaccard = Q(
     "llm_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
@@ -161,14 +177,7 @@ ORDER BY a_id, b_id"""))
     },
     Some(s"""WITH $ngramPairCtes,
 truth AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
-mh AS (SELECT doc_id,
-${(0 until 16).map(j => s"  min(md5(g || ':$j')) AS m$j").mkString(",\n")}
-  FROM tri GROUP BY doc_id),
-sig AS (
-${(0 until 4).map(b => s"  SELECT doc_id, $b AS band, md5(${(4 * b until 4 * b + 4).map(j => s"m$j").mkString(" || '|' || ")}) AS bsig FROM mh").mkString("\n  UNION ALL\n")}),
-cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
-    AND a.doc_id < b.doc_id),
+$md5MinhashCandCtes,
 m AS (SELECT
   (SELECT count(*) FROM truth) AS n_truth,
   (SELECT count(*) FROM cand) AS n_cand,
@@ -947,10 +956,22 @@ substring(md5(lower(trim(text))), 1, 15) AS fp_prefix
 FROM documents ORDER BY doc_id"""))
 
   /** End-to-end corpus pipeline: quality filter → exact dedup → near-dup
-    * drop (MinHash survivors keep the lower doc_id) → per-lang stats.
+    * drop (MinHash-LSH survivors keep the lower doc_id) → per-lang stats.
     * Demonstrates that the pipeline stages compose as one lazy plan; the
-    * near-dup stage is the single salted-LSH pair plan from
-    * [[graft.api.Dedup.minhashPairs]] (built once — not re-planned per use).
+    * near-dup stage is the single salted-LSH candidate→verify pair plan
+    * (built once — not re-planned per use).
+    *
+    * The MinHash stage is [[graft.api.Dedup.md5MinhashPairs]] — md5
+    * permutation minima + exact word-3-gram Jaccard verify, every stage
+    * engine-portable — so the LSH-BLOCKED composition itself runs under
+    * the DuckDB gate (r1–r5 used the xxhash64 production permutations
+    * here, which made this key declared-only while its exact-n-gram twin
+    * [[llmPipelineE2eNgram]] was oracled; the blocking structure, salted
+    * joins, and verify semantics are identical — only the permutation
+    * hash differs, and the xxhash64 form stays exercised/declared by
+    * llm_minhash_neardup). Vs the ngram twin, the only difference is
+    * candidate blocking before the verify: survivors here are a superset
+    * (LSH recall < 1 — quantified by llm_minhash_recall).
     */
   private val llmPipelineE2e = Q(
     "llm_pipeline_e2e",
@@ -959,17 +980,47 @@ FROM documents ORDER BY doc_id"""))
         .filter(col("kept"))
       val exact = Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
         .filter(col("dup_rank") === 1).drop("dup_rank")
-      // near-dup drop: keep the lower doc_id of every minhash-LSH pair
-      val pairs = Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+      // near-dup drop: keep the lower doc_id of every verified LSH pair
+      val pairs = Dedup.md5MinhashPairs(T.documents(s, d), "doc_id", "text")
         .select(col("b_id").as("doc_id"))
       val surviving = exact.join(pairs, Seq("doc_id"), "left_anti")
       surviving.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("total_toks"),
+          sum(col("n_toks")).cast("bigint").as("total_toks"),
           avg(col("n_chars")).as("avg_chars"))
         .orderBy("lang")
     },
-    None)
+    Some(s"""WITH q0 AS (
+  SELECT doc_id, lang, n_chars, text,
+    len(string_split(text, ' ')) AS n_toks,
+    (n_chars BETWEEN 100 AND 500)
+      AND len(string_split(text, ' ')) >= 20
+      AND (CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+           / len(string_split(text, ' ')) < 0.3) AS kept
+  FROM documents),
+q1 AS (SELECT doc_id, lang, n_chars, n_toks, text FROM q0 WHERE kept),
+ex AS (SELECT doc_id, lang, n_chars, n_toks,
+         row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+       FROM q1),
+keep1 AS (SELECT doc_id, lang, n_chars, n_toks FROM ex WHERE rn = 1),
+$ngramPairCtes,
+$md5MinhashCandCtes,
+cm AS (SELECT c.a_id, c.b_id, count(*) AS common
+       FROM cand c
+       JOIN tri ta ON ta.doc_id = c.a_id
+       JOIN tri tb ON tb.doc_id = c.b_id AND tb.g = ta.g
+       GROUP BY 1, 2),
+v AS (SELECT cm.a_id, cm.b_id
+      FROM cm
+      JOIN sh sa ON sa.doc_id = cm.a_id
+      JOIN sh sb ON sb.doc_id = cm.b_id
+      WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) >= 0.6),
+dropped AS (SELECT DISTINCT b_id AS doc_id FROM v)
+SELECT lang, count(*) AS n_docs,
+CAST(sum(n_toks) AS BIGINT) AS total_toks,
+avg(n_chars) AS avg_chars
+FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang ORDER BY lang"""))
 
   /** Oracle-checkable end-to-end pipeline twin: same quality → exact-dedup →
     * near-dup-drop → per-lang stats composition as [[llmPipelineE2e]], but
