@@ -88,57 +88,113 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 
      UNNEST(generate_series(1, len(t))) AS u(i)
 ORDER BY doc_id, pos"""))
 
-  /** Multimodal-column plumbing (builder prompt): media rows modeled as
-    * binary payload + typed metadata struct, pushed through a deterministic
-    * byte-arithmetic "decode" stage. The container has no codec libraries,
-    * so instead of pixels the stage extracts byte-level features (octet
-    * count, a position-weighted byte checksum, a plain byte sum) — but the
-    * engine-side shape is the REAL one: per-row feature extraction over the
-    * binary column entirely inside the engine (higher-order `aggregate`
-    * over the payload bytes — no UDF, no mapPartitions, no driver hop), the
-    * exact plan a real decoder Expression would slot into. The features are
-    * pure byte arithmetic, so DuckDB reproduces them bit-for-bit.
+  /** Multimodal-column plumbing (builder prompt): media rows modeled as an
+    * opaque binary payload + typed metadata struct, pushed through a real
+    * header-parsing "decode" stage. The container has no codec libraries,
+    * so the payload is a REAL UNCOMPRESSED format a decoder can parse with
+    * pure byte arithmetic: a binary PPM (P6) image — ASCII header
+    * `P6\n<w> <h>\n255\n` followed by exactly 3·w·h bytes of pixel data
+    * (synthesized deterministically from the document text). The decode
+    * stage sees ONLY the payload bytes: it parses width/height/maxval out
+    * of the header (regexp over the cast header prefix — the header is
+    * self-describing, nothing is smuggled in through the metadata struct,
+    * which carries just the mime tag), locates the pixel region at
+    * header-length offset, validates the pixel byte count against the
+    * parsed dimensions, and folds byte features over the PIXEL region
+    * only. Engine-side the shape is the real one: per-row feature
+    * extraction over a binary column entirely inside the engine
+    * (higher-order `aggregate` over the payload bytes — no UDF, no
+    * mapPartitions, no driver hop), the exact plan a native decoder
+    * Expression would slot into. Every stage is byte/integer arithmetic
+    * over ASCII payloads, so DuckDB rebuilds the same image and re-parses
+    * it bit-for-bit.
     */
   private val llmMultimodalDecode = Q(
     "llm_multimodal_decode",
     (s, d) => {
-      val media = T.documents(s, d).select(
-        col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        struct(
-          lit("image/fake").as("mime"),
-          (col("n_chars") % 640).cast("int").as("width"),
-          (col("n_chars") % 480).cast("int").as("height")).as("meta"))
-      // position-weighted fold: order-sensitive, so it proves the byte
-      // STREAM decoded intact, not just the multiset of bytes
-      def byteFold(weighted: Boolean): org.apache.spark.sql.Column = {
-        val term = if (weighted) "i * ascii(CAST(substring(payload, i, 1) AS STRING))"
-          else "ascii(CAST(substring(payload, i, 1) AS STRING))"
-        // sequence(1, 0) runs DESCENDING (same landmine as shingleHashes) —
-        // route empty payloads around the fold
-        when(length(col("payload")) === 0, lit(0L))
-          .otherwise(expr(
-            s"aggregate(sequence(1, length(payload)), 0L, (acc, i) -> acc + $term)"))
-      }
-      media.select(
+      // -------- encode: build the P6 payload (w,h derived from the doc,
+      // pixel bytes = the text tiled to exactly 3·w·h octets)
+      val media = T.documents(s, d)
+        .withColumn("w", (col("n_chars") % 13 + 4).cast("int"))
+        .withColumn("h", (col("n_chars") % 11 + 3).cast("int"))
+        .withColumn("need", col("w") * col("h") * 3)
+        .withColumn("psrc", coalesce(nullif(col("text"), lit("")), lit("x")))
+        .withColumn("reps",
+          ceil(col("need").cast("double") / length(col("psrc"))).cast("int"))
+        .select(
           col("doc_id"),
-          length(col("payload")).as("n_bytes"),
-          (col("meta.width").cast("long") * col("meta.height")).as("pixel_budget"),
-          byteFold(weighted = true).as("payload_checksum"),
-          byteFold(weighted = false).as("byte_sum"))
+          expr("""cast(concat('P6\n', cast(w as string), ' ',
+                   cast(h as string), '\n255\n',
+                   substring(repeat(psrc, reps), 1, need)) as binary)""")
+            .as("payload"),
+          struct(lit("image/x-portable-pixmap").as("mime")).as("meta"))
+      // -------- decode: everything below reads ONLY (payload, meta)
+      val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+      val decoded = media
+        // a P6 header with 4-digit dimensions fits well inside 32 bytes
+        .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
+        .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("int"))
+        .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("int"))
+        .withColumn("maxval", regexp_extract(col("hdr"), hdrPat, 3).cast("int"))
+        .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
+        .withColumn("n_bytes", length(col("payload")))
+      // position-weighted fold over the PIXEL region (positions relative to
+      // the region start): order-sensitive, so it proves the byte stream
+      // decoded intact at the right offset, not just the multiset of bytes
+      def pixelFold(weighted: Boolean): org.apache.spark.sql.Column = {
+        val term = if (weighted)
+          "(i - hdr_len) * ascii(CAST(substring(payload, i, 1) AS STRING))"
+        else "ascii(CAST(substring(payload, i, 1) AS STRING))"
+        // sequence(lo, hi) runs DESCENDING for hi < lo (same landmine as
+        // shingleHashes) — route pixel-less payloads around the fold
+        when(col("n_bytes") <= col("hdr_len"), lit(0L))
+          .otherwise(expr(
+            s"aggregate(sequence(hdr_len + 1, n_bytes), 0L, (acc, i) -> acc + $term)"))
+      }
+      decoded.select(
+          col("doc_id"),
+          col("width"), col("height"), col("maxval"),
+          col("n_bytes"),
+          (col("n_bytes") - col("hdr_len")).as("n_pixel_bytes"),
+          (col("width").cast("long") * col("height")).as("pixel_budget"),
+          when(col("n_bytes") - col("hdr_len") ===
+            col("width").cast("long") * col("height") * 3, 1).otherwise(0)
+            .as("size_ok"),
+          pixelFold(weighted = true).as("payload_checksum"),
+          pixelFold(weighted = false).as("byte_sum"))
         .orderBy("doc_id")
     },
-    // the payload is the UTF-8 (ASCII) document text, so DuckDB recomputes
-    // every feature from the same bytes: ord == ascii on ASCII, and the
-    // position-weighted sum is exact integer arithmetic in both engines
-    Some("""SELECT doc_id,
-CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-CAST((n_chars % 640) AS BIGINT) * (n_chars % 480) AS pixel_budget,
-CAST(coalesce(list_sum(list_transform(generate_series(1, len(text)),
-  i -> i * ord(substring(text, i, 1)))), 0) AS BIGINT) AS payload_checksum,
-CAST(coalesce(list_sum(list_transform(generate_series(1, len(text)),
-  i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
-FROM documents ORDER BY doc_id"""))
+    // DuckDB rebuilds the identical ASCII image string and re-parses it:
+    // ord == ascii on ASCII bytes, int division/ceil agree, and the
+    // position-weighted sums are exact integer arithmetic in both engines
+    Some("""WITH enc AS (
+  SELECT doc_id,
+    'P6' || chr(10) || (n_chars % 13 + 4) || ' ' || (n_chars % 11 + 3) ||
+      chr(10) || '255' || chr(10) ||
+      substring(repeat(coalesce(nullif(text, ''), 'x'),
+          CAST(ceil(((n_chars % 13 + 4) * (n_chars % 11 + 3) * 3)
+            / len(coalesce(nullif(text, ''), 'x'))) AS INTEGER)),
+        1, (n_chars % 13 + 4) * (n_chars % 11 + 3) * 3) AS img
+  FROM documents),
+dec AS (
+  SELECT doc_id, img,
+    CAST(regexp_extract(substring(img, 1, 32), '^P6\n(\d+) (\d+)\n(\d+)\n', 1) AS INTEGER) AS width,
+    CAST(regexp_extract(substring(img, 1, 32), '^P6\n(\d+) (\d+)\n(\d+)\n', 2) AS INTEGER) AS height,
+    CAST(regexp_extract(substring(img, 1, 32), '^P6\n(\d+) (\d+)\n(\d+)\n', 3) AS INTEGER) AS maxval,
+    len(regexp_extract(substring(img, 1, 32), '^P6\n(\d+) (\d+)\n(\d+)\n', 0)) AS hdr_len,
+    len(img) AS n_bytes
+  FROM enc)
+SELECT doc_id, width, height, maxval,
+CAST(n_bytes AS INTEGER) AS n_bytes,
+CAST(n_bytes - hdr_len AS INTEGER) AS n_pixel_bytes,
+CAST(width AS BIGINT) * height AS pixel_budget,
+CASE WHEN n_bytes - hdr_len = CAST(width AS BIGINT) * height * 3
+  THEN 1 ELSE 0 END AS size_ok,
+CAST(coalesce(list_sum(list_transform(generate_series(hdr_len + 1, n_bytes),
+  i -> (i - hdr_len) * ord(substring(img, i, 1)))), 0) AS BIGINT) AS payload_checksum,
+CAST(coalesce(list_sum(list_transform(generate_series(hdr_len + 1, n_bytes),
+  i -> ord(substring(img, i, 1)))), 0) AS BIGINT) AS byte_sum
+FROM dec ORDER BY doc_id"""))
 
   /** Multimodal ingestion path: opaque media files on disk read through
     * Spark's `binaryFile` source (path/length/modificationTime metadata +

@@ -184,4 +184,17 @@ class LlmSpec extends SparkSpec {
     val b = q("llm_multimodal_decode").agg(sum("payload_checksum")).head().getLong(0)
     assert(a == b)
   }
+
+  test("multimodal decode parses real P6 headers: every payload's pixel " +
+      "region matches its parsed dimensions") {
+    val df = q("llm_multimodal_decode")
+    // size_ok is computed from PARSED width/height vs the byte count after
+    // the PARSED header length — a mis-parse (wrong offset, wrong digits)
+    // cannot produce 3·w·h pixel bytes by accident across the corpus
+    val row = df.agg(sum(lit(1) - col("size_ok")), min("width"), min("height"),
+      max("maxval"), min("maxval")).head()
+    assert(row.getLong(0) == 0L, "every row must have size_ok = 1")
+    assert(row.getInt(1) >= 4 && row.getInt(2) >= 3, "parsed dims in range")
+    assert(row.getInt(3) == 255 && row.getInt(4) == 255, "P6 maxval parsed")
+  }
 }
