@@ -42,7 +42,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 121 queries compile far more than the default 100 cached generated
+      // the full registry compiles far more than the default 100 cached generated
       // classes; shared fragments (signature pipelines, fixture scans)
       // re-compile on eviction without a bigger Janino cache
       .config("spark.sql.codegen.cache.maxEntries", "2000")

@@ -8,8 +8,9 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import scala.jdk.CollectionConverters._
 
 /** Scale-stress evidence for the dedup/ANN stack (SURVEY.md §6): generates a
-  * SKEWED synthetic corpus far past bench scale and runs the two iterative /
-  * candidate-generating paths end-to-end at two sizes, recording per-stage
+  * SKEWED synthetic corpus far past bench scale and runs the iterative /
+  * candidate-generating paths (minhash dedup+CC, k-means IVF, semdedup,
+  * exact n-gram index+CC) end-to-end at three sizes each, recording per-stage
   * wall time, shuffle volume, task-level peak execution memory, and the
   * connected-components round count as one JSON line (committed as
   * `STRESS.json`).
@@ -278,6 +279,64 @@ object Stress {
     recs.toSeq
   }
 
+  /** Exact word-n-gram inverted-index path at stress scale: the heaviest
+    * bench keys (llm_ngram_jaccard and every consumer of its truth set) ride
+    * this index, and its quadratic risk is guarded ONLY by the df cap whose
+    * recall loss the oracled `llm_ngram_dfcap_recall` key measures. The cap
+    * follows [[graft.api.Dedup.ngramJaccardPairs]]'s scaling rule — hold
+    * SELECTIVITY, not value: `maxDf = max(60, n/500)`, above every organic
+    * cluster size the corpus generator emits (≤51) and below the FIXED
+    * 1000-doc boilerplate mega-cluster at all sizes. So the record shows
+    * both halves of the cap's contract at once: `dfcap_hot_grams` counts the
+    * boilerplate shingles dropped (≈ constant across sizes — real
+    * boilerplate is fixed-size, it does not grow with the corpus) and the
+    * capped pair join + CC must grow ~linearly (uncapped, the mega-cluster
+    * alone would emit ~len·10⁶ join rows through one gram set).
+    *
+    * Threshold 0.4, not the API default 0.6: cluster members mutate 2 token
+    * positions, so word-3-gram Jaccard between two cluster-mates is
+    * ≈ (L−14)/(L+10) for length L ∈ [10,60] — 0.4 admits pairs from the
+    * longer half of the length distribution (a size-independent fraction,
+    * which is what a growth ratio needs), where 0.6 would keep only L ≳ 50.
+    */
+  private def ngramRun(spark: SparkSession, nDocs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val maxDf = math.max(60L, nDocs / 500)
+    val ((docs, nOut), genSec) = timed {
+      val d = corpus(spark, nDocs).persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_corpus", genSec, nOut)
+    // the cap's scan alone (one aggregate over the distinct-gram frame —
+    // cheap next to the pair join): how many distinct shingles this corpus
+    // size reclassifies as boilerplate
+    val (nHot, hotSec) = timed {
+      graft.api.Dedup.wordGrams(docs, "doc_id", "text", 3)
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).count()
+    }
+    recs += StageRec("dfcap_hot_grams", hotSec, nHot,
+      Seq("max_df" -> maxDf.toString))
+    val ((pairs, nPairs), pairSec) = timed {
+      val p = graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.4, maxDf = maxDf).persist()
+      (p, p.count())
+    }
+    graft.api.Caches.sweep(spark) // the builder's interior gram cache
+    recs += StageRec("ngram_pairs", pairSec, nPairs)
+    val ((rounds, nComp), ccSec) = timed {
+      val (c, r) = graft.api.Dedup.connectedComponentsWithRounds(pairs)
+      (r, c.agg(countDistinct(col("component"))).head().getLong(0))
+    }
+    recs += StageRec("connected_components", ccSec, nComp,
+      Seq("rounds" -> rounds.toString))
+    unpersistQuietly(pairs)
+    unpersistQuietly(docs)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    graft.api.Caches.sweep(spark)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -291,6 +350,11 @@ object Stress {
     // (cell size bounded at ~128 by the scaled codebook): sizes stay below
     // the ivf path's so the verify-join shuffle stays disk-safe
     val semSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SEMS", "20000,60000,180000")
+      .split(",").map(_.trim.toLong).toSeq
+    // exact-index join volume is ~Σ df² per gram ≈ 770·n rows under the
+    // scaled cap (see ngramRun): sizes stay below the minhash path's so the
+    // single-gram-keyed shuffle stays disk-safe at the biggest size
+    val ngramSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_NGRAMS", "20000,60000,180000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -318,6 +382,7 @@ object Stress {
     dedupRun(spark, 3000)
     annRun(spark, 2000)
     semdedupRun(spark, 2000)
+    ngramRun(spark, 3000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -327,7 +392,12 @@ object Stress {
     // spotting EXTERNAL contention (the r4 record's flaw). Wait — bounded —
     // for the decayed average to drop before sampling; the harness is idle
     // while waiting, so a reading that stays high means outside load.
-    def quiesce(targetLoad: Double = 4.0, maxWaitSec: Int = 240): Unit = {
+    // returns true when the deadline passed with load still above target —
+    // recorded per run, so a record taken on a genuinely-contended host is
+    // self-identifying instead of indistinguishable from a quiet one (the
+    // loadavg_start field alone already shows the POST-quiesce sample; the
+    // flag says whether that sample was reached by decay or by giving up)
+    def quiesce(targetLoad: Double = 4.0, maxWaitSec: Int = 240): Boolean = {
       val deadline = System.nanoTime() + maxWaitSec * 1e9
       var l = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
@@ -336,9 +406,10 @@ object Stress {
         l = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
       }
+      l > targetLoad
     }
     def measured(tag: String, size: Long, body: => Seq[StageRec]): Run = {
-      quiesce()
+      val qTimeout = quiesce()
       listener.reset(); resetPeaks()
       val load0 = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
@@ -347,7 +418,8 @@ object Stress {
         stages.map(s => f"${s.name}=${s.sec}%.1f").mkString(" "))
       val shuffleMB = listener.shuffleWrite.get / (1 << 20)
       Run(tag, size, wallSec, shuffleMB,
-        s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,"loadavg_start":$load0,""" +
+        s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,""" +
+          s""""loadavg_start":$load0,"quiesce_timeout":$qTimeout,""" +
           s""""stages":[${stages.map(_.json).mkString(",")}],""" +
           s""""jobs":${listener.jobs.get},""" +
           s""""shuffle_write_mb":$shuffleMB,""" +
@@ -361,6 +433,7 @@ object Stress {
     docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
     vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
     semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
+    ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
 
     // growth ratios between consecutive sizes of each path: the linearity
     // evidence in one place (wall/shuffle ratio ≈ size ratio = linear)

@@ -128,6 +128,15 @@ object Fts {
     * (sum of `w` over values ≤ this one), computed by the two-stage
     * bucketed prefix sum described on [[weightedPercentiles]]. Consumers
     * derive crossings from (cw, tw) with pure integer-multiply thresholds.
+    *
+    * PRECONDITION for bit-exact `cw`: integer-valued weights (≪2^53), where
+    * double addition is exact in any association order. With arbitrary
+    * fractional weights the bucketed (off + within-bucket) association can
+    * differ from a value-ordered running sum at the last ulp — results are
+    * still correct to fp tolerance, but a consumer that hash-compares `cw`
+    * against an engine computing a straight prefix sum (the oracle gate
+    * does) must either feed integer weights (all oracled consumers here do)
+    * or round the cw-derived output columns before comparing.
     */
   def cumulativeWeights(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, buckets: Int = 32): DataFrame = {

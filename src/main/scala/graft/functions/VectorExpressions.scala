@@ -336,9 +336,23 @@ case class BloomProbe(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bfRef = ctx.addReferenceObj("bloomFilter", filter,
       classOf[org.apache.spark.util.sketch.BloomFilter].getName)
-    // left is foldable: its "evaluation" in the generated code is a constant
-    // reference, so per-row work is exactly one mightContainLong call
-    nullSafeCodeGen(ctx, ev, (_, g) => s"${ev.value} = $bfRef.mightContainLong($g);")
+    // generate ONLY the gram child: nullSafeCodeGen would also emit the
+    // foldable filter literal, putting the raw bytes in the codegen
+    // references array NEXT TO the deserialized filter they already became —
+    // every task binary would carry the filter twice. The serialized bytes
+    // still live once in the expression tree (they are the left child); the
+    // generated code needs only the live object.
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val g = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${g.code}
+            |boolean ${ev.isNull} = ${g.isNull};
+            |boolean ${ev.value} = false;
+            |if (!${ev.isNull}) {
+            |  ${ev.value} = $bfRef.mightContainLong(${g.value});
+            |}
+          """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(

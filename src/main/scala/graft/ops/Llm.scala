@@ -33,10 +33,29 @@ object Llm {
     * temp dir, created on first shard write — unique per process, absolute
     * (CWD-independent), reused across builds within the JVM so the
     * overwrite-per-build contract still exercises the overwrite path.
+    * A generated root is reaped by a shutdown hook (repeated Verify/Bench/
+    * test JVM launches would otherwise accumulate orphan layouts in /tmp);
+    * an override path is created if absent and validated, and is the
+    * caller's to clean — it may outlive the JVM by design.
     */
   private lazy val shardRoot: java.io.File =
-    sys.props.get("graft.shard.dir").map(new java.io.File(_)).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_shards_").toFile)
+    sys.props.get("graft.shard.dir").map { p =>
+      val f = new java.io.File(p)
+      require(f.isDirectory || f.mkdirs(),
+        s"graft.shard.dir is not a creatable directory: $p")
+      f
+    }.getOrElse {
+      val f = java.nio.file.Files.createTempDirectory("graft_shards_").toFile
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          val kids = x.listFiles()
+          if (kids != null) kids.foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      f
+    }
 
   // ------------------------------------------------------------------ dedup
 
