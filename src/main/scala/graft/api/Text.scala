@@ -100,6 +100,92 @@ object Text {
     .withColumn("n_bpe4",
       size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}"), lit(0))))
 
+  /** Per-document negative log-likelihood under a unigram language model
+    * trained on the corpus itself — the CCNet-style "perplexity vs an
+    * in-domain LM" quality signal (low nll = fluent/common wording, high =
+    * rare-token soup). Output: (id, n_toks, nll, ppl) with `ppl = e^nll`.
+    *
+    * Oracle discipline (same as [[langIdPredictions]]): per-vocab-word
+    * log-probs quantize to DECIMAL(28,6) before the per-doc `tf·logp` sum,
+    * so the sum is exact-decimal (order-independent) and a 1-ulp libm `ln`
+    * divergence between engines cannot change it; `nll` is then one decimal
+    * →double cast plus one IEEE division — emitted RAW. `ppl` re-enters
+    * libm (`exp`) and is the caller's to round.
+    *
+    * Scale shape: tf = one (id, tok) hash aggregate (map-side combinable);
+    * the LM derives from tf by a tok-keyed re-aggregate (vocab-sized, far
+    * smaller than the token stream); the model join carries no broadcast
+    * hint — vocab can outgrow broadcast at corpus scale, AQE decides. The
+    * tf frame persists via [[Caches]] — `Caches.sweep(spark)` when done.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Caches.cache(docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf")))
+    val lm = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+    val tot = lm.agg(sum(col("cnt")).as("total"))
+    val logp = lm.crossJoin(broadcast(tot))
+      .select(col("tok").as("m_tok"),
+        log(col("cnt") / col("total").cast("double"))
+          .cast(DecimalType(28, 6)).as("logp"))
+    tf.join(logp, col("tok") === col("m_tok"), "inner")
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_toks"),
+        ((-sum(col("tf") * col("logp"))).cast("double")
+          / sum(col("tf"))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
+  /** Per-document character-level Shannon entropy in nats — the garbage /
+    * boilerplate detector orthogonal to token-level quality signals: natural
+    * prose sits near ~2.8-3.0 nats, while `aaaa…` runs, single-char spam,
+    * and low-alphabet noise fall far below. Output: (id, n_ch, n_uniq_ch,
+    * entropy, kept) with `kept = entropy >= minEntropy` decided on the
+    * ROUNDED value so the flag is engine-portable.
+    *
+    * Entropy uses the shuffle-friendly decomposition
+    * `H = ln(n) - (Σ c·ln c)/n` over per-(id, char) counts `c`: the interior
+    * `ln c` terms quantize to DECIMAL(28,6) (order-independent exact sum,
+    * libm-divergence-immune); the single trailing `ln(n)` term re-enters
+    * libm, so `entropy` emits rounded to 4 decimals.
+    *
+    * CONTRACT: ASCII/1-byte text. Spark `split(text, "")` iterates UTF-16
+    * code units while an engine splitting UTF-8 codepoints (DuckDB) agrees
+    * only on single-unit characters; multi-byte corpora need a codepoint
+    * explode before this builder.
+    *
+    * Scale shape: one explode to (id, char) → hash aggregate on a key whose
+    * cardinality is ≤ docs × alphabet (map-side combine collapses each
+    * partition to the alphabet first); then a per-id re-aggregate. No
+    * windows, no joins.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double = 2.0): DataFrame = {
+    val cc = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("ch"))
+      // Spark's regex split runs at limit -1 and can keep a trailing
+      // zero-width match as an empty element; a codepoint-splitting engine
+      // never emits one — drop it before counting
+      .filter(col("ch") =!= "")
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    cc.groupBy("id")
+      .agg(sum(col("c")).as("n_ch"),
+        count(lit(1)).as("n_uniq_ch"),
+        sum(col("c") * log(col("c")).cast(DecimalType(28, 6)))
+          .cast("double").as("slc"))
+      // greatest(0, ·): entropy is mathematically >= 0, but the DECIMAL
+      // quantization of `ln c` can land ~1e-6 ABOVE the true value, pushing
+      // a single-char doc's `ln(n) - Q(ln n)` a hair negative — and
+      // `round` would then emit -0.0, which hash-compares/boxes unequal
+      // to 0.0. Clamp BEFORE rounding (no signed-zero ambiguity: 0.0 beats
+      // any negative, and a true-zero doc reaches here as exactly 0.0).
+      .withColumn("entropy",
+        round(greatest(lit(0.0), log(col("n_ch")) - col("slc") / col("n_ch")), 4))
+      .withColumn("kept", col("entropy") >= minEntropy)
+      .drop("slc")
+  }
+
   /** Benchmark decontamination: for every doc in `evalDocs`, the fraction of
     * its distinct word-`n`-grams that appear anywhere in `corpusDocs` — the
     * overlap check a training pipeline runs before trusting an eval set.

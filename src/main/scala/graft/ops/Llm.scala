@@ -959,6 +959,56 @@ FROM (SELECT lang,
       FROM documents)
 GROUP BY lang ORDER BY lang"""))
 
+  /** CCNet-style LM quality signal — [[graft.api.Text.unigramNll]]: each
+    * document's negative log-likelihood (and perplexity) under a unigram LM
+    * trained on the corpus itself. The quality family's fluency axis:
+    * length/stopword shape ([[llmQualityFilter]]) and repetition
+    * ([[llmRepetitionFilter]]) both pass a document made of plausible-length
+    * rare-token soup; an in-domain LM scores it far from the corpus norm.
+    *
+    * Oracle-checked RAW on `nll` (quantized-decimal interior sum — see the
+    * builder's scaladoc); only `ppl` re-enters libm (`exp`) and rounds.
+    */
+  private val llmUnigramLmPpl = Q(
+    "llm_unigram_lm_ppl",
+    (s, d) => Text.unigramNll(T.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_toks"), col("nll"),
+        H.r4(col("ppl")).as("ppl"))
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+lp AS (SELECT tok AS m_tok, CAST(ln(cnt / CAST(total AS DOUBLE)) AS DECIMAL(28,6)) AS logp
+       FROM lm CROSS JOIN tot)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS nll,
+round(exp(CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
+FROM tf JOIN lp ON tok = m_tok
+GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Character-level Shannon entropy per document —
+    * [[graft.api.Text.charEntropy]]: the garbage detector (`aaaa…` runs,
+    * low-alphabet noise) that token-level signals cannot see, with the keep
+    * flag decided on the rounded value so it replays cross-engine.
+    */
+  private val llmCharEntropy = Q(
+    "llm_char_entropy",
+    (s, d) => Text.charEntropy(T.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_ch"), col("n_uniq_ch"),
+        col("entropy"), col("kept"))
+      .orderBy("doc_id"),
+    Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE len(text) > 0),
+cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch, count(*) AS n_uniq_ch,
+        CAST(sum(c * CAST(ln(c) AS DECIMAL(28,6))) AS DOUBLE) AS slc
+      FROM cc GROUP BY 1)
+SELECT doc_id, n_ch, n_uniq_ch,
+round(greatest(0.0, ln(n_ch) - slc / n_ch), 4) AS entropy,
+round(greatest(0.0, ln(n_ch) - slc / n_ch), 4) >= 2.0 AS kept
+FROM e ORDER BY doc_id"""))
+
   /** Document fingerprinting: full md5 content hash plus a compact 15-hex-char
     * prefix fingerprint (the dedup-key form a 100 TB pipeline would shuffle
     * on instead of full text).
@@ -1324,7 +1374,7 @@ GROUP BY source ORDER BY source"""))
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
-    llmTokenCount,
+    llmTokenCount, llmUnigramLmPpl, llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)

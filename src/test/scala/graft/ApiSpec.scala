@@ -281,6 +281,33 @@ class ApiSpec extends SparkSpec {
     assert(r == ((3, 4, 3))) // ws: 3; re: ab,cd,12,ef; bpe4: ab,cd,ef (letters only)
   }
 
+  test("unigramNll scores rare-token docs above common-token docs, exact on a tiny LM") {
+    import spark.implicits._
+    // corpus LM: p(x)=3/4, p(y)=1/4 -> nll(doc1)= -ln(3/4), nll(doc2)= -ln(1/4)
+    val docs = Seq((1L, "x x x"), (2L, "y")).toDF("doc_id", "text")
+    val r = Text.unigramNll(docs, "doc_id", "text")
+      .orderBy("id").select("id", "n_toks", "nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    graft.api.Caches.sweep(spark)
+    assert(r.map(_._1) == Seq(1L, 2L) && r.map(_._2) == Seq(3L, 1L))
+    assert(math.abs(r(0)._3 - -math.log(0.75)) < 1e-5)
+    assert(math.abs(r(1)._3 - -math.log(0.25)) < 1e-5)
+    assert(r(1)._3 > r(0)._3) // rare wording scores worse (higher nll)
+    assert(math.abs(r(0)._4 - math.exp(r(0)._3)) < 1e-9)
+  }
+
+  test("charEntropy is 0 for single-char runs and ln(k) for uniform alphabets") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    val r = Text.charEntropy(docs, "doc_id", "text")
+      .orderBy("id").select("id", "n_ch", "n_uniq_ch", "entropy", "kept")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(r(0) == ((1L, 8L, 1L, 0.0, false)))     // garbage run: zero entropy
+    assert(r(1)._4 == math.rint(math.log(8) * 1e4) / 1e4 && r(1)._5) // ln(8)=2.0794 >= 2
+    assert(r(2) == ((3L, 4L, 2L, math.rint(math.log(2) * 1e4) / 1e4, false)))
+  }
+
   test("contamination scores planted overlap on literal corpora") {
     import spark.implicits._
     val corpus = Seq(
