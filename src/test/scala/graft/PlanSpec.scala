@@ -255,6 +255,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no window may be unpartitioned:\n${plan("win_ntile_scalable")}")
   }
 
+  test("llm_char_entropy plans as pure explode + hash aggregates (no window, no join)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    // the garbage detector must stay shuffle-minimal at corpus scale: one
+    // (id, char) hash agg (map-side combine collapses each partition to the
+    // alphabet) + a per-id re-agg — any window or join here is a regression
+    val p = plan("llm_char_entropy")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty,
+      s"entropy must not window:\n$p")
+    assert(collectWithSubqueries(p) { case j: BJ => j }.isEmpty,
+      s"entropy must not join:\n$p")
+  }
+
+  test("llm_unigram_lm_ppl computes tf once and joins the model by equi-join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // tf feeds BOTH the vocab LM derivation and the per-doc score join — it
+    // must come from the shared cache, not two token explodes; the only
+    // non-equi join allowed is the single-row corpus-total broadcast
+    val p = plan("llm_unigram_lm_ppl")
+    val ims = collectWithSubqueries(p) { case s: InMemoryTableScanExec => s }
+    assert(ims.size >= 2, s"tf should be cached and read twice, got ${ims.size}:\n$p")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the 1-row total broadcast may be a BNLJ, got ${bnlj.size}:\n$p")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
