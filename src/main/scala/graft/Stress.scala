@@ -55,6 +55,15 @@ object Stress {
     val shuffleRead = new AtomicLong
     val maxTaskPeakExecMem = new AtomicLong
     val spill = new AtomicLong
+    // executor run vs CPU time, summed over tasks: the contention
+    // discriminator loadavg can't be (the harness's own 32 threads dominate
+    // any load sample taken near a run). Across records of the SAME code and
+    // data, cpu_sec ~ constant while run_sec and wall stretch => the threads
+    // were runnable-but-starved or blocked on I/O (external waves — the
+    // spilling 300k minhash join is the canonical victim); cpu_sec growing
+    // with wall => the work itself grew (a real regression).
+    val taskRunMs = new AtomicLong
+    val taskCpuNs = new AtomicLong
     override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -63,6 +72,8 @@ object Stress {
         shuffleRead.addAndGet(m.shuffleReadMetrics.localBytesRead +
           m.shuffleReadMetrics.remoteBytesRead)
         spill.addAndGet(m.diskBytesSpilled)
+        taskRunMs.addAndGet(m.executorRunTime)
+        taskCpuNs.addAndGet(m.executorCpuTime)
       }
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -78,6 +89,7 @@ object Stress {
     def reset(): Unit = {
       jobs.set(0); shuffleWrite.set(0); shuffleRead.set(0)
       maxTaskPeakExecMem.set(0); spill.set(0)
+      taskRunMs.set(0); taskCpuNs.set(0)
     }
   }
 
@@ -414,17 +426,30 @@ object Stress {
       val load0 = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val (stages, wallSec) = timed(body)
+      // sampled AFTER the run: loadavg_start only proves the run STARTED
+      // quiet — the I/O-bound stages (the 300k minhash join spills ~4.7 GB)
+      // are hostage to external disk waves that arrive mid-run, and across
+      // repeated full records exactly those runs wobbled 1.3-1.7x with no
+      // start-side signal. loadavg_run_end - loadavg_start >> the
+      // harness's own ~32-thread self-load decaying means outside load
+      // arrived while measuring; a wobbly wall with BOTH samples quiet is
+      // ours to explain.
+      val loadEnd = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       System.err.println(f"[stress] $tag size=$size wall=$wallSec%.1f s " +
         stages.map(s => f"${s.name}=${s.sec}%.1f").mkString(" "))
       val shuffleMB = listener.shuffleWrite.get / (1 << 20)
       Run(tag, size, wallSec, shuffleMB,
         s"""{"path":"$tag","size":$size,"wall_sec":$wallSec,""" +
-          s""""loadavg_start":$load0,"quiesce_timeout":$qTimeout,""" +
+          s""""loadavg_start":$load0,"loadavg_run_end":$loadEnd,""" +
+          s""""quiesce_timeout":$qTimeout,""" +
           s""""stages":[${stages.map(_.json).mkString(",")}],""" +
           s""""jobs":${listener.jobs.get},""" +
           s""""shuffle_write_mb":$shuffleMB,""" +
           s""""shuffle_read_mb":${listener.shuffleRead.get / (1 << 20)},""" +
           s""""disk_spill_mb":${listener.spill.get / (1 << 20)},""" +
+          s""""task_run_sec":${math.rint(listener.taskRunMs.get / 100.0) / 10},""" +
+          s""""task_cpu_sec":${math.rint(listener.taskCpuNs.get / 1e8) / 10},""" +
           s""""max_task_peak_exec_mb":${listener.maxTaskPeakExecMem.get / (1 << 20)},""" +
           s""""peak_heap_mb":$peakHeapMB}""")
     }
