@@ -111,19 +111,39 @@ object Dedup {
     val hs = Caches.cache(shingleHashes(docs, idCol, textCol))
     val cand = Caches.cache(
       saltedBandPairs(Caches.cache(minhashBandSignaturesOf(hs)), salt))
-    // exact verify on candidates only: distinct shingle sets via joins (the
-    // candidate-id filter is a semi-join — the planner broadcasts it when
-    // small, shuffles it when a mass-duplication corpus makes it big)
+    jaccardVerify(cand, hs, "h", threshold)
+  }
+
+  /** Exact set-Jaccard verify over candidate pairs — THE shared verify
+    * stage of every MinHash-blocked near-dup path (the production xxhash64
+    * [[minhashPairs]] and the engine-portable [[md5MinhashPairs]] twin ride
+    * this one definition, so their verify semantics cannot drift apart).
+    *
+    * `cand`: (a_id, b_id) candidate pairs. `elems`: per-doc set elements
+    * (id, `keyCol`) — duplicates tolerated (a distinct lands AFTER the
+    * candidate restriction, where the frame is smallest). Output:
+    * (a_id, b_id, jaccard) with round-4 Jaccard >= `threshold` over the
+    * DISTINCT element sets.
+    *
+    * Scale shape: the candidate-id filter is a semi-join (the planner
+    * broadcasts it when small, shuffles it when a mass-duplication corpus
+    * makes it big); per-doc set sizes come from one id-partitioned window
+    * over the restricted frame; the pair join touches candidates only —
+    * never all-pairs.
+    */
+  private def jaccardVerify(cand: DataFrame, elems: DataFrame,
+      keyCol: String, threshold: Double): DataFrame = {
     val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
-    val candSh = Caches.cache(hs.join(candIds, Seq("id"), "left_semi").distinct()
+    val candSh = Caches.cache(elems.join(candIds, Seq("id"), "left_semi")
+      .distinct()
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id"))))
     cand
-      .join(candSh.select(col("id").as("a_id"), col("h"), col("n_sh").as("a_n")),
+      .join(candSh.select(col("id").as("a_id"), col(keyCol), col("n_sh").as("a_n")),
         "a_id")
-      .join(candSh.select(col("id").as("d2"), col("h").as("h2"),
+      .join(candSh.select(col("id").as("d2"), col(keyCol).as("k2"),
         col("n_sh").as("b_n")),
-        col("b_id") === col("d2") && col("h") === col("h2"))
+        col("b_id") === col("d2") && col(keyCol) === col("k2"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
         first(col("b_n")).as("b_n"))
@@ -234,13 +254,18 @@ object Dedup {
   /** Engine-portable MinHash near-dup PAIRS: [[md5MinhashCandidates]]
     * blocking + exact word-n-gram Jaccard verify on candidates only —
     * the full candidate→verify near-dup shape of [[minhashPairs]] with
-    * every stage reproducible in DuckDB (md5 permutation minima, string
-    * grams, integer common counts). Same scale discipline as the
-    * production path: the gram frame is built once and shared between
-    * blocking and verify, the verify join touches only candidate ids
-    * (left-semi restriction first), and candidates come from the salted
-    * band join — never all-pairs. Output: (a_id, b_id, jaccard), with
-    * round-4 Jaccard at `threshold` over the DISTINCT gram sets.
+    * every stage reproducible in DuckDB (md5 permutation minima, integer
+    * common counts) — with one caveat: the verify stage keys on
+    * xxhash64-HASHED grams ([[wordGrams]]), so a ~2⁻⁶⁴-probability gram
+    * collision within one doc could shift a count by 1 and flip a round-4
+    * Jaccard across the threshold vs an engine comparing gram STRINGS
+    * (same caveat as [[ngramJaccardPairs]]; an oracle mismatch here should
+    * be diagnosed against it before suspecting logic). Same scale
+    * discipline as the production path: the gram frame is built once and
+    * shared between blocking and verify, and the verify itself IS
+    * [[jaccardVerify]] — the identical stage the xxhash64 path runs.
+    * Output: (a_id, b_id, jaccard), round-4 at `threshold` over the
+    * DISTINCT gram sets.
     */
   def md5MinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, perms: Int = 16, bands: Int = 4,
@@ -248,23 +273,7 @@ object Dedup {
     val wg = Caches.cache(wordGrams(docs, idCol, textCol, n))
     val cand = Caches.cache(
       md5MinhashCandidates(docs, idCol, textCol, n, perms, bands, salt))
-    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
-      .distinct()
-    val candWg = Caches.cache(wg.join(candIds, Seq("id"), "left_semi")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id"))))
-    cand
-      .join(candWg.select(col("id").as("a_id"), col("g"), col("n_sh").as("a_n")),
-        "a_id")
-      .join(candWg.select(col("id").as("d2"), col("g").as("g2"),
-        col("n_sh").as("b_n")),
-        col("b_id") === col("d2") && col("g") === col("g2"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("common"), first(col("a_n")).as("a_n"),
-        first(col("b_n")).as("b_n"))
-      .select(col("a_id"), col("b_id"),
-        round(col("common").cast("double") /
-          (col("a_n") + col("b_n") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(cand, wg, "g", threshold)
   }
 
   /** Engine-portable SimHash-LSH candidate pairs over whitespace tokens:

@@ -415,6 +415,17 @@ class ApiSpec extends SparkSpec {
     val cb2 = Vectors.kmeansCodebook(nv, "id", k = 4, iters = 3)
     assert(cb.collect().map(_.toString).sorted
       .sameElements(cb2.collect().map(_.toString).sorted))
+    // large-k escape hatch: literalMaxK = 0 forces EVERY training iteration
+    // through the assignCellsJoin broadcast path — the branch production
+    // reaches only at k > 32768, so without this the in-loop integration
+    // (toDF round-trip, column wiring, centroid update from join output)
+    // would ship untested. DECIMAL-exact means + the tie-equivalence of the
+    // two assignment paths ⇒ the trained codebook must be bit-identical.
+    val cbJoin = Vectors.kmeansCodebook(nv, "id", k = 4, iters = 3,
+      literalMaxK = 0)
+    assert(cb.collect().map(_.toString).sorted
+      .sameElements(cbJoin.collect().map(_.toString).sorted),
+      "join-path training must match literal-path training bit-for-bit")
   }
 
   test("assignCellsJoin (broadcast-codebook path) equals the literal-codebook assignCells") {
