@@ -74,6 +74,75 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy matches driver-side Shannon entropy and its bounds (batched corpora)") {
+    import spark.implicits._
+    // random lowercase corpora: the engine value must match a naive driver
+    // computation to the builder's 1e-6 quantization + round-4 contract,
+    // and the information-theoretic bounds 0 <= H <= ln(n_uniq) must hold
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 60).map { i =>
+      val alpha = 1 + rnd.nextInt(12)
+      val len = 1 + rnd.nextInt(80)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(alpha)).toChar).mkString)
+    }
+    val got = graft.api.Text.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "n_ch", "n_uniq_ch", "entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).values.map(_.length)
+      val n = text.length
+      val ref = math.max(0.0,
+        math.log(n) - counts.map(c => c * math.log(c)).sum / n)
+      val (_, nCh, nUniq, h) = got(id)
+      assert(nCh == n && nUniq == counts.size)
+      assert(math.abs(h - ref) < 2e-4, s"doc $id: got $h ref $ref")
+      assert(h >= 0.0 && h <= math.log(nUniq.toDouble) + 1e-4,
+        s"doc $id: H=$h outside [0, ln($nUniq)]")
+    }
+  }
+
+  test("unigramNll matches the driver-side LM and floors at the corpus entropy argmin (batched)") {
+    import spark.implicits._
+    // random token corpora: per-doc nll must equal the naive driver LM
+    // computation, and the doc made ONLY of the corpus's most common token
+    // must attain the minimum nll (it has the highest-probability wording)
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(rnd.nextInt(vocab.size) + 1))).mkString(" "))
+    }
+    val toks = docs.flatMap(_._2.split(" "))
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.size.toDouble
+    val r = graft.api.Text.unigramNll(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "n_toks", "nll").as[(Long, Long, Double)].collect()
+    graft.api.Caches.sweep(spark)
+    val refNll = docs.map { case (id, text) =>
+      val ts = text.split(" ")
+      // quantize per-WORD logp at 1e-6 like the builder, then tf-weight
+      id -> -ts.groupBy(identity).map { case (w, ws) =>
+        ws.size * BigDecimal(math.log(cnt(w) / total))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum / ts.length
+    }.toMap
+    r.foreach { case (id, nToks, nll) =>
+      assert(nToks == docs(id.toInt)._2.split(" ").length)
+      assert(math.abs(nll - refNll(id)) < 1e-9,
+        s"doc $id: got $nll ref ${refNll(id)}")
+    }
+    val best = vocab.maxBy(w => cnt.getOrElse(w, 0.0))
+    val withProbe = docs :+ (999L, Seq.fill(5)(best).mkString(" "))
+    val r2 = graft.api.Text.unigramNll(withProbe.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    graft.api.Caches.sweep(spark)
+    // <= + ulp slack, not ==: another doc can randomly be all-best-token
+    // too, and its decimal-sum→double→divide at a different length may
+    // differ in the last ulp
+    assert(r2(999L) <= r2.values.min + 1e-12,
+      s"the all-most-common-token doc must attain the minimum nll: $r2")
+  }
+
   test("connectedComponents equals driver union-find on random graphs (batched)") {
     import spark.implicits._
     // 6 deterministic random graphs spanning the shapes pointer doubling
