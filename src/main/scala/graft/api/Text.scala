@@ -136,6 +136,44 @@ object Text {
       .withColumn("ppl", exp(col("nll")))
   }
 
+  /** Per-document negative log-likelihood under a BIGRAM language model
+    * trained on the corpus itself — the conditional upgrade of
+    * [[unigramNll]]: `p(w2|w1) = c(w1 w2) / Σ_w c(w1 w)`, so a document
+    * reusing common words in UNCOMMON ORDER (word-salad that fools a
+    * unigram LM) scores far from the corpus norm. Context counts derive
+    * from the bigram counts themselves (not raw token counts), which makes
+    * each conditional distribution properly normalized (Σ_w2 p(w2|w1) = 1).
+    * Documents with fewer than 2 tokens have no bigrams and emit no row.
+    * Output: (id, n_bigrams, nll, ppl); same oracle discipline as
+    * [[unigramNll]] (DECIMAL(28,6)-quantized log-probs, raw `nll`, libm
+    * `ppl` for the caller to round).
+    *
+    * Scale shape: tf = one (id, bigram) hash aggregate over the gram
+    * stream; the LM re-aggregates tf by gram, contexts re-aggregate the LM
+    * by first word (both far smaller than the gram stream); the model join
+    * carries no broadcast hint — bigram vocab outgrows broadcast well
+    * before unigram vocab does. tf persists via [[Caches]] —
+    * `Caches.sweep(spark)` when done.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Caches.cache(Dedup.wordGramStrings(docs, idCol, textCol, 2)
+      .groupBy("id", "g").agg(count(lit(1)).as("tf")))
+    val lm = tf.groupBy("g").agg(sum(col("tf")).as("cnt"))
+    val ctx = lm.select(substring_index(col("g"), " ", 1).as("w1"), col("cnt"))
+      .groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val logp = lm.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .select(col("g").as("m_g"),
+        log(col("cnt") / col("ctx").cast("double"))
+          .cast(DecimalType(28, 6)).as("logp"))
+    tf.join(logp, col("g") === col("m_g"), "inner")
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        ((-sum(col("tf") * col("logp"))).cast("double")
+          / sum(col("tf"))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
   /** Per-document character-level Shannon entropy in nats — the garbage /
     * boilerplate detector orthogonal to token-level quality signals: natural
     * prose sits near ~2.8-3.0 nats, while `aaaa…` runs, single-char spam,

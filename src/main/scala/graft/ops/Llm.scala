@@ -987,6 +987,34 @@ round(exp(CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
 FROM tf JOIN lp ON tok = m_tok
 GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Conditional (bigram) LM quality signal — [[graft.api.Text.bigramNll]]:
+    * nll/perplexity under `p(w2|w1)` trained on the corpus itself. Catches
+    * the word-salad failure mode [[llmUnigramLmPpl]] cannot: common words
+    * in uncommon ORDER score near-uniform conditionals here while looking
+    * perfectly fluent to a unigram LM. Same oracle discipline (quantized
+    * DECIMAL log-probs; raw nll; rounded ppl).
+    */
+  private val llmBigramLmPpl = Q(
+    "llm_bigram_lm_ppl",
+    (s, d) => Text.bigramNll(T.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"),
+        H.r4(col("ppl")).as("ppl"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+       FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2),
+lm AS (SELECT g, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx
+        FROM lm GROUP BY 1),
+lp AS (SELECT g AS m_g, CAST(ln(cnt / CAST(ctx AS DOUBLE)) AS DECIMAL(28,6)) AS logp
+       FROM lm JOIN ctx ON split_part(g, ' ', 1) = ctx.w1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS nll,
+round(exp(CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
+FROM tf JOIN lp ON g = m_g
+GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Character-level Shannon entropy per document —
     * [[graft.api.Text.charEntropy]]: the garbage detector (`aaaa…` runs,
     * low-alphabet noise) that token-level signals cannot see, with the keep
@@ -1374,7 +1402,7 @@ GROUP BY source ORDER BY source"""))
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
-    llmTokenCount, llmUnigramLmPpl, llmCharEntropy,
+    llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)

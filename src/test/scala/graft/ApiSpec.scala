@@ -296,6 +296,25 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(r(0)._4 - math.exp(r(0)._3)) < 1e-9)
   }
 
+  test("bigramNll scores exact conditional probabilities on a tiny LM") {
+    import spark.implicits._
+    // bigram counts: "x y"=2, "y x"=1, "x z"=1; contexts: x=3, y=1
+    // doc1 nll = -(2·ln(2/3) + 1·ln 1)/3; doc2 nll = -ln(1/3)
+    // doc3 has a single token -> no bigrams -> no output row
+    val docs = Seq((1L, "x y x y"), (2L, "x z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val r = Text.bigramNll(docs, "doc_id", "text")
+      .orderBy("id").select("id", "n_bigrams", "nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    graft.api.Caches.sweep(spark)
+    assert(r.map(_._1) == Seq(1L, 2L) && r.map(_._2) == Seq(3L, 1L))
+    assert(math.abs(r(0)._3 - (-2 * math.log(2.0 / 3) / 3)) < 1e-5)
+    assert(math.abs(r(1)._3 - -math.log(1.0 / 3)) < 1e-5)
+    // conditional signal: doc2 takes the RARE continuation of "x" (z, 1/3)
+    // and must score strictly worse than doc1's corpus-normal wording
+    assert(r(1)._3 > r(0)._3)
+  }
+
   test("charEntropy is 0 for single-char runs and ln(k) for uniform alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abab"))
