@@ -141,7 +141,14 @@ object Bench {
         s""""loadavg":${r3(qLoad)}}"""
     }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total_sec IS the median-sum (each query contributes its 3-run median)
+    // and total_med_sec is its explicit alias — emitted so a reader never
+    // has to consult this source to learn which statistic the headline is;
+    // total_cold_sec (sum of each query's first run) is the diagnostic twin:
+    // cold-vs-median divergence quantifies how much plan/JIT/contention the
+    // steady-state number excludes
     val total = r3(results.map { case (_, v, _, _, _, _, _, _) => math.abs(v) }.sum)
+    val totalCold = r3(results.map { case (_, _, _, _, _, run1, _, _) => run1 }.sum)
     // Two lines, detail first: the committed record keeps only the LAST 2000
     // chars of stdout, so rounds 1-4's single line (headline total at the
     // head, detail at the tail) lost its total to truncation. The final line
@@ -150,11 +157,11 @@ object Bench {
     // Only the summary line carries "metric":"total" (a grep-oriented consumer
     // matching on the metric name must find exactly one total per run); the
     // detail line identifies itself as "detail" with no value field.
-    println(s"""{"metric":"detail","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total}""")
+    println(s"""{"metric":"detail","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
     val top5 = results.sortBy { case (_, v, _, _, _, _, _, _) => -math.abs(v) }
       .take(5).map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -256,7 +256,7 @@ object Dedup {
     * the full candidate→verify near-dup shape of [[minhashPairs]] with
     * every stage reproducible in DuckDB (md5 permutation minima, integer
     * common counts) — with one caveat: the verify stage keys on
-    * xxhash64-HASHED grams ([[wordGrams]]), so a ~2⁻⁶⁴-probability gram
+    * xxhash64-HASHED grams ([[wordGramsRaw]]), so a ~2⁻⁶⁴-probability gram
     * collision within one doc could shift a count by 1 and flip a round-4
     * Jaccard across the threshold vs an engine comparing gram STRINGS
     * (same caveat as [[ngramJaccardPairs]]; an oracle mismatch here should
@@ -270,7 +270,11 @@ object Dedup {
   def md5MinhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, perms: Int = 16, bands: Int = 4,
       salt: Int = 16): DataFrame = {
-    val wg = Caches.cache(wordGrams(docs, idCol, textCol, n))
+    // RAW (duplicate-keeping) grams: jaccardVerify's contract distincts
+    // AFTER the candidate restriction, where the frame is smallest — a
+    // pre-distinct here would pay the corpus-wide per-doc dedup shuffle
+    // twice for identical results
+    val wg = Caches.cache(wordGramsRaw(docs, idCol, textCol, n))
     val cand = Caches.cache(
       md5MinhashCandidates(docs, idCol, textCol, n, perms, bands, salt))
     jaccardVerify(cand, wg, "g", threshold)

@@ -108,9 +108,13 @@ object Text {
     * Oracle discipline (same as [[langIdPredictions]]): per-vocab-word
     * log-probs quantize to DECIMAL(28,6) before the per-doc `tf·logp` sum,
     * so the sum is exact-decimal (order-independent) and a 1-ulp libm `ln`
-    * divergence between engines cannot change it; `nll` is then one decimal
-    * →double cast plus one IEEE division — emitted RAW. `ppl` re-enters
-    * libm (`exp`) and is the caller's to round.
+    * divergence between engines almost surely cannot change it — the one
+    * exception is a true log-prob landing within 1 ulp of a .5e-6
+    * quantization boundary, where the rounding itself can flip per engine
+    * (a tie-boundary caveat shared with [[bigramNll]] and [[charEntropy]];
+    * no fixture value sits on one). `nll` is then one decimal→double cast
+    * plus one IEEE division — emitted RAW. `ppl` re-enters libm (`exp`)
+    * and is the caller's to round.
     *
     * Scale shape: tf = one (id, tok) hash aggregate (map-side combinable);
     * the LM derives from tf by a tok-keyed re-aggregate (vocab-sized, far

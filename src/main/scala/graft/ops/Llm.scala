@@ -48,8 +48,13 @@ object Llm {
       val f = java.nio.file.Files.createTempDirectory("graft_shards_").toFile
       sys.addShutdownHook {
         def rm(x: java.io.File): Unit = {
-          val kids = x.listFiles()
-          if (kids != null) kids.foreach(rm)
+          // never descend through a symlink planted inside the root: delete
+          // the link itself, not the target's contents (the root is
+          // process-private 0700, but the reaper shouldn't trust that)
+          if (!java.nio.file.Files.isSymbolicLink(x.toPath)) {
+            val kids = x.listFiles()
+            if (kids != null) kids.foreach(rm)
+          }
           x.delete(): Unit
         }
         rm(f)
@@ -291,6 +296,13 @@ FROM m"""
     * a subset-property violation (an implementation bug) would surface as
     * n_hit < n_kept instead of silently inflating recall. One summary row:
     * truth/kept/hit counts, the number of dropped (hot) shingles, recall.
+    *
+    * FIXTURE-BOUNDED (same caveat as [[llmCosineTopk]]'s brute-force
+    * baseline): the truth side runs the UNCAPPED inverted index
+    * (`maxDf = Long.MaxValue`) — at corpus scale that is exactly the
+    * quadratic hot-shingle pair blowup the cap exists to prevent. Run this
+    * metric on a bounded sample of the corpus, never the full corpus; the
+    * production path is always the capped index.
     */
   private val llmNgramDfcapRecall = Q(
     "llm_ngram_dfcap_recall",

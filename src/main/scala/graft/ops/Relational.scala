@@ -416,6 +416,14 @@ GROUP BY event_type ORDER BY event_type"""))
     * either side (asserted in PlanSpec). At 100 TB this is the difference
     * between re-shuffling the fact table per query and reading it
     * pre-partitioned. Side-effecting (writes bucketed tables) → no oracle.
+    *
+    * The bucketed tables are REWRITTEN on every build — deliberately: a
+    * write guarded by catalog existence lands the setup cost in exactly one
+    * of a benchmark's repeated runs, making that run's time mean something
+    * different from the others' (the r6 cold-vs-median artifact on this
+    * key). Paying it every run keeps cold and median the same measurement;
+    * the production shape (write once, join many) is the PlanSpec-pinned
+    * exchange-free join, not this harness entry's write.
     */
   private val joinBucketed = Q(
     "join_bucketed",
@@ -426,6 +434,7 @@ GROUP BY event_type ORDER BY event_type"""))
       if (!s.catalog.tableExists(li)) {
         // the in-memory catalog forgets tables across JVMs but their
         // warehouse directories survive — clear them before re-creating
+        // (mode("overwrite") only handles tables the catalog knows about)
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         Seq(li, ord).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
@@ -436,13 +445,13 @@ GROUP BY event_type ORDER BY event_type"""))
               .foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
-        T.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
-        T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
       }
+      T.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
       // merge hint: at tiny sf the planner would broadcast instead; the
       // point here is the shuffle-free bucketed sort-merge join
       s.table(li).join(s.table(ord).hint("merge"), col("l_orderkey") === col("o_orderkey"))

@@ -285,6 +285,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.api.Caches.sweep(spark)
   }
 
+  test("llm_bigram_lm_ppl computes gram tf once and joins the model by equi-join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the cached-tf discipline of the unigram twin: one gram explode feeding
+    // BOTH the LM derivation and the per-doc score join via the cache — and
+    // unlike the unigram path there is NO corpus-total scalar here (the
+    // conditionals normalize per context), so not even one BNLJ is allowed
+    val p = plan("llm_bigram_lm_ppl")
+    val ims = collectWithSubqueries(p) { case s: InMemoryTableScanExec => s }
+    assert(ims.size >= 2, s"gram tf should be cached and read twice, got ${ims.size}:\n$p")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    assert(collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the bigram path has no scalar broadcast — zero BNLJs allowed:\n$p")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
