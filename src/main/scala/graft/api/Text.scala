@@ -178,6 +178,117 @@ object Text {
       .withColumn("ppl", exp(col("nll")))
   }
 
+  /** HELD-OUT unigram LM scoring: train the LM on `trainDocs`, score
+    * `scoreDocs` — the production shape of a perplexity filter (score
+    * incoming data against a REFERENCE LM), which the self-trained
+    * [[unigramNll]] cannot express: its inner model join silently DROPS
+    * tokens the model never saw, underestimating perplexity exactly on the
+    * out-of-vocabulary garbage it should flag.
+    *
+    * Smoothing is add-one (Laplace) over an event space of vocab + 1
+    * outcomes, ONE formula for every token: `p(w) = (c_w + 1) /
+    * (total + V + 1)` — an unseen token is simply the `c_w = 0` case, the
+    * shared OOV floor `1 / (total + V + 1)`. Every token therefore scores,
+    * none drop, and an all-OOV document scores strictly worse than any
+    * in-vocab one (the floor is strictly below every seen-token
+    * probability). Output: (id, n_toks, n_oov, nll, ppl) — `n_oov` counts
+    * scored token POSITIONS the model never saw, the per-doc OOV-rate
+    * signal a filter thresholds alongside ppl.
+    *
+    * Oracle discipline is [[unigramNll]]'s: per-vocab log-probs and the one
+    * OOV floor quantize to DECIMAL(28,6) before the exact per-doc sum; raw
+    * `nll`, libm `ppl` for the caller to round. Scale shape: the model join
+    * becomes a LEFT join (OOV tokens must survive to hit the floor) with no
+    * broadcast hint — vocab can outgrow broadcast, AQE decides; the two
+    * scalar frames (totals, floor) broadcast as single rows. Nothing
+    * persists — train and score sides are each read once.
+    */
+  def unigramNllScored(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val lm = trainDocs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val st = lm.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    val logp = lm.crossJoin(broadcast(st))
+      .select(col("tok").as("m_tok"),
+        log((col("cnt") + lit(1.0)) / (col("total") + col("vocab") + lit(1.0)))
+          .cast(DecimalType(28, 6)).as("logp"))
+    val oov = st.select(
+      log(lit(1.0) / (col("total") + col("vocab") + lit(1.0)))
+        .cast(DecimalType(28, 6)).as("oov_logp"))
+    scoreDocs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .join(logp, col("tok") === col("m_tok"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("lp", coalesce(col("logp"), col("oov_logp")))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(when(col("logp").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"),
+        ((-sum(col("tf") * col("lp"))).cast("double")
+          / sum(col("tf"))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
+  /** HELD-OUT bigram LM scoring — the conditional twin of
+    * [[unigramNllScored]], fixing [[bigramNll]]'s same unseen-gram drop.
+    * One add-one formula covers all three cases:
+    * `p(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V + 1)` with V = the distinct
+    * second-word vocabulary of the training bigrams — an unseen bigram
+    * under a KNOWN context is the `c = 0` case (per-context floor
+    * `1 / (ctx + V + 1)`), and an unknown context is additionally the
+    * `ctx = 0` case (global floor `1 / (V + 1)`). Note the asymmetry is
+    * correct Laplace behavior: a frequent context (large ctx) spreads its
+    * smoothing mass thinner, so a novel continuation of a well-known
+    * context scores WORSE than a gram in never-seen territory — surprise
+    * is measured against how much evidence the model has.
+    *
+    * Output: (id, n_bigrams, n_oov, nll, ppl); `n_oov` counts scored gram
+    * positions whose exact bigram the model never saw (either floor tier).
+    * Documents with fewer than 2 tokens emit no row (no bigrams — same
+    * contract as [[bigramNll]]). Same quantized-decimal oracle discipline;
+    * scale shape: gram-keyed LEFT model join + w1-keyed LEFT context-floor
+    * join (both no-hint — bigram vocab outgrows broadcast first), one
+    * single-row global-floor broadcast.
+    */
+  def bigramNllScored(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val lm = Dedup.wordGramStrings(trainDocs, idCol, textCol, 2)
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val ctx = lm.select(substring_index(col("g"), " ", 1).as("w1"), col("cnt"))
+      .groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val vs = lm.select(substring_index(col("g"), " ", -1).as("w2")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val logp = lm.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vs))
+      .select(col("g").as("m_g"),
+        log((col("cnt") + lit(1.0)) / (col("ctx") + col("v") + lit(1.0)))
+          .cast(DecimalType(28, 6)).as("logp"))
+    val ctxFloor = ctx.crossJoin(broadcast(vs))
+      .select(col("w1").as("c_w1"),
+        log(lit(1.0) / (col("ctx") + col("v") + lit(1.0)))
+          .cast(DecimalType(28, 6)).as("ctx_logp"))
+    val floor = vs.select(
+      log(lit(1.0) / (col("v") + lit(1.0)))
+        .cast(DecimalType(28, 6)).as("floor_logp"))
+    Dedup.wordGramStrings(scoreDocs, idCol, textCol, 2)
+      .groupBy("id", "g").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(logp, col("g") === col("m_g"), "left")
+      .join(ctxFloor, col("w1") === col("c_w1"), "left")
+      .crossJoin(broadcast(floor))
+      .withColumn("lp", coalesce(col("logp"), col("ctx_logp"), col("floor_logp")))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(when(col("logp").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"),
+        ((-sum(col("tf") * col("lp"))).cast("double")
+          / sum(col("tf"))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
   /** Per-document character-level Shannon entropy in nats — the garbage /
     * boilerplate detector orthogonal to token-level quality signals: natural
     * prose sits near ~2.8-3.0 nats, while `aaaa…` runs, single-char spam,

@@ -1027,6 +1027,96 @@ round(exp(CAST(-sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
 FROM tf JOIN lp ON g = m_g
 GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** HELD-OUT LM perplexity — [[graft.api.Text.unigramNllScored]]: train
+    * the unigram LM on the even-doc_id half of the corpus, score the odd
+    * half. THE production shape of a perplexity filter (score incoming
+    * data against a reference LM), which the self-trained
+    * [[llmUnigramLmPpl]] cannot express: there the model join is inner
+    * and every token is in-vocab by construction, so unseen tokens —
+    * exactly the garbage a filter exists to flag — would silently drop
+    * from the sum. Here add-one smoothing gives every token one formula
+    * (`(c+1)/(total+V+1)`, OOV = the c=0 case) and `n_oov` surfaces the
+    * per-doc OOV rate as its own signal.
+    */
+  private val llmUnigramLmPplHoldout = Q(
+    "llm_unigram_lm_ppl_holdout",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Text.unigramNllScored(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_oov"),
+          col("nll"), H.r4(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0),
+lm AS (SELECT tok, count(*) AS cnt FROM tr GROUP BY 1),
+st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM lm),
+lp AS (SELECT tok AS m_tok,
+        CAST(ln((cnt + 1.0) / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS logp
+       FROM lm CROSS JOIN st),
+oov AS (SELECT CAST(ln(1.0 / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS oov_logp
+        FROM st),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id % 2 = 1)
+       GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+CAST(sum(CASE WHEN logp IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+CAST(-sum(tf * coalesce(logp, oov_logp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS nll,
+round(exp(CAST(-sum(tf * coalesce(logp, oov_logp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
+FROM tf LEFT JOIN lp ON tok = m_tok CROSS JOIN oov
+GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Held-out BIGRAM LM perplexity — [[graft.api.Text.bigramNllScored]]
+    * over the same even/odd train/score split: the conditional
+    * word-order signal scored on data the model never saw, with the
+    * two-tier add-one floor (unseen gram under a known context, unknown
+    * context) that [[llmBigramLmPpl]]'s self-trained inner join cannot
+    * reach. `n_oov` counts scored gram positions outside the trained
+    * bigram vocabulary.
+    */
+  private val llmBigramLmPplHoldout = Q(
+    "llm_bigram_lm_ppl_holdout",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Text.bigramNllScored(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_oov"),
+          col("nll"), H.r4(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ttk AS (SELECT string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0),
+tbg AS (SELECT t[i] || ' ' || t[i+1] AS g
+        FROM ttk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+lm AS (SELECT g, count(*) AS cnt FROM tbg GROUP BY 1),
+ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx
+        FROM lm GROUP BY 1),
+vs AS (SELECT count(DISTINCT split_part(g, ' ', 2)) AS v FROM lm),
+lp AS (SELECT g AS m_g,
+        CAST(ln((cnt + 1.0) / (ctx + v + 1.0)) AS DECIMAL(28,6)) AS logp
+       FROM lm JOIN ctx ON split_part(g, ' ', 1) = ctx.w1 CROSS JOIN vs),
+cf AS (SELECT w1 AS c_w1,
+        CAST(ln(1.0 / (ctx + v + 1.0)) AS DECIMAL(28,6)) AS ctx_logp
+       FROM ctx CROSS JOIN vs),
+fl AS (SELECT CAST(ln(1.0 / (v + 1.0)) AS DECIMAL(28,6)) AS floor_logp FROM vs),
+stk AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 2 = 1),
+sbg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM stk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM sbg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+CAST(sum(CASE WHEN logp IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+CAST(-sum(tf * coalesce(logp, ctx_logp, floor_logp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS nll,
+round(exp(CAST(-sum(tf * coalesce(logp, ctx_logp, floor_logp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
+FROM tf LEFT JOIN lp ON g = m_g
+LEFT JOIN cf ON split_part(g, ' ', 1) = c_w1
+CROSS JOIN fl
+GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Character-level Shannon entropy per document —
     * [[graft.api.Text.charEntropy]]: the garbage detector (`aaaa…` runs,
     * low-alphabet noise) that token-level signals cannot see, with the keep
@@ -1414,7 +1504,8 @@ GROUP BY source ORDER BY source"""))
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
-    llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmCharEntropy,
+    llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmUnigramLmPplHoldout,
+    llmBigramLmPplHoldout, llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)

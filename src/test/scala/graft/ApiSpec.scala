@@ -315,6 +315,45 @@ class ApiSpec extends SparkSpec {
     assert(r(1)._3 > r(0)._3)
   }
 
+  test("unigramNllScored floors OOV tokens: an all-OOV doc scores worse than in-vocab") {
+    import spark.implicits._
+    // train LM: x=3, y=1 -> total=4, V=2; add-one: p(x)=(3+1)/7, p(oov)=1/7
+    val train = Seq((0L, "x x x y")).toDF("doc_id", "text")
+    val score = Seq((1L, "x x"), (2L, "q z")).toDF("doc_id", "text")
+    val r = Text.unigramNllScored(train, score, "doc_id", "text")
+      .orderBy("id").select("id", "n_toks", "n_oov", "nll", "ppl")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L))
+    assert(r.map(_._3) == Seq(0L, 2L)) // OOV positions counted per doc
+    assert(math.abs(r(0)._4 - -math.log(4.0 / 7)) < 1e-5)
+    assert(math.abs(r(1)._4 - math.log(7.0)) < 1e-5)
+    // the fixed defect: the self-trained inner join would have DROPPED the
+    // unseen tokens; here the all-OOV doc scores strictly WORSE
+    assert(r(1)._4 > r(0)._4)
+    assert(math.abs(r(1)._5 - math.exp(r(1)._4)) < 1e-9)
+  }
+
+  test("bigramNllScored applies the two-tier add-one floor on unseen grams") {
+    import spark.implicits._
+    // train bigrams: "x y"=2, "y x"=1; contexts: x=2, y=1; V(second words)=2
+    val train = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val score = Seq((1L, "x y"), (2L, "x q"), (3L, "q z"))
+      .toDF("doc_id", "text")
+    val r = Text.bigramNllScored(train, score, "doc_id", "text")
+      .orderBy("id").select("id", "n_bigrams", "n_oov", "nll", "ppl")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    assert(r.map(_._3) == Seq(0L, 1L, 1L))
+    // known gram: (2+1)/(2+2+1); unseen gram/known ctx: 1/(2+2+1);
+    // unknown ctx: 1/(V+1)
+    assert(math.abs(r(0)._4 - -math.log(3.0 / 5)) < 1e-5)
+    assert(math.abs(r(1)._4 - math.log(5.0)) < 1e-5)
+    assert(math.abs(r(2)._4 - math.log(3.0)) < 1e-5)
+    // every OOV tier scores worse than in-vocab, and the novel continuation
+    // of a well-evidenced context is the worst (documented Laplace asymmetry)
+    assert(r(1)._4 > r(2)._4 && r(2)._4 > r(0)._4)
+  }
+
   test("charEntropy is 0 for single-char runs and ln(k) for uniform alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abab"))
