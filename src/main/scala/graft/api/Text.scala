@@ -302,10 +302,16 @@ object Text {
     * libm-divergence-immune); the single trailing `ln(n)` term re-enters
     * libm, so `entropy` emits rounded to 4 decimals.
     *
-    * CONTRACT: ASCII/1-byte text. Spark `split(text, "")` iterates UTF-16
-    * code units while an engine splitting UTF-8 codepoints (DuckDB) agrees
-    * only on single-unit characters; multi-byte corpora need a codepoint
-    * explode before this builder.
+    * The symbol unit is the Unicode CODEPOINT in both engines — MEASURED,
+    * not assumed: Spark's `split(text, "")` splits a surrogate-pair emoji
+    * into one element (UTF8String iterates codepoints, not UTF-16 units)
+    * and DuckDB's `string_split(text, '')` produces the identical 6-element
+    * sequence for the same mixed Greek/emoji input, so multilingual corpora
+    * replay under the cross-engine gate with no ASCII restriction (an r6
+    * scaladoc claimed a UTF-16/codepoint divergence here; the r7 ApiSpec
+    * multi-byte test disproves it). Neither engine groups grapheme
+    * CLUSTERS — a combining-mark sequence counts per codepoint, same on
+    * both sides.
     *
     * Scale shape: one explode to (id, char) → hash aggregate on a key whose
     * cardinality is ≤ docs × alphabet (map-side combine collapses each

@@ -366,6 +366,39 @@ class ApiSpec extends SparkSpec {
     assert(r(2) == ((3L, 4L, 2L, math.rint(math.log(2) * 1e4) / 1e4, false)))
   }
 
+  test("charEntropy counts multi-byte text per CODEPOINT (measured engine parity)") {
+    import spark.implicits._
+    // pins the r7 measurement that retired the r6 ASCII contract: Spark's
+    // split(text, "") iterates codepoints (a surrogate-pair emoji is ONE
+    // symbol, not two UTF-16 units), exactly like DuckDB's
+    // string_split(text, '') — multilingual corpora replay cross-engine
+    val texts = Map(
+      1L -> "ααββ😀😀", // 2×α 2×β 2×😀 (emoji = surrogate pair in UTF-16)
+      2L -> "日本語テキスト",
+      3L -> "aabb")
+    val r = Text.charEntropy(texts.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("id").select("id", "n_ch", "n_uniq_ch", "entropy")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // driver-side reference entropy over CODEPOINTS
+    def ref(s: String): (Long, Long, Double) = {
+      val counts = s.codePoints().toArray.toSeq.groupBy(identity)
+        .values.map(_.size).toSeq
+      val n = counts.sum
+      (n.toLong, counts.size.toLong,
+        math.log(n) - counts.map(c => c * math.log(c)).sum / n)
+    }
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    r.foreach { case (id, n, u, e) =>
+      val (rn, ru, re) = ref(texts(id))
+      assert(n == rn && u == ru, s"doc $id: ($n, $u) vs ($rn, $ru)")
+      assert(math.abs(e - re) < 1e-3, s"doc $id: $e vs $re")
+    }
+    // the load-bearing shape: 6 codepoints over a 3-symbol alphabet, NOT
+    // 8 UTF-16 units over 4
+    assert(r(0)._2 == 6L && r(0)._3 == 3L)
+  }
+
   test("contamination scores planted overlap on literal corpora") {
     import spark.implicits._
     val corpus = Seq(
