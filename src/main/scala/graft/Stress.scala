@@ -10,9 +10,10 @@ import scala.jdk.CollectionConverters._
 /** Scale-stress evidence for the dedup/ANN stack (SURVEY.md §6): generates a
   * SKEWED synthetic corpus far past bench scale and runs the iterative /
   * candidate-generating paths (minhash dedup+CC, k-means IVF, semdedup,
-  * exact n-gram index+CC) end-to-end at three sizes each, recording per-stage
-  * wall time, shuffle volume, task-level peak execution memory, and the
-  * connected-components round count as one JSON line (committed as
+  * exact n-gram index+CC, LM perplexity) end-to-end at three sizes each —
+  * plus a single-size literal-vs-join k-means training pair — recording
+  * per-stage wall time, shuffle volume, task-level peak execution memory,
+  * and the connected-components round count as one JSON line (committed as
   * `STRESS.json`).
   *
   * What the record is evidence FOR: the 100 TB design claims that rest on
@@ -291,6 +292,84 @@ object Stress {
     recs.toSeq
   }
 
+  /** Literal-vs-join k-means TRAINING pair at one size: the same corpus
+    * and k trained twice, once through the fused literal-codegen assignment
+    * (the production path below `literalMaxK`) and once with
+    * `literalMaxK = 0` forcing every iteration through [[
+    * graft.api.Vectors.assignCellsJoin]] — the branch a corpus-scaled
+    * codebook (k > 32768) takes. Until r7 that branch was pinned only for
+    * bit-identity (ApiSpec retrain); this run gives the 100 TB claim a
+    * MEASURED wall pair instead of a design argument. One size (the mid
+    * semdedup size), deliberately outside every growth series.
+    */
+  private def joinPathRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val k = math.max(16, (nVecs / 128).toInt)
+    val ((nv, nRows), genSec) = timed {
+      val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
+        .select(col("vec_id"), col("vd"), col("nrm")).persist()
+      (n, n.count())
+    }
+    recs += StageRec("gen_vectors", genSec, nRows)
+    val (_, litSec) = timed(
+      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = k, iters = 2))
+    recs += StageRec("kmeans_train_i2_literal", litSec, k)
+    val (_, joinSec) = timed(
+      graft.api.Vectors.kmeansCodebook(nv, "vec_id", k = k, iters = 2,
+        literalMaxK = 0))
+    recs += StageRec("kmeans_train_i2_joinpath", joinSec, k)
+    unpersistQuietly(nv)
+    graft.api.Caches.sweep(spark)
+    recs.toSeq
+  }
+
+  /** LM-perplexity path at stress scale: the unigram and bigram nll
+    * builders over the skewed corpus. The model join is the stack's one
+    * no-hint join whose strategy is deliberately left to the planner/AQE
+    * (vocab can outgrow broadcast at corpus scale — and this harness forces
+    * the all-shuffle regime via autoBroadcastJoinThreshold=-1, so the
+    * record measures the 100 TB plan, not a small-size broadcast). The
+    * load-bearing observable is VOCAB growth: bigram vocab ≫ unigram vocab
+    * at every size (each recorded as its own stage), and the nll walls must
+    * track the token/gram stream ~linearly while the model-side
+    * re-aggregates stay vocab-sized. Results are consumed via an
+    * aggregate over (count, sum(nll)) so column pruning cannot delete the
+    * score computation being measured.
+    */
+  private def lmRun(spark: SparkSession, nDocs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((docs, nOut), genSec) = timed {
+      val d = corpus(spark, nDocs).persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_corpus", genSec, nOut)
+    val (uVocab, uvSec) = timed {
+      docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok"))).head().getLong(0)
+    }
+    recs += StageRec("unigram_vocab", uvSec, uVocab)
+    val (uDocs, uniSec) = timed {
+      graft.api.Text.unigramNll(docs, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("nll"))).head().getLong(0)
+    }
+    graft.api.Caches.sweep(spark) // the builder's interior tf cache
+    recs += StageRec("unigram_nll", uniSec, uDocs)
+    val (bVocab, bvSec) = timed {
+      graft.api.Dedup.wordGramStrings(docs, "doc_id", "text", 2)
+        .agg(countDistinct(col("g"))).head().getLong(0)
+    }
+    recs += StageRec("bigram_vocab", bvSec, bVocab)
+    val (bDocs, biSec) = timed {
+      graft.api.Text.bigramNll(docs, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("nll"))).head().getLong(0)
+    }
+    graft.api.Caches.sweep(spark)
+    recs += StageRec("bigram_nll", biSec, bDocs)
+    unpersistQuietly(docs)
+    graft.api.Caches.sweep(spark)
+    recs.toSeq
+  }
+
   /** Exact word-n-gram inverted-index path at stress scale: the heaviest
     * bench keys (llm_ngram_jaccard and every consumer of its truth set) ride
     * this index, and its quadratic risk is guarded ONLY by the df cap whose
@@ -368,6 +447,10 @@ object Stress {
     // single-gram-keyed shuffle stays disk-safe at the biggest size
     val ngramSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_NGRAMS", "20000,60000,180000")
       .split(",").map(_.trim.toLong).toSeq
+    // LM token/gram streams are ~35 rows/doc (vs minhash's ~240 shingles),
+    // so the path runs at the dedup sizes
+    val lmSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_LMS", "50000,150000,300000")
+      .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -395,6 +478,7 @@ object Stress {
     annRun(spark, 2000)
     semdedupRun(spark, 2000)
     ngramRun(spark, 3000)
+    lmRun(spark, 3000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -459,6 +543,10 @@ object Stress {
     vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
     semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
     ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
+    lmSizes.foreach(n => runs += measured("lm_ppl", n, lmRun(spark, n)))
+    // single-size literal-vs-join training pair (no growth series)
+    runs += measured("kmeans_joinpath", semSizes(1),
+      joinPathRun(spark, semSizes(1)))
 
     // growth ratios between consecutive sizes of each path: the linearity
     // evidence in one place (wall/shuffle ratio ≈ size ratio = linear)
