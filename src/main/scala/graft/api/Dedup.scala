@@ -379,6 +379,47 @@ object Dedup {
       .select("a_id", "b_id", "common", "jaccard")
   }
 
+  /** Per-document duplicated-SPAN fraction: of a document's word-`n`-gram
+    * POSITIONS (sliding, duplicates kept — spans, not the distinct shingle
+    * set), the fraction whose gram also appears in at least one OTHER
+    * document. The span-level exact-duplication signal of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): document
+    * near-dup metrics miss a unique page that embeds a long copied passage,
+    * while a long-`n` shared gram (default 8 — far past phrase-collision
+    * range) is near-certain verbatim copying. Output: (id, n_spans, n_dup,
+    * dup_frac, kept = dup_frac <= maxDupFrac); documents with fewer than
+    * `n` tokens have no spans and emit no row (same contract as the bigram
+    * builders).
+    *
+    * The reference method builds a corpus suffix array — inherently
+    * sequential, single-machine. The Spark-native equivalent marks
+    * positions through gram-keyed relational ops only: cross-doc grams are
+    * `min(id) != max(id)` groups of the position stream (ONE map-side-
+    * combinable hash aggregate — no countDistinct expansion, no distinct
+    * pre-shuffle), and marking is a gram-keyed left join back onto the
+    * stream (at most one crossDoc row per gram, so no fan-out), followed by
+    * one per-doc aggregate. Nothing is ever doc×doc; a boilerplate gram in
+    * millions of docs costs its row count, not a quadratic pair blowup.
+    * The gram stream is read twice (crossDoc aggregate + mark join) and
+    * persists via [[Caches]] — `Caches.sweep(spark)` when consumed; at
+    * corpus scale prefer the recompute (two scans of the doc table) over
+    * caching a stream `n`× the corpus size.
+    */
+  def dupSpanFractions(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDupFrac: Double = 0.5): DataFrame = {
+    val grams = Caches.cache(wordGramStrings(docs, idCol, textCol, n))
+    val crossDoc = grams.groupBy("g")
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("g"), lit(1).as("xdoc"))
+    grams.join(crossDoc, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"), count(col("xdoc")).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_spans"))
+      .withColumn("kept", col("dup_frac") <= maxDupFrac)
+  }
+
   /** Exact-dedup rank: 1 for the deterministic survivor (lowest id) of each
     * normalized-key group, 2.. for its duplicates. Hash-partitions on the
     * normalized key — the shuffle unit a 100 TB dedup shuffles on.

@@ -289,6 +289,154 @@ object Text {
       .withColumn("ppl", exp(col("nll")))
   }
 
+  /** HELD-OUT TRIGRAM LM scoring with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the web-scale LM
+    * smoothing designed precisely for distributed count-based training:
+    * no discount fitting, no held-out tuning pass, just relative
+    * frequencies and a fixed backoff penalty, so the whole model is three
+    * hash aggregates over the training gram stream. Score of a trigram
+    * `w1 w2 w3`:
+    *
+    *   S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)                 if the trigram was seen
+    *               = α · c(w2 w3)/c(w2)                   else if the bigram was seen
+    *               = α² · (c(w3)+1)/(total+V+1)           else (add-one unigram tier;
+    *                                                       an OOV w3 is its c=0 floor)
+    *
+    * (α = 0.4 per the paper). The add-one base tier folds the OOV policy
+    * of [[unigramNllScored]] into the last backoff step, so every scored
+    * position gets exactly one score and an all-OOV document bottoms out
+    * at the global floor — strictly worse than any in-vocab path. Scores
+    * are not a normalized distribution (the paper's point: at corpus scale
+    * normalization buys nothing a rank-based filter needs), so `nll` here
+    * is a backoff SCORE in nats, comparable across docs scored against the
+    * same model — exactly what a quality threshold consumes.
+    *
+    * Output: (id, n_trigrams, n_bo2, n_bo1, nll, ppl) — `n_bo2` counts
+    * scored positions that fell past the trigram tier, `n_bo1` those that
+    * also fell past the bigram tier (the per-doc novelty profile; `n_bo1`
+    * ≥ OOV-position count). Docs with fewer than 3 tokens emit no row.
+    *
+    * Oracle discipline is [[unigramNllScored]]'s: each tier's final
+    * log-score (penalty included) quantizes to DECIMAL(28,6) before the
+    * exact per-doc sum; raw `nll`, libm `ppl` for the caller to round.
+    * Scale shape: the three model frames derive from train-side gram
+    * aggregates (every trigram's prefix bigram and every bigram's head
+    * unigram exist in the same training stream, so the tier joins are
+    * inner and lossless); scoring is three gram-keyed LEFT joins with no
+    * broadcast hint (trigram vocab outgrows broadcast first, AQE decides)
+    * plus one single-row floor broadcast. Nothing persists — each side is
+    * read once per gram order.
+    */
+  def trigramBackoffNll(trainDocs: DataFrame, scoreDocs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val tri = Dedup.wordGramStrings(trainDocs, idCol, textCol, 3)
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val bi = Dedup.wordGramStrings(trainDocs, idCol, textCol, 2)
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val uni = trainDocs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val st = uni.agg(sum(col("c1")).as("total"), count(lit(1)).as("v"))
+    val lp3 = tri.withColumn("pre", substring_index(col("g"), " ", 2))
+      .join(bi.select(col("g").as("pre"), col("c2").as("cpre")), Seq("pre"))
+      .select(col("g").as("m3"),
+        log(col("c3") / col("cpre").cast("double"))
+          .cast(DecimalType(28, 6)).as("lp3"))
+    val lp2 = bi.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(uni.select(col("tok").as("w1"), col("c1").as("cw1")), Seq("w1"))
+      .select(col("g").as("m2"),
+        log(lit(alpha) * col("c2") / col("cw1").cast("double"))
+          .cast(DecimalType(28, 6)).as("lp2"))
+    val lp1 = uni.crossJoin(broadcast(st))
+      .select(col("tok").as("m1"),
+        log(lit(alpha * alpha) * (col("c1") + lit(1.0))
+            / (col("total") + col("v") + lit(1.0)))
+          .cast(DecimalType(28, 6)).as("lp1"))
+    val floor = st.select(
+      log(lit(alpha * alpha) / (col("total") + col("v") + lit(1.0)))
+        .cast(DecimalType(28, 6)).as("floor_lp"))
+    Dedup.wordGramStrings(scoreDocs, idCol, textCol, 3)
+      .groupBy("id", "g").agg(count(lit(1)).as("tf"))
+      .withColumn("suf", substring_index(col("g"), " ", -2))
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+      .join(lp3, col("g") === col("m3"), "left")
+      .join(lp2, col("suf") === col("m2"), "left")
+      .join(lp1, col("w3") === col("m1"), "left")
+      .crossJoin(broadcast(floor))
+      .withColumn("lp",
+        coalesce(col("lp3"), col("lp2"), col("lp1"), col("floor_lp")))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("lp3").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_bo2"),
+        sum(when(col("lp3").isNull && col("lp2").isNull, col("tf"))
+          .otherwise(lit(0L))).as("n_bo1"),
+        ((-sum(col("tf") * col("lp"))).cast("double")
+          / sum(col("tf"))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
+  /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document of a
+    * RAW corpus by how much more likely its tokens are under a TARGET-
+    * domain LM than under the raw-corpus LM —
+    * `logratio = (1/n) Σ_w tf_w · (log p_target(w) − log p_raw(w))` —
+    * then resample the raw corpus toward high-ratio docs. Positive means
+    * target-like, negative means raw-background-like; per-token
+    * normalization makes the ratio length-comparable, and thresholding at
+    * 0 is the natural keep rule.
+    *
+    * Both LMs use [[unigramNllScored]]'s add-one policy over their own
+    * vocab (`p(w) = (c+1)/(total+V+1)`, OOV = the c=0 floor), so both
+    * sides score every token and the ratio never drops a position. The
+    * per-token difference of two DECIMAL(28,6) log-probs is exact decimal,
+    * so the per-doc sum stays order-independent; one double division at
+    * the end, emitted RAW. Output: (id, n_toks, n_oov_t, logratio, kept)
+    * — `n_oov_t` counts positions unseen by the TARGET model (high
+    * `n_oov_t` with positive `logratio` flags a doc pulled up purely by
+    * raw-side rarity).
+    *
+    * Scale shape: two token-keyed model aggregates (the target side is
+    * small by construction — it is the curated domain sample); scoring is
+    * two tok-keyed LEFT joins on the raw tf stream, no broadcast hint
+    * (the raw vocab side can outgrow broadcast, AQE decides) plus two
+    * single-row floor broadcasts. Nothing persists.
+    */
+  def dsirLogRatios(targetDocs: DataFrame, rawDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def lm(docs: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val cnt = docs.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val st = cnt.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+      val logp = cnt.crossJoin(broadcast(st))
+        .select(col("tok").as(s"m_$tag"),
+          log((col("cnt") + lit(1.0)) / (col("total") + col("vocab") + lit(1.0)))
+            .cast(DecimalType(28, 6)).as(s"lp_$tag"))
+      val floor = st.select(
+        log(lit(1.0) / (col("total") + col("vocab") + lit(1.0)))
+          .cast(DecimalType(28, 6)).as(s"floor_$tag"))
+      (logp, floor)
+    }
+    val (lpT, flT) = lm(targetDocs, "t")
+    val (lpR, flR) = lm(rawDocs, "r")
+    rawDocs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .join(lpT, col("tok") === col("m_t"), "left")
+      .join(lpR, col("tok") === col("m_r"), "left")
+      .crossJoin(broadcast(flT)).crossJoin(broadcast(flR))
+      .withColumn("d",
+        coalesce(col("lp_t"), col("floor_t"))
+          - coalesce(col("lp_r"), col("floor_r")))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(when(col("lp_t").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov_t"),
+        (sum(col("tf") * col("d")).cast("double")
+          / sum(col("tf"))).as("logratio"))
+      .withColumn("kept", col("logratio") > lit(0.0))
+  }
+
   /** Per-document character-level Shannon entropy in nats — the garbage /
     * boilerplate detector orthogonal to token-level quality signals: natural
     * prose sits near ~2.8-3.0 nats, while `aaaa…` runs, single-char spam,

@@ -355,6 +355,31 @@ CAST(n_hot_shingles AS BIGINT) AS n_hot_shingles,
 CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS dfcap_recall
 FROM m"""))
 
+  /** Duplicated-span fraction — [[graft.api.Dedup.dupSpanFractions]]: per
+    * doc, the fraction of its word-8-gram positions whose gram appears in
+    * at least one other document (Lee et al. 2022's exact-substring signal,
+    * re-expressed as gram-keyed relational marking instead of a corpus
+    * suffix array). Catches a unique page embedding a long copied passage —
+    * invisible to whole-doc near-dup metrics until the passage dominates.
+    * 8 grams over this fixture's 31-word vocabulary make phrase collision
+    * astronomically unlikely: a shared 8-gram IS copying.
+    */
+  private val llmSubstringDedup = Q(
+    "llm_substring_dedup",
+    (s, d) => Dedup.dupSpanFractions(T.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_dup"),
+        col("dup_frac"), col("kept"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+xd AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id))
+SELECT doc_id, count(*) AS n_spans,
+CAST(count(*) FILTER (WHERE g IN (SELECT g FROM xd)) AS BIGINT) AS n_dup,
+CAST(count(*) FILTER (WHERE g IN (SELECT g FROM xd)) AS DOUBLE) / count(*) AS dup_frac,
+CAST(count(*) FILTER (WHERE g IN (SELECT g FROM xd)) AS DOUBLE) / count(*) <= 0.5 AS kept
+FROM g GROUP BY doc_id ORDER BY doc_id"""))
+
   // ----------------------------------------------------- similarity search
 
   private def normEmb(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -1117,6 +1142,119 @@ LEFT JOIN cf ON split_part(g, ' ', 1) = c_w1
 CROSS JOIN fl
 GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Held-out TRIGRAM LM with STUPID BACKOFF —
+    * [[graft.api.Text.trigramBackoffNll]] over the even/odd train/score
+    * split: the Brants et al. 2007 web-scale smoothing (fixed α = 0.4
+    * penalty per backoff step, add-one base tier as the OOV floor) that
+    * needs only gram counts — no discount fitting — so the model is three
+    * hash aggregates, the shape that actually trains on 100 TB. The
+    * per-doc backoff profile (`n_bo2`, `n_bo1`) is itself a novelty
+    * signal: fluent-but-unseen wording backs off once, word salad and OOV
+    * soup fall through to the unigram tier.
+    */
+  private val llmTrigramBackoffPpl = Q(
+    "llm_trigram_backoff_ppl",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Text.trigramBackoffNll(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_trigrams"), col("n_bo2"),
+          col("n_bo1"), col("nll"), H.r4(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ttk AS (SELECT string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0),
+tg AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       FROM ttk, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+tri AS (SELECT g, count(*) AS c3 FROM tg GROUP BY 1),
+bg AS (SELECT t[i] || ' ' || t[i+1] AS g
+       FROM ttk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+bi AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+uni AS (SELECT tok, count(*) AS c1
+        FROM (SELECT unnest(t) AS tok FROM ttk) GROUP BY 1),
+st AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS v FROM uni),
+lp3 AS (SELECT tri.g AS m3,
+         CAST(ln(c3 / CAST(c2 AS DOUBLE)) AS DECIMAL(28,6)) AS lp3
+        FROM tri JOIN bi
+          ON split_part(tri.g, ' ', 1) || ' ' || split_part(tri.g, ' ', 2) = bi.g),
+lp2 AS (SELECT bi.g AS m2,
+         CAST(ln(CAST(0.4 AS DOUBLE) * c2 / CAST(c1 AS DOUBLE)) AS DECIMAL(28,6)) AS lp2
+        FROM bi JOIN uni ON split_part(bi.g, ' ', 1) = uni.tok),
+lp1 AS (SELECT tok AS m1,
+         CAST(ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * (c1 + 1.0)
+                 / (total + v + 1.0)) AS DECIMAL(28,6)) AS lp1
+        FROM uni CROSS JOIN st),
+fl AS (SELECT CAST(ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                / (total + v + 1.0)) AS DECIMAL(28,6)) AS floor_lp FROM st),
+stk AS (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 2 = 1),
+sg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       FROM stk, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM sg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+CAST(sum(CASE WHEN lp3 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_bo2,
+CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_bo1,
+CAST(-sum(tf * coalesce(lp3, lp2, lp1, floor_lp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS nll,
+round(exp(CAST(-sum(tf * coalesce(lp3, lp2, lp1, floor_lp)) AS DOUBLE) / CAST(sum(tf) AS BIGINT)), 4) AS ppl
+FROM tf LEFT JOIN lp3 ON tf.g = m3
+LEFT JOIN lp2
+  ON split_part(tf.g, ' ', 2) || ' ' || split_part(tf.g, ' ', 3) = m2
+LEFT JOIN lp1 ON split_part(tf.g, ' ', 3) = m1
+CROSS JOIN fl
+GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** DSIR-style importance log-ratio — [[graft.api.Text.dsirLogRatios]]
+    * with the `lang = 'en'` slice as the curated target domain and the
+    * whole corpus as the raw background: per doc, how much more likely its
+    * tokens are under the target LM than the raw LM (add-one smoothed on
+    * both sides), the importance weight Xie et al. 2023 resample by.
+    * `kept = logratio > 0` is the natural target-like keep rule, and
+    * `n_oov_t` flags docs whose positive ratio comes from raw-side rarity
+    * rather than target-side likelihood.
+    */
+  private val llmDsirSample = Q(
+    "llm_dsir_sample",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Text.dsirLogRatios(
+          docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_oov_t"),
+          col("logratio"), col("kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tt AS (SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE lang = 'en'),
+tlm AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+tst AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM tlm),
+tlp AS (SELECT tok AS m_t,
+         CAST(ln((cnt + 1.0) / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS lp_t
+        FROM tlm CROSS JOIN tst),
+tfl AS (SELECT CAST(ln(1.0 / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS floor_t
+        FROM tst),
+rt AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+rlm AS (SELECT tok, count(*) AS cnt FROM rt GROUP BY 1),
+rst AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM rlm),
+rlp AS (SELECT tok AS m_r,
+         CAST(ln((cnt + 1.0) / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS lp_r
+        FROM rlm CROSS JOIN rst),
+rfl AS (SELECT CAST(ln(1.0 / (total + vocab + 1.0)) AS DECIMAL(28,6)) AS floor_r
+        FROM rst),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+       GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+CAST(sum(CASE WHEN lp_t IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov_t,
+CAST(sum(tf * (coalesce(lp_t, floor_t) - coalesce(lp_r, floor_r))) AS DOUBLE)
+  / CAST(sum(tf) AS BIGINT) AS logratio,
+CAST(sum(tf * (coalesce(lp_t, floor_t) - coalesce(lp_r, floor_r))) AS DOUBLE)
+  / CAST(sum(tf) AS BIGINT) > 0.0 AS kept
+FROM tf LEFT JOIN tlp ON tok = m_t
+LEFT JOIN rlp ON tok = m_r
+CROSS JOIN tfl CROSS JOIN rfl
+GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Character-level Shannon entropy per document —
     * [[graft.api.Text.charEntropy]]: the garbage detector (`aaaa…` runs,
     * low-alphabet noise) that token-level signals cannot see, with the keep
@@ -1500,12 +1638,14 @@ GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
+    llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmUnigramLmPplHoldout,
-    llmBigramLmPplHoldout, llmCharEntropy,
+    llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,
+    llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)

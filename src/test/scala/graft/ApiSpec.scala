@@ -354,6 +354,80 @@ class ApiSpec extends SparkSpec {
     assert(r(1)._4 > r(2)._4 && r(2)._4 > r(0)._4)
   }
 
+  test("trigramBackoffNll walks the three stupid-backoff tiers with exact scores") {
+    import spark.implicits._
+    // train "x y z x y z": c3("x y z")=2, c3("y z x")=1, c3("z x y")=1;
+    // c2("x y")=2, c2("y z")=2, c2("z x")=1; c1(x)=c1(y)=c1(z)=2,
+    // total=6, V=3. Tiers: seen trigram c3/c2(prefix); backoff
+    // 0.4·c2(suffix)/c1(w2); base 0.4²·(c1(w3)+1)/10 with OOV the c=0 case.
+    val train = Seq((0L, "x y z x y z")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "x y z"), // seen trigram: ln(2/2) = 0
+      (2L, "y z x"), // seen trigram: ln(1/2)
+      (3L, "q x y"), // unseen tri, seen bigram "x y": ln(0.4·2/2)
+      (4L, "x y q")  // unseen tri+bi, OOV w3: ln(0.4²·1/10)
+    ).toDF("doc_id", "text")
+    val a2 = 0.4 * 0.4
+    val r = Text.trigramBackoffNll(train, score, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_trigrams", "n_bo2", "n_bo1", "nll", "ppl")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2) == Seq(1L, 1L, 1L, 1L))
+    assert(r.map(_._3) == Seq(0L, 0L, 1L, 1L)) // fell past the trigram tier
+    assert(r.map(_._4) == Seq(0L, 0L, 0L, 1L)) // fell past the bigram tier too
+    assert(math.abs(r(0)._5 - 0.0) < 1e-5)
+    assert(math.abs(r(1)._5 - math.log(2.0)) < 1e-5)
+    assert(math.abs(r(2)._5 - -math.log(0.4)) < 1e-5)
+    assert(math.abs(r(3)._5 - -math.log(a2 / 10.0)) < 1e-5)
+    // deeper backoff = more surprise: each tier scores strictly worse
+    assert(r(0)._5 < r(1)._5 && r(1)._5 < r(2)._5 && r(2)._5 < r(3)._5)
+    assert(math.abs(r(3)._6 - math.exp(r(3)._5)) < 1e-6)
+  }
+
+  test("dsirLogRatios scores target-like docs positive and background docs negative") {
+    import spark.implicits._
+    // target "x x x y": p_t(x)=4/7, p_t(y)=2/7, floor_t=1/7
+    // raw corpus = both docs: x=3, y=1, q=4 -> total=8, V=3:
+    // p_r(x)=4/12, p_r(y)=2/12, p_r(q)=5/12, floor_r=1/12
+    val target = Seq((0L, "x x x y")).toDF("doc_id", "text")
+    val raw = Seq((1L, "x x x y"), (2L, "q q q q")).toDF("doc_id", "text")
+    val r = Text.dsirLogRatios(target, raw, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_toks", "n_oov_t", "logratio", "kept")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L))
+    assert(r.map(_._3) == Seq(0L, 4L))
+    // doc1: every token has d = ln(p_t) - ln(p_r) = ln(12/7)
+    assert(math.abs(r(0)._4 - math.log(12.0 / 7)) < 1e-5)
+    // doc2: all-OOV under the target -> floor_t vs p_r(q): ln((1/7)/(5/12))
+    assert(math.abs(r(1)._4 - math.log(12.0 / 35)) < 1e-5)
+    assert(r(0)._5 && !r(1)._5)
+  }
+
+  test("dupSpanFractions marks cross-doc gram positions, not within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b" (shared), "b c", "c d" -> 1/3 dup
+      (2L, "a b x y"), // "a b" (shared), "b x", "x y"        -> 1/3 dup
+      (3L, "p q p q"), // "p q"×2 + "q p": repeats only WITHIN doc3 -> 0 dup
+      (4L, "a b"),     // single span, shared                  -> 1.0 dup
+      (5L, "z")        // < n tokens: no spans, no row
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanFractions(docs, "doc_id", "text", n = 2,
+        maxDupFrac = 0.4)
+      .orderBy("id")
+      .select("id", "n_spans", "n_dup", "dup_frac", "kept")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    graft.api.Caches.sweep(spark)
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2) == Seq(3L, 3L, 3L, 1L))
+    assert(r.map(_._3) == Seq(1L, 1L, 0L, 1L))
+    assert(math.abs(r(0)._4 - 1.0 / 3) < 1e-9 && r(0)._5) // 0.333 <= 0.4
+    assert(r(2)._4 == 0.0 && r(2)._5)
+    assert(r(3)._4 == 1.0 && !r(3)._5)
+  }
+
   test("charEntropy is 0 for single-char runs and ln(k) for uniform alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abab"))

@@ -302,6 +302,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.api.Caches.sweep(spark)
   }
 
+  test("llm_trigram_backoff_ppl joins every tier by equi-join (scalars aside)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // three gram-keyed LEFT tier joins + inner tier-derivation joins must
+    // all plan as equi-joins; the only non-equi shapes allowed are the two
+    // single-row scalar broadcasts (train totals into the base tier, the
+    // global floor into scoring)
+    val p = plan("llm_trigram_backoff_ppl")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 2,
+      s"only the two 1-row scalar broadcasts may be BNLJs, got ${bnlj.size}:\n$p")
+  }
+
+  test("llm_dsir_sample joins both models by equi-join (scalars aside)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // two tok-keyed LEFT model joins; non-equi shapes are only the four
+    // single-row scalar broadcasts (per-side totals + per-side floors)
+    val p = plan("llm_dsir_sample")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 4,
+      s"only the four 1-row scalar broadcasts may be BNLJs, got ${bnlj.size}:\n$p")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
