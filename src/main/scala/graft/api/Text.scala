@@ -437,6 +437,90 @@ object Text {
       .withColumn("kept", col("logratio") > lit(0.0))
   }
 
+  /** Temperature-scaled domain mixture weights — the data-mixing primitive
+    * of multilingual/multi-source pretraining (mT5, PaLM, GPT-3 dataset
+    * construction): given per-domain token masses `n_i`, the sampling
+    * weight at temperature `alpha` is
+    *
+    *   w_i = n_i^alpha / Σ_j n_j^alpha
+    *
+    * (equivalently p_i^alpha normalized — the corpus-total factor cancels).
+    * `alpha = 1` reproduces natural proportions; `alpha → 0` flattens
+    * toward uniform, up-sampling small domains. Output per domain:
+    * (domain, n_docs, n_toks, p_raw, weight, boost) where `p_raw = n_i/N`
+    * is the natural share and `boost = weight/p_raw` is the epoch
+    * multiplier a sampler applies to that domain (>1 = up-sampled; the
+    * number a data loader actually consumes).
+    *
+    * Float discipline: `p_raw` is a single exact-integer IEEE division,
+    * emitted raw. Each `n_i^alpha` re-enters libm (`pow`), so it quantizes
+    * to DECIMAL(28,6) BEFORE the normalizer sum — the sum is then exact
+    * decimal (order-independent, immune to both engines' aggregation
+    * order); `weight`/`boost` each end in one libm-adjacent division and
+    * are the caller's to round (the registered key rounds at 4 decimals).
+    *
+    * Scale shape: one hash aggregate to the domain grain (map-side
+    * combinable — the shuffle moves one row per partition per domain), a
+    * single-row total broadcast back onto the domain frame. The domain
+    * frame is vocabulary-sized (languages, sources), never corpus-sized.
+    */
+  def mixtureWeights(docs: DataFrame, domainCol: String, textCol: String,
+      alpha: Double = 0.7): DataFrame = {
+    val dom = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).cast("long").as("n_toks"))
+      .withColumn("pw",
+        pow(col("n_toks").cast("double"), lit(alpha))
+          .cast(DecimalType(28, 6)))
+    val st = dom.agg(sum(col("n_toks")).as("total"), sum(col("pw")).as("z"))
+    dom.crossJoin(broadcast(st))
+      .select(col("domain"), col("n_docs"), col("n_toks"),
+        (col("n_toks").cast("double") / col("total")).as("p_raw"),
+        (col("pw") / col("z")).cast("double").as("weight"),
+        ((col("pw") / col("z")).cast("double")
+          / (col("n_toks").cast("double") / col("total"))).as("boost"))
+  }
+
+  /** Fixed-size token windows with overlap — the tokenize-then-chunk step
+    * that turns variable-length documents into training sequences. Chunks
+    * start at token positions `1, 1+stride, 1+2·stride, …` (1-based); a
+    * document of `n` tokens yields `1 + ceil(max(0, n-window)/stride)`
+    * chunks, so every token is covered, consecutive chunks overlap by
+    * `window - stride` tokens, only the last chunk may run short, and a
+    * tail fully contained in the previous window is never emitted (the
+    * tokenizer-overflow convention). Output one row per chunk:
+    * (id, chunk_idx, start, len, first_tok, last_tok) — the boundary
+    * tokens pin the arithmetic under the cross-engine gate without
+    * shipping the chunk text itself.
+    *
+    * Scale shape: pure per-row projection + one generator explode — no
+    * shuffle anywhere, fully codegen'd; output size is `Σ ceil(n_i/stride)`
+    * rows, linear in corpus tokens. The chunk-index sequence derives from
+    * the CLOSED-FORM count (`sequence(0, n_chunks-1)`), not a filtered
+    * over-generation, so no wasted rows exist even transiently.
+    */
+  def chunkStride(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 512, stride: Int = 384): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - window, lit(0L)).cast("double")
+          / stride).cast("long"))
+      .select(col("id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start", lit(1L) + col("chunk_idx") * stride)
+      .withColumn("len", least(lit(window.toLong), col("n") - col("start") + 1))
+      .select(col("id"), col("chunk_idx"), col("start"), col("len"),
+        element_at(col("toks"), col("start").cast("int")).as("first_tok"),
+        element_at(col("toks"), (col("start") + col("len") - 1).cast("int"))
+          .as("last_tok"))
+  }
+
   /** Per-document character-level Shannon entropy in nats — the garbage /
     * boilerplate detector orthogonal to token-level quality signals: natural
     * prose sits near ~2.8-3.0 nats, while `aaaa…` runs, single-char spam,

@@ -1255,6 +1255,60 @@ LEFT JOIN rlp ON tok = m_r
 CROSS JOIN tfl CROSS JOIN rfl
 GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Temperature-scaled domain mixture weights —
+    * [[graft.api.Text.mixtureWeights]] at α = 0.7 over `lang`: the
+    * multilingual-pretraining sampling schedule (mT5/PaLM-style), where
+    * small languages up-sample toward uniform and the `boost` column is
+    * the per-domain epoch multiplier a data loader consumes. The `pow`
+    * terms quantize to DECIMAL(28,6) before the normalizer sum, so only
+    * the final divisions re-enter IEEE — rounded at 4 decimals here.
+    */
+  private val llmMixtureWeights = Q(
+    "llm_mixture_weights",
+    (s, d) => Text.mixtureWeights(T.documents(s, d), "lang", "text")
+      .select(col("domain").as("lang"), col("n_docs"), col("n_toks"),
+        col("p_raw"), H.r4(col("weight")).as("weight"),
+        H.r4(col("boost")).as("boost"))
+      .orderBy("lang"),
+    Some("""WITH t AS (SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY 1),
+q AS (SELECT lang, n_docs, n_toks,
+  CAST(pow(CAST(n_toks AS DOUBLE), 0.7) AS DECIMAL(28,6)) AS pw FROM t),
+st AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total, sum(pw) AS z FROM q)
+SELECT lang, n_docs, n_toks,
+CAST(n_toks AS DOUBLE) / total AS p_raw,
+round(CAST(pw / z AS DOUBLE), 4) AS weight,
+round(CAST(pw / z AS DOUBLE) / (CAST(n_toks AS DOUBLE) / total), 4) AS boost
+FROM q CROSS JOIN st ORDER BY lang"""))
+
+  /** Stride chunking — [[graft.api.Text.chunkStride]] with a 32-token
+    * window and 24-token stride (sized so the fixture's docs actually
+    * overflow): the tokenize-then-chunk step that turns documents into
+    * fixed-length training sequences with overlap. Boundary tokens pin the
+    * window arithmetic cross-engine without shipping chunk text.
+    */
+  private val llmChunkStride = Q(
+    "llm_chunk_stride",
+    (s, d) => Text.chunkStride(T.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("start"),
+        col("len"), col("first_tok"), col("last_tok"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+c AS (SELECT doc_id, toks, n,
+  1 + CAST(ceil(CAST(greatest(n - 32, 0) AS DOUBLE) / 24) AS BIGINT) AS n_chunks
+  FROM d)
+SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+CAST(1 + u.i * 24 AS BIGINT) AS start,
+CAST(least(32, n - (1 + u.i * 24) + 1) AS BIGINT) AS len,
+toks[1 + u.i * 24] AS first_tok,
+toks[1 + u.i * 24 + least(32, n - (1 + u.i * 24) + 1) - 1] AS last_tok
+FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+ORDER BY doc_id, chunk_idx"""))
+
   /** Character-level Shannon entropy per document —
     * [[graft.api.Text.charEntropy]]: the garbage detector (`aaaa…` runs,
     * low-alphabet noise) that token-level signals cannot see, with the keep
@@ -1645,6 +1699,7 @@ GROUP BY source ORDER BY source"""))
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmUnigramLmPplHoldout,
     llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,
+    llmMixtureWeights, llmChunkStride,
     llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,

@@ -428,6 +428,60 @@ class ApiSpec extends SparkSpec {
     assert(r(3)._4 == 1.0 && !r(3)._5)
   }
 
+  test("mixtureWeights up-samples small domains at alpha<1 and is natural at alpha=1") {
+    import spark.implicits._
+    // domain a: 8 tokens, domain b: 1 token -> N=9
+    val docs = Seq(
+      (1L, "a", "t t t t t"), (2L, "a", "t t t"), (3L, "b", "t")
+    ).toDF("doc_id", "lang", "text")
+    val r = Text.mixtureWeights(docs, "lang", "text", alpha = 0.5)
+      .orderBy("domain")
+      .select("domain", "n_docs", "n_toks", "p_raw", "weight", "boost")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3)) == Seq(("a", 2L, 8L), ("b", 1L, 1L)))
+    assert(r(0)._4 == 8.0 / 9 && r(1)._4 == 1.0 / 9)
+    // w = sqrt(n)/(sqrt(8)+sqrt(1)); DECIMAL(28,6) quantization of each
+    // pow term moves the ratio by < 1e-6
+    val z = math.sqrt(8.0) + 1.0
+    assert(math.abs(r(0)._5 - math.sqrt(8.0) / z) < 1e-5)
+    assert(math.abs(r(1)._5 - 1.0 / z) < 1e-5)
+    // weights normalize; the small domain up-samples, the big one down
+    assert(math.abs(r.map(_._5).sum - 1.0) < 1e-5)
+    assert(r(1)._6 > 1.0 && r(0)._6 < 1.0)
+    assert(math.abs(r(0)._6 - r(0)._5 / r(0)._4) < 1e-5)
+    // alpha = 1 reproduces natural proportions exactly (boost = 1)
+    val nat = Text.mixtureWeights(docs, "lang", "text", alpha = 1.0)
+      .orderBy("domain").select("p_raw", "weight", "boost")
+      .as[(Double, Double, Double)].collect().toSeq
+    nat.foreach { case (p, w, b) =>
+      assert(math.abs(w - p) < 1e-6 && math.abs(b - 1.0) < 1e-6)
+    }
+  }
+
+  test("chunkStride covers every token with overlap and no redundant tail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10: chunks at 1,4,7
+      (2L, "u1 u2 u3"),                               // n<=W: single chunk
+      (3L, "v1 v2 v3 v4 v5"),                         // n=5: 1..4 + short 4..5
+      (4L, "")                                        // empty split -> 1 token ""
+    ).toDF("doc_id", "text")
+    val r = Text.chunkStride(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "start", "len", "first_tok", "last_tok")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)) ==
+      Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L)))
+    assert(d1.map(_._5) == Seq("t1", "t4", "t7"))
+    assert(d1.map(_._6) == Seq("t4", "t7", "t10"))
+    assert(r.filter(_._1 == 2L) == Seq((2L, 0L, 1L, 3L, "u1", "u3")))
+    assert(r.filter(_._1 == 3L).map(c => (c._3, c._4, c._6)) ==
+      Seq((1L, 4L, "v4"), (4L, 2L, "v5")))
+    // Spark's split("") on empty text yields one empty token -> one chunk
+    assert(r.filter(_._1 == 4L).map(c => (c._3, c._4)) == Seq((1L, 1L)))
+  }
+
   test("charEntropy is 0 for single-char runs and ln(k) for uniform alphabets") {
     import spark.implicits._
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abab"))

@@ -328,6 +328,38 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"only the four 1-row scalar broadcasts may be BNLJs, got ${bnlj.size}:\n$p")
   }
 
+  test("llm_chunk_stride plans with no shuffle, no join, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    // the chunker's whole scale claim: per-row projection + one generator
+    // explode from the closed-form chunk count — a shuffle, join, or window
+    // anywhere before the harness orderBy is a regression. Strip the
+    // display sort (the only legitimate exchange) by planning the builder
+    // directly, unordered.
+    val df = graft.api.Text.chunkStride(
+      graft.ops.T.documents(spark, sf), "doc_id", "text", 32, 24)
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"chunking must not shuffle:\n$p")
+    assert(collectWithSubqueries(p) { case j: BJ => j }.isEmpty,
+      s"chunking must not join:\n$p")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty,
+      s"chunking must not window:\n$p")
+  }
+
+  test("llm_mixture_weights allows only the single-row total broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // one domain-grain aggregate + the 1-row (total, z) broadcast back onto
+    // it; any other join shape means the domain frame got corpus-sized
+    val p = plan("llm_mixture_weights")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the 1-row total broadcast may be a BNLJ, got ${bnlj.size}:\n$p")
+  }
+
   test("join_skew_salted equals the unsalted join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted")
