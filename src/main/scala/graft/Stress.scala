@@ -428,6 +428,39 @@ object Stress {
     recs.toSeq
   }
 
+  /** Duplicated-span marking at stress scale: the gram stream is the
+    * corpus's every word-8-gram POSITION (~len−7 rows per doc — the largest
+    * intermediate any r7 operator materializes per doc), and the path's
+    * scale claim is that marking is LINEAR — one map-side-combinable
+    * cross-doc aggregate plus one gram-keyed left join, never a pair join —
+    * so a boilerplate gram shared by the 1000-doc mega-cluster costs its
+    * row count, not a df² blowup (the exact-Jaccard path needs a df cap for
+    * the same corpus; this one provably does not). Cluster-mates differ in
+    * 2 token positions, so every member shares long runs with its cluster
+    * ⇒ `dup_spans` is a large, size-tracking fraction of the stream, and
+    * the wall/shuffle ratios must track the size ratio.
+    */
+  private def spanRun(spark: SparkSession, nDocs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((docs, nOut), genSec) = timed {
+      val d = corpus(spark, nDocs).persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_corpus", genSec, nOut)
+    val ((nDocsOut, nDup, nSpans), markSec) = timed {
+      val r = graft.api.Dedup.dupSpanFractions(docs, "doc_id", "text", n = 8)
+        .agg(count(lit(1)).as("docs"), sum(col("n_dup")).as("dup"),
+          sum(col("n_spans")).as("spans")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    graft.api.Caches.sweep(spark) // the builder's interior gram-stream cache
+    recs += StageRec("dup_mark", markSec, nDocsOut,
+      Seq("dup_spans" -> nDup.toString, "n_spans" -> nSpans.toString))
+    unpersistQuietly(docs)
+    graft.api.Caches.sweep(spark)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -450,6 +483,10 @@ object Stress {
     // LM token/gram streams are ~35 rows/doc (vs minhash's ~240 shingles),
     // so the path runs at the dedup sizes
     val lmSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_LMS", "50000,150000,300000")
+      .split(",").map(_.trim.toLong).toSeq
+    // the span stream is ~len−7 gram-string rows per doc (comparable to the
+    // LM gram volume) and the path never pair-joins, so dedup-path sizes
+    val spanSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SPANS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -479,6 +516,7 @@ object Stress {
     semdedupRun(spark, 2000)
     ngramRun(spark, 3000)
     lmRun(spark, 3000)
+    spanRun(spark, 3000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -544,6 +582,7 @@ object Stress {
     semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
     ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
     lmSizes.foreach(n => runs += measured("lm_ppl", n, lmRun(spark, n)))
+    spanSizes.foreach(n => runs += measured("span_dedup", n, spanRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     runs += measured("kmeans_joinpath", semSizes(1),
       joinPathRun(spark, semSizes(1)))

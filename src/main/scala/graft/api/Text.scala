@@ -482,6 +482,57 @@ object Text {
           / (col("n_toks").cast("double") / col("total"))).as("boost"))
   }
 
+  /** Applies [[mixtureWeights]] as a DETERMINISTIC resampler — the step a
+    * data loader actually consumes: each document of domain `i` with epoch
+    * multiplier `boost_i = w_i/p_i` replicates `floor(boost_i)` times plus
+    * one more iff its hash fraction falls below `frac(boost_i)`, so the
+    * expected token mass per domain is exactly `w_i · N` and two runs (or
+    * two engines) pick the SAME extra copies — no RNG, resumable by
+    * construction. Output per domain: (domain, n_docs, n_copies, toks_in,
+    * toks_out, weight, realized_frac) — `realized_frac` is the achieved
+    * post-resample token share to hold against the target `weight` (they
+    * differ by the hash-threshold granularity, shrinking as 1/√docs).
+    *
+    * The hash fraction is the first two md5 nibbles of the id (256 bins,
+    * engine-portable — the same nibble idiom as the stratified sampler);
+    * `realized_frac` is an exact-integer ratio emitted raw, `weight`
+    * re-enters libm upstream and is the caller's to round.
+    *
+    * Scale shape: the weight frame is domain-grain (vocabulary-sized) and
+    * broadcast onto the corpus — the corpus never shuffles; per-row work is
+    * one md5 + integer arithmetic, and the final aggregate is domain-grain.
+    * The replication itself stays VIRTUAL here (copy counts, not exploded
+    * rows) — a writer applies `explode(sequence(1, n_copies))` at shard
+    * time, keeping the multiplier a number until the last moment.
+    */
+  def mixtureResample(docs: DataFrame, domainCol: String, idCol: String,
+      textCol: String, alpha: Double = 0.7): DataFrame = {
+    val w = mixtureWeights(docs, domainCol, textCol, alpha)
+      .select(col("domain"), col("weight"), col("boost"))
+    val perDoc = docs
+      .select(col(domainCol).as("domain"), col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      .join(broadcast(w), Seq("domain"))
+      .withColumn("hfrac", expr(
+        s"((instr('0123456789abcdef', substring(md5(cast(id as string)), 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substring(md5(cast(id as string)), 2, 1)) - 1)) / 256.0"))
+      .withColumn("n_copies",
+        floor(col("boost")).cast("long") +
+          when(col("hfrac") < col("boost") - floor(col("boost")), lit(1L))
+            .otherwise(lit(0L)))
+    val dom = perDoc.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_copies"),
+        sum(col("n_toks")).as("toks_in"),
+        sum(col("n_copies") * col("n_toks")).as("toks_out"),
+        first(col("weight")).as("weight"))
+    val tot = dom.agg(sum(col("toks_out")).as("total_out"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("n_copies"), col("toks_in"),
+        col("toks_out"), col("weight"),
+        (col("toks_out").cast("double") / col("total_out")).as("realized_frac"))
+  }
+
   /** Fixed-size token windows with overlap — the tokenize-then-chunk step
     * that turns variable-length documents into training sequences. Chunks
     * start at token positions `1, 1+stride, 1+2·stride, …` (1-based); a

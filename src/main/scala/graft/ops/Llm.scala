@@ -1282,6 +1282,49 @@ round(CAST(pw / z AS DOUBLE), 4) AS weight,
 round(CAST(pw / z AS DOUBLE) / (CAST(n_toks AS DOUBLE) / total), 4) AS boost
 FROM q CROSS JOIN st ORDER BY lang"""))
 
+  /** Deterministic mixture resampling — [[graft.api.Text.mixtureResample]]:
+    * applies the α=0.7 mixture weights as per-doc copy counts
+    * (`floor(boost)` + one more iff the doc's md5-nibble fraction falls
+    * under `frac(boost)`), so the post-resample token share tracks the
+    * target weight with NO RNG — two engines pick the same extra copies.
+    * The replication stays virtual (copy counts, not exploded rows); the
+    * corpus never shuffles — the domain-grain weight frame broadcasts onto
+    * it.
+    */
+  private val llmMixtureResample = Q(
+    "llm_mixture_resample",
+    (s, d) => Text.mixtureResample(T.documents(s, d), "lang", "doc_id", "text")
+      .select(col("domain").as("lang"), col("n_docs"), col("n_copies"),
+        col("toks_in"), col("toks_out"), H.r4(col("weight")).as("weight"),
+        col("realized_frac"))
+      .orderBy("lang"),
+    Some("""WITH t AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY 1),
+q AS (SELECT lang, n_toks,
+  CAST(pow(CAST(n_toks AS DOUBLE), 0.7) AS DECIMAL(28,6)) AS pw FROM t),
+st AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total, sum(pw) AS z FROM q),
+w AS (SELECT lang, CAST(pw / z AS DOUBLE) AS weight,
+  CAST(pw / z AS DOUBLE) / (CAST(n_toks AS DOUBLE) / total) AS boost
+  FROM q CROSS JOIN st),
+d AS (SELECT dd.lang, doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, weight, boost,
+  ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) / 256.0 AS hfrac
+  FROM documents dd JOIN w ON dd.lang = w.lang),
+c AS (SELECT lang, weight, n_toks,
+  CAST(floor(boost) AS BIGINT)
+    + (CASE WHEN hfrac < boost - floor(boost) THEN 1 ELSE 0 END) AS n_copies
+  FROM d),
+g AS (SELECT lang, weight, count(*) AS n_docs,
+  CAST(sum(n_copies) AS BIGINT) AS n_copies,
+  CAST(sum(n_toks) AS BIGINT) AS toks_in,
+  CAST(sum(n_copies * n_toks) AS BIGINT) AS toks_out
+  FROM c GROUP BY 1, 2)
+SELECT lang, n_docs, n_copies, toks_in, toks_out,
+round(weight, 4) AS weight,
+CAST(toks_out AS DOUBLE) / sum(toks_out) OVER () AS realized_frac
+FROM g ORDER BY lang"""))
+
   /** Stride chunking — [[graft.api.Text.chunkStride]] with a 32-token
     * window and 24-token stride (sized so the fixture's docs actually
     * overflow): the tokenize-then-chunk step that turns documents into
@@ -1699,7 +1742,7 @@ GROUP BY source ORDER BY source"""))
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmUnigramLmPplHoldout,
     llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,
-    llmMixtureWeights, llmChunkStride,
+    llmMixtureWeights, llmMixtureResample, llmChunkStride,
     llmCharEntropy,
     llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,

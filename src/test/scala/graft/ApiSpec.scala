@@ -458,6 +458,36 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("mixtureResample replicates by floor(boost) plus a deterministic hash extra") {
+    import spark.implicits._
+    // alpha=0 -> uniform weights (0.5, 0.5); domain a holds 8 of 9 tokens
+    // so boost_a = 0.5/(8/9) = 0.5625, boost_b = 0.5/(1/9) = 4.5.
+    // hash fractions (first two md5 nibbles of the id string):
+    //   md5("1")=c4.. -> 196/256 = 0.7656 ; md5("2")=c8.. -> 200/256
+    //   md5("3")=ec.. -> 236/256 = 0.9219
+    // a-docs: floor(.5625)=0, extra iff hfrac<0.5625 -> neither copies
+    // b-doc:  floor(4.5)=4,  extra iff hfrac<0.5     -> stays at 4
+    val docs = Seq(
+      (1L, "a", "t t t t t"), (2L, "a", "t t t"), (3L, "b", "t")
+    ).toDF("doc_id", "lang", "text")
+    val r = Text.mixtureResample(docs, "lang", "doc_id", "text", alpha = 0.0)
+      .orderBy("domain")
+      .select("domain", "n_docs", "n_copies", "toks_in", "toks_out",
+        "weight", "realized_frac")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Seq(("a", 2L, 0L, 8L, 0L), ("b", 1L, 4L, 1L, 4L)))
+    assert(r.map(_._6) == Seq(0.5, 0.5))
+    assert(r.map(_._7) == Seq(0.0, 1.0))
+    // alpha=1 -> boost = 1 everywhere: resampling is the identity
+    // (these ids' hash fractions are all > 1 ulp, so a boundary-side
+    // floor flip cannot change the copy count)
+    val id = Text.mixtureResample(docs, "lang", "doc_id", "text", alpha = 1.0)
+      .select("n_docs", "n_copies", "toks_in", "toks_out")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    id.foreach { case (nd, nc, ti, to) => assert(nc == nd && to == ti) }
+  }
+
   test("chunkStride covers every token with overlap and no redundant tail") {
     import spark.implicits._
     val docs = Seq(
