@@ -39,6 +39,25 @@ object Relational {
     Some("""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
 ORDER BY l_orderkey, l_linenumber"""))
 
+  /** ORC sink + source round-trip — the second columnar format Spark ships
+    * natively (predicate pushdown, column pruning, and vectorized reads all
+    * apply, same as parquet). ORC is binary-exact for every lineitem type,
+    * so the oracle is the sample itself from the fixture: a hash match
+    * proves the sink+source path loses nothing. DuckDB cannot read ORC —
+    * the round-trip-identity oracle is exactly how a format outside the
+    * oracle engine's reach stays under the cross-engine gate.
+    */
+  private val srcOrcRoundtrip = Q(
+    "src_orc_roundtrip",
+    (s, d) => {
+      val out = s"/root/repo/target/io/orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sample = T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      sample.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
+ORDER BY l_orderkey, l_linenumber"""))
+
   /** JSON-lines sink + source round-trip (models the FTS REST JSON shape).
     * ts is surfaced as epoch µs so the round-trip is precision-exact; the
     * oracle is the sample from the fixture (lossless round-trip).
@@ -919,7 +938,8 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
 
   val all: Seq[Q] = Seq(
     aggProblemLinks,
-    srcParquetScan, srcCsvRoundtrip, srcJsonLines, srcUnionPartitions,
+    srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
+    srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
