@@ -420,6 +420,65 @@ object Dedup {
       .withColumn("kept", col("dup_frac") <= maxDupFrac)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every word-`kGram`-gram, slide a window of
+    * `window` consecutive gram hashes over each document, and in every FULL
+    * window select the minimum hash, breaking ties toward the RIGHTMOST
+    * position (robust winnowing). The selected (position, hash) set — about
+    * `2/(window+1)` of the gram stream — is the document's fingerprint:
+    * unlike a single content hash ([[exactDupRank]]'s key) it survives
+    * local edits, and unlike the full gram set it is sub-linear to store,
+    * with the guarantee that any shared run of `window + kGram - 1` tokens
+    * between two documents shares at least one fingerprint.
+    *
+    * Engine-portable by construction: gram hashes are md5 hex strings
+    * (fixed-width lowercase hex → lexicographic MIN is the numeric MIN in
+    * any binary-collation engine), and the rightmost-tie rule rides the
+    * same string MIN — the window minimizes `h || lpad(999999 - pos)`, so
+    * equal hashes order by DESCENDING position and the composite min IS
+    * the robust-winnowing choice. The encoding bounds documents at 999999
+    * tokens (a 999999 - pos below zero would lpad with a sign character
+    * and corrupt the tie order) — a documented precondition, same
+    * discipline as `Fts.cumulativeWeights`: chunk longer documents first
+    * ([[graft.api.Text.chunkStride]]).
+    *
+    * Scale shape: tokens materialize once, positions explode, and the
+    * selection is ONE window pass partitioned by document — a single
+    * shuffle on the id, which the closing per-(id, pos) distinct reuses
+    * (hash(id) already clusters every distinct key). No join anywhere;
+    * per-document work is linear in tokens.
+    *
+    * Output: (id, n_grams, fp_pos, fp) — one row per selected fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      kGram: Int = 4, window: Int = 4): DataFrame = {
+    require(kGram > 0 && window > 0,
+      s"kGram ($kGram) and window ($window) must be positive")
+    val g = docs
+      .withColumn("toks", split(col(textCol), " "))
+      // a document yields fingerprints only if it has >= 1 FULL window of
+      // gram hashes: size >= kGram + window - 1 tokens
+      .filter(size(col("toks")) >= kGram + window - 1)
+      .select(col(idCol).as("id"), col("toks"),
+        (size(col("toks")) - (kGram - 1)).cast("long").as("n_grams"),
+        explode(sequence(lit(1), size(col("toks")) - (kGram - 1))).as("pos"))
+      .select(col("id"), col("n_grams"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(kGram)))).as("h"))
+    val wSpec = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    g
+      .withColumn("ck", concat(col("h"),
+        lpad((lit(999999) - col("pos")).cast("string"), 6, "0")))
+      .withColumn("wmin", min(col("ck")).over(wSpec))
+      // gram positions are dense 1..n_grams, so the ROWS frame covers
+      // exactly the window's hashes; keep FULL windows only
+      .filter(col("pos") <= col("n_grams") - (window - 1))
+      .select(col("id"), col("n_grams"),
+        (lit(999999) - substring(col("wmin"), 33, 6).cast("long")).as("fp_pos"),
+        substring(col("wmin"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** Exact-dedup rank: 1 for the deterministic survivor (lowest id) of each
     * normalized-key group, 2.. for its duplicates. Hash-partitions on the
     * normalized key — the shuffle unit a 100 TB dedup shuffles on.

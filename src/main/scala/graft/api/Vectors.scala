@@ -274,6 +274,50 @@ object Vectors {
       .drop("prn", "cell", "q_salt", "i_salt", "q_vd", "q_nrm", "n_vd", "n_nrm")
   }
 
+  /** Johnson–Lindenstrauss random projection: each vector lands on `k`
+    * seeded Gaussian directions scaled by `1/sqrt(k)`, so squared norms
+    * (and hence pairwise distances) are preserved in expectation with
+    * relative distortion O(1/sqrt(k)) — the classic dimensionality step
+    * that brings a wide embedding under downstream bounds (e.g.
+    * [[signLshPairs]]'s 4096 literal-plane cap) before any LSH/ANN work.
+    *
+    * Scale shape: the direction matrix is a (k × planeDim) deterministic
+    * literal compiled into the plan ([[lshPlanes]] — same public family
+    * sign-LSH uses, so an oracle splices identical constants), and each
+    * output coordinate is one codegen'd `vec_dot` over the row — NO
+    * shuffle, NO join, NO explode; the operator is a pure projection that
+    * scans the corpus once and is embarrassingly parallel at any width.
+    *
+    * `planeDim` must be >= the data's dimension for a full-vector
+    * projection (`vec_dot` truncates to the shorter array: a narrower
+    * plane would silently project a prefix — same contract documented on
+    * [[signLshPairs]], which probes the dim at runtime; here the caller
+    * states it, keeping the builder lazy/action-free).
+    *
+    * Output: the input id as `id`, `p0..p{k-1}` projected coordinates,
+    * `pvd` (the projected vector, for chaining into [[normalized]]-style
+    * consumers), and `pnorm2`/`norm2` (projected/original squared norms —
+    * their ratio is the per-vector JL distortion).
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, planeDim: Int = 256, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"target dimension k must be positive, got $k")
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val planes = lshPlanes(k, planeDim, seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val base = emb
+      .withColumn("vd", transform(col(vecCol), x => x.cast("double")))
+    val projCols = planes.zipWithIndex.map { case (p, j) =>
+      val planeSql = p.mkString("array(", "D, ", "D)")
+      (expr(s"vec_dot(vd, $planeSql)") * lit(scale)).as(s"p$j")
+    }
+    base
+      .select(col(idCol).as("id") +: expr("vec_dot(vd, vd)").as("norm2") +:
+        projCols: _*)
+      .withColumn("pvd", array((0 until k).map(j => col(s"p$j")): _*))
+      .withColumn("pnorm2", expr("vec_dot(pvd, pvd)"))
+  }
+
   /** The fixed Gaussian hyperplane family sign-LSH projects onto —
     * deterministic for a given (numPlanes, planeDim, seed), and PUBLIC so an
     * oracle can splice the identical constants into its own SQL: every

@@ -1389,6 +1389,74 @@ FROM e ORDER BY doc_id"""))
 substring(md5(lower(trim(text))), 1, 15) AS fp_prefix
 FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing fingerprints — [[graft.api.Dedup.winnowFingerprints]]
+    * (Schleimer et al. 2003) with word-4-grams and a 4-hash window: the
+    * edit-robust sub-linear document signature (~2/(w+1) of the gram
+    * stream survives selection; any shared 7-token run between two docs
+    * shares a fingerprint). One window pass per doc, no join; both engines
+    * run the identical md5-string composite-min arithmetic.
+    */
+  private val llmWinnowFingerprint = Q(
+    "llm_winnow_fingerprint",
+    (s, d) => Dedup.winnowFingerprints(T.documents(s, d), "doc_id", "text",
+        kGram = 4, window = 4)
+      .select(col("id").as("doc_id"), col("fp_pos"), col("fp"), col("n_grams"))
+      .orderBy("doc_id", "fp_pos"),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+d AS (SELECT doc_id, t, CAST(len(t) - 3 AS BIGINT) AS n_grams
+      FROM tk WHERE len(t) >= 7),
+g AS (SELECT doc_id, n_grams, CAST(u.i AS BIGINT) AS pos,
+        md5(array_to_string(t[i:i+3], ' ')) AS h
+      FROM d, UNNEST(generate_series(1, n_grams)) AS u(i)),
+w AS (SELECT doc_id, n_grams, pos,
+        min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g),
+s AS (SELECT DISTINCT doc_id, n_grams,
+        999999 - CAST(substring(wmin, 33, 6) AS BIGINT) AS fp_pos,
+        substring(wmin, 1, 32) AS fp
+      FROM w WHERE pos <= n_grams - 3)
+SELECT doc_id, fp_pos, fp, n_grams FROM s ORDER BY doc_id, fp_pos"""))
+
+  /** JL random projection — [[graft.api.Vectors.randomProjection]] of the
+    * 64-dim fixture embeddings onto k=16 seeded Gaussian directions:
+    * per-vector projected coordinates plus the squared-norm distortion
+    * ratio (`dist` ≈ 1 ± O(1/sqrt k) is the JL guarantee, made visible
+    * per row). Coordinates and ratio round(4): the dot-product
+    * accumulation order inside each engine is internal, so this is the
+    * divergent-path rounding case of the `H` discipline.
+    */
+  private val llmRandomProjection = Q(
+    "llm_random_projection",
+    (s, d) => {
+      val proj = Vectors.randomProjection(T.embeddings(s, d), "vec_id",
+        "embedding", k = 16)
+      proj.select(col("id").as("vec_id") +:
+          (0 until 16).map(j => r4(col(s"p$j")).as(s"p$j")) :+
+          r4(col("pnorm2") / col("norm2")).as("dist"): _*)
+        .orderBy("vec_id")
+    },
+    Some(randomProjectionOracle))
+
+  private def randomProjectionOracle: String = {
+    val planes = Vectors.lshPlanes(16, 256, 42L).map(_.take(64))
+    val scale = 1.0 / math.sqrt(16.0)
+    val projCols = planes.zipWithIndex.map { case (p, j) =>
+      s"list_dot_product(vd, CAST([${p.mkString(", ")}] AS DOUBLE[])) * $scale AS p$j"
+    }.mkString(",\n  ")
+    val sumSq = (0 until 16).map(j => s"p$j * p$j").mkString(" + ")
+    val rounded = (0 until 16).map(j => s"round(p$j, 4) AS p$j").mkString(", ")
+    s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+p AS (SELECT vec_id, list_dot_product(vd, vd) AS norm2,
+  $projCols
+  FROM e)
+SELECT vec_id, $rounded,
+round(($sumSq) / norm2, 4) AS dist
+FROM p ORDER BY vec_id"""
+  }
+
   /** End-to-end corpus pipeline: quality filter → exact dedup → near-dup
     * drop (MinHash-LSH survivors keep the lower doc_id) → per-lang stats.
     * Demonstrates that the pipeline stages compose as one lazy plan; the
@@ -1744,7 +1812,8 @@ GROUP BY source ORDER BY source"""))
     llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,
     llmMixtureWeights, llmMixtureResample, llmChunkStride,
     llmCharEntropy,
-    llmFingerprint, llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
+    llmFingerprint, llmWinnowFingerprint, llmRandomProjection,
+    llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)
 }

@@ -428,6 +428,62 @@ class ApiSpec extends SparkSpec {
     assert(r(3)._4 == 1.0 && !r(3)._5)
   }
 
+  test("winnowFingerprints matches a reference robust-winnowing replay") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and then " +
+      "the quick brown fox returns home again tonight"
+    val docs = Seq((1L, text), (2L, "too short here")).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        kGram = 4, window = 4)
+      .orderBy("id", "fp_pos")
+      .select("id", "fp_pos", "fp", "n_grams")
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+    // reference: md5 word-4-gram hashes; every full window of 4 selects its
+    // minimum, ties to the RIGHTMOST position (Schleimer et al. 2003 fig. 5)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = text.split(" ").sliding(4).map(g => md5hex(g.mkString(" "))).toArray
+    val expected = (0 to hashes.length - 4).map { s =>
+      val m = (s until s + 4).map(hashes).min
+      val pos = (s until s + 4).filter(i => hashes(i) == m).max
+      ((pos + 1).toLong, hashes(pos))
+    }.distinct.sortBy(_._1)
+
+    assert(r.filter(_._1 == 1L).map(x => (x._2, x._3)) == expected)
+    assert(r.filter(_._1 == 1L).forall(_._4 == hashes.length.toLong))
+    // 3 tokens < kGram + window - 1: no full window, no rows
+    assert(!r.exists(_._1 == 2L))
+    // the winnowing coverage guarantee: every full window holds a selection
+    val sel = expected.map(_._1).toSet
+    assert((1 to hashes.length - 3).forall(s =>
+      (s until s + 4).exists(i => sel.contains(i.toLong))))
+  }
+
+  test("randomProjection preserves squared norms within JL distortion and is linear") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val r = Vectors.randomProjection(vecs, "vec_id", "embedding", k = 16)
+      .select(col("id"), (col("pnorm2") / col("norm2")).as("dist"))
+      .as[(Long, Double)].collect().toSeq
+    assert(r.size == 40)
+    // per-vector distortion is chi²₁₆/16: far tails are vanishingly rare
+    assert(r.forall { case (_, d) => d > 0.1 && d < 4.0 })
+    val mean = r.map(_._2).sum / r.size
+    assert(mean > 0.7 && mean < 1.3)
+    // linearity: doubling the input doubles each coordinate EXACTLY (scaling
+    // by a power of two shifts exponents; no mantissa rounding anywhere)
+    val doubled = vecs.withColumn("embedding",
+      expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"))
+    val p1 = Vectors.randomProjection(vecs, "vec_id", "embedding", k = 16)
+      .select("id", "p0").as[(Long, Double)].collect().toMap
+    val p2 = Vectors.randomProjection(doubled, "vec_id", "embedding", k = 16)
+      .select("id", "p0").as[(Long, Double)].collect().toMap
+    assert(p1.keys.forall(k => p2(k) == 2 * p1(k)))
+  }
+
   test("mixtureWeights up-samples small domains at alpha<1 and is natural at alpha=1") {
     import spark.implicits._
     // domain a: 8 tokens, domain b: 1 token -> N=9

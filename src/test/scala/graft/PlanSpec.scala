@@ -348,6 +348,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"chunking must not window:\n$p")
   }
 
+  test("llm_winnow_fingerprint plans as one doc-partitioned window, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    // the whole selection is ONE window pass partitioned by id; the closing
+    // per-(id, pos) distinct must REUSE that hash(id) clustering (id is a
+    // subset of the distinct keys), so a second exchange means the reuse
+    // broke. Plan the builder directly (no display sort).
+    val df = graft.api.Dedup.winnowFingerprints(
+      graft.ops.T.documents(spark, sf), "doc_id", "text", 4, 4)
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) { case j: BJ => j }.isEmpty,
+      s"winnowing must not join:\n$p")
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1,
+      s"exactly the one window shuffle expected, got ${ex.size}:\n$p")
+  }
+
+  test("llm_random_projection plans shuffle-free (pure per-row projection)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    // the direction matrix is a compiled literal and every coordinate one
+    // codegen'd vec_dot: any shuffle/join/window before the harness orderBy
+    // means the projection stopped being embarrassingly parallel
+    val df = graft.api.Vectors.randomProjection(
+      graft.ops.T.embeddings(spark, sf), "vec_id", "embedding", 16)
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"projection must not shuffle:\n$p")
+    assert(collectWithSubqueries(p) { case j: BJ => j }.isEmpty,
+      s"projection must not join:\n$p")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty,
+      s"projection must not window:\n$p")
+  }
+
   test("llm_mixture_weights allows only the single-row total broadcast") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // one domain-grain aggregate + the 1-row (total, z) broadcast back onto
