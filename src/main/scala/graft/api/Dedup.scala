@@ -479,6 +479,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs from shared winnowing fingerprints — the MOSS-style
+    * blocking step: two documents are candidates iff some selected
+    * fingerprint hash appears in both. The join key is the fp hash alone
+    * (not the position), so a shared run anywhere in either document
+    * matches; the winnowing guarantee makes the blocking principled — any
+    * pair sharing `window + kGram - 1` consecutive tokens shares at least
+    * one full gram window, whose minimum hash both documents select, so
+    * such pairs are NEVER missed. Boilerplate fingerprints are the hot
+    * keys, spread by the same two-sided salted grid every candidate path
+    * here uses ([[saltedBandPairs]]); pre-distincting (id, fp) keeps a
+    * fingerprint selected by several windows from multiplying join rows.
+    */
+  def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+      kGram: Int = 4, window: Int = 4, salt: Int = 16): DataFrame =
+    saltedBandPairs(
+      winnowFingerprints(docs, idCol, textCol, kGram, window)
+        .select(col("id"), lit(0).as("band"), col("fp").as("bsig"))
+        .distinct(),
+      salt)
+
   /** Exact-dedup rank: 1 for the deterministic survivor (lowest id) of each
     * normalized-key group, 2.. for its duplicates. Hash-partitions on the
     * normalized key — the shuffle unit a 100 TB dedup shuffles on.

@@ -355,6 +355,65 @@ CAST(n_hot_shingles AS BIGINT) AS n_hot_shingles,
 CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS dfcap_recall
 FROM m"""))
 
+  /** Recall metric for the winnowing candidate path
+    * ([[graft.api.Dedup.winnowCandidates]]) against the same exact
+    * n-gram-Jaccard truth set every other blocking heuristic here is
+    * judged by. Winnowing's guarantee is RUN-shaped, not set-shaped: a
+    * pair sharing any `window + kGram - 1 = 7` consecutive tokens is
+    * never missed, but a 0.6-Jaccard pair whose shared 3-gram SET never
+    * forms a shared 7-token run can escape — and a single shared
+    * boilerplate fingerprint makes a candidate, so precision runs low.
+    * Both properties are exactly what this metric pins cross-engine.
+    */
+  private val llmWinnowRecall = Q(
+    "llm_winnow_recall",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("a_id", "b_id")
+      val cand = Dedup.winnowCandidates(docs, "doc_id", "text")
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
+          sum(when(col("t") === 1 && col("c") === 1, 1).otherwise(0))
+            .cast("bigint").as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_truth"))
+            .as("fp_recall"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_cand"))
+            .as("fp_precision"))
+    },
+    Some(s"""WITH $ngramPairCtes,
+truth AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
+wd AS (SELECT doc_id, t, CAST(len(t) - 3 AS BIGINT) AS n_grams
+       FROM toks WHERE len(t) >= 7),
+wg AS (SELECT doc_id, n_grams, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+3], ' ')) AS h
+       FROM wd, UNNEST(generate_series(1, n_grams)) AS u(i)),
+ww AS (SELECT doc_id, n_grams, pos,
+         min(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       FROM wg),
+wf AS (SELECT DISTINCT doc_id, substring(wmin, 1, 32) AS fp
+       FROM ww WHERE pos <= n_grams - 3),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM truth t JOIN cand c
+     ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+CAST(n_hit AS BIGINT) AS n_hit,
+CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS fp_recall,
+CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS fp_precision
+FROM m"""))
+
   /** Duplicated-span fraction — [[graft.api.Dedup.dupSpanFractions]]: per
     * doc, the fraction of its word-8-gram positions whose gram appears in
     * at least one other document (Lee et al. 2022's exact-substring signal,
@@ -1803,7 +1862,7 @@ GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
-    llmSubstringDedup,
+    llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,

@@ -460,6 +460,24 @@ class ApiSpec extends SparkSpec {
       (s until s + 4).exists(i => sel.contains(i.toLong))))
   }
 
+  test("winnowCandidates never misses a pair sharing a window+kGram-1 token run") {
+    import spark.implicits._
+    // docs 1/2 share an 8-token run (> the 7-token guarantee bound) at
+    // DIFFERENT offsets; doc 3 shares nothing. With kGram=4/window=4 the
+    // shared run holds one full gram window whose min hash both select.
+    val run = "v w x y z p q r"
+    val docs = Seq(
+      (1L, s"a b c d e f $run g h i j"),
+      (2L, s"m n o $run s t u a a b"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc 3 must not pair: $pairs")
+  }
+
   test("randomProjection preserves squared norms within JL distortion and is linear") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
