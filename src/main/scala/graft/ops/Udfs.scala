@@ -278,6 +278,88 @@ len(substring(text, i * 64 + 1, 64)) AS frame_bytes
 FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
 ORDER BY doc_id, frame_idx"""))
 
+  /** Audio-column plumbing, completing the image/video/audio multimodal
+    * set: media rows carry a REAL RIFF/WAVE payload (the 44-byte canonical
+    * PCM header — chunk magics, little-endian size/rate/format fields —
+    * followed by 8-bit mono PCM samples synthesized from the document
+    * text), and the decode stage reads ONLY the payload bytes: magics
+    * checked positionally, every numeric field re-assembled from its LE
+    * bytes via `conv(hex(substring(payload, p, 1)))` (binary-safe — no
+    * string cast of non-ASCII header bytes), the PCM region located at the
+    * parsed data offset, and 8 fixed windows of byte-sum "energy" folded
+    * over it (offset-sensitive: a misparsed header shifts every window
+    * sum). All engine-side per-row arithmetic — no UDF, no driver hop.
+    *
+    * The oracle recomputes the same table directly from the encode
+    * parameters (DuckDB's substring/len don't operate on BLOBs, so it
+    * cannot re-slice the binary itself) — the cross-engine check still
+    * covers the full encode→decode round trip: Spark's numbers only match
+    * if its header parse and window offsets are exactly right.
+    */
+  private val llmMultimodalAudio = Q(
+    "llm_multimodal_audio",
+    (s, d) => {
+      // LE byte-string builders (hex, zero-padded per byte)
+      def le16(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
+        s"lpad(hex(($e) div 256 % 256), 2, '0'))"
+      def le32(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
+        s"lpad(hex(($e) div 256 % 256), 2, '0'), " +
+        s"lpad(hex(($e) div 65536 % 256), 2, '0'), " +
+        s"lpad(hex(($e) div 16777216 % 256), 2, '0'))"
+      // -------- encode: canonical 44-byte WAV header + the text as PCM
+      val media = T.documents(s, d)
+        .withColumn("rate", (lit(8000) + (col("n_chars") % 8) * 500).cast("int"))
+        .withColumn("dlen", length(col("text")).cast("int"))
+        .select(col("doc_id"), expr(s"""unhex(concat(
+            hex('RIFF'), ${le32("dlen + 36")}, hex('WAVEfmt '),
+            ${le32("16")}, ${le16("1")}, ${le16("1")},
+            ${le32("rate")}, ${le32("rate")}, ${le16("1")}, ${le16("8")},
+            hex('data'), ${le32("dlen")}, hex(text)))""").as("payload"),
+          struct(lit("audio/wav").as("mime")).as("meta"))
+      // -------- decode: everything below reads ONLY (payload, meta)
+      def b(p: Int) = s"cast(conv(hex(substring(payload, $p, 1)), 16, 10) as int)"
+      def u16(p: Int) = s"(${b(p)} + 256 * ${b(p + 1)})"
+      def u32(p: Int) = s"(${b(p)} + 256 * ${b(p + 1)} + 65536 * ${b(p + 2)}" +
+        s" + 16777216 * ${b(p + 3)})"
+      val dec = media
+        .withColumn("riff_ok",
+          expr("cast(substring(payload, 1, 4) as string) = 'RIFF' AND " +
+            "cast(substring(payload, 9, 8) as string) = 'WAVEfmt ' AND " +
+            "cast(substring(payload, 37, 4) as string) = 'data'"))
+        .withColumn("audio_fmt", expr(u16(21)))
+        .withColumn("n_channels", expr(u16(23)))
+        .withColumn("sample_rate", expr(u32(25)))
+        .withColumn("bits", expr(u16(35)))
+        .withColumn("data_len", expr(u32(41)))
+        .withColumn("pcm", expr("cast(substring(payload, 45, data_len) as string)"))
+      val winCols = (0 until 8).map { w =>
+        // window w covers pcm bytes (w*L div 8, (w+1)*L div 8]; sequence()
+        // runs DESCENDING for hi < lo, so empty windows route around it
+        val lo = s"(data_len * $w) div 8 + 1"
+        val hi = s"(data_len * ${w + 1}) div 8"
+        when(expr(hi) < expr(lo), lit(0L))
+          .otherwise(expr(s"aggregate(sequence($lo, $hi), 0L, " +
+            "(acc, i) -> acc + ascii(substring(pcm, i, 1)))")).as(s"e$w")
+      }
+      dec.select(Seq(col("doc_id"), col("riff_ok"), col("audio_fmt"),
+          col("n_channels"), col("sample_rate"), col("bits"),
+          col("data_len"),
+          expr("(data_len * 1000) div sample_rate").as("dur_ms")) ++
+          winCols: _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH m AS (SELECT doc_id, text, len(text) AS dlen,
+    8000 + (n_chars % 8) * 500 AS rate FROM documents)
+SELECT doc_id, true AS riff_ok, 1 AS audio_fmt, 1 AS n_channels,
+rate AS sample_rate, 8 AS bits, dlen AS data_len,
+CAST(dlen AS BIGINT) * 1000 // rate AS dur_ms,
+${(0 until 8).map { w =>
+      s"""CAST(coalesce(list_sum(list_transform(
+  generate_series(dlen * $w // 8 + 1, dlen * ${w + 1} // 8),
+  i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS e$w"""
+    }.mkString(",\n")}
+FROM m ORDER BY doc_id"""))
+
   /** Resize plumbing over opaque media payloads: each payload downsamples to a
     * fixed 64-byte "thumbnail" by stride sampling (every k-th byte) — the
     * row shape and batching of a real image-resize stage with the codec
@@ -308,5 +390,5 @@ ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
     llmMultimodalDecode, llmMultimodalFrames, llmMultimodalResize,
-    srcBinaryFiles)
+    llmMultimodalAudio, srcBinaryFiles)
 }

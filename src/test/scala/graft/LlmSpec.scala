@@ -185,6 +185,29 @@ class LlmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("multimodal audio parses real RIFF/WAVE headers: LE fields and " +
+      "window energies reconstruct from payload bytes alone") {
+    val df = q("llm_multimodal_audio")
+    val docs = graft.ops.T.documents(spark, sf).count()
+    assert(df.count() == docs)
+    val row = df.agg(sum(when(col("riff_ok"), 0).otherwise(1)),
+      min("audio_fmt"), max("audio_fmt"), min("n_channels"), max("bits"),
+      min("sample_rate"), max("sample_rate")).head()
+    assert(row.getLong(0) == 0L, "every payload's three chunk magics parse")
+    assert(row.getInt(1) == 1 && row.getInt(2) == 1, "PCM format tag")
+    assert(row.getInt(3) == 1 && row.getInt(4) == 8, "mono 8-bit")
+    // sample rate is a little-endian u32 DERIVED field: parsing it back in
+    // range proves the byte re-assembly (a swapped byte order would land
+    // far outside 8000..11500)
+    assert(row.getInt(5) >= 8000 && row.getInt(6) <= 11500)
+    // energy windows tile the PCM region exactly: their sum equals the
+    // whole-region byte sum, which for ASCII text is between 32·L and 127·L
+    val e = df.selectExpr("data_len",
+      "e0+e1+e2+e3+e4+e5+e6+e7 AS esum").filter(col("data_len") > 0)
+    assert(e.filter(col("esum") < col("data_len") * 32 ||
+      col("esum") > col("data_len") * 127).count() == 0L)
+  }
+
   test("multimodal decode parses real P6 headers: every payload's pixel " +
       "region matches its parsed dimensions") {
     val df = q("llm_multimodal_decode")
