@@ -461,6 +461,45 @@ object Stress {
     recs.toSeq
   }
 
+  /** Winnowing fingerprint selection + fp-key candidate blocking
+    * ([[graft.api.Dedup.winnowFingerprints]] → [[graft.api.Dedup.saltedBandPairs]],
+    * the [[graft.api.Dedup.winnowCandidates]] composition with the
+    * fingerprint frame measured separately). Claims under stress: (a)
+    * selection is ONE linear window pass with output density ~2/(w+1) of
+    * the gram stream; (b) the candidate join survives the mega-cluster's
+    * hot fingerprints via the two-sided salted grid — its pair count is
+    * dominated by the constant-size mega-cluster (~k²/2) plus a linear
+    * cluster-mix term, never a df² surprise.
+    */
+  private def winnowRun(spark: SparkSession, nDocs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((docs, nOut), genSec) = timed {
+      val d = corpus(spark, nDocs).persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_corpus", genSec, nOut)
+    val fps = graft.api.Dedup
+      .winnowFingerprints(docs, "doc_id", "text").persist()
+    val ((nFp, nGrams), selSec) = timed {
+      val nf = fps.count()
+      val ng = fps.select(col("id"), col("n_grams")).distinct()
+        .agg(sum(col("n_grams"))).head().getLong(0)
+      (nf, ng)
+    }
+    recs += StageRec("winnow_select", selSec, nFp,
+      Seq("n_grams" -> nGrams.toString,
+        "density" -> f"${nFp.toDouble / nGrams}%.4f"))
+    val (nPairs, candSec) = timed {
+      graft.api.Dedup.saltedBandPairs(
+        fps.select(col("id"), lit(0).as("band"), col("fp").as("bsig"))
+          .distinct()).count()
+    }
+    recs += StageRec("winnow_pairs", candSec, nPairs)
+    unpersistQuietly(fps)
+    unpersistQuietly(docs)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -487,6 +526,13 @@ object Stress {
     // the span stream is ~len−7 gram-string rows per doc (comparable to the
     // LM gram volume) and the path never pair-joins, so dedup-path sizes
     val spanSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SPANS", "50000,150000,300000")
+      .split(",").map(_.trim.toLong).toSeq
+    // winnowing selects ~2/(w+1) of the gram stream as fingerprints (linear
+    // window pass), but the candidate join rides the mega-cluster's HOT
+    // fingerprints (1000 near-identical docs share each selected hash →
+    // ~10⁶-row blocks through the salted grid, constant across sizes) —
+    // the pair stage's cost must track the cluster mix, not df²
+    val winnowSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_WINNOWS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -583,6 +629,7 @@ object Stress {
     ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
     lmSizes.foreach(n => runs += measured("lm_ppl", n, lmRun(spark, n)))
     spanSizes.foreach(n => runs += measured("span_dedup", n, spanRun(spark, n)))
+    winnowSizes.foreach(n => runs += measured("winnow", n, winnowRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     runs += measured("kmeans_joinpath", semSizes(1),
       joinPathRun(spark, semSizes(1)))

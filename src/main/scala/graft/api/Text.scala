@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -697,5 +697,105 @@ object Text {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"))
           .as("contamination"))
+  }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) as it runs at
+    * corpus scale: the working set is the WORD-FREQUENCY table (vocab-sized
+    * — Zipf keeps it orders of magnitude below the corpus even at 100 TB),
+    * each merge step is one pair-count aggregate over it plus a 1-row
+    * driver probe of the winning pair (count desc, then lexicographic —
+    * fully deterministic), and the merge applies as a greedy left-to-right
+    * fold inside the engine (`functions.aggregate`, codegen'd — no UDF).
+    *
+    * The fold rides a '|'-delimited string accumulator (engine-portable:
+    * DuckDB's `list_reduce` seeds from the first ELEMENT, so an array
+    * accumulator can't cross engines — the string form runs bit-identically
+    * in both): merge (a, b) fires when the next token is `b` and the
+    * accumulator's LAST token is `a`, consuming greedily left-to-right —
+    * exactly BPE's within-run pairing ("a a a" under (a,a) → "aa a", never
+    * "a aa"). Tokens containing '|' would corrupt the encoding and are
+    * filtered out of the vocabulary (documented precondition: pick a
+    * delimiter outside the corpus charset).
+    *
+    * Each round's vocabulary re-tokenization persists via [[Caches]]
+    * (the next round's pair count reads it once) — `Caches.sweep` when
+    * done. Output: one row per merge step — (step, lhs, rhs, merged,
+    * pair_count); stops early if the vocabulary runs out of pairs.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int = 10): DataFrame = {
+    require(steps > 0, s"steps must be positive, got $steps")
+    val spark = docs.sparkSession
+    var words = Caches.cache(docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("toks", split(col("w"), "")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      val best = words
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, a, b, a + b, c))
+        words = Caches.cache(
+          words.withColumn("toks", bpeFoldOnce(col("toks"), a, b)))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** One greedy left-to-right merge pass of pair (a, b) over a token array
+    * — the '|'-string fold [[bpeMerges]] documents, shared with
+    * [[bpeApply]] so training and application cannot drift.
+    */
+  private def bpeFoldOnce(toks: Column, a: String, b: String): Column =
+    split(
+      aggregate(
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        element_at(toks, 1),
+        (acc, x) =>
+          when(x === lit(b) &&
+              (acc === lit(a) || acc.endsWith(concat(lit("|"), lit(a)))),
+            concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+              lit(a + b)))
+            .otherwise(concat(acc, lit("|"), x))),
+      "\\|")
+
+  /** Applies a learned merge list ([[bpeMerges]] output order) to
+    * re-tokenize a corpus: the folds run over the DISTINCT word table
+    * (vocab-sized work — each merge is one codegen'd pass, never touching
+    * the corpus), and only the final per-word token COUNT joins back to
+    * the corpus word stream (a vocab-sized side AQE is free to broadcast;
+    * no hint, same discipline as the LM model joins). Output per doc:
+    * (id, n_words, n_bpe_toks) — the compression a tokenizer buyer cares
+    * about, computed without materializing a single tokenized document.
+    */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("|"))
+      .distinct()
+      .withColumn("toks", split(col("w"), ""))
+    val folded = merges.foldLeft(words0) { case (df, (a, b)) =>
+      df.withColumn("toks", bpeFoldOnce(col("toks"), a, b))
+    }
+    val wtoks = folded.select(col("w"), size(col("toks")).as("n_bpe"))
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("|"))
+      .join(wtoks, Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_toks"))
   }
 }

@@ -29,8 +29,9 @@ import H._
   */
 object Llm {
 
-  /** Per-JVM shard-output root (override: -Dgraft.shard.dir=...). A lazy
-    * temp dir, created on first shard write — unique per process, absolute
+  /** Per-JVM scratch-output root (override: -Dgraft.shard.dir=...) for
+    * every side-effecting key (shard layouts, ORC round-trip dirs). A lazy
+    * temp dir, created on first write — unique per process, absolute
     * (CWD-independent), reused across builds within the JVM so the
     * overwrite-per-build contract still exercises the overwrite path.
     * A generated root is reaped by a shutdown hook (repeated Verify/Bench/
@@ -38,7 +39,7 @@ object Llm {
     * an override path is created if absent and validated, and is the
     * caller's to clean — it may outlive the JVM by design.
     */
-  private lazy val shardRoot: java.io.File =
+  private[ops] lazy val shardRoot: java.io.File =
     sys.props.get("graft.shard.dir").map { p =>
       val f = new java.io.File(p)
       require(f.isDirectory || f.mkdirs(),
@@ -1055,6 +1056,78 @@ FROM (SELECT lang,
       FROM documents)
 GROUP BY lang ORDER BY lang"""))
 
+  /** BPE merge training — [[graft.api.Text.bpeMerges]]: 10 deterministic
+    * most-frequent-pair merges over the corpus word-frequency table
+    * (Sennrich et al. 2016), tie-broken lexicographically. The oracle
+    * unrolls the identical 10 rounds as chained CTEs (the `kmeansSql`
+    * discipline), each applying the engine-portable '|'-string greedy fold
+    * through DuckDB's `list_reduce` — both engines derive bit-identical
+    * merge tables, pair counts included.
+    */
+  private val llmBpeTrain = Q(
+    "llm_bpe_train",
+    (s, d) => Text.bpeMerges(T.documents(s, d), "text", steps = 10)
+      .orderBy("step"),
+    Some(s"WITH ${bpeCtes(10)}\n" +
+      s"SELECT step, a AS lhs, b AS rhs, merged, c AS pair_count FROM (" +
+      (1 to 10).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"))
+
+  /** The unrolled DuckDB twin of [[graft.api.Text.bpeMerges]]'s training
+    * loop: w0 = word-frequency table, then per step a pair-count CTE, a
+    * 1-row winner CTE, and the re-tokenized vocabulary via the same
+    * '|'-string greedy fold through `list_reduce`.
+    */
+  private def bpeCtes(steps: Int): String = {
+    val ctes = new StringBuilder
+    ctes.append(
+      """w0 AS (SELECT w, count(*) AS freq, string_split(w, '') AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 AND NOT contains(w, '|') GROUP BY w)""")
+    for (i <- 1 to steps) {
+      val prev = s"w${i - 1}"
+      ctes.append(s""",
+p$i AS (SELECT toks[u.i] AS a, toks[u.i + 1] AS b, CAST(sum(freq) AS BIGINT) AS c
+  FROM $prev, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2),
+b$i AS (SELECT $i AS step, a, b, a || b AS merged, c FROM p$i
+  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+w$i AS (SELECT w, freq, string_split(list_reduce(toks, (acc, x) ->
+    CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, '|' || m.a))
+      THEN substring(acc, 1, len(acc) - len(m.a)) || m.merged
+      ELSE acc || '|' || x END), '|') AS toks
+  FROM $prev CROSS JOIN b$i AS m)""")
+    }
+    ctes.toString
+  }
+
+  /** BPE application — [[graft.api.Text.bpeApply]] with the merge list
+    * learned by [[llmBpeTrain]]'s 10 steps: per-word folds over the
+    * DISTINCT vocabulary only, token counts joined back to the corpus word
+    * stream (vocab-sized side, no hint — AQE decides), per-doc whitespace
+    * vs BPE token counts out. Train and apply share one fold definition
+    * (`bpeFoldOnce`), so the oracle re-deriving both from the same CTE
+    * chain pins the full train→apply loop cross-engine.
+    */
+  private val llmBpeApply = Q(
+    "llm_bpe_apply",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val merges = Text.bpeMerges(docs, "text", steps = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeApply(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_toks"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${bpeCtes(10)},
+wt AS (SELECT w, len(toks) AS n_bpe FROM w10),
+dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+    unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 AND NOT contains(w, '|'))
+SELECT doc_id, count(*) AS n_words, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_toks
+FROM dw JOIN wt USING (w) GROUP BY doc_id ORDER BY doc_id"""))
+
   /** CCNet-style LM quality signal — [[graft.api.Text.unigramNll]]: each
     * document's negative log-likelihood (and perplexity) under a unigram LM
     * trained on the corpus itself. The quality family's fluency axis:
@@ -1867,7 +1940,8 @@ GROUP BY source ORDER BY source"""))
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
-    llmTokenCount, llmUnigramLmPpl, llmBigramLmPpl, llmUnigramLmPplHoldout,
+    llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,
+    llmUnigramLmPplHoldout,
     llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,
     llmMixtureWeights, llmMixtureResample, llmChunkStride,
     llmCharEntropy,

@@ -45,12 +45,16 @@ ORDER BY l_orderkey, l_linenumber"""))
     * so the oracle is the sample itself from the fixture: a hash match
     * proves the sink+source path loses nothing. DuckDB cannot read ORC —
     * the round-trip-identity oracle is exactly how a format outside the
-    * oracle engine's reach stays under the cross-engine gate.
+    * oracle engine's reach stays under the cross-engine gate. The output
+    * dir lives under the per-JVM reaped scratch root ([[Llm.shardRoot]]):
+    * a fixed repo-relative path raced when two JVMs (a bench next to a
+    * test suite) wrote the same sf dir concurrently.
     */
   private val srcOrcRoundtrip = Q(
     "src_orc_roundtrip",
     (s, d) => {
-      val out = s"/root/repo/target/io/orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val out = new java.io.File(Llm.shardRoot,
+        s"orc_${d.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
       val sample = T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
       sample.write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("l_orderkey", "l_linenumber")

@@ -460,6 +460,77 @@ class ApiSpec extends SparkSpec {
       (s until s + 4).exists(i => sel.contains(i.toLong))))
   }
 
+  test("bpeMerges replays reference BPE on the classic corpus (greedy runs included)") {
+    import spark.implicits._
+    // Sennrich et al.'s example corpus plus an aaaa word to pin the greedy
+    // within-run pairing ("a a a a" under (a,a) must merge to "aa aa")
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest aaaa aaaa")
+    ).toDF("doc_id", "text")
+    val got = Text.bpeMerges(docs, "text", steps = 6)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    graft.api.Caches.sweep(spark)
+
+    // reference: word-freq table, repeat (count pairs naively, argmax with
+    // (count desc, lhs, rhs), apply greedy left-to-right merge)
+    var vocab: Map[List[String], Long] =
+      ("low low low low low lower lower newest newest newest newest newest " +
+        "newest widest widest widest aaaa aaaa").split(" ")
+        .groupBy(identity).map { case (w, ws) =>
+          (w.split("").toList, ws.length.toLong) }
+    val expected = (1 to 6).map { step =>
+      val counts = vocab.toSeq.flatMap { case (t, f) =>
+        t.zip(t.tail).map(p => (p, f)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      def greedy(t: List[String]): List[String] = t match {
+        case `a` :: `b` :: rest => (a + b) :: greedy(rest)
+        case h :: rest => h :: greedy(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.groupBy { case (t, _) => greedy(t) }
+        .map { case (t, m) => (t, m.values.sum) }
+      (step, a, b, a + b, c)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("bpeApply matches a sequential reference application of the learned merges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower newest newest"),
+      (2L, "newest newest widest aaaa aaaa")
+    ).toDF("doc_id", "text")
+    val merges = Text.bpeMerges(docs, "text", steps = 4)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val got = Text.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    graft.api.Caches.sweep(spark)
+
+    def greedy(t: List[String], a: String, b: String): List[String] = t match {
+      case `a` :: `b` :: rest => (a + b) :: greedy(rest, a, b)
+      case h :: rest => h :: greedy(rest, a, b)
+      case Nil => Nil
+    }
+    def applyAll(w: String): Int =
+      merges.foldLeft(w.split("").toList) { case (t, (a, b)) =>
+        greedy(t, a, b) }.length
+    val expected = Seq(
+      (1L, "low low low lower newest newest"),
+      (2L, "newest newest widest aaaa aaaa")
+    ).map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      (id, ws.length.toLong, ws.map(applyAll).sum.toLong)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // merges actually compress: fewer BPE tokens than characters
+    assert(got.forall { case (_, _, bpe) => bpe > 0 })
+  }
+
   test("winnowCandidates never misses a pair sharing a window+kGram-1 token run") {
     import spark.implicits._
     // docs 1/2 share an 8-token run (> the 7-token guarantee bound) at
