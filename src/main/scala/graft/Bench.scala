@@ -46,6 +46,10 @@ object Bench {
       // classes; shared fragments (signature pipelines, fixture scans)
       // re-compile on eviction without a bigger Janino cache
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // events.ts now arrives TIMESTAMP_NTZ (µs fixtures) and casts to
+      // TimestampType inside T.events — pin UTC so the cast is
+      // wall-clock-preserving regardless of host zone (same as Verify/QRun)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

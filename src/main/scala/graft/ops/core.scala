@@ -26,23 +26,36 @@ object T {
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a ns long via the
-    * legacy conf, then rebuild a µs TimestampType column. `div` (integer
-    * division) is load-bearing: ns epoch values ≈ 1.7e18 exceed double's
-    * 2^53 exact-integer range, so `/ 1000` would corrupt low microseconds.
+  /** `events.ts` has shipped as TWO different parquet types across driver
+    * testdata generations — TIMESTAMP(NANOS) through round 6 (which Spark 4
+    * refuses to read as a timestamp: PARQUET_TYPE_ILLEGAL), plain
+    * timestamp[us] (TIMESTAMP_NTZ in Spark) from the round-7 regeneration —
+    * so the read is SCHEMA-ADAPTIVE rather than hard-coded to either:
+    *
+    *  - ns era: the `nanosAsLong` legacy conf surfaces the column as a ns
+    *    long, rebuilt into a µs TimestampType via `div` (integer division
+    *    is load-bearing: ns epoch values ≈ 1.7e18 exceed double's 2^53
+    *    exact-integer range, so `/ 1000` would corrupt low microseconds);
+    *  - µs era: the column arrives as TIMESTAMP_NTZ and casts to
+    *    TimestampType — every session here pins `spark.sql.session.timeZone
+    *    = UTC`, so the cast is wall-clock-preserving and `unix_micros`
+    *    equals DuckDB's `epoch_us` on the same naive value.
     *
     * SESSION-LEVEL CONTRACT: the `nanosAsLong` flag is session config and
     * stays set after this call (scoping it to the read is unsafe — the
     * returned frame is lazy and re-analysis/scan consult the conf later).
     * Its only effect is that OTHER TIMESTAMP(NANOS) parquet columns read in
     * the same session also surface as ns longs instead of failing; columns
-    * of every other type are untouched.
+    * of every other type (including the current µs fixtures) are untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
