@@ -331,7 +331,62 @@ WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id),
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY event_type, value, event_id"""))
 
+  /** Ordered conversion funnel view → click → purchase per user: a stage
+    * counts only when its FIRST qualifying event happens at-or-after the
+    * previous stage's first occurrence (the product-analytics funnel
+    * semantics — a purchase before any view is not a conversion). Emits one
+    * corpus row: per-stage user counts, conversion ratios, and the mean
+    * view→purchase latency of completers.
+    *
+    * Scale shape: each stage is one filtered user-grain hash aggregate; the
+    * stage chaining joins are user-keyed and USER-GRAIN on both sides (the
+    * event stream collapses before any join, so nothing corpus-sized ever
+    * joins), and the finale is a single-row global aggregate. No windows —
+    * the "ordered" semantics ride min-after-threshold, not sequencing, so
+    * no per-user sort exists anywhere.
+    *
+    * Float discipline: counts are exact longs; ratios and the mean latency
+    * are one exact-integer IEEE division each — emitted RAW (core.scala H
+    * rules).
+    */
+  private val winFunnel = Q(
+    "win_funnel",
+    (s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_type"), em(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") >= col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") >= col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"),
+          (count(col("t2")).cast("double") / count(col("t1")))
+            .as("conv_click"),
+          (count(col("t3")).cast("double") / count(col("t1")))
+            .as("conv_purchase"),
+          (sum(col("t3") - col("t1")).cast("double") / count(col("t3")))
+            .as("avg_convert_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1),
+f AS (SELECT v.user_id, t1, t2, t3
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+SELECT count(t1) AS n_view, count(t2) AS n_click, count(t3) AS n_purchase,
+CAST(count(t2) AS DOUBLE) / count(t1) AS conv_click,
+CAST(count(t3) AS DOUBLE) / count(t1) AS conv_purchase,
+CAST(sum(t3 - t1) AS DOUBLE) / count(t3) AS avg_convert_us
+FROM f"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
-    winSlidingAvg, winRangeFrame, winFirstLastPctrank)
+    winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel)
 }
