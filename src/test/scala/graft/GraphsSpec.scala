@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for ops/Graphs.scala + the funnel, independent of the
+  * DuckDB oracle and the golden fingerprints: each test recomputes the
+  * claimed property from first principles (a conservation law, a
+  * differently-ordered algorithm, an exact ratio identity) rather than
+  * re-running the production plan.
+  */
+class GraphsSpec extends SparkSpec {
+
+  test("graph_pagerank conserves total rank mass on the symmetric graph") {
+    // Each iteration redistributes every node's full rank across its edges
+    // (symmetric graph — no dangling leak), so Σ rank stays exactly n in
+    // exact arithmetic; the DECIMAL(28,6) contribution quantization can
+    // drift the sum by at most ~0.5e-6 per edge-term per iteration.
+    val rows = q("graph_pagerank").collect()
+    val total = rows.map(_.getAs[Double]("rank")).sum
+    assert(rows.length === 160) // 150 customers + 10 suppliers at sf0.001
+    assert(math.abs(total - rows.length) < 0.01,
+      s"rank mass $total drifted from ${rows.length}")
+    // symmetric graph: every node has in-edges, so rank > the damping floor
+    assert(rows.forall(_.getAs[Double]("rank") > 0.15))
+  }
+
+  test("graph_triangles equals an id-ordered 3-way-join recount") {
+    // Independent algorithm: canonical u<v<w triples by NODE ID (the
+    // production plan orders by (degree, id) — different wedge sets, same
+    // triangles), closed by a plain 3-way self-join.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct().cache()
+    val naive = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+      .join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .count()
+    val r = q("graph_triangles").collect()(0)
+    assert(r.getAs[Long]("n_triangles") === naive)
+    assert(r.getAs[Long]("n_edges") === e.count())
+    e.unpersist()
+  }
+
+  test("win_funnel stages are monotone and ratios are the exact counts") {
+    val r = q("win_funnel").collect()(0)
+    val nv = r.getAs[Long]("n_view")
+    val nc = r.getAs[Long]("n_click")
+    val np = r.getAs[Long]("n_purchase")
+    assert(nv >= nc && nc >= np && np >= 0L)
+    assert(nv > 0L) // fixture has views
+    assert(r.getAs[Double]("conv_click") === nc.toDouble / nv)
+    assert(r.getAs[Double]("conv_purchase") === np.toDouble / nv)
+    if (np > 0L) assert(r.getAs[Double]("avg_convert_us") >= 0.0)
+  }
+}

@@ -410,4 +410,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val b = plain.collect().toSeq
     assert(a == b, s"salted=$a\nplain=$b")
   }
+
+  test("graph_pagerank reads cached edges/degrees, never a cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the iteration loop must ride the ONE cached edge list + degree frame
+    // (5 reads each), not re-derive orders ⋈ lineitem per round; and every
+    // per-round join is an equi-join on node keys
+    val p = plan("graph_pagerank")
+    val ims = collectWithSubqueries(p) { case s: InMemoryTableScanExec => s }
+    assert(ims.size >= 6,
+      s"expected >=6 in-memory scans (edges x5 + deg), got ${ims.size}:\n$p")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"pagerank iterations must be pure equi-joins:\n$p")
+    // the expensive fact-side derivation (orders ⋈ lineitem) happens once,
+    // inside the cache build — the outer plan reads no parquet but the
+    // cache-population scans themselves
+    assert(scans(p).size <= 2,
+      s"edge derivation must be cached, not re-read per iteration:\n$p")
+  }
+
+  test("win_funnel plans with no window and no corpus-sized join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // the ordered-funnel semantics ride min-after-threshold aggregates —
+    // a Window or cartesian anywhere means the per-user sort came back
+    val p = plan("win_funnel")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty,
+      s"funnel must not use window functions:\n$p")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+  }
 }
