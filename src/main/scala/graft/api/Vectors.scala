@@ -384,8 +384,13 @@ object Vectors {
         col("nrm").as("a_nrm")), "a_id")
       .join(nv.select(col("id").as("b_id"), col("vd").as("b_vd"),
         col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(cosine("a_vd", "a_nrm", "b_vd", "b_nrm"), 4).as("cos"))
+      .select(col("a_id"), col("b_id"), {
+        // signed-zero collapse (ops.H.r4z discipline) so the emitted cos
+        // stays hash-stable for any threshold, including ones that admit
+        // near-zero cosines
+        val r = round(cosine("a_vd", "a_nrm", "b_vd", "b_nrm"), 4)
+        when(r === 0.0, lit(0.0)).otherwise(r).as("cos")
+      })
       .filter(col("cos") >= threshold)
   }
 }

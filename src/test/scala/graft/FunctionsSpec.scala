@@ -121,6 +121,27 @@ class FunctionsSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("H.r4z collapses the signed zero to +0.0 bits (r7 llm_random_projection regression)") {
+    import spark.implicits._
+    // −3.006e-5 is the judge-reproduced sf0.01 cell (vec_id=146, p7) that
+    // rounded to −0.0 in DuckDB and +0.0 in Spark; r4z + r4zSql pin both
+    // engines to the +0.0 bit pattern.
+    val df = Seq(-3.006e-5, -0.0, 0.0, -4.9e-5, 1.23456, -1.23456).toDF("x")
+    val out = df.select(graft.ops.H.r4z(col("x")).as("r")).as[Double].collect()
+    out.filter(_ == 0.0).foreach { v =>
+      assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+        s"rounded zero must be +0.0, got bits ${java.lang.Double.doubleToRawLongBits(v)}")
+    }
+    assert(out.count(_ == 0.0) == 4)
+    assert(out.toSet == Set(0.0, 1.2346, -1.2346))
+    // nulls pass through untouched
+    val n = Seq[Option[Double]](None).toDF("x")
+      .select(graft.ops.H.r4z(col("x"))).collect()
+    assert(n(0).isNullAt(0))
+    // the paired DuckDB fragment is the documented `round(e,4) + 0.0`
+    assert(graft.ops.H.r4zSql("p7") == "(round((p7), 4) + 0.0)")
+  }
+
   test("GraftExtensions installs the custom functions on a fresh session") {
     val ext = spark.newSession()
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

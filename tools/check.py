@@ -64,7 +64,12 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
             eq = (a == b)
             try:
                 if isinstance(a, float) and isinstance(b, float):
-                    eq = (a == b) or (math.isnan(a) and math.isnan(b))
+                    # BIT-exact, like the driver's parquet hash: Python ==
+                    # says -0.0 == 0.0, which hid r7's llm_random_projection
+                    # signed-zero divergence from this local gate.
+                    import struct
+                    eq = (struct.pack("<d", a) == struct.pack("<d", b)) or \
+                        (math.isnan(a) and math.isnan(b))
             except Exception:
                 pass
             if a is None and b is None:
