@@ -500,6 +500,64 @@ object Stress {
     recs.toSeq
   }
 
+  /** Capped co-order-graph ingestion + degree-ordered triangle counting
+    * ([[graft.ops.Graphs.capBaskets]] → [[graft.api.Graph.triangles]]) on a
+    * synthetic basket table whose order 0 is a planted 1000-item
+    * MEGA-BASKET (the shape TPC-H never exhibits — its baskets cap at 7 —
+    * but real market-basket data does). Claims under stress:
+    * (a) the basket cap bounds every order's pair fan-out at
+    * C(64, 2) = 2016 edges — the mega-basket would emit C(1000, 2) =
+    * 499 500 rows onto one join key uncapped; the record shows the measured
+    * per-order maximum; (b) the truncation is SURFACED (n_capped_orders),
+    * not silent; (c) end-to-end wall grows ~linearly in order count at a
+    * fixed basket-size profile.
+    */
+  private def trianglesRun(spark: SparkSession, nOrders: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val nParts = math.max(100L, nOrders / 4)
+    val ((items, nItems), genSec) = timed {
+      // basket size 1 + ⌊20·v³⌋ (mass at 1-5, tail to 21); order 0 → 1000
+      val d = spark.range(0L, nOrders).select(col("id").as("ok"))
+        .withColumn("bsz", when(col("ok") === 0, lit(1000))
+          .otherwise((lit(1) + floor(lit(20.0) * pow(h01(col("ok")), 3.0)))
+            .cast("int")))
+        .select(col("ok"), explode(sequence(lit(1), col("bsz"))).as("pos"))
+        .select(col("ok"),
+          pmod(xxhash64(col("ok"), col("pos")), lit(nParts)).as("pk"))
+        .distinct().persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_baskets", genSec, nItems)
+    val ((nEdges, nCapped, maxOrderPairs), edgeSec) = timed {
+      val (e0, capStats) = graft.ops.Graphs.capBaskets(items)
+      val cached = e0.persist()
+      val ne = cached.count()
+      val nc = capStats.head().getLong(0)
+      // bounded-reducer evidence: the largest SINGLE basket's pair
+      // contribution after the cap (the mega-basket would be 499500)
+      val mop = items.groupBy("ok")
+        .agg(least(count(lit(1)), lit(graft.ops.Graphs.MAXBASKET.toLong))
+          .as("k"))
+        // k(k-1) is even, so the double division is exact; cast back
+        .agg(max((col("k") * (col("k") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      unpersistQuietly(cached)
+      (ne, nc, mop)
+    }
+    recs += StageRec("edges_capped", edgeSec, nEdges,
+      Seq("n_capped_orders" -> nCapped.toString,
+        "max_order_pairs" -> maxOrderPairs.toString,
+        "uncapped_mega_pairs" -> "499500"))
+    val (nTri, triSec) = timed {
+      val (e0, _) = graft.ops.Graphs.capBaskets(items)
+      graft.api.Graph.triangles(e0).head().getAs[Long]("n_triangles")
+    }
+    recs += StageRec("triangles", triSec, nTri)
+    graft.api.Caches.sweep(spark)
+    unpersistQuietly(items)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -534,6 +592,11 @@ object Stress {
     // the pair stage's cost must track the cluster mix, not df²
     val winnowSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_WINNOWS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
+    // co-order edges are ~Σ C(min(bsz,64),2) ≈ 3.3/order under the size
+    // profile plus the mega-basket's capped 2016 — far below the dedup
+    // paths' row volumes, so the path runs at the dedup sizes
+    val triSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_TRIS", "50000,150000,300000")
+      .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -555,15 +618,23 @@ object Stress {
     spark.sparkContext.addSparkListener(listener)
     spark.range(100000).selectExpr("count(DISTINCT id)").collect() // warm-up
 
+    // optional path filter (SPARK_GRAFT_STRESS_PATHS=triangles,dedup_cc):
+    // run a subset without paying the full record — smoke tests, triage
+    val pathFilter = sys.env.get("SPARK_GRAFT_STRESS_PATHS")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(p: String): Boolean = pathFilter.forall(_.contains(p))
+
     // unrecorded warm-up at toy size: JIT + codegen-infrastructure compile
     // time otherwise bills entirely to the FIRST measured size and fakes a
     // sublinear growth ratio (the small size looks slower than it is)
-    dedupRun(spark, 3000)
-    annRun(spark, 2000)
-    semdedupRun(spark, 2000)
-    ngramRun(spark, 3000)
-    lmRun(spark, 3000)
-    spanRun(spark, 3000)
+    if (enabled("dedup_cc")) dedupRun(spark, 3000)
+    if (enabled("kmeans_ivf")) annRun(spark, 2000)
+    if (enabled("semdedup") || enabled("kmeans_joinpath")) semdedupRun(spark, 2000)
+    if (enabled("ngram_cc")) ngramRun(spark, 3000)
+    if (enabled("lm_ppl")) lmRun(spark, 3000)
+    if (enabled("span_dedup")) spanRun(spark, 3000)
+    if (enabled("winnow")) winnowRun(spark, 3000)
+    if (enabled("triangles")) trianglesRun(spark, 3000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -624,15 +695,25 @@ object Stress {
     }
 
     val runs = scala.collection.mutable.ListBuffer.empty[Run]
-    docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
-    vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
-    semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
-    ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
-    lmSizes.foreach(n => runs += measured("lm_ppl", n, lmRun(spark, n)))
-    spanSizes.foreach(n => runs += measured("span_dedup", n, spanRun(spark, n)))
-    winnowSizes.foreach(n => runs += measured("winnow", n, winnowRun(spark, n)))
+    if (enabled("dedup_cc"))
+      docSizes.foreach(n => runs += measured("dedup_cc", n, dedupRun(spark, n)))
+    if (enabled("kmeans_ivf"))
+      vecSizes.foreach(n => runs += measured("kmeans_ivf", n, annRun(spark, n)))
+    if (enabled("semdedup"))
+      semSizes.foreach(n => runs += measured("semdedup", n, semdedupRun(spark, n)))
+    if (enabled("ngram_cc"))
+      ngramSizes.foreach(n => runs += measured("ngram_cc", n, ngramRun(spark, n)))
+    if (enabled("lm_ppl"))
+      lmSizes.foreach(n => runs += measured("lm_ppl", n, lmRun(spark, n)))
+    if (enabled("span_dedup"))
+      spanSizes.foreach(n => runs += measured("span_dedup", n, spanRun(spark, n)))
+    if (enabled("winnow"))
+      winnowSizes.foreach(n => runs += measured("winnow", n, winnowRun(spark, n)))
+    if (enabled("triangles"))
+      triSizes.foreach(n => runs += measured("triangles", n, trianglesRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
-    runs += measured("kmeans_joinpath", semSizes(1),
+    if (enabled("kmeans_joinpath"))
+      runs += measured("kmeans_joinpath", semSizes(1),
       joinPathRun(spark, semSizes(1)))
 
     // growth ratios between consecutive sizes of each path: the linearity

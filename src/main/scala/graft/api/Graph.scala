@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Parameterized graph-analytics builders over any edge-list DataFrame —
-  * the reusable core behind the `graph_*` registry keys (ops/Graphs.scala)
-  * and the `graph` stress path. Both algorithms are pure DataFrame plans:
-  * a Pregel-style join+aggregate iteration (PageRank) and a
-  * degree-ordered wedge join (triangles).
+  * the reusable core behind the `graph_*` registry keys (ops/Graphs.scala
+  * delegates its plan construction here) and the `graph` stress path.
+  * All algorithms are pure DataFrame plans: Pregel-style join+aggregate
+  * iterations (PageRank, label propagation) and a degree-ordered wedge
+  * join (triangles).
   *
   * Float discipline (ops/core.scala H): PageRank contributions `rank/deg`
   * quantize to DECIMAL(28,6) before the neighbor sum — order-independent
@@ -25,8 +26,9 @@ object Graph {
     * Scale shape: the edge list and degree frame persist via [[Caches]]
     * (read `iters`× each — `Caches.sweep` when done); each iteration is ONE
     * src-keyed equi-join (rank ⋈ deg is node-grain) + ONE dst-keyed hash
-    * aggregate. Bounded-iteration unroll keeps plan depth fixed; an
-    * open-ended solver would localCheckpoint per round like the CC builder.
+    * aggregate. Bounded-iteration unroll keeps plan depth fixed; the
+    * open-ended solver is [[pagerankUntil]], which localCheckpoints per
+    * round like the CC builder.
     */
   def pagerank(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
@@ -47,13 +49,116 @@ object Graph {
     rank.select(col("node"), col("rank"))
   }
 
+  /** Until-convergence, optionally WEIGHTED PageRank over a symmetric edge
+    * list `edges(src, dst[, w])` — iterates `rank ← 0.15 + 0.85·Σ incoming
+    * rank·w/wsum(src)` until `max |Δrank| < eps` or `maxIters`, returning
+    * (ranks(node, rank), roundsRun). A missing `w` column means uniform
+    * weights, where the per-round arithmetic is BIT-IDENTICAL to
+    * [[pagerank]] (the quotient divides by the same decimal out-mass), so
+    * the bounded-unroll oracle key doubles as this solver's gate.
+    *
+    * Weighted edges are the transaction-multiplicity case the fixed-unroll
+    * key discards: derive `w` as the edge's transaction count and rank mass
+    * follows trade volume, not mere adjacency.
+    *
+    * Scale shape: per round ONE src-keyed equi-join + ONE dst-keyed hash
+    * aggregate (the [[pagerank]] step), then an eager `localCheckpoint` to
+    * truncate lineage (an open-ended loop would otherwise grow the plan
+    * superlinearly — the CC builder's discipline, Dedup.scala) and a
+    * node-grain driver probe for `max |Δ|`. At most one superseded rank
+    * generation stays materialized; the edge/out-mass frames persist via
+    * [[Caches]].
+    */
+  def pagerankUntil(edgesIn: DataFrame, eps: Double = 1e-6,
+      maxIters: Int = 40): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val out = df.localCheckpoint(true)
+      val rdd = out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None // unexpected plan shape: leak (bounded) over misfree
+      }
+      (out, rdd)
+    }
+    val base =
+      if (edgesIn.columns.contains("w"))
+        edgesIn.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      else edgesIn.select(col("src"), col("dst"), lit(1.0).as("w"))
+    val edges = Caches.cache(base)
+    // out-mass per node, exact decimal (uniform weights → wsum == deg, so
+    // rank/wsum reproduces pagerank()'s rank/deg bits)
+    val wsum = Caches.cache(edges.groupBy("src")
+      .agg(sum(col("w").cast(DecimalType(28, 6))).as("wsum"))
+      .select(col("src").as("node"), col("wsum")))
+    var (rank, rankRdd) = checkpointTracked(
+      wsum.select(col("node"), lit(1.0).as("rank")))
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (rounds < maxIters && delta >= eps) {
+      val (next, nextRdd) = checkpointTracked(edges
+        .join(rank.join(wsum, "node"), col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") * col("w") / col("wsum")).cast(DecimalType(28, 6))
+            .as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double"))
+          .as("rank")))
+      delta = next.join(rank.select(col("node"), col("rank").as("prev")),
+          "node")
+        .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0.0)))
+        .head().getDouble(0)
+      rankRdd.foreach(_.unpersist(blocking = false))
+      rank = next
+      rankRdd = nextRdd
+      rounds += 1
+    }
+    (rank.select(col("node"), col("rank")), rounds)
+  }
+
+  /** Synchronous label propagation over a SYMMETRIC edge list
+    * `edges(src, dst)` — every node starts labeled with its own id; each
+    * round it adopts its neighbors' most frequent label, ties broken by the
+    * SMALLEST label (fully deterministic, so the rounds unroll into an
+    * oracle-checkable SQL chain). Returns (node, label) after `iters`
+    * rounds; nodes sharing a label are one community.
+    *
+    * Scale shape: per round TWO hash aggregates — (node, label) neighbor
+    * counts, then the argmax picked by `max(struct(cnt, −label))`, a pure
+    * aggregate with map-side partial combine rather than a per-node window
+    * sort (a hub's frequency table never funnels through one sorted
+    * partition). The edge frame persists via [[Caches]] (read `iters`×).
+    * Bounded unroll, like [[pagerank]]: plan depth is fixed; labels are
+    * node ids, so `−label` stays in long range whenever ids do.
+    */
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val cnts = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = cnts
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels.select(col("node"), col("label"))
+  }
+
   /** Degree-ordering multiplier for [[triangles]]' orientation key
     * `k(n) = deg(n)·KMUL + n` — one long that totally orders nodes by
     * (degree, id) without struct comparison (portable to engines without
-    * row-value ordering). Degrees are bounded by node count ≪ 1e6 and ids
-    * < 1e9, so the product stays far inside long range.
+    * row-value ordering).
     */
   val KMUL = 1000000000000L
+
+  /** Largest degree the orientation key tolerates: `deg·KMUL + id` must
+    * stay under Long.MaxValue (≈9.22e18) for any id < [[KMUL]].
+    */
+  val MAXDEG = 9200000L
 
   /** Triangle count over an UNDIRECTED edge list given as distinct
     * id-ordered pairs `e0(u, v)` with `u < v` — compact-forward
@@ -69,12 +174,24 @@ object Graph {
     * point INTO it. The edge frame persists via [[Caches]] (read for
     * degrees, orientation, wedges, and the closing probe) —
     * `Caches.sweep` when done.
+    *
+    * EAGER PRECONDITION PROBE: the single-long orientation key silently
+    * mis-orders once `id ≥ KMUL` or `deg > MAXDEG`, so the builder runs one
+    * bounded driver aggregate over the (cached) degree frame and REFUSES
+    * out-of-range inputs instead of miscounting. The probe's cost is one
+    * scan of the already-cached edge list.
     */
   def triangles(e0In: DataFrame): DataFrame = {
     val e0 = Caches.cache(e0In.select(col("u"), col("v")))
     val deg = e0.select(col("u").as("n"))
       .union(e0.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+    val bounds = deg.agg(coalesce(max(col("n")), lit(0L)).as("mxid"),
+      coalesce(max(col("dg")), lit(0L)).as("mxdg")).head()
+    require(bounds.getLong(0) < KMUL && bounds.getLong(1) <= MAXDEG,
+      s"triangles: orientation key needs ids < $KMUL and degrees <= " +
+        s"$MAXDEG, got max id ${bounds.getLong(0)}, max degree " +
+        s"${bounds.getLong(1)}")
     val ek = e0
       .join(deg.select(col("n").as("u"),
         (col("dg") * KMUL + col("n")).as("ku")), "u")

@@ -1,22 +1,27 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.api.Caches
+import graft.api.Graph
 
 /** SURVEY.md §2.12 — graph analytics over relationally-derived graphs.
   *
-  * Two classic whole-graph computations expressed as iterative / self-join
+  * Three classic whole-graph computations expressed as iterative / self-join
   * DataFrame plans (the connected-components family in [[Llm]] covers the
-  * third). Both run on graphs DERIVED from the star schema — the common
+  * fourth). All run on graphs DERIVED from the star schema — the common
   * production shape where the edge list is itself the output of a join, not
   * a stored table:
   *
   *  - the customer↔supplier TRANSACTION graph (who traded with whom), edges
   *    from `orders ⋈ lineitem`, made symmetric for PageRank;
   *  - the part CO-ORDER graph (parts bought in the same order — the
-  *    market-basket co-occurrence graph), the self-join-derived graph
-  *    triangle counting runs on.
+  *    market-basket co-occurrence graph) for triangle counting and label
+  *    propagation communities.
+  *
+  * The plans themselves live in [[graft.api.Graph]] — these keys derive the
+  * fixture edge lists, delegate, and pin the result under the oracle gate,
+  * so the reusable builders and the gated keys cannot drift apart.
   *
   * Float discipline (core.scala H): per-iteration PageRank contributions
   * `rank/deg` quantize to DECIMAL(28,6) before the neighbor sum — the sum is
@@ -39,15 +44,18 @@ object Graphs {
     * customer↔supplier transaction graph — the graph-centrality quality
     * signal of web-corpus curation (a page's rank is a standard keep-weight
     * in pretraining pipelines), here exercised on the star schema's natural
-    * bipartite graph.
+    * bipartite graph. Delegates to [[graft.api.Graph.pagerank]]; the
+    * weighted / until-convergence solver [[graft.api.Graph.pagerankUntil]]
+    * shares its per-round arithmetic bit-for-bit under uniform weights, so
+    * this oracled key gates both (ApiSpec pins the equality).
     *
     * Scale shape: the edge list and degree frame build once and persist via
-    * [[Caches]] (read 5× each); every iteration is ONE src-keyed hash join
+    * `Caches` (read 5× each); every iteration is ONE src-keyed hash join
     * (rank ⋈ deg is node-grain, then edges ⋈ ranks co-partitions on the
     * same key) + ONE dst-keyed hash aggregate — the Pregel step as Catalyst
     * sees it. No windows, no driver-side state beyond the loop counter; the
-    * 5-iteration unroll keeps plan depth bounded (an open-ended solver
-    * would localCheckpoint per round like the CC operator does). Dangling
+    * 5-iteration unroll keeps plan depth bounded (the open-ended solver
+    * localCheckpoints per round like the CC operator does). Dangling
     * nodes cannot exist: the graph is symmetric, so every node has outdeg
     * ≥ 1 and the damping constant absorbs the rest.
     */
@@ -59,22 +67,9 @@ object Graphs {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + SUPP_OFF).as("dst"))
         .distinct()
-      val edges = Caches.cache(
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
-      val deg = Caches.cache(edges.groupBy("src")
-        .agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg")))
-      var rank = deg.select(col("node"), lit(1.0).as("rank"))
-      for (_ <- 1 to 5) {
-        rank = edges
-          .join(rank.join(deg, "node"), col("src") === col("node"))
-          .select(col("dst"),
-            (col("rank") / col("deg")).cast(DecimalType(28, 6)).as("w"))
-          .groupBy(col("dst").as("node"))
-          .agg((lit(0.15) + lit(0.85) * sum(col("w")).cast("double"))
-            .as("rank"))
-      }
-      rank.select(col("node"), col("rank"))
+      val edges =
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerank(edges, iters = 5)
         .orderBy(col("rank").desc, col("node").asc)
     },
     Some {
@@ -93,22 +88,70 @@ $iter
 SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     })
 
-  /** Degree-ordering multiplier for the triangle orientation key
-    * `k(n) = deg(n)·KMUL + n` — a single long that totally orders nodes by
-    * (degree, id) without a struct comparison (portable to engines without
-    * row-value ordering). Degrees are bounded by node count ≪ 1e6 and ids
-    * < 1e9, so the product stays far inside long range.
+  /** Per-order basket cap for the co-order edge derivation. The pair
+    * self-join emits k(k−1)/2 edges per k-item order — invisible on TPC-H
+    * (baskets ≤ 7 items) but quadratic on real basket data, where a single
+    * 10³-item order would put 10⁶ pairs on one reducer key. The cap keeps
+    * the `maxBasket` LOWEST part keys of each order (deterministic
+    * truncation, the df-cap discipline from Dedup.maxDf) and SURFACES the
+    * number of truncated orders as `n_capped_orders` in graph_triangles,
+    * so the loss is an observable, not a silent bias. 64 ≫ 7 leaves every
+    * fixture order intact (n_capped_orders = 0 at all SFs); the Stress
+    * `triangles` path plants a 1000-item mega-basket to show the bound.
     */
-  private val KMUL = 1000000000000L
+  private[graft] val MAXBASKET = 64
+
+  /** Capped basket→co-occurrence-edge derivation over ANY distinct
+    * `(ok, pk)` item frame: one window pass ranks items within each basket
+    * (the partition is a single basket — bounded rows, never corpus-wide),
+    * the pair self-join runs on the capped baskets only, and the number of
+    * truncated baskets comes back as the 1-row `(n_capped_orders)` metric
+    * frame. The per-basket pair contribution is thus ≤ C(maxBasket, 2)
+    * regardless of input basket size — the property `graft.Stress`'s
+    * `triangles` path measures against a planted 1000-item basket.
+    */
+  private[graft] def capBaskets(li: DataFrame,
+      maxBasket: Int = MAXBASKET): (DataFrame, DataFrame) = {
+    val rk = li.withColumn("rk",
+      row_number().over(Window.partitionBy("ok").orderBy("pk")))
+    val kept = rk.filter(col("rk") <= maxBasket).select("ok", "pk")
+    val e0 = kept.as("a").join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val capStats = rk.filter(col("rk") > maxBasket)
+      .agg(countDistinct(col("ok")).as("n_capped_orders"))
+    (e0, capStats)
+  }
+
+  /** The capped part co-order edge list `e0(u, v)`, `u < v`, plus the
+    * truncation metric — [[capBaskets]] over the fixture's distinct
+    * (order, part) pairs.
+    */
+  private[graft] def coOrderEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    capBaskets(T.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct())
+
+  /** Shared oracle CTE prefix for the capped co-order graph: li → ranked →
+    * kept → e0, mirroring [[coOrderEdges]].
+    */
+  private def coOrderSql: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+rk AS (SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk FROM li),
+kept AS (SELECT ok, pk FROM rk WHERE rk <= $MAXBASKET),
+e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk)"""
 
   /** Triangle count on the PART co-order graph (parts bought in the same
     * order — the market-basket graph: ~0.006 density at sf0.1 vs the
     * supplier variant's ~0.91, which degenerates into a near-complete
-    * graph whose Θ(n³) triangles say nothing) via DEGREE-ORDERED edge
-    * orientation (the compact-forward / MR-friendly algorithm): every edge
-    * points from its lower (degree, id) endpoint to the higher, wedges
-    * enumerate ordered out-neighbor pairs of each low node, and a wedge is
-    * a triangle iff its closing pair is itself an oriented edge.
+    * graph whose Θ(n³) triangles say nothing) via
+    * [[graft.api.Graph.triangles]] — DEGREE-ORDERED edge orientation (the
+    * compact-forward / MR-friendly algorithm): every edge points from its
+    * lower (degree, id) endpoint to the higher, wedges enumerate ordered
+    * out-neighbor pairs of each low node, and a wedge is a triangle iff its
+    * closing pair is itself an oriented edge.
     *
     * The orientation is the scale story: out-degrees under (deg, id)
     * ordering are bounded by O(√m) on any graph (arboricity bound), so the
@@ -119,51 +162,66 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     * closing-edge probe is an inner join against the distinct oriented edge
     * list (at most one match per wedge — no fan-out). Measured shape at
     * sf0.1: 20k nodes, 1.20M edges, 41.1M wedges, 1.88M triangles.
+    * INGESTION is bounded too: [[coOrderEdges]] caps baskets at
+    * [[MAXBASKET]] items and this key emits the truncation count.
     */
   private val graphTriangles = Q(
     "graph_triangles",
     (s, d) => {
-      val li = T.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e0 = Caches.cache(
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct())
-      val deg = e0.select(col("u").as("n"))
-        .union(e0.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val ek = e0
-        .join(deg.select(col("n").as("u"),
-          (col("dg") * KMUL + col("n")).as("ku")), "u")
-        .join(deg.select(col("n").as("v"),
-          (col("dg") * KMUL + col("n")).as("kv")), "v")
-      val oriented = Caches.cache(ek.select(
-        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
-        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
-        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
-        .select(col("x.hi").as("wu"), col("y.hi").as("wv"))
-      val tri = wedges.join(
-        oriented.select(col("lo").as("wu"), col("hi").as("wv")), Seq("wu", "wv"))
-        .agg(count(lit(1)).as("n_triangles"))
-      deg.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri)
+      val (e0, capStats) = coOrderEdges(s, d)
+      Graph.triangles(e0).crossJoin(capStats)
     },
-    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    Some(s"""WITH $coOrderSql,
 deg AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
-ek AS (SELECT u, v, du.dg * $KMUL + u AS ku, dv.dg * $KMUL + v AS kv
+ek AS (SELECT u, v, du.dg * ${Graph.KMUL} + u AS ku, dv.dg * ${Graph.KMUL} + v AS kv
        FROM e0 JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
 o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS lo,
              CASE WHEN ku < kv THEN v ELSE u END AS hi,
              CASE WHEN ku < kv THEN kv ELSE ku END AS khi FROM ek),
 w AS (SELECT x.hi AS wu, y.hi AS wv FROM o x JOIN o y ON x.lo = y.lo AND x.khi < y.khi),
 t AS (SELECT count(*) AS n_triangles FROM w JOIN o ON w.wu = o.lo AND w.wv = o.hi)
-SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM e0) AS n_edges, n_triangles FROM t"""))
+SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM e0) AS n_edges, n_triangles,
+(SELECT count(DISTINCT ok) FROM rk WHERE rk > $MAXBASKET) AS n_capped_orders FROM t"""))
 
-  val all: Seq[Q] = Seq(graphPagerank, graphTriangles)
+  /** Label-propagation communities (4 synchronous rounds) on the part
+    * co-order graph — [[graft.api.Graph.labelPropagation]]: every part
+    * starts as its own community; each round it adopts its co-order
+    * neighbors' most frequent label, smallest label on ties. Deterministic
+    * by construction, so the unrolled rounds run under the DuckDB gate.
+    * Emits every node's final label (node, label) — co-purchase clusters,
+    * the market-basket community structure.
+    *
+    * Scale shape: per round TWO hash aggregates (neighbor-label counts,
+    * then an argmax via `max(struct(cnt, −label))` — map-side combinable,
+    * no per-node window sort, so a hub's label table never funnels through
+    * one sorted partition). Rides the same capped [[coOrderEdges]]
+    * ingestion as graph_triangles. The oracle expresses the identical
+    * argmax as a row_number window — fixture-scale DuckDB, same rows.
+    */
+  private val graphLabelProp = Q(
+    "graph_label_prop",
+    (s, d) => {
+      val (e0, _) = coOrderEdges(s, d)
+      val edges =
+        e0.select(col("u").as("src"), col("v").as("dst"))
+          .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      Graph.labelPropagation(edges, iters = 4).orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label AS label, count(*) AS cnt
+FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+l$i AS (SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $coOrderSql,
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+$rounds
+SELECT node, label FROM l4 ORDER BY node"""
+    })
+
+  val all: Seq[Q] = Seq(graphPagerank, graphTriangles, graphLabelProp)
 }

@@ -885,4 +885,91 @@ class ApiSpec extends SparkSpec {
     assert(r.filter(_._1 == 0L).forall(_._3 == 0))
     assert(r.filter(_._1 == 1000L).forall(_._3 == 1))
   }
+
+  // ----------------------------------------------------------------- Graph
+
+  /** Symmetrize an undirected pair list into (src, dst) both ways. */
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  test("pagerankUntil converges on a hub-and-spoke and conserves rank mass") {
+    import graft.api.Graph
+    // a star is bipartite: the rank oscillation decays only by the damping
+    // factor per round (0.85^k), so eps must sit where ~45 rounds reach it
+    val star = sym((1L to 10L).map(i => (0L, i)))
+    val (ranks, rounds) = Graph.pagerankUntil(star, eps = 1e-3, maxIters = 60)
+    val m = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rounds < 60, s"hub-and-spoke must converge before maxIters, ran $rounds")
+    // symmetric graph: total rank mass stays n (decimal quantization drift
+    // is bounded by ~0.5e-6 per edge-term per round)
+    assert(math.abs(m.values.sum - 11.0) < 1e-3, s"mass ${m.values.sum}")
+    assert((1L to 10L).forall(i => m(0L) > m(i)), s"hub must outrank spokes: $m")
+    assert((2L to 10L).forall(i => m(i) == m(1L)), s"spokes must tie exactly: $m")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("pagerankUntil with uniform weights matches pagerank() bit-for-bit") {
+    import graft.api.Graph
+    // an irregular little graph: path + chord + pendant
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L)))
+    val bounded = Graph.pagerank(g, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // eps = 0 never triggers (delta >= 0 always), so exactly maxIters run —
+    // same rounds, same decimal-quantized arithmetic, same bits
+    val (ranks, rounds) = Graph.pagerankUntil(g, eps = 0.0, maxIters = 5)
+    val until = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rounds == 5)
+    assert(until == bounded,
+      s"uniform-weight pagerankUntil must equal the unrolled builder:\n$until\n$bounded")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("pagerankUntil rank mass follows edge weights") {
+    import spark.implicits._
+    import graft.api.Graph
+    // triangle with one heavy edge (1-2 carries 10x the weight): under
+    // weighted propagation nodes 1 and 2 feed each other most of their
+    // rank, so both must outrank node 3; unweighted they tie exactly
+    val pairs = Seq((1L, 2L, 10.0), (2L, 3L, 1.0), (1L, 3L, 1.0))
+    val wedges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val (wr, _) = Graph.pagerankUntil(wedges, eps = 1e-9, maxIters = 50)
+    val wm = wr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wm(1L) > wm(3L) && wm(2L) > wm(3L), s"weighted ranks: $wm")
+    assert(wm(1L) == wm(2L), s"1 and 2 are symmetric, must tie: $wm")
+    val (ur, _) = Graph.pagerankUntil(wedges.drop("w"), eps = 1e-9, maxIters = 50)
+    val um = ur.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(um.values.toSet.size == 1, s"unweighted triangle ties everywhere: $um")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("labelPropagation separates two planted cliques joined by a bridge") {
+    import graft.api.Graph
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = sym(clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L))
+    val got = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic sync LPA with min-tie-break settles each clique on its
+    // minimum id; the bridge does not merge them
+    assert((1L to 5L).forall(got(_) == 1L), s"clique A: $got")
+    assert((11L to 15L).forall(got(_) == 11L), s"clique B: $got")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("triangles counts K4 and refuses ids beyond the orientation-key range") {
+    import spark.implicits._
+    import graft.api.Graph
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangles(k4).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4 && r.getAs[Long]("n_edges") == 6
+      && r.getAs[Long]("n_triangles") == 4)
+    val bad = Seq((Graph.KMUL + 1L, 7L)).toDF("u", "v")
+    val e = intercept[IllegalArgumentException](Graph.triangles(bad))
+    assert(e.getMessage.contains("orientation key"), e.getMessage)
+    graft.api.Caches.sweep(spark)
+  }
 }

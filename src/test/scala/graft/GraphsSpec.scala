@@ -42,7 +42,24 @@ class GraphsSpec extends SparkSpec {
     val r = q("graph_triangles").collect()(0)
     assert(r.getAs[Long]("n_triangles") === naive)
     assert(r.getAs[Long]("n_edges") === e.count())
+    // the basket cap (64) is far above TPC-H's 7-lineitem orders: the
+    // UNCAPPED recount above matching already proves no edge was lost,
+    // and the surfaced metric must agree
+    assert(r.getAs[Long]("n_capped_orders") === 0L)
     e.unpersist()
+  }
+
+  test("graph_label_prop labels are community ids that collapse the graph") {
+    val rows = q("graph_label_prop").collect()
+    val nodes = rows.map(_.getAs[Long]("node")).toSet
+    val labels = rows.map(_.getAs[Long]("label"))
+    // every label is itself a node of the graph (labels start as node ids
+    // and only ever propagate), and 4 rounds on the dense co-order graph
+    // must have merged most parts into shared communities
+    assert(labels.toSet.subsetOf(nodes), "labels must be node ids")
+    assert(labels.toSet.size < nodes.size / 2,
+      s"expected community collapse, got ${labels.toSet.size} labels " +
+        s"over ${nodes.size} nodes")
   }
 
   test("win_funnel stages are monotone and ratios are the exact counts") {
