@@ -488,6 +488,57 @@ GROUP BY event_type ORDER BY event_type"""))
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Generic approximate string join — [[graft.api.Fuzzy.levenshteinJoin]]
+    * exercised as dirty→clean reconciliation: a "dirty" side derives from
+    * `part` by a DETERMINISTIC planted typo (the character at position
+    * `5 + p_partkey % 5` replaced with '#', always past the 4-char block
+    * prefix and always a real edit — p_name has no '#'), then fuzzy-joins
+    * back to the clean side at edit distance ≤ 1 and keeps each dirty
+    * row's BEST match (min dist, min id — the top-1 entity-resolution
+    * shape). Every dirty row recovers its own name at dist 1, so the
+    * output is exactly one row per part.
+    *
+    * Scale shape (the api scaladoc's contract): the clean side first
+    * dedupes to DISTINCT names (the fixture's p_name vocabulary is 64
+    * names over 2000–20000 parts — matching against rows instead of names
+    * would square inside every name-equivalence class; deduping the
+    * reference before fuzzy matching is the production pattern), then ONE
+    * equi-join on the 4-char prefix block with the exact length band
+    * riding the same exchange, Spark's THRESHOLDED banded
+    * `levenshtein(a, b, 1)` verifier inside blocks only — never an
+    * all-pairs theta join — and a `min(struct(dist, id))` argmin
+    * aggregate (map-side combinable) for the top-1 pick.
+    */
+  private val joinFuzzy = Q(
+    "join_fuzzy",
+    (s, d) => {
+      val dirty = T.part(s, d).select(col("p_partkey").as("d_id"),
+        expr("concat(substring(p_name, 1, cast(4 + p_partkey % 5 as int)), '#', " +
+          "substring(p_name, cast(6 + p_partkey % 5 as int)))").as("d_name"))
+      val cleanNames = T.part(s, d).groupBy(col("p_name").as("c_name"))
+        .agg(min(col("p_partkey")).as("c_id"))
+      graft.api.Fuzzy.levenshteinJoin(dirty, "d_id", "d_name",
+          cleanNames, "c_id", "c_name", maxDist = 1, blockLen = 4)
+        .groupBy(col("a_id").as("d_id"))
+        .agg(min(struct(col("dist"), col("b_id"))).as("m"))
+        .select(col("d_id"), col("m.b_id").as("c_id"), col("m.dist").as("dist"))
+        .orderBy("d_id")
+    },
+    Some("""WITH dirty AS (SELECT p_partkey AS d_id,
+    substr(p_name, 1, CAST(4 + p_partkey % 5 AS INT)) || '#' ||
+      substr(p_name, CAST(6 + p_partkey % 5 AS INT)) AS d_name FROM part),
+cn AS (SELECT p_name AS c_name, min(p_partkey) AS c_id FROM part GROUP BY 1),
+cand AS (SELECT d_id, c_id, levenshtein(d_name, c_name) AS dist
+  FROM dirty JOIN cn
+    ON substr(d_name, 1, 4) = substr(c_name, 1, 4)
+    AND abs(length(d_name) - length(c_name)) <= 1
+  WHERE levenshtein(d_name, c_name) <= 1)
+SELECT d_id, c_id, dist FROM (
+  SELECT d_id, c_id, dist,
+    row_number() OVER (PARTITION BY d_id ORDER BY dist ASC, c_id ASC) AS rn
+  FROM cand) WHERE rn = 1
+ORDER BY d_id"""))
+
   /** Ingest-time data-quality profiling — the per-column (rows, nulls,
     * distincts) report a datalake runs on every new partition before
     * admitting it. One aggregate pass over the table (all column stats
@@ -952,7 +1003,8 @@ ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof, joinSkewSalted, joinBucketed, srcPartitionedScan, srcProfile,
+    joinAsof, joinSkewSalted, joinBucketed, joinFuzzy,
+    srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,

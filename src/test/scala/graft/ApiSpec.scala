@@ -886,6 +886,62 @@ class ApiSpec extends SparkSpec {
     assert(r.filter(_._1 == 1000L).forall(_._3 == 1))
   }
 
+  // ----------------------------------------------------------------- Fuzzy
+
+  test("levenshteinJoin recovers planted typos and documents the in-prefix miss") {
+    import spark.implicits._
+    import graft.api.Fuzzy
+    val clean = Seq((1L, "kitten mitten"), (2L, "flour power"),
+      (3L, "grape drape")).toDF("id", "name")
+    val dirty = Seq(
+      (11L, "kittzn mitten"),  // typo at pos 5: recovered (block "kitt" intact)
+      (12L, "flour powzr"),    // typo at pos 10: recovered
+      (13L, "zrape drape"),    // typo at pos 1: MISSED (block "grap" -> "zrap")
+      (14L, "totally different")).toDF("id", "name")
+    val got = Fuzzy.levenshteinJoin(dirty, "id", "name", clean, "id", "name",
+        maxDist = 1, blockLen = 4)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((11L, 1L, 1), (12L, 2L, 1)),
+      s"expected the two out-of-prefix typo pairs and ONLY them " +
+        s"(in-prefix typo 13 is the documented blocking miss): $got")
+  }
+
+  test("levenshteinJoin length band never drops a within-distance pair") {
+    import spark.implicits._
+    import graft.api.Fuzzy
+    // insert + delete edits push length to the band edge in both directions
+    val clean = Seq((1L, "abcdef")).toDF("id", "name")
+    val dirty = Seq((11L, "abcdefg"), (12L, "abcde"), (13L, "abcdefgh"))
+      .toDF("id", "name")
+    val got = Fuzzy.levenshteinJoin(dirty, "id", "name", clean, "id", "name",
+        maxDist = 1, blockLen = 4)
+      .select("a_id", "dist").as[(Long, Int)].collect().toSet
+    // 13 is two inserts away: band admits nothing beyond maxDist
+    assert(got == Set((11L, 1), (12L, 1)), s"got $got")
+  }
+
+  test("jaccardJoin blocks on shared tokens under the df cap and verifies exactly") {
+    import spark.implicits._
+    import graft.api.Fuzzy
+    val a = Seq((1L, "red wine glass"), (2L, "green tea cup"),
+      (3L, "common common2")).toDF("id", "txt")
+    val b = Seq((10L, "red wine bottle"), (20L, "black tea cup"),
+      (30L, "common common3")).toDF("id", "txt")
+    val got = Fuzzy.jaccardJoin(a, "id", "txt", b, "id", "txt",
+        minSim = 0.45, maxDf = 10)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // {red,wine,glass}∩{red,wine,bottle}=2, union 4 → 0.5;
+    // {green,tea,cup}∩{black,tea,cup}=2, union 4 → 0.5;
+    // {common,common2}∩{common,common3}=1, union 3 → 0.33 < minSim
+    assert(got == Set((1L, 10L, 0.5), (2L, 20L, 0.5)), s"got $got")
+    // df cap: with maxDf=1 every shared token exceeds the cap (df=2), so
+    // blocking surfaces nothing — the documented recall trade, not an error
+    val capped = Fuzzy.jaccardJoin(a, "id", "txt", b, "id", "txt",
+        minSim = 0.45, maxDf = 1).count()
+    assert(capped == 0L)
+  }
+
   // ----------------------------------------------------------------- Graph
 
   /** Symmetrize an undirected pair list into (src, dst) both ways. */

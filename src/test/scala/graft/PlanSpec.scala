@@ -411,6 +411,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(a == b, s"salted=$a\nplain=$b")
   }
 
+  test("join_fuzzy blocks on an equi-join key, never a cartesian or theta join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("join_fuzzy")
+    // the length band and levenshtein verify must ride the prefix-block
+    // equi-join's exchange — a BNLJ/cartesian means blocking degenerated
+    // into all-pairs
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"fuzzy join must stay a blocked equi-join:\n$p")
+    // the verifier is the THRESHOLDED (banded early-exit) levenshtein
+    assert(p.toString.contains("levenshtein"), s"verify stage missing:\n$p")
+  }
+
   test("graph_pagerank reads cached edges/degrees, never a cartesian") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
