@@ -16,6 +16,17 @@ import scala.jdk.CollectionConverters._
   * are recorded as NEGATIVE seconds plus a "failed" list — a broken query
   * cannot masquerade as a fast one.
   *
+  * DESIGN NOTE (also emitted as "note" in the detail record): because
+  * caches are swept between the three samples, every sample — medians
+  * included — pays its builder's cache population (the graph_* keys'
+  * derived edge frames, CC checkpoints, bucketed-table writes). That is
+  * deliberate: each sample measures the STANDALONE-cold query, the same
+  * policy join_bucketed documents for its table rewrites. The production
+  * amortized shape (derive the edge list once, query it many times) is
+  * pinned by PlanSpec's cached-reuse assertions instead; reading a graph
+  * key's median as "the marginal cost of one more query on a warm graph"
+  * overstates it by the cache-build share visible in its build/exec split.
+  *
   * The JSON record carries its own diagnostics: the system load average at
   * run start/end (host contention from OUTSIDE the harness inflates totals
   * 2-4×, so a contended record must be self-identifying — totals are only
@@ -161,7 +172,11 @@ object Bench {
     // Only the summary line carries "metric":"total" (a grep-oriented consumer
     // matching on the metric name must find exactly one total per run); the
     // detail line identifies itself as "detail" with no value field.
-    println(s"""{"metric":"detail","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
+    val note = "medians are standalone-cold: caches swept between samples, " +
+      "so every run re-pays builder cache population (graph edge frames, " +
+      "CC checkpoints, bucketed writes); amortized reuse is PlanSpec-pinned, " +
+      "not priced here"
+    println(s"""{"metric":"detail","note":"$note","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
     val top5 = results.sortBy { case (_, v, _, _, _, _, _, _) => -math.abs(v) }
       .take(5).map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")

@@ -12,11 +12,29 @@ import org.apache.spark.sql.types.DecimalType
   * join (triangles).
   *
   * Float discipline (ops/core.scala H): PageRank contributions `rank/deg`
-  * quantize to DECIMAL(28,6) before the neighbor sum — order-independent
-  * exact decimal, so ranks are raw-emittable under the cross-engine gate
-  * (tie-boundary caveat as the LM log-prob keys).
+  * (or `rank·w/wsum`) quantize to a 1e-6 grain before the neighbor sum,
+  * and the quantization happens IN DOUBLE SPACE — `floor(q·1e6 + 0.5)/1e6`
+  * — not via a double→DECIMAL cast. The cast forms diverge at rounding
+  * boundaries: Spark rounds the double's SHORTEST DECIMAL REPRESENTATION
+  * (BigDecimal.valueOf) while DuckDB rounds the EXACT binary value, so a
+  * quotient whose shortest repr crosses a .5e-6 boundary its exact value
+  * does not (e.g. ...6499999999997 printing as ...65) quantizes
+  * differently per engine — 29 such hits surfaced on the weighted fixture
+  * graph in r8. The floor form is identical IEEE ops on identical bits in
+  * both engines; the subsequent cast of a k/1e6-valued double to
+  * DECIMAL(28,6) is unambiguous (< ulp from the boundary). The decimal
+  * SUM over the quantized grain stays order-independent exact.
   */
 object Graph {
+
+  /** Engine-identical half-up 1e-6 quantization in double space (see the
+    * object scaladoc). Pairs with [[q6Sql]] in oracle SQL.
+    */
+  private def q6(c: org.apache.spark.sql.Column) =
+    floor(c * 1e6 + 0.5) / 1e6
+
+  /** DuckDB twin of [[q6]] — splice around the same quotient expression. */
+  def q6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
 
   /** PageRank over a SYMMETRIC directed edge list `edges(src, dst)` —
     * damped (d = 0.85), `iters` fixed iterations from a uniform rank of 1.
@@ -41,7 +59,7 @@ object Graph {
       rank = edges
         .join(rank.join(deg, "node"), col("src") === col("node"))
         .select(col("dst"),
-          (col("rank") / col("deg")).cast(DecimalType(28, 6)).as("w"))
+          q6(col("rank") / col("deg")).cast(DecimalType(28, 6)).as("w"))
         .groupBy(col("dst").as("node"))
         .agg((lit(0.15) + lit(0.85) * sum(col("w")).cast("double"))
           .as("rank"))
@@ -99,8 +117,8 @@ object Graph {
       val (next, nextRdd) = checkpointTracked(edges
         .join(rank.join(wsum, "node"), col("src") === col("node"))
         .select(col("dst"),
-          (col("rank") * col("w") / col("wsum")).cast(DecimalType(28, 6))
-            .as("c"))
+          q6(col("rank") * col("w") / col("wsum").cast("double"))
+            .cast(DecimalType(28, 6)).as("c"))
         .groupBy(col("dst").as("node"))
         .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double"))
           .as("rank")))

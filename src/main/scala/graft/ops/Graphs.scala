@@ -23,13 +23,14 @@ import graft.api.Graph
   * fixture edge lists, delegate, and pin the result under the oracle gate,
   * so the reusable builders and the gated keys cannot drift apart.
   *
-  * Float discipline (core.scala H): per-iteration PageRank contributions
-  * `rank/deg` quantize to DECIMAL(28,6) before the neighbor sum — the sum is
-  * then exact decimal (order-independent across both engines' aggregation
-  * orders), and the damping step `0.15 + 0.85·sum` is identical IEEE ops on
-  * identical bits, so ranks emit RAW (same tie-boundary caveat as the LM
-  * log-prob keys: a quotient within 1 ulp of a .5e-6 boundary could round
-  * differently per engine; none of the fixture values sits on one).
+  * Float discipline (core.scala H + api/Graph scaladoc): per-iteration
+  * PageRank contributions quantize to a 1e-6 grain IN DOUBLE SPACE
+  * (`floor(q·1e6+0.5)/1e6`, identical IEEE ops both engines — a direct
+  * double→DECIMAL cast rounds Spark's shortest-repr vs DuckDB's exact
+  * binary and diverged on 29 weighted-fixture quotients in r8), then sum
+  * as exact decimal (order-independent across both engines' aggregation
+  * orders); the damping step `0.15 + 0.85·sum` is identical IEEE ops on
+  * identical bits, so ranks emit RAW.
   */
 object Graphs {
 
@@ -75,7 +76,7 @@ object Graphs {
     Some {
       val iter = (1 to 5).map { i =>
         s"""r$i AS (SELECT e.dst AS node,
-0.15::DOUBLE + 0.85::DOUBLE * CAST(sum(CAST(r.rank / d.deg AS DECIMAL(28,6))) AS DOUBLE) AS rank
+0.15::DOUBLE + 0.85::DOUBLE * CAST(sum(CAST(${Graph.q6Sql("r.rank / d.deg")} AS DECIMAL(28,6))) AS DOUBLE) AS rank
 FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.node
 GROUP BY e.dst)"""
       }.mkString(",\n")
@@ -84,6 +85,49 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
 edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
 deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
 r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM deg),
+$iter
+SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
+    })
+
+  /** WEIGHTED PageRank (5 rounds) over the customer↔supplier transaction
+    * graph with TRANSACTION MULTIPLICITY as the edge weight — the signal
+    * the unweighted key's `distinct()` discards: a customer-supplier pair
+    * with 40 lineitems carries 40× the rank flow of a one-off trade. Runs
+    * through [[graft.api.Graph.pagerankUntil]] (eps = 0 ⇒ exactly
+    * maxIters = 5 rounds — deterministic, so the solver's WEIGHTED path
+    * runs under the DuckDB gate; its uniform-weight path is gated by
+    * ApiSpec's bit-equality with [[graft.api.Graph.pagerank]]).
+    *
+    * Scale shape: identical to the unweighted key (per round one src-keyed
+    * equi-join + one dst-keyed agg) plus the solver's localCheckpoint per
+    * round; contributions `rank·w/wsum` quantize to DECIMAL(28,6) with the
+    * weight promoted to double on both engines before the quotient.
+    */
+  private val graphPagerankWeighted = Q(
+    "graph_pagerank_weighted",
+    (s, d) => {
+      val e0 = T.orders(s, d)
+        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + SUPP_OFF).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      Graph.pagerankUntil(edges, eps = 0.0, maxIters = 5)._1
+        .orderBy(col("rank").desc, col("node").asc)
+    },
+    Some {
+      val iter = (1 to 5).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+0.15::DOUBLE + 0.85::DOUBLE * CAST(sum(CAST(${Graph.q6Sql("r.rank * CAST(e.w AS DOUBLE) / CAST(s.wsum AS DOUBLE)")} AS DECIMAL(28,6))) AS DOUBLE) AS rank
+FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN ws s ON e.src = s.node
+GROUP BY e.dst)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT o_custkey AS src, l_suppkey + $SUPP_OFF AS dst, count(*) AS w
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+ws AS (SELECT src AS node, sum(CAST(w AS DECIMAL(28,6))) AS wsum FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM ws),
 $iter
 SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     })
@@ -223,5 +267,6 @@ $rounds
 SELECT node, label FROM l4 ORDER BY node"""
     })
 
-  val all: Seq[Q] = Seq(graphPagerank, graphTriangles, graphLabelProp)
+  val all: Seq[Q] =
+    Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp)
 }

@@ -24,6 +24,22 @@ class GraphsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("rank") > 0.15))
   }
 
+  test("graph_pagerank_weighted conserves mass and reorders by trade volume") {
+    // weighted propagation conserves total mass exactly like the uniform
+    // kernel (each node's full rank splits across its out-mass); and the
+    // ranking must reflect transaction multiplicity, not mere adjacency —
+    // so it cannot be a column-for-column copy of the unweighted ranks
+    val w = q("graph_pagerank_weighted").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val u = q("graph_pagerank").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(w.keySet == u.keySet)
+    assert(math.abs(w.values.sum - w.size) < 0.01,
+      s"weighted rank mass ${w.values.sum} drifted from ${w.size}")
+    assert(w.exists { case (n, r) => math.abs(r - u(n)) > 1e-3 },
+      "weights must move at least one node's rank materially")
+  }
+
   test("graph_triangles equals an id-ordered 3-way-join recount") {
     // Independent algorithm: canonical u<v<w triples by NODE ID (the
     // production plan orders by (degree, id) — different wedge sets, same
