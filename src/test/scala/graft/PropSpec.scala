@@ -74,6 +74,46 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("levenshteinJoin equals the driver-side blocked brute force (batched random corpora)") {
+    import spark.implicits._
+    // 20 deterministic random string corpora: the blocked fuzzy join must
+    // emit EXACTLY the pairs a driver-side brute force finds after applying
+    // the same (prefix, length-band) blocking contract — no duplicates, no
+    // losses, and dist values equal to a reference edit-distance DP
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(29)
+    (0 until 20).foreach { it =>
+      val alpha = "abc" // tiny alphabet → real near-collisions
+      def word() = Seq.fill(3 + rnd.nextInt(5))(alpha(rnd.nextInt(3))).mkString
+      val maxDist = 1 + rnd.nextInt(2)
+      val blockLen = 1 + rnd.nextInt(3)
+      val left = (0 until 12).map(i => (i.toLong, word()))
+      val right = (0 until 12).map(i => (100L + i, word()))
+      val got = graft.api.Fuzzy.levenshteinJoin(
+          left.toDF("id", "txt"), "id", "txt",
+          right.toDF("id", "txt"), "id", "txt", maxDist, blockLen)
+        .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        (la, ta) <- left
+        (lb, tb) <- right
+        if ta.take(blockLen) == tb.take(blockLen)
+        if math.abs(ta.length - tb.length) <= maxDist
+        d = lev(ta, tb)
+        if d <= maxDist
+      } yield (la, lb, d)).toSet
+      assert(got == expected,
+        s"iter=$it maxDist=$maxDist blockLen=$blockLen\n$got\n$expected")
+    }
+  }
+
   test("charEntropy matches driver-side Shannon entropy and its bounds (batched corpora)") {
     import spark.implicits._
     // random lowercase corpora: the engine value must match a naive driver
