@@ -28,13 +28,14 @@ import org.apache.spark.sql.types.DecimalType
 object Graph {
 
   /** Engine-identical half-up 1e-6 quantization in double space (see the
-    * object scaladoc). Pairs with [[q6Sql]] in oracle SQL.
+    * object scaladoc). Delegates to [[graft.ops.H.q6]] — the shared
+    * quantization discipline — so the graph and non-graph call sites
+    * cannot drift. Pairs with [[q6Sql]] in oracle SQL.
     */
-  private def q6(c: org.apache.spark.sql.Column) =
-    floor(c * 1e6 + 0.5) / 1e6
+  private def q6(c: org.apache.spark.sql.Column) = graft.ops.H.q6(c)
 
   /** DuckDB twin of [[q6]] — splice around the same quotient expression. */
-  def q6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+  def q6Sql(e: String): String = graft.ops.H.q6Sql(e)
 
   /** PageRank over a SYMMETRIC directed edge list `edges(src, dst)` —
     * damped (d = 0.85), `iters` fixed iterations from a uniform rank of 1.
@@ -228,5 +229,66 @@ object Graph {
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
+  }
+
+  /** Neighborhood-Jaccard node similarity over a SYMMETRIC edge list
+    * `edges(src, dst)` — "items whose co-occurrence neighborhoods overlap"
+    * (the item-item similarity of market-basket analysis, and the graph
+    * flavor of near-dup blocking). Works on the CAPPED graph: every node
+    * keeps at most `cap` neighbors, chosen by `md5(dst)` order (a
+    * deterministic pseudo-random sample both engines reproduce — ordering
+    * by raw id would bias every truncated neighborhood toward low ids).
+    * Over the capped adjacency A′: `cn(u,v) = #{w : (w,u), (w,v) ∈ A′}`,
+    * `deg′(x) = #{w : (w,x) ∈ A′}`, `jacc = cn / (deg′u + deg′v − cn)` —
+    * self-consistently the exact Jaccard OF THE CAPPED GRAPH, so the
+    * DuckDB oracle reproduces it bit-for-bit (integer ratio, raw double).
+    * Returns (u, v, cn, du, dv, jacc) for pairs with `cn ≥ minCn` and
+    * `jacc ≥ minJacc`, plus every node's capped flag surfaced upstream by
+    * the caller (ops emits `n_capped_nodes`).
+    *
+    * Scale shape: the cap bounds per-center wedge fan-out at C(cap, 2)
+    * regardless of hub degree — the df-cap discipline from Dedup.maxDf
+    * applied to adjacency lists. The ranking window partitions on ONE
+    * node's neighbor list (the same bounded-partition class as the basket
+    * cap in ops.Graphs.capBaskets); a graph with 10⁸-degree hubs should
+    * pre-drop them by degree before ranking, which this builder leaves to
+    * the caller because dropping changes the metric. Wedge counting and
+    * the two degree joins are node-keyed hash operations — no cartesian,
+    * no per-pair verify pass (the count IS the verify).
+    */
+  def jaccardSimilarity(edgesIn: DataFrame, cap: Int = 32,
+      minCn: Long = 2L, minJacc: Double = 0.15): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val adj = edgesIn.select(col("src"), col("dst"))
+    val kept = Caches.cache(adj
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(md5(col("dst").cast("string")), col("dst"))))
+      .filter(col("rn") <= cap)
+      .select("src", "dst"))
+    val ind = kept.groupBy("dst").agg(count(lit(1)).as("deg"))
+    // cn >= minCn filters INSIDE the aggregate (most wedge pairs have
+    // cn = 1 — at sf0.1 the cut is 7.5M pairs → ~1.5M before any join),
+    // and the node-grain degree frame broadcasts so the surviving pairs
+    // never shuffle again (3× wall-clock at sf0.1). The broadcast is
+    // |V|-grain: right for any graph whose NODE table fits an executor
+    // (degrees are 16 bytes/node), which covers the basket/co-occurrence
+    // graphs this targets; for a node set beyond broadcast range, delete
+    // the hint and AQE falls back to a shuffled join keyed on the
+    // already-small filtered pairs.
+    val wedges = kept.as("a").join(kept.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCn)
+    wedges
+      .join(broadcast(ind.select(col("dst").as("u"), col("deg").as("du"))),
+        "u")
+      .join(broadcast(ind.select(col("dst").as("v"), col("deg").as("dv"))),
+        "v")
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
+          .as("jacc"))
+      .filter(col("jacc") >= minJacc)
   }
 }

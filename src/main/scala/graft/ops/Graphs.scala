@@ -274,6 +274,62 @@ $rounds
 SELECT node, label FROM l4 ORDER BY node"""
     })
 
+  /** Neighbor cap for [[graphJaccardSim]] — C(32, 2) = 496 wedges per
+    * center max. The co-order graph's MEDIAN degree is ~115 at every SF
+    * (dense by construction), so most neighborhoods are genuinely sampled;
+    * the md5 ordering makes the sample unbiased and engine-reproducible,
+    * and `n_capped_nodes` surfaces how many were truncated.
+    */
+  private val JCAP = 32
+
+  /** Item-item similarity on the part co-order graph — neighborhood
+    * Jaccard over the capped adjacency via
+    * [[graft.api.Graph.jaccardSimilarity]] ("parts bought alongside the
+    * same other parts", the market-basket recommender signal). Pairs with
+    * `cn ≥ 2` and `jacc ≥ 0.15` (~100 rows at sf0.01 AND sf0.1 — the
+    * filter, not a top-k limit, so no rank-tie truncation hazard), plus
+    * the constant `n_capped_nodes` truncation metric. `jacc` is an
+    * integer ratio — identical IEEE division in both engines, emitted RAW.
+    *
+    * Scale shape: rides the capped [[coOrderEdges]] ingestion, then the
+    * builder's per-center C(cap,2) wedge bound; every join is node-keyed.
+    * The jacc ≥ 0.15 comparison runs on bit-identical doubles, so the
+    * filter cannot tie-split across engines.
+    */
+  private val graphJaccardSim = Q(
+    "graph_jaccard_sim",
+    (s, d) => {
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val capped = adj
+        .groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") > JCAP)
+        .agg(count(lit(1)).as("n_capped_nodes"))
+      Graph.jaccardSimilarity(adj, cap = JCAP, minCn = 2L, minJacc = 0.15)
+        .crossJoin(broadcast(capped))
+        .orderBy(col("jacc").desc, col("u").asc, col("v").asc)
+    },
+    Some(s"""WITH $coOrderSql,
+adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+nr AS (SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY md5(CAST(dst AS VARCHAR)), dst) AS rn
+       FROM adj),
+ka AS (SELECT src, dst FROM nr WHERE rn <= $JCAP),
+ind AS (SELECT dst, count(*) AS deg FROM ka GROUP BY 1),
+w AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+      FROM ka a JOIN ka b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2),
+j AS (SELECT u, v, cn, du.deg AS du, dv.deg AS dv,
+        CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS jacc
+      FROM w JOIN ind du ON u = du.dst JOIN ind dv ON v = dv.dst),
+capped AS (SELECT count(*) AS n_capped_nodes FROM
+  (SELECT src FROM adj GROUP BY src HAVING count(*) > $JCAP))
+SELECT u, v, cn, du, dv, jacc, n_capped_nodes FROM j, capped
+WHERE cn >= 2 AND jacc >= 0.15
+ORDER BY jacc DESC, u ASC, v ASC"""))
+
   val all: Seq[Q] =
-    Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp)
+    Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
+      graphJaccardSim)
 }

@@ -1943,7 +1943,115 @@ FROM (SELECT source, len(regexp_extract_all(text, '[0-9]+')) AS n_num,
       FROM documents)
 GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
+  /** Zipf-law slope of the corpus word-frequency distribution — the
+    * least-squares slope of log10(freq) against log10(rank) over the top
+    * 200 types (all of them when the vocabulary is smaller, as in the
+    * fixtures' ~31-type synthetic vocab). Natural corpora fit slope ≈ −1;
+    * a flat slope flags synthetic/templated text, a steep one a collapsed
+    * vocabulary — a one-row corpus-health gauge. Emits
+    * (n_types, n_top, slope, intercept).
+    *
+    * Scale shape: token counting is one hash aggregate; the rank window is
+    * a GLOBAL order over the DISTINCT VOCABULARY — vocab-sized work (the
+    * documented BPE-train bound, ~10⁶ rows at web scale), never
+    * corpus-sized, and the regression itself runs on ≤ 200 rows.
+    *
+    * Float discipline: log10 is libm (ulp-divergent between engines) →
+    * [[H.q6]]-quantize x, y and the term products, sum via [[H.dec6Sum]]
+    * (order-independent exact); the closed-form slope/intercept are then
+    * identical IEEE arithmetic on identical bits — emitted RAW.
+    */
+  private val llmZipfSlope = Q(
+    "llm_zipf_slope",
+    (s, d) => {
+      val f = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val r = f.withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      val top = r.filter(col("rk") <= 200)
+        .select(q6(log10(col("rk").cast("double"))).as("x"),
+          q6(log10(col("c").cast("double"))).as("y"))
+      val sums = top.agg(count(lit(1)).cast("double").as("n"),
+        dec6Sum(col("x")).as("sx"), dec6Sum(col("y")).as("sy"),
+        dec6Sum(q6(col("x") * col("y"))).as("sxy"),
+        dec6Sum(q6(col("x") * col("x"))).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      f.agg(count(lit(1)).as("n_types")).crossJoin(sums)
+        .select(col("n_types"), col("n").cast("bigint").as("n_top"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM f),
+top AS (SELECT ${q6Sql("log10(CAST(rk AS DOUBLE))")} AS x,
+               ${q6Sql("log10(CAST(c AS DOUBLE))")} AS y
+        FROM r WHERE rk <= 200),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+    ${dec6SumSql("x")} AS sx, ${dec6SumSql("y")} AS sy,
+    ${dec6SumSql(q6Sql("x * y"))} AS sxy,
+    ${dec6SumSql(q6Sql("x * x"))} AS sxx
+  FROM top)
+SELECT (SELECT count(*) FROM f) AS n_types, CAST(n AS BIGINT) AS n_top,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM s"""))
+
+  /** Cross-source contamination matrix — for every pair of corpus sources,
+    * the word-3-gram overlap coefficient `|A∩B| / min(|A|, |B|)` over each
+    * source's DISTINCT gram set (the Carlini-style leakage scan run
+    * source-against-source instead of eval-against-train, which
+    * llm_decontaminate covers). High overlap between supposedly
+    * independent crawls means shared boilerplate or a mirrored site —
+    * exactly what a pretraining mixture audit looks for.
+    *
+    * Scale shape: gram sets are (source, gram)-distinct — source-grain ×
+    * vocabulary, not doc-grain; the pair join is GRAM-KEYED (never
+    * doc×doc) with per-gram fan-out bounded by C(#sources-sharing, 2) —
+    * sources are a dimension (20 here), so the worst gram contributes 190
+    * rows into a 190-group map-side-combinable aggregate. A skewed-
+    * vocabulary corpus would add Dedup.maxDf's stop-gram cap; the fixture
+    * vocab is near-uniform, so this key stays exact. The overlap
+    * coefficient is an integer ratio — RAW.
+    */
+  private val llmSourceOverlap = Q(
+    "llm_source_overlap",
+    (s, d) => {
+      val g = T.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+        .distinct()
+      val n = g.groupBy("source").agg(count(lit(1)).as("n_g"))
+      val p = g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("common"))
+      p.join(n.select(col("source").as("s1"), col("n_g").as("n1")), "s1")
+        .join(n.select(col("source").as("s2"), col("n_g").as("n2")), "s2")
+        .select(col("s1"), col("s2"), col("common"), col("n1"), col("n2"),
+          (col("common").cast("double") / least(col("n1"), col("n2")))
+            .as("overlap"))
+        .orderBy("s1", "s2")
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3),
+n AS (SELECT source, count(*) AS n_g FROM g GROUP BY 1),
+p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS common
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+SELECT s1, s2, common, n1.n_g AS n1, n2.n_g AS n2,
+  CAST(common AS DOUBLE) / least(n1.n_g, n2.n_g) AS overlap
+FROM p JOIN n n1 ON s1 = n1.source JOIN n n2 ON s2 = n2.source
+ORDER BY s1, s2"""))
+
+  val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap,
+    llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,

@@ -995,8 +995,60 @@ FROM events GROUP BY user_id
 HAVING count(*) >= 20
 ORDER BY error_rate DESC, user_id ASC LIMIT 10"""))
 
+  /** Per-source distribution diagnostics (§2.4 ext) — Shannon entropy and
+    * Gini impurity of each source's LANGUAGE mix, plus doc/lang counts:
+    * the corpus-mixing dashboard row (a source whose language entropy
+    * collapses is a crawl gone monolingual; Gini is the same signal on a
+    * 0..1 scale without the log).
+    *
+    * Float discipline: probabilities are exact integer ratios (identical
+    * IEEE division); the entropy terms `p·ln p` cross libm (`ln` differs
+    * at ulp level between engines) → [[H.q6]]-quantize each term and sum
+    * as exact DECIMAL(28,6) ([[H.dec6Sum]]), then negate via `0.0 − s`
+    * (IEEE: +0.0 even when s = 0, so single-language sources emit +0.0 in
+    * BOTH engines — no signed-zero hazard, no rounding). Gini
+    * `1 − Σcnt²/tot²` needs no quantization at all: Σcnt² is an exact
+    * integer aggregate, the rest is identical IEEE arithmetic — RAW.
+    *
+    * Scale shape: two chained hash aggregates (source×lang grain, then
+    * source grain) and one broadcast-sized join back — nothing row-grain
+    * past the first aggregate.
+    */
+  private val aggEntropy = Q(
+    "agg_entropy",
+    (s, d) => {
+      val c = T.documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy("source").agg(sum(col("cnt")).as("tot"),
+        sum(col("cnt") * col("cnt")).as("sq"),
+        count(lit(1)).as("n_langs"))
+      val p = col("cnt").cast("double") / col("tot")
+      val e = c.join(t, "source")
+        .select(col("source"), q6(p * log(p)).as("term"))
+        .groupBy("source").agg(dec6Sum(col("term")).as("s"))
+      e.join(t, "source")
+        .select(col("source"), col("tot").as("n_docs"), col("n_langs"),
+          (lit(0.0) - col("s")).as("entropy"),
+          (lit(1.0) - col("sq").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double")))
+            .as("gini"))
+        .orderBy("source")
+    },
+    Some(s"""WITH c AS (SELECT source, lang, count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+        CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+        count(*) AS n_langs FROM c GROUP BY 1),
+e AS (SELECT c.source AS source,
+        ${dec6SumSql(q6Sql("(CAST(cnt AS DOUBLE) / tot) * ln(CAST(cnt AS DOUBLE) / tot)"))} AS s
+      FROM c JOIN t ON c.source = t.source GROUP BY 1)
+SELECT e.source AS source, t.tot AS n_docs, t.n_langs AS n_langs,
+  0.0 - s AS entropy,
+  1.0 - CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
+FROM e JOIN t ON e.source = t.source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
-    aggProblemLinks,
+    aggProblemLinks, aggEntropy,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

@@ -386,7 +386,101 @@ CAST(count(t3) AS DOUBLE) / count(t1) AS conv_purchase,
 CAST(sum(t3 - t1) AS DOUBLE) / count(t3) AS avg_convert_us
 FROM f"""))
 
+  /** Sweep-line concurrent-interval counting — "how many order→ship
+    * intervals are open on each calendar day" (in-flight inventory / open
+    * backlog, the interval-aggregation every temporal pipeline needs).
+    * Each lineitem contributes the activity interval
+    * [least(o_orderdate, l_shipdate), greatest(...)] (the synthetic dates
+    * are not causally ordered, so least/greatest keeps every interval
+    * valid); the sweep turns each interval into +1/−1 boundary deltas,
+    * aggregates to per-day nets, and prefix-sums the nets — O(n) total
+    * work where the naive per-day explode is O(n · interval_length).
+    *
+    * Scale shape: NO global single-reducer window — the prefix sum is
+    * [[graft.api.Fts.cumulativeWeights]]'s two-stage bucketed form
+    * (per-bucket partials + broadcast offsets; reducer input is
+    * days/buckets). Deltas are exact longs, so the two-stage association
+    * is bit-identical to the oracle's straight window sum. Close counts on
+    * the END day itself (open_cnt = intervals with lo ≤ d < hi, plus
+    * same-day intervals contributing 0) — documented, deterministic.
+    */
+  private val winIntervalSweep = Q(
+    "win_interval_sweep",
+    (s, d) => {
+      val iv = T.orders(s, d)
+        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(to_date(col("o_orderdate")).as("a"),
+          to_date(col("l_shipdate")).as("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+      val epoch = lit("1970-01-01").cast("date")
+      val dl = iv.select(datediff(col("lo"), epoch).as("dn"),
+          lit(1L).as("delta"))
+        .union(iv.select(datediff(col("hi"), epoch), lit(-1L)))
+        .withColumn("g", lit(1))
+      graft.api.Fts.cumulativeWeights(dl, "g", "dn", "delta")
+        .select(date_add(epoch, col("dn")).as("dt"),
+          col("w").cast("bigint").as("net"),
+          col("cw").cast("bigint").as("open_cnt"))
+        .orderBy("dt")
+    },
+    Some("""WITH iv AS (SELECT
+    least(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lo,
+    greatest(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS hi
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+dl AS (SELECT lo AS dt, 1 AS delta FROM iv
+       UNION ALL SELECT hi, -1 FROM iv),
+n AS (SELECT dt, CAST(sum(delta) AS BIGINT) AS net FROM dl GROUP BY 1)
+SELECT dt, net, CAST(sum(net) OVER (ORDER BY dt) AS BIGINT) AS open_cnt
+FROM n ORDER BY dt"""))
+
+  /** Rolling z-score anomaly detection — per user, each event's `value`
+    * scored against the trailing 20-event mean/stddev; emits the events
+    * whose |z| ≥ 2.5 (the metric-stream outlier monitor). Windows need ≥ 8
+    * events and sd ≥ 1e-4: the sd floor is load-bearing for cross-engine
+    * determinism — a constant-value window's sample stddev is EXACTLY 0 in
+    * one engine but can be ~1e-13 co-moment noise in the other, and `> 0`
+    * would tie-split the row set; 1e-4 cleanly separates noise from the
+    * smallest true sd of 2-decimal values (~2e-3). z is path-divergent
+    * (both engines' sliding aggregates associate differently) → [[H.r4z]]
+    * (z crosses zero), with the established rounded-threshold caveat on
+    * the 2.5 boundary (Text.scala tie-boundary note).
+    *
+    * Scale shape: one window pass partitioned on high-cardinality user_id,
+    * then a per-row filter — no second shuffle; the final orderBy is the
+    * presentation sort every oracled key carries.
+    */
+  private val winZscoreAnomaly = Q(
+    "win_zscore_anomaly",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(-19, 0)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("value"))
+        .withColumn("m", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 8 && col("sd") >= 0.0001)
+        .withColumn("z", r4z((col("value") - col("m")) / col("sd")))
+        .filter(abs(col("z")) >= 2.5)
+        .select("user_id", "event_id", "em", "value", "z")
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events),
+w AS (SELECT user_id, event_id, em, value,
+    avg(value) OVER win AS m, stddev_samp(value) OVER win AS sd,
+    count(*) OVER win AS n
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY em, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+z AS (SELECT user_id, event_id, em, value,
+    ${H.r4zSql("(value - m) / sd")} AS z
+  FROM w WHERE n >= 8 AND sd >= 0.0001)
+SELECT user_id, event_id, em, value, z FROM z
+WHERE abs(z) >= 2.5 ORDER BY user_id, em, event_id"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
-    winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel)
+    winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
+    winIntervalSweep, winZscoreAnomaly)
 }

@@ -139,6 +139,29 @@ object H {
   /** DuckDB fragment paired with [[r4z]]: IEEE `−0.0 + 0.0 = +0.0`. */
   def r4zSql(e: String): String = s"(round(($e), 4) + 0.0)"
 
+  /** Engine-identical half-up 1e-6 quantization IN DOUBLE SPACE — the grain
+    * that makes libm-divergent terms (ln/log10 quotients) safe to sum as
+    * exact DECIMAL(28,6) in either engine's aggregation order. `floor`, `*`,
+    * `+`, `/` are identical IEEE ops on identical bits in both engines,
+    * unlike a direct double→DECIMAL cast (Spark casts via shortest-repr
+    * string, DuckDB via exact binary — measured divergence on the r8
+    * weighted-PageRank quotients; see api/Graph scaladoc). Pair with
+    * [[q6Sql]] around the same expression in the DuckDB oracle.
+    */
+  def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** DuckDB twin of [[q6]]. */
+  def q6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** `sum(CAST(c AS DECIMAL(28,6)))` back to double — the order-independent
+    * exact accumulator for [[q6]]-quantized terms. Pairs with [[dec6SumSql]].
+    */
+  def dec6Sum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  def dec6SumSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
   /** Epoch microseconds of a timestamp column — the canonical way to surface
     * `events.ts` across BOTH fixture generations [[T.events]] adapts to
     * (ns-era TIMESTAMP(NANOS) rebuilt from a ns long by integer division;

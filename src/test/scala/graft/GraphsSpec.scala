@@ -78,6 +78,42 @@ class GraphsSpec extends SparkSpec {
         s"over ${nodes.size} nodes")
   }
 
+  test("jaccardSimilarity on a planted two-center graph is the exact capped-graph Jaccard") {
+    import spark.implicits._
+    // centers 10, 11 both adjacent to 1..5; 6 adjacent to 10 only
+    val und = (1 to 5).flatMap(x => Seq((10L, x.toLong), (11L, x.toLong))) :+ (10L, 6L)
+    val edges = und.toDF("src", "dst")
+      .union(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val got = graft.api.Graph.jaccardSimilarity(edges, cap = 32,
+        minCn = 1L, minJacc = 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("jacc"))).toMap
+    // pairs within 1..5 share both centers over in-degree 2: jacc = 1.0
+    for (a <- 1 to 5; b <- a + 1 to 5)
+      assert(got((a.toLong, b.toLong)) === ((2L, 1.0)))
+    // (x, 6) shares center 10 only: 1 / (2 + 1 - 1) = 0.5
+    for (a <- 1 to 5) assert(got((a.toLong, 6L)) === ((1L, 0.5)))
+    // centers themselves: cn = 5 shared in-neighbors, degs 6 and 5
+    assert(got((10L, 11L)) === ((5L, 5.0 / 6.0)))
+    assert(got.size === 10 + 5 + 1)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("graph_jaccard_sim rows satisfy the emitted identity and the filter") {
+    val rows = q("graph_jaccard_sim").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cn, du, dv) = (r.getAs[Long]("cn"), r.getAs[Long]("du"), r.getAs[Long]("dv"))
+      val jacc = r.getAs[Double]("jacc")
+      assert(jacc === cn.toDouble / (du + dv - cn))
+      assert(cn >= 2L && jacc >= 0.15)
+      assert(cn <= math.min(du, dv)) // an intersection can't beat either set
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"))
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

@@ -220,4 +220,53 @@ class LlmSpec extends SparkSpec {
     assert(row.getInt(1) >= 4 && row.getInt(2) >= 3, "parsed dims in range")
     assert(row.getInt(3) == 255 && row.getInt(4) == 255, "P6 maxval parsed")
   }
+
+  test("llm_zipf_slope matches an exact driver-side least-squares recompute") {
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+    // rank by (freq desc, word asc), exactly like the op
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((_, c), i) => (i + 1L, c) }.take(200)
+    val xs = ranked.map { case (rk, _) => q6(math.log10(rk.toDouble)) }
+    val ys = ranked.map { case (_, c) => q6(math.log10(c.toDouble)) }
+    def dsum(v: Seq[Double]): Double =
+      v.map(x => BigDecimal(q6(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val n = xs.length.toDouble
+    val (sx, sy) = (dsum(xs.toSeq), dsum(ys.toSeq))
+    val sxy = dsum(xs.zip(ys).map { case (a, b) => q6(a * b) }.toSeq)
+    val sxx = dsum(xs.map(a => q6(a * a)).toSeq)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = q("llm_zipf_slope").collect()(0)
+    assert(r.getAs[Long]("n_types") === counts.length.toLong)
+    assert(r.getAs[Long]("n_top") === ranked.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-9)
+    assert(slope < 0.0, "frequency must decay with rank")
+  }
+
+  test("llm_source_overlap equals exact per-source trigram set intersections") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val sets = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.flatMap { case (_, t) =>
+        val w = t.split(" ")
+        w.indices.dropRight(2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet
+    }.toMap
+    val expect = (for {
+      s1 <- sets.keys; s2 <- sets.keys if s1 < s2
+      c = (sets(s1) & sets(s2)).size if c > 0
+    } yield (s1, s2) ->
+      (c.toLong, c.toDouble / math.min(sets(s1).size, sets(s2).size))).toMap
+    val got = q("llm_source_overlap").collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        (r.getAs[Long]("common"), r.getAs[Double]("overlap"))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, o) => assert(o > 0.0 && o <= 1.0) }
+  }
 }

@@ -455,4 +455,46 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
       s"no cartesian product allowed:\n$p")
   }
+
+  test("win_interval_sweep never plans a globally-unpartitioned window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the whole point of the two-stage prefix sum: every WindowExec must
+    // carry partition expressions ((g, bucket)) — an empty partitionSpec
+    // is the single-reducer global running sum the operator exists to avoid
+    val p = plan("win_interval_sweep")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.nonEmpty, s"expected the bucketed prefix-sum window:\n$p")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"found a global (unpartitioned) window:\n$w"))
+  }
+
+  test("win_zscore_anomaly is one user-partitioned window pass") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("win_zscore_anomaly")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.size === 1, s"expected exactly one WindowExec:\n$p")
+    assert(ws.head.partitionSpec.nonEmpty, "window must partition on user_id")
+  }
+
+  test("graph_jaccard_sim joins degrees by broadcast, no cartesian, cached edges") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("graph_jaccard_sim")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    // the single BNLJ-shaped join allowed is the 1-row n_capped_nodes
+    // crossJoin; anything else means the wedge or degree join degenerated
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1, s"only the 1-row metric crossJoin may BNLJ:\n$p")
+    val bhj = collectWithSubqueries(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2,
+      s"both degree joins must broadcast the node-grain frame, got ${bhj.size}:\n$p")
+  }
+
+  test("llm_source_overlap joins gram-keyed, never doc x doc") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("llm_source_overlap")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the source-pair join must stay a gram-keyed equi-join:\n$p")
+  }
 }

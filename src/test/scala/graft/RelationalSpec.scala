@@ -118,4 +118,33 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"approx=$approx exact=$exact diverges >5%")
     }
   }
+
+  test("agg_entropy matches exact driver-side entropy and Gini per source") {
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cnts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+    val expect = cnts.groupBy(_._1).map { case (src, g) =>
+      val tot = g.map(_._3).sum
+      val ent = 0.0 - g.map { case (_, _, c) =>
+        val p = c.toDouble / tot
+        BigDecimal(q6(p * math.log(p)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val gini = 1.0 - g.map(r => r._3.toDouble * r._3.toDouble).sum / (tot.toDouble * tot)
+      src -> (tot, g.length.toLong, ent, gini)
+    }
+    val got = q("agg_entropy").collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+        r.getAs[Double]("entropy"), r.getAs[Double]("gini"))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (s, (nd, nl, e, gi)) =>
+      val (end, enl, ee, eg) = expect(s)
+      assert(nd === end && nl === enl)
+      assert(math.abs(e - ee) < 1e-9, s"$s entropy $e vs $ee")
+      assert(math.abs(gi - eg) < 1e-9, s"$s gini $gi vs $eg")
+      assert(e >= 0.0 && gi >= 0.0 && gi < 1.0)
+    }
+  }
 }

@@ -76,4 +76,70 @@ class WindowsSpec extends SparkSpec {
     assert(prices.length == 10)
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
+
+  test("win_interval_sweep equals a driver-side brute-force day scan") {
+    import spark.implicits._
+    // independent recompute: materialize every interval as its (lo, hi)
+    // day pair and count per-day opens/closes with plain Scala maps —
+    // the O(n·len) algorithm the sweep replaces
+    val iv = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).cast("string"),
+        to_date(col("l_shipdate")).cast("string"))
+      .as[(String, String)].collect()
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    val opens = iv.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val closes = iv.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val days = (opens.keySet ++ closes.keySet).toSeq.sorted
+    var acc = 0L
+    val expect = days.map { d =>
+      val net = opens.getOrElse(d, 0L) - closes.getOrElse(d, 0L)
+      acc += net
+      (d, net, acc)
+    }
+    val got = q("win_interval_sweep")
+      .select(col("dt").cast("string"), col("net"), col("open_cnt"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // conservation: every interval closes, so the sweep ends at zero and
+    // never goes negative (closes count on their own end day)
+    assert(got.last._3 === 0L)
+    assert(got.forall(_._3 >= 0L))
+  }
+
+  test("win_zscore_anomaly matches a driver-side rolling recompute") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rows = graft.ops.T.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("em"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(r => (r._3, r._2))
+      s.indices.flatMap { i =>
+        val w = s.slice(math.max(0, i - 19), i + 1).map(_._4)
+        val n = w.length
+        if (n < 8) None
+        else {
+          val m = w.sum / n
+          val sd = math.sqrt(w.map(x => (x - m) * (x - m)).sum / (n - 1))
+          if (sd < 0.0001) None
+          else {
+            val z0 = BigDecimal((s(i)._4 - m) / sd)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val z = if (z0 == 0.0) 0.0 else z0
+            if (math.abs(z) >= 2.5) Some((s(i)._2, z)) else None
+          }
+        }
+      }
+    }.toMap
+    val got = q("win_zscore_anomaly")
+      .select(col("event_id"), col("z")).as[(Long, Double)].collect().toMap
+    assert(got.keySet === expect.keySet)
+    // same frame order on both sides → tiny association drift at most
+    got.foreach { case (id, z) => assert(math.abs(z - expect(id)) < 1e-6) }
+    assert(got.nonEmpty)
+    assert(ev.count() > got.size) // anomalies are a strict subset
+  }
 }
