@@ -2050,7 +2050,51 @@ SELECT s1, s2, common, n1.n_g AS n1, n2.n_g AS n2,
 FROM p JOIN n n1 ON s1 = n1.source JOIN n n2 ON s2 = n2.source
 ORDER BY s1, s2"""))
 
-  val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap,
+  /** Per-document n-gram novelty — the fraction of a doc's distinct
+    * word-3-grams whose FIRST corpus occurrence (minimum doc_id) is this
+    * doc: the dataset-diversity curve (late documents repeating early
+    * boilerplate score near 0; genuinely new material near 1 — what a
+    * curation loop watches as it appends crawl batches in id order).
+    * Emits (doc_id, n_grams, n_novel, novelty), novelty a RAW exact-int
+    * ratio.
+    *
+    * Scale shape: one gram-grain hash aggregate (min doc_id per gram —
+    * map-side combinable) joined back GRAM-KEYED onto the (doc, gram)
+    * stream (≤1 row per gram — no fan-out, never doc×doc), then one
+    * doc-grain aggregate. No hint on the gram join: the gram vocabulary
+    * outgrows broadcast first (same call as the LM model joins).
+    */
+  private val llmNgramNovelty = Q(
+    "llm_ngram_novelty",
+    (s, d) => {
+      val g = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+        .distinct()
+      val first = g.groupBy("g").agg(min(col("doc_id")).as("fd"))
+      g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("fd") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3),
+fo AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1)
+SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+  count(*) FILTER (fd = g.doc_id) AS n_novel,
+  CAST(count(*) FILTER (fd = g.doc_id) AS DOUBLE) / count(*) AS novelty
+FROM g JOIN fo ON g.g = fo.g
+GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,

@@ -1047,8 +1047,54 @@ SELECT e.source AS source, t.tot AS n_docs, t.n_langs AS n_langs,
   1.0 - CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
 FROM e JOIN t ON e.source = t.source ORDER BY source"""))
 
+  /** Supplier revenue concentration (§2.4 ext) — Herfindahl–Hirschman
+    * index `Σ share²` and the Gini coefficient
+    * `(2·Σ rank·share − (n+1)) / n` over per-supplier discounted revenue:
+    * the market-concentration dashboard (is flow volume spread across the
+    * fleet or funneling into a few hubs?). One row:
+    * (n_suppliers, hhi, gini).
+    *
+    * Float discipline: revenue is the exact decimal-factor product sum
+    * ([[H.m2]]·[[H.oneMinus]]); `tot` via [[H.dsum]] (4-decimal revenues
+    * cast exactly); shares are identical-IEEE divisions; the share² and
+    * rank·share terms are engine-divergent only in SUM ORDER → [[H.q6]] +
+    * [[H.dec6Sum]]; the closing arithmetic is identical IEEE — RAW.
+    *
+    * Scale note: the rank window is a global sort over the SUPPLIER GRAIN
+    * — a dimension table (the winNtile caveat); a fact-scale Gini would
+    * ride `Fts.cumulativeWeights` at the cost of merging revenue ties.
+    */
+  private val aggHhiGini = Q(
+    "agg_hhi_gini",
+    (s, d) => {
+      val r = T.lineitem(s, d).groupBy("l_suppkey")
+        .agg(sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast("double").as("rev"))
+      val t = r.agg(dsum(col("rev")).as("tot"), count(lit(1)).as("n"))
+      val sh = r.crossJoin(broadcast(t))
+        .select(col("rev"), (col("rev") / col("tot")).as("share"),
+          row_number().over(
+            Window.orderBy(col("rev").asc, col("l_suppkey").asc)).as("rk"),
+          col("n"))
+      sh.agg(count(lit(1)).as("n_suppliers"),
+        dec6Sum(q6(col("share") * col("share"))).as("hhi"),
+        ((lit(2.0) * dec6Sum(q6(col("rk") * col("share")))
+          - (max(col("n")) + lit(1L))) / max(col("n"))).as("gini"))
+    },
+    Some(s"""WITH r AS (SELECT l_suppkey,
+    CAST(sum(${m2Sql("l_extendedprice")} * ${oneMinusSql("l_discount")}) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1),
+t AS (SELECT ${dsumSql("rev")} AS tot, count(*) AS n FROM r),
+s AS (SELECT rev, CAST(rev AS DOUBLE) / tot AS share,
+        row_number() OVER (ORDER BY rev ASC, l_suppkey ASC) AS rk, n
+      FROM r, t)
+SELECT count(*) AS n_suppliers,
+  ${dec6SumSql(q6Sql("share * share"))} AS hhi,
+  (2.0 * ${dec6SumSql(q6Sql("rk * share"))} - (max(n) + 1)) / max(n) AS gini
+FROM s"""))
+
   val all: Seq[Q] = Seq(
-    aggProblemLinks, aggEntropy,
+    aggProblemLinks, aggEntropy, aggHhiGini,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

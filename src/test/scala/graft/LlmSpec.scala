@@ -269,4 +269,31 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.values.foreach { case (_, o) => assert(o > 0.0 && o <= 1.0) }
   }
+
+  test("llm_ngram_novelty equals exact first-occurrence set arithmetic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.indices.dropRight(2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }.toMap
+    val firstSeen = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val got = q("llm_ngram_novelty").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got.keySet === grams.keySet.filter(grams(_).nonEmpty))
+    got.foreach { case (id, (ng, nn, nov)) =>
+      val gs = grams(id)
+      val novel = gs.count(g => firstSeen(g) == id).toLong
+      assert(ng === gs.size.toLong, s"doc $id gram count")
+      assert(nn === novel, s"doc $id novel count")
+      assert(nov === novel.toDouble / gs.size)
+    }
+    // the minimum doc id is all-novel by construction
+    val minId = grams.keys.min
+    assert(got(minId)._3 === 1.0)
+  }
 }

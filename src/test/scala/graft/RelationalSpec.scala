@@ -147,4 +147,32 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(e >= 0.0 && gi >= 0.0 && gi < 1.0)
     }
   }
+
+  test("agg_hhi_gini matches an exact driver-side concentration recompute") {
+    import spark.implicits._
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def d6(v: Seq[Double]): Double =
+      v.map(x => BigDecimal(q6d(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val revs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+        .cast("double").as("rev"))
+      .as[(Long, Double)].collect()
+    val tot = revs.map(r => BigDecimal(r._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val n = revs.length
+    val shares = revs.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((_, rev), i) => (i + 1, rev / tot) }
+    val hhi = d6(shares.map { case (_, s) => s * s }.toSeq)
+    val gini = (2.0 * d6(shares.map { case (rk, s) => rk * s }.toSeq) - (n + 1)) / n
+    val r = q("agg_hhi_gini").collect()(0)
+    assert(r.getAs[Long]("n_suppliers") === n.toLong)
+    assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-9)
+    // structural bounds: uniform floor 1/n <= hhi <= 1; 0 <= gini < 1
+    assert(hhi >= 1.0 / n && hhi <= 1.0)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }

@@ -142,4 +142,34 @@ class WindowsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(ev.count() > got.size) // anomalies are a strict subset
   }
+
+  test("join_point_in_interval equals the naive interval-point theta join") {
+    import spark.implicits._
+    // brute force the DECLARED semantics (lo <= d < hi against every
+    // interval) driver-side and compare the per-priority rollup exactly
+    val iv = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).cast("string"),
+        to_date(col("l_shipdate")).cast("string"))
+      .as[(String, String)].collect()
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    val pts = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority"),
+        to_date(col("o_orderdate")).cast("string"))
+      .as[(String, String)].collect()
+    val perOrder = pts.map { case (pri, d) =>
+      (pri, iv.count { case (lo, hi) => lo <= d && d < hi }.toLong)
+    }
+    val expect = perOrder.groupBy(_._1).view.mapValues { g =>
+      val opens = g.map(_._2)
+      (g.length.toLong, opens.sum, opens.sum.toDouble / g.length, opens.max)
+    }.toMap
+    val got = q("join_point_in_interval").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("total_open"),
+          r.getAs[Double]("avg_open"), r.getAs[Long]("max_open"))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
