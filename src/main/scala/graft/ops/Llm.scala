@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.api.{Dedup, Text, Vectors}
+import graft.api.{Caches, Dedup, Text, Vectors}
 import H._
 
 /** SURVEY.md §2.9 + builder-prompt extensions — LLM-training-data pipeline
@@ -213,6 +213,89 @@ CAST(n_hit AS BIGINT) AS n_hit,
 CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS lsh_recall,
 CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS lsh_precision
 FROM m"""))
+
+  /** MinHash ESTIMATOR accuracy — the metric [[llmMinhashRecall]] does NOT
+    * cover: recall grades the BLOCKING (did similar pairs become
+    * candidates); this grades the ESTIMATE (how close is the
+    * matched-minima fraction to the true Jaccard on the pairs we did
+    * catch). A dedup pipeline that thresholds on the estimate instead of
+    * running an exact verify needs exactly this error profile — 16
+    * permutations give a binomial sd of √(j(1−j)/16) ≈ 0.12 at j = 0.5,
+    * which is WHY the production paths verify exactly and never threshold
+    * the estimate alone; this key pins that argument with numbers.
+    *
+    * Per candidate pair of [[graft.api.Dedup.md5MinhashCandidates]]:
+    * `n_match` of the 16 [[graft.api.Dedup.md5MinhashSignatures]] minima
+    * agree → `est_j = n_match/16` (an exact-binary grid — 1/16 steps —
+    * identical IEEE division, RAW); the true Jaccard comes from the same
+    * DISTINCT word-3-gram STRING space the signatures hash (uncapped —
+    * no df heuristic inside an accuracy metric), `exact_j` rounded at 4
+    * like every Jaccard here, and `err = est_j − exact_j` is a difference
+    * of two bit-identical doubles — RAW, and x−x = +0.0 in IEEE so no
+    * signed-zero hazard.
+    *
+    * Scale shape: signatures are 16 map-side MIN aggregates; the common
+    * count joins grams CANDIDATE-RESTRICTED on (doc, gram) keys — never
+    * all-pairs; n_sh is one per-doc count. FIXTURE CAVEAT: est_j is
+    * biased HIGH on this corpus — band-blocking selects exactly the pairs
+    * whose minima collide, so low-similarity candidates enter with
+    * inflated estimates (selection conditioning, visible in the output as
+    * err > 0 rows clustering at small exact_j). That bias is a real
+    * property of LSH-selected estimates, not a bug — it is the second
+    * reason production thresholds never trust the estimate raw.
+    */
+  private val llmMinhashEstErr = Q(
+    "llm_minhash_est_err",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val cand = Dedup.md5MinhashCandidates(docs, "doc_id", "text")
+      val sig = Dedup.md5MinhashSignatures(docs, "doc_id", "text")
+      val matched = (0 until 16)
+        .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = cand
+        .join(sig.as("a"), col("a_id") === col("a.id"))
+        .join(sig.as("b"), col("b_id") === col("b.id"))
+        .select(col("a_id"), col("b_id"), matched.as("n_match"))
+      val tri = Caches.cache(
+        Dedup.wordGramStrings(docs, "doc_id", "text", 3).distinct())
+      val sh = tri.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val common = cand
+        .join(tri.select(col("id").as("a_id"), col("g")), "a_id")
+        .join(tri.select(col("id").as("b_id"), col("g")), Seq("b_id", "g"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+      est
+        .join(common, Seq("a_id", "b_id"), "left")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .join(sh.select(col("id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+        .join(sh.select(col("id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_match"),
+          (col("n_match").cast("double") / 16).as("est_j"),
+          col("common"), col("a_n"), col("b_n"),
+          round(col("common").cast("double") /
+            (col("a_n") + col("b_n") - col("common")), 4).as("exact_j"))
+        .withColumn("err", col("est_j") - col("exact_j"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $ngramPairCtes,
+$md5MinhashCandCtes,
+est AS (SELECT c.a_id, c.b_id,
+  CAST(${(0 until 16).map(j => s"CAST(a.m$j = b.m$j AS INT)").mkString(" + ")} AS BIGINT) AS n_match
+  FROM cand c JOIN mh a ON c.a_id = a.doc_id JOIN mh b ON c.b_id = b.doc_id),
+cm AS (SELECT c.a_id, c.b_id, count(*) AS common
+  FROM cand c JOIN tri ta ON ta.doc_id = c.a_id
+    JOIN tri tb ON tb.doc_id = c.b_id AND tb.g = ta.g
+  GROUP BY 1, 2),
+x AS (SELECT e.a_id, e.b_id, e.n_match,
+    CAST(e.n_match AS DOUBLE) / 16 AS est_j,
+    coalesce(cm.common, 0) AS common, sa.n_sh AS a_n, sb.n_sh AS b_n,
+    round(CAST(coalesce(cm.common, 0) AS DOUBLE)
+      / (sa.n_sh + sb.n_sh - coalesce(cm.common, 0)), 4) AS exact_j
+  FROM est e LEFT JOIN cm ON e.a_id = cm.a_id AND e.b_id = cm.b_id
+    JOIN sh sa ON sa.doc_id = e.a_id JOIN sh sb ON sb.doc_id = e.b_id)
+SELECT a_id, b_id, n_match, est_j, common, a_n, b_n, exact_j,
+est_j - exact_j AS err
+FROM x ORDER BY a_id, b_id"""))
 
   /** [[llmMinhashRecall]]'s twin for the SIMHASH family — the last near-dup
     * path whose candidate quality had no cross-engine anchor. Candidates
@@ -2096,7 +2179,8 @@ GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmMinhashRecall, llmSimhashRecall, llmNgramDfcapRecall,
+    llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
+    llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,

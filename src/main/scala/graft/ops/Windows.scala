@@ -539,8 +539,127 @@ SELECT o_orderpriority, count(*) AS n_orders,
   max(open_cnt) AS max_open
 FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Rolling EXACT median — per user, the trailing-20-event median of
+    * `value` (the robust location estimate a latency/throughput monitor
+    * uses where [[winSlidingAvg]]'s mean is outlier-dragged). Spark's
+    * `percentile(value, 0.5)` and DuckDB's `quantile_cont(value, 0.5)`
+    * compute the same canonical interpolation (h = (n−1)·p; lower +
+    * (upper−lower)·frac) but possibly in different fp op orders, so the
+    * median is path-divergent in principle → [[H.r4]] (value ≥ 0 here —
+    * TESTDATA's value column is a non-negative 2-decimal double — so no
+    * signed-zero exposure; medians land on the 0.005 grid, 5e-5 from any
+    * round-4 boundary, so 1-ulp drift cannot flip the rounding).
+    *
+    * Scale shape: ONE window pass partitioned on high-cardinality
+    * user_id; the exact-percentile window aggregate buffers only the
+    * 20-row frame per position (bounded by the frame, not the partition).
+    */
+  private val winRollingMedian = Q(
+    "win_rolling_median",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(-19, 0)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("value"))
+        .withColumn("med", r4(expr("percentile(value, 0.5)").over(w)))
+        .withColumn("n", count(lit(1)).over(w))
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some("""SELECT user_id, event_id, em, value,
+round(quantile_cont(value, 0.5) OVER w, 4) AS med,
+count(*) OVER w AS n
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, em, event_id"""))
+
+  /** Interval×interval OVERLAP join — for every order's 7-day first-ship
+    * window `[lo, lo+6]`, how many URGENT orders' windows overlap it
+    * (`b.lo ≤ a.hi ∧ b.hi ≥ a.lo` — its own window included when the
+    * order is urgent), rolled up per priority class. The companion of
+    * [[joinPointInInterval]]: that key rewrites interval×POINT coverage;
+    * this one rewrites interval×INTERVAL overlap, the other θ-join a
+    * temporal pipeline hits (co-active sessions, concurrent transfers).
+    *
+    * The 100 TB rewrite: `overlaps(a) = |{b : b.lo ≤ a.hi}| −
+    * |{b : b.hi < a.lo}|` (the subtracted set is a subset of the first:
+    * b.hi < a.lo ⇒ b.lo ≤ b.hi < a.lo ≤ a.hi), so two CALENDAR-GRAIN
+    * cumulative counters — starts-at-or-before(d), ends-before(d) — turn
+    * the θ-join into two day-keyed broadcast equi-joins. The day series is
+    * calendar-bounded (~2.5k rows here, ~40k for a century), NOT
+    * data-bounded, so its one global cumulative window is a constant-size
+    * reduction at any corpus scale — same argument as [[sweepCum]], which
+    * buckets only because its day count tracks the data's date span.
+    * WindowsSpec pins the brute-force θ-join equivalence at sf0.001.
+    *
+    * Counts are exact longs; `avg_overlap` is one exact-integer IEEE
+    * division — RAW.
+    */
+  private val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    (s, d) => {
+      val iv = T.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(min(datediff(to_date(col("l_shipdate")), epoch)).as("lo"))
+        .withColumn("hi", col("lo") + 6)
+        .join(T.orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_orderpriority")), "ok")
+      val b = iv.filter(col("o_orderpriority") === "1-URGENT")
+      val starts = b.groupBy(col("lo").as("dn")).agg(count(lit(1)).as("ns"))
+      val ends = b.groupBy(col("hi").as("dn")).agg(count(lit(1)).as("ne"))
+      val days = iv.agg(min(col("lo")).as("dmin"), max(col("hi")).as("dmax"))
+        .select(explode(sequence(col("dmin"), col("dmax"))).as("dn"))
+        .join(starts, Seq("dn"), "left").join(ends, Seq("dn"), "left")
+        .select(col("dn"), coalesce(col("ns"), lit(0L)).as("ns"),
+          coalesce(col("ne"), lit(0L)).as("ne"))
+      // calendar-grain frame: the global window is bounded by the day span
+      val wd = Window.orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = days
+        .withColumn("s_le", sum(col("ns")).over(wd))
+        .withColumn("e_le", sum(col("ne")).over(wd))
+        .withColumn("e_lt", col("e_le") - col("ne"))
+        .select(col("dn"), col("s_le"), col("e_lt"))
+      iv.join(broadcast(cum.select(col("dn").as("hi"), col("s_le"))), "hi")
+        .join(broadcast(cum.select(col("dn").as("lo"), col("e_lt"))), "lo")
+        .withColumn("n_ov", col("s_le") - col("e_lt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_ov")).as("total_overlap"),
+          (sum(col("n_ov")).cast("double") / count(lit(1))).as("avg_overlap"),
+          max(col("n_ov")).as("max_overlap"),
+          min(col("n_ov")).as("min_overlap"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH iv AS (
+  SELECT ok, lo, lo + 6 AS hi, o_orderpriority FROM (
+    SELECT l_orderkey AS ok,
+      min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS lo
+    FROM lineitem GROUP BY 1)
+  JOIN orders ON ok = o_orderkey),
+b AS (SELECT lo, hi FROM iv WHERE o_orderpriority = '1-URGENT'),
+days AS (SELECT unnest(generate_series(
+    (SELECT min(lo) FROM iv), (SELECT max(hi) FROM iv))) AS dn),
+sgrp AS (SELECT lo AS dn, count(*) AS ns FROM b GROUP BY 1),
+egrp AS (SELECT hi AS dn, count(*) AS ne FROM b GROUP BY 1),
+g AS (SELECT dn, coalesce(ns, 0) AS ns, coalesce(ne, 0) AS ne
+  FROM days LEFT JOIN sgrp USING (dn) LEFT JOIN egrp USING (dn)),
+cum AS (SELECT dn,
+    CAST(sum(ns) OVER w AS BIGINT) AS s_le,
+    CAST(sum(ne) OVER w - ne AS BIGINT) AS e_lt
+  FROM g WINDOW w AS (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+j AS (SELECT iv.o_orderpriority, ch.s_le - cl.e_lt AS n_ov
+  FROM iv JOIN cum ch ON iv.hi = ch.dn JOIN cum cl ON iv.lo = cl.dn)
+SELECT o_orderpriority, count(*) AS n_orders,
+  CAST(sum(n_ov) AS BIGINT) AS total_overlap,
+  CAST(sum(n_ov) AS DOUBLE) / count(*) AS avg_overlap,
+  max(n_ov) AS max_overlap, min(n_ov) AS min_overlap
+FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
-    winIntervalSweep, winZscoreAnomaly, joinPointInInterval)
+    winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
+    winRollingMedian, joinIntervalOverlap)
 }

@@ -114,6 +114,36 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("agg_assoc_rules equals a driver-side capped-basket recount") {
+    import spark.implicits._
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().as[(Long, Long)].collect()
+    // cap baskets at 64 lowest part keys, like Graphs.cappedItems
+    val kept = items.groupBy(_._1).toSeq.flatMap { case (ok, g) =>
+      g.map(_._2).sorted.take(64).map(pk => (ok, pk))
+    }
+    val nb = kept.map(_._1).distinct.size.toLong
+    val itemSup = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairSup = kept.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val got = q("agg_assoc_rules").collect().map { r =>
+      (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("s_uv"), r.getAs[Long]("s_u"), r.getAs[Long]("s_v"),
+          r.getAs[Double]("conf_uv"), r.getAs[Double]("lift"))
+    }.toMap
+    assert(got.keySet === pairSup.keySet)
+    got.foreach { case ((u, v), (suv, su, sv, conf, lift)) =>
+      assert(suv === pairSup((u, v)))
+      assert(su === itemSup(u) && sv === itemSup(v))
+      assert(conf === suv.toDouble / su)
+      assert(lift === (suv.toDouble * nb.toDouble) / (su.toDouble * sv.toDouble))
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

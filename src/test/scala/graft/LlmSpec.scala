@@ -296,4 +296,40 @@ class LlmSpec extends SparkSpec {
     val minId = grams.keys.min
     assert(got(minId)._3 === 1.0)
   }
+
+  test("llm_minhash_est_err: exact pair Jaccards, est on the 1/16 grid, " +
+      "and a planted identical pair estimates 1.0 with zero error") {
+    import spark.implicits._
+    val rows = q("llm_minhash_est_err").collect()
+    assert(rows.nonEmpty)
+    // exact side recomputed driver-side from distinct word-3-gram sets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.indices.dropRight(2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }.toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val (ga, gb) = (grams(a), grams(b))
+      val common = (ga & gb).size.toLong
+      assert(r.getAs[Long]("common") === common, s"($a,$b) common")
+      assert(r.getAs[Long]("a_n") === ga.size.toLong)
+      assert(r.getAs[Long]("b_n") === gb.size.toLong)
+      val nm = r.getAs[Long]("n_match")
+      assert(nm >= 0L && nm <= 16L)
+      assert(r.getAs[Double]("est_j") === nm.toDouble / 16)
+      assert(r.getAs[Double]("err") ===
+        r.getAs[Double]("est_j") - r.getAs[Double]("exact_j"))
+    }
+    // planted identical pair: all 16 signature minima must collide
+    val lit2 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sig = graft.api.Dedup.md5MinhashSignatures(lit2, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (0 until 16).map(j => r.getAs[String](s"m$j"))).toMap
+    assert(sig(1L) === sig(2L), "identical docs must share every minimum")
+    assert(sig(1L) !== sig(3L), "distinct docs must differ somewhere")
+  }
 }

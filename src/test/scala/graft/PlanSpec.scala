@@ -497,4 +497,44 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       s"the source-pair join must stay a gram-keyed equi-join:\n$p")
   }
+
+  test("join_interval_overlap broadcasts the calendar frame onto the orders") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the theta-join rewrite's whole point: the order-grain frame joins
+    // the calendar-grain cumulative frame by BROADCAST equi-join (twice —
+    // once on hi, once on lo) and never shuffles for it
+    val p = plan("join_interval_overlap")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the rewrite must stay day-keyed equi-joins:\n$p")
+    val bhj = collectWithSubqueries(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2,
+      s"both day joins must broadcast the calendar frame, got ${bhj.size}:\n$p")
+  }
+
+  test("win_rolling_median is one user-partitioned window pass") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("win_rolling_median")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.size === 1, s"expected exactly one WindowExec:\n$p")
+    assert(ws.head.partitionSpec.nonEmpty, "window must partition on user_id")
+  }
+
+  test("agg_assoc_rules joins part-keyed with only the 1-row total BNLJ") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("agg_assoc_rules")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the 1-row basket-total crossJoin may BNLJ, got ${bnlj.size}:\n$p")
+  }
+
+  test("llm_minhash_est_err pairs via equi-joins only") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("llm_minhash_est_err")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"signature/common joins must stay equi-keyed:\n$p")
+  }
 }

@@ -172,4 +172,57 @@ class WindowsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("join_interval_overlap equals the naive interval-interval theta join") {
+    import spark.implicits._
+    // brute force the DECLARED semantics (b.lo <= a.hi AND b.hi >= a.lo
+    // against every urgent window) driver-side, per-priority rollup exact
+    val iv = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(min(datediff(to_date(col("l_shipdate")),
+        lit("1970-01-01").cast("date"))).as("lo"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").as("ok"), col("o_orderpriority")), "ok")
+      .select(col("o_orderpriority"), col("lo"))
+      .as[(String, Int)].collect()
+      .map { case (pri, lo) => (pri, lo, lo + 6) }
+    val urgent = iv.filter(_._1 == "1-URGENT")
+    val perOrder = iv.map { case (pri, lo, hi) =>
+      (pri, urgent.count { case (_, bl, bh) => bl <= hi && bh >= lo }.toLong)
+    }
+    val expect = perOrder.groupBy(_._1).view.mapValues { g =>
+      val ov = g.map(_._2)
+      (g.length.toLong, ov.sum, ov.sum.toDouble / g.length, ov.max, ov.min)
+    }.toMap
+    val got = q("join_interval_overlap").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("total_overlap"),
+          r.getAs[Double]("avg_overlap"), r.getAs[Long]("max_overlap"),
+          r.getAs[Long]("min_overlap"))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("win_rolling_median matches a driver-side trailing-20 recompute") {
+    import spark.implicits._
+    val rows = q("win_rolling_median")
+      .select(col("user_id"), col("em"), col("event_id"), col("value"),
+        col("med"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 19), i + 1).map(_._4).sorted
+        val n = frame.length
+        // canonical continuous quantile: h = (n-1)*0.5
+        val h = (n - 1) * 0.5
+        val lo = frame(h.toInt)
+        val hi = frame(math.ceil(h).toInt)
+        val med = lo + (hi - lo) * (h - h.toInt)
+        assert(math.abs(ordered(i)._5 - med) < 1e-4 + 1e-9,
+          s"median drift at row $i: got ${ordered(i)._5}, want $med")
+      }
+    }
+  }
 }
