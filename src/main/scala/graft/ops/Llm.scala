@@ -998,8 +998,179 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok 
 SELECT doc_id, tok, tf, df, round(tfidf, 4) AS tfidf, rn
 FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""))
 
+  /** PMI COLLOCATIONS — pointwise mutual information of adjacent word
+    * pairs, the classic collocation detector (phrases like "machine
+    * learning" whose co-occurrence beats the unigram-independence rate; a
+    * tokenizer-vocabulary builder runs exactly this to decide which pairs
+    * deserve merged tokens — the statistical cousin of llm_bpe_train's
+    * frequency-greedy merges). Per bigram occurring ≥ 10 times:
+    * `pmi = ln(p(uv) / (p(u)·p(v)))` with `p(uv) = c_uv/N2` over bigram
+    * positions and `p(u) = c_u/N1` over token positions, computed as one
+    * shared-operand-order double expression `ln(c_uv·N1² / (c_u·c_v·N2))`.
+    *
+    * Float discipline: the ln ARGUMENT is built from exact longs by
+    * identical left-associated IEEE ops in both engines (same bits in →
+    * same double in), but `ln` itself is libm — path-divergent — and PMI
+    * CROSSES ZERO (anti-collocations are negative), so the emitted value
+    * takes [[H.r4z]]/r4zSql per the signed-zero audit (core.scala).
+    *
+    * Scale shape: unigram and bigram counts are token-grain hash
+    * aggregates (map-side combinable; the bigram space is the corpus'
+    * adjacent-pair stream — linear, never doc×doc); the ≥ 10 filter runs
+    * INSIDE the bigram aggregate's output before any join, and the two
+    * unigram lookups are vocab-keyed equi-joins (vocab-sized right side —
+    * AQE broadcasts when it fits, shuffles when a web-scale vocab
+    * doesn't; no hint pinned). Totals are 1-row broadcasts. Ordered by
+    * (u, v) — never by the rounded metric, per the tie-discipline.
+    */
+  private val llmPmiBigrams = Q(
+    "llm_pmi_bigrams",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val n1 = toks.agg(count(lit(1)).as("n1"))
+      val bi = Dedup.wordGramStrings(docs, "doc_id", "text", 2)
+      val n2 = bi.agg(count(lit(1)).as("n2"))
+      val pairs = bi.groupBy("g").agg(count(lit(1)).as("c_uv"))
+        .filter(col("c_uv") >= 10)
+        .select(element_at(split(col("g"), " "), 1).as("u"),
+          element_at(split(col("g"), " "), 2).as("v"), col("c_uv"))
+      pairs
+        .join(uni.select(col("t").as("u"), col("c").as("c_u")), "u")
+        .join(uni.select(col("t").as("v"), col("c").as("c_v")), "v")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("u"), col("v"), col("c_uv"), col("c_u"), col("c_v"),
+          H.r4z(log(
+            (col("c_uv").cast("double") * col("n1") * col("n1")) /
+              (col("c_u").cast("double") * col("c_v") * col("n2"))))
+            .as("pmi"))
+        .orderBy("u", "v")
+    },
+    Some(s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+uni AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+n1t AS (SELECT count(*) AS n1 FROM toks),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (SELECT t[i] || ' ' || t[i+1] AS g
+       FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS s(i)),
+n2t AS (SELECT count(*) AS n2 FROM bi),
+pairs AS (SELECT string_split(g, ' ')[1] AS u, string_split(g, ' ')[2] AS v,
+    count(*) AS c_uv
+  FROM bi GROUP BY g HAVING count(*) >= 10)
+SELECT u, v, c_uv, uu.c AS c_u, uv.c AS c_v,
+${H.r4zSql("ln((CAST(c_uv AS DOUBLE) * n1 * n1) / (CAST(uu.c AS DOUBLE) * uv.c * n2))")} AS pmi
+FROM pairs JOIN uni uu ON u = uu.t JOIN uni uv ON v = uv.t, n1t, n2t
+ORDER BY u, v"""))
+
+  /** Deterministic TRAIN/VAL/TEST split — every training pipeline's first
+    * decision, done the reproducible way: the doc's first md5 nibble (the
+    * same engine-portable hash family as llm_shard_write's layout and
+    * llm_mixture_resample's coin) buckets 12/2/2 sixteenths into
+    * train/val/test, so membership is a pure function of doc_id — stable
+    * across reruns, engines, and cluster sizes, with no RNG state to
+    * seed. Per split: doc/token/char counts and the realized doc share
+    * (one exact-long IEEE division — RAW; strictly positive).
+    *
+    * Scale shape: a per-row hash + one 3-group hash aggregate — map-side
+    * combinable, no join, no window; the only shuffle is 3 rows wide.
+    */
+  private val llmHashSplit = Q(
+    "llm_hash_split",
+    (s, d) => {
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+      val total = T.documents(s, d).agg(count(lit(1)).as("total"))
+      T.documents(s, d)
+        .withColumn("split",
+          when(nib < 12, "train").when(nib < 14, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_toks"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .crossJoin(broadcast(total))
+        .withColumn("doc_share", col("n_docs").cast("double") / col("total"))
+        .drop("total")
+        .orderBy("split")
+    },
+    Some("""WITH x AS (SELECT
+    CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12 THEN 'train'
+         WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14 THEN 'val'
+         ELSE 'test' END AS split,
+    len(string_split(text, ' ')) AS n_toks, n_chars
+  FROM documents),
+t AS (SELECT count(*) AS total FROM x)
+SELECT split, count(*) AS n_docs,
+CAST(sum(n_toks) AS BIGINT) AS n_toks, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+CAST(count(*) AS DOUBLE) / total AS doc_share
+FROM x, t GROUP BY split, total ORDER BY split"""))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** LINEAR MODEL SCORING — batch inference of a fixed interpretable
+    * quality model (the deployment half of a fastText-style filter: train
+    * offline, score the corpus at scale): per doc a logistic score over
+    * three exact-derived features — stopword ratio, mean chars/token,
+    * token count — `z = 6·stop_ratio + avg_len − 0.05·n_toks − 3`,
+    * `score = 1/(1+exp(−z))`, `keep = z ≥ 0` (≈52 % of the fixture).
+    *
+    * Float discipline: the features and z are identical IEEE chains on
+    * exact integers (ratios, one literal-weighted sum in spelled operand
+    * order — both engines agree on z's every bit), so `keep` thresholds
+    * the EXACT z, not a rounded echo (no boundary flake); `exp` is libm →
+    * only `score` rounds, [[H.r4]] (sigmoid output strictly positive and
+    * transcendental — off the round-4 grid). z itself CANNOT take engine
+    * `round`: the features are frequently dyadic rationals (stop_ratio =
+    * 1/32, avg_len = k/2ⁿ), so z lands ON representation-tie boundaries
+    * (measured: doc 486's z = 0.93124999…, DuckDB round → 0.9313, Spark
+    * BigDecimal → 0.9312) — the emitted `z_q` is [[H.q6]]-quantized
+    * instead (identical IEEE floor chain, no engine round involved).
+    *
+    * Scale shape: pure per-row map work — no shuffle at all before the
+    * output sort; the model "join" is zero-cost because the weights are
+    * literals, the shape a broadcast-weight scorer degenerates to when
+    * the model is one dense row.
+    */
+  private val llmScoreLinear = Q(
+    "llm_score_linear",
+    (s, d) => {
+      val n = size(split(col("text"), " ")).cast("long")
+      val nStop = size(filter(split(col("text"), " "),
+        t => t.isInCollection(stopwords)))
+      T.documents(s, d)
+        .select(col("doc_id"), n.as("n_toks"),
+          (nStop.cast("double") / n).as("stop_ratio"),
+          (col("n_chars").cast("double") / n).as("avg_len"))
+        .select(col("doc_id"), col("n_toks"), col("stop_ratio"),
+          col("avg_len"),
+          (col("stop_ratio") * 6.0 + col("avg_len") -
+            col("n_toks").cast("double") * 0.05 - 3.0).as("z"))
+        .select(col("doc_id"), col("n_toks"), col("stop_ratio"),
+          col("avg_len"), H.q6(col("z")).as("z_q"),
+          H.r4(lit(1.0) / (lit(1.0) + exp(lit(0.0) - col("z"))))
+            .as("score"),
+          (col("z") >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stop_ratio,
+    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_len
+  FROM documents),
+z AS (SELECT doc_id, n_toks, stop_ratio, avg_len,
+    -- CAST every weight literal to DOUBLE (bare decimal literals are
+    -- DECIMALs in DuckDB — the measured win_ewma 1-ulp hazard); keep and
+    -- z_r threshold the exact z, so the chain must stay pure double
+    stop_ratio * CAST(6.0 AS DOUBLE) + avg_len
+      - CAST(n_toks AS DOUBLE) * CAST(0.05 AS DOUBLE)
+      - CAST(3.0 AS DOUBLE) AS z
+  FROM f)
+SELECT doc_id, n_toks, stop_ratio, avg_len,
+${H.q6Sql("z")} AS z_q,
+round(1.0 / (1.0 + exp(0.0 - z)), 4) AS score,
+z >= 0.0 AS keep
+FROM z ORDER BY doc_id"""))
 
   /** Quality filter — [[graft.api.Text.qualityFlags]]: char-length band +
     * token floor + stopword-ratio cap.
@@ -2185,7 +2356,8 @@ GROUP BY 1 ORDER BY 1"""))
     llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
-    llmTextStats, llmTfidf, llmQualityFilter, llmRepetitionFilter, llmLangId,
+    llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
+    llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,
     llmUnigramLmPplHoldout,
     llmBigramLmPplHoldout, llmTrigramBackoffPpl, llmDsirSample,

@@ -1093,8 +1093,75 @@ SELECT count(*) AS n_suppliers,
   (2.0 * ${dec6SumSql(q6Sql("rk * share"))} - (max(n) + 1)) / max(n) AS gini
 FROM s"""))
 
+  /** Month-over-month RANK MOVERS (§2.4/2.5 ext) — the "trending items"
+    * report: parts ranked per order-month by discounted revenue, then each
+    * month's TOP-3 BIGGEST RANK CLIMBS vs the previous month (the
+    * dashboard row behind "what broke out this period"). Emits
+    * (m, pk, rank_prev, rank_cur, improve, rn) — every column an exact
+    * long (revenue enters only through the rank), so the output is RAW
+    * with zero float exposure; all orderings tie-break on part key.
+    *
+    * Float discipline inside the rank: per-(month, part) revenue is the
+    * exact decimal-factor product sum ([[H.m2]]·[[H.oneMinus]] — the
+    * measured half-up/half-even product-tie rule), cast to double once;
+    * both engines rank the same exact values with the same (rev DESC,
+    * pk ASC) total order, so the ranks — the only thing emitted — are
+    * integers agreed bit-free.
+    *
+    * Scale shape: one (month, part) hash aggregate over the fact join
+    * (orders side broadcast-eligible per AQE at fixture scale, sort-merge
+    * beyond); the rank window partitions on MONTH over a part-grain frame
+    * — dimension×calendar-bounded, the winNtile caveat (a fact-grain rank
+    * would take the two-stage cumulativeWeights form); the
+    * month-to-month self-join is (part, month)-keyed; the final top-3
+    * window re-partitions on month over the joined pairs. Nothing
+    * row-grain leaves the first aggregate.
+    */
+  private val aggRankMovers = Q(
+    "agg_rank_movers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pm = T.lineitem(s, d)
+        .join(T.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(
+          (year(to_date(col("o_orderdate"))) * 12 +
+            month(to_date(col("o_orderdate")))).as("m"),
+          col("l_partkey").as("pk"))
+        .agg(sum(H.m2(col("l_extendedprice")) * H.oneMinus(col("l_discount")))
+          .cast("double").as("rev"))
+      val rk = pm.withColumn("rnk",
+        row_number().over(Window.partitionBy("m")
+          .orderBy(col("rev").desc, col("pk").asc)))
+      val j = rk.as("a").join(rk.as("b"),
+          col("a.pk") === col("b.pk") && col("b.m") === col("a.m") + 1)
+        .select(col("b.m").as("m"), col("a.pk").as("pk"),
+          col("a.rnk").as("rank_prev"), col("b.rnk").as("rank_cur"),
+          (col("a.rnk") - col("b.rnk")).as("improve"))
+      j.withColumn("rn",
+          row_number().over(Window.partitionBy("m")
+            .orderBy(col("improve").desc, col("pk").asc)))
+        .filter(col("rn") <= 3)
+        .orderBy("m", "rn")
+    },
+    Some(s"""WITH pm AS (
+  SELECT year(CAST(o_orderdate AS DATE))*12 + month(CAST(o_orderdate AS DATE)) AS m,
+    l_partkey AS pk,
+    CAST(sum(${H.m2Sql("l_extendedprice")} * ${H.oneMinusSql("l_discount")}) AS DOUBLE) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+rk AS (SELECT m, pk, rev,
+    row_number() OVER (PARTITION BY m ORDER BY rev DESC, pk ASC) AS rnk FROM pm),
+j AS (SELECT b.m AS m, a.pk AS pk, a.rnk AS rank_prev, b.rnk AS rank_cur,
+    a.rnk - b.rnk AS improve
+  FROM rk a JOIN rk b ON a.pk = b.pk AND b.m = a.m + 1),
+t AS (SELECT m, pk, rank_prev, rank_cur, improve,
+    row_number() OVER (PARTITION BY m ORDER BY improve DESC, pk ASC) AS rn FROM j)
+SELECT CAST(m AS BIGINT) AS m, pk, rank_prev, rank_cur,
+  CAST(improve AS BIGINT) AS improve, rn
+FROM t WHERE rn <= 3 ORDER BY m, rn"""))
+
   val all: Seq[Q] = Seq(
-    aggProblemLinks, aggEntropy, aggHhiGini,
+    aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

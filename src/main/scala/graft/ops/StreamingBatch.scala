@@ -187,7 +187,63 @@ LEFT JOIN (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_s, count(*
 ON s.hour_s = h.hour_s
 ORDER BY hour_s"""))
 
+  /** CDC APPLY — collapse a change log to its latest-wins snapshot with
+    * tombstones: the event stream is read as an op log keyed on user_id
+    * ('error' = DELETE tombstone, anything else = UPSERT of that user's
+    * state), and the snapshot keeps, per user, the LATEST op by
+    * (ts, event_id) — dropped entirely when that op is a tombstone. The
+    * table-maintenance primitive a streaming ingest runs on every
+    * micro-batch (the stateful sibling of set_upsert's two-frame merge);
+    * per surviving user the snapshot also carries the op history counts a
+    * compaction audit wants (`n_ops`, `n_deletes` — deletes SEEN, i.e.
+    * tombstones the key outlived).
+    *
+    * All columns are exact (longs, strings, the 2-decimal value double
+    * passes through unchanged) — no rounding anywhere.
+    *
+    * Scale shape: ONE window pass partitioned on high-cardinality
+    * user_id computes rank + both counts over the same partition spec
+    * (one shuffle, one sort); the tombstone filter is applied AFTER
+    * rank-1 selection so deleted keys never leave the map side as
+    * output. No self-join, no driver state.
+    */
+  private val streamCdcApply = Q(
+    "stream_cdc_apply",
+    (s, d) => {
+      val byKey = Window.partitionBy("user_id")
+      val latest = Window.partitionBy("user_id")
+        .orderBy(col("em").desc, col("event_id").desc)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("event_type"), col("value"))
+        // one select, not chained withColumns: the two unbounded
+        // per-key counts share a window spec and merge into one Window
+        // node only when planned together (3 nodes → 2, same exchange)
+        .select(col("user_id"), col("event_id"), col("em"),
+          col("event_type"), col("value"),
+          row_number().over(latest).as("rn"),
+          count(lit(1)).over(byKey).as("n_ops"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .over(byKey).as("n_deletes"))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("em").as("last_em"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          col("n_ops"), col("n_deletes"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, em AS last_em, event_type AS last_type,
+value AS last_value, n_ops, n_deletes
+FROM (SELECT user_id, event_id, em, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY em DESC, event_id DESC) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n_ops,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS em, event_type, value
+        FROM events))
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
     streamDedup, streamLateData, streamStaticJoin, streamStreamJoin,
-    streamResampleFill)
+    streamResampleFill, streamCdcApply)
 }

@@ -657,9 +657,119 @@ SELECT o_orderpriority, count(*) AS n_orders,
   max(n_ov) AS max_overlap, min(n_ov) AS min_overlap
 FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Trailing EWMA (decay 1/2, 20-term adjusted form) — per user, the
+    * exponentially weighted mean of `value`, the standard
+    * recency-biased smoother a monitoring pipeline runs next to
+    * [[winSlidingAvg]]'s uniform mean and [[winRollingMedian]]'s robust
+    * one. `ewma_t = Σ_k v_{t−k}·2^{−k} / Σ_k 2^{−k}` over the trailing 20
+    * rows (pandas `ewm(alpha=.5, adjust=True)` semantics, truncated at 20
+    * terms where the weight is already 2^{−19} ≈ 1.9e−6).
+    *
+    * Emitted RAW, no rounding — engineered for bit-identity: the decay is
+    * a POWER OF TWO, so each product `v·2^{−k}` is an exact IEEE exponent
+    * shift of whatever bits `v` has; both engines evaluate the SAME
+    * 20-term addition chain written in the same left-to-right order (the
+    * Scala `reduce` below and SQL's left-associative `+` parse
+    * identically), and the final division is one shared IEEE op. Weight
+    * literals are emitted as exact decimal strings (2^{−k} is
+    * binary-exact, so its decimal expansion re-parses to the same double
+    * in either engine).
+    *
+    * Scale shape: ONE window pass partitioned on high-cardinality
+    * user_id; 20 lag expressions share the window spec (deduplicated by
+    * the window planner), no frame buffer beyond the 20 lags.
+    */
+  private val winEwma = Q(
+    "win_ewma",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("em", "event_id")
+      val wgts = (0 until 20).map(k => 1.0 / (1L << k))
+      val num = (0 until 20).map(k =>
+        coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(wgts(k)))
+        .reduce(_ + _)
+      val den = (0 until 20).map(k =>
+        when(lag(col("value"), k).over(w).isNotNull, lit(wgts(k)))
+          .otherwise(lit(0.0)))
+        .reduce(_ + _)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), em(col("ts")).as("em"),
+          col("value"))
+        .withColumn("ewma", num / den)
+        .orderBy("user_id", "em", "event_id")
+    },
+    Some {
+      // CAST each weight literal to DOUBLE: a bare decimal literal is a
+      // DECIMAL in DuckDB, which silently switches the whole chain to
+      // decimal arithmetic (measured: 1-ulp divergence at sf0.01 row 10);
+      // the cast is exact (2^-k is binary-exact) and restores the pure
+      // double chain that matches Spark bit-for-bit.
+      val wgts = (0 until 20).map(k =>
+        s"CAST(${java.math.BigDecimal.valueOf(1.0 / (1L << k)).toPlainString} AS DOUBLE)")
+      val num = (0 until 20)
+        .map(k => s"coalesce(lag(value, $k) OVER w, 0.0) * ${wgts(k)}")
+        .mkString(" + ")
+      val den = (0 until 20)
+        .map(k =>
+          s"(CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${wgts(k)} ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, em, value, ($num) / ($den) AS ewma
+FROM (SELECT user_id, event_id, epoch_us(ts) AS em, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)
+ORDER BY user_id, em, event_id"""
+    })
+
+  /** COHORT RETENTION over the event stream — the product-analytics
+    * matrix behind every "day-N retention" dashboard: users are cohorted
+    * by the day of their FIRST event, and each (cohort, day-offset) cell
+    * counts how many of them were active that many days later (day grain
+    * because the fixture's 30-day span holds only ~5 weeks — week-grain
+    * cohorts degenerate to a single all-retained cohort; the shape is
+    * grain-agnostic). `retention = n_active / n_cohort` is one IEEE
+    * division of two exact longs — RAW (strictly positive, no
+    * signed-zero exposure). `day_offset`, not `offset`: OFFSET is a
+    * DuckDB reserved word.
+    *
+    * Scale shape: activity collapses to user-day grain FIRST (one
+    * distinct shuffle keyed on high-cardinality user_id); the cohort day
+    * is a MIN over the same user key (AQE can reuse the exchange); the
+    * final (cohort, offset) aggregate is calendar-bounded (days², not
+    * data-sized), and cohort sizes join back BROADCAST on the tiny
+    * cohort-day key. No window function at all — the min-over-user form
+    * shuffles once where a row_number sort would shuffle and sort.
+    */
+  private val aggCohortRetention = Q(
+    "agg_cohort_retention",
+    (s, d) => {
+      val uw = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), epoch).as("dn"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("dn")).as("cdn"))
+      val sizes = cohort.groupBy("cdn")
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cdn"), (col("dn") - col("cdn")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cdn")
+        .select(col("cdn").as("cohort_dn"), col("day_offset"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+        .orderBy("cohort_dn", "day_offset")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+    CAST(ts AS DATE) - DATE '1970-01-01' AS dn FROM events),
+cohort AS (SELECT user_id, min(dn) AS cdn FROM uw GROUP BY 1),
+sizes AS (SELECT cdn, count(DISTINCT user_id) AS n_cohort FROM cohort GROUP BY 1),
+act AS (SELECT cdn, dn - cdn AS day_offset, count(DISTINCT uw.user_id) AS n_active
+  FROM uw JOIN cohort ON uw.user_id = cohort.user_id GROUP BY 1, 2)
+SELECT cdn AS cohort_dn, day_offset, n_active, n_cohort,
+CAST(n_active AS DOUBLE) / n_cohort AS retention
+FROM act JOIN sizes USING (cdn)
+ORDER BY cohort_dn, day_offset"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
-    winRollingMedian, joinIntervalOverlap)
+    winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention)
 }

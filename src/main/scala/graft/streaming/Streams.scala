@@ -11,6 +11,10 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 case class RunStats(n: Long, sum: Double, sumSq: Double)
 case class Anomaly(user_id: Long, event_id: Long, value: Double, zscore: Double)
+case class CdcState(em: Long, event_id: Long, event_type: String,
+    value: Double, n_ops: Long, n_deletes: Long)
+case class CdcRow(user_id: Long, last_em: Long, last_type: String,
+    last_value: Double, n_ops: Long, n_deletes: Long, deleted: Boolean)
 
 /** SURVEY.md §2.10 — the true Structured Streaming forms of the
   * batch-declared `stream_*` queries in [[graft.ops.StreamingBatch]].
@@ -134,6 +138,43 @@ object Streams {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** The true-streaming twin of `stream_cdc_apply`: per-key latest-wins
+    * CDC state with tombstones, maintained incrementally. Each micro-batch
+    * folds its ops into the key's [[CdcState]] (latest op by (µs, id) wins
+    * the snapshot fields; every op bumps `n_ops`, tombstones bump
+    * `n_deletes`) and emits the key's refreshed snapshot row — Update-mode
+    * semantics, so a downstream sink upserts on user_id and arrives at
+    * exactly the batch key's table (`deleted` marks keys whose LATEST op
+    * is a tombstone; the batch form drops them, a streaming sink needs the
+    * explicit delete marker instead — it cannot retract by omission).
+    * State is one flat struct per key, partitioned by the grouping key —
+    * bounded by the keyspace, the same contract as the batch window's
+    * partitioning. StreamingSpec replays the fixture in chunks and pins
+    * final-state equality with `stream_cdc_apply`.
+    */
+  def cdcSnapshot(events: Dataset[EventRow]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[CdcState]) =>
+          var st = state.getOption
+            .getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L, 0L))
+          it.foreach { e =>
+            val em = micros(e.ts)
+            if (em > st.em || (em == st.em && e.event_id > st.event_id))
+              st = st.copy(em = em, event_id = e.event_id,
+                event_type = e.event_type, value = e.value)
+            st = st.copy(n_ops = st.n_ops + 1,
+              n_deletes = st.n_deletes + (if (e.event_type == "error") 1L else 0L))
+          }
+          state.update(st)
+          Iterator(CdcRow(uid, st.em, st.event_type, st.value,
+            st.n_ops, st.n_deletes, st.event_type == "error"))
       }
   }
 

@@ -332,4 +332,69 @@ class LlmSpec extends SparkSpec {
     assert(sig(1L) === sig(2L), "identical docs must share every minimum")
     assert(sig(1L) !== sig(3L), "distinct docs must differ somewhere")
   }
+
+  test("llm_pmi_bigrams: counts consistent and pmi matches the ln formula") {
+    import spark.implicits._
+    val rows = q("llm_pmi_bigrams")
+      .select(col("u"), col("v"), col("c_uv"), col("c_u"), col("c_v"),
+        col("pmi"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val toks = ops.T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).as[String].collect()
+    val n1 = toks.length.toDouble
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n2 = ops.T.documents(spark, sf).select(col("text")).as[String]
+      .collect().map(t => math.max(0, t.split(" ", -1).length - 1)).sum.toDouble
+    rows.foreach { case (u, v, cuv, cu, cv, pmi) =>
+      assert(cuv <= math.min(cu, cv), s"pair count exceeds unigram: $u $v")
+      assert(cu == uni(u) && cv == uni(v), s"unigram drift for $u/$v")
+      val want = math.log((cuv * n1 * n1) / (cu.toDouble * cv * n2))
+      assert(math.abs(pmi - want) < 1e-4 + 1e-9,
+        s"pmi drift for ($u,$v): got $pmi want $want")
+    }
+  }
+
+  test("llm_score_linear: keep iff z >= 0, score is the sigmoid of z") {
+    import spark.implicits._
+    val rows = q("llm_score_linear")
+      .select(col("n_toks"), col("stop_ratio"), col("avg_len"), col("z_q"),
+        col("score"), col("keep"))
+      .as[(Long, Double, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_._6)
+    assert(kept > 0 && kept < rows.length, "model must split the corpus")
+    rows.foreach { case (n, sr, al, zq, score, keep) =>
+      val z = sr * 6.0 + al - n.toDouble * 0.05 - 3.0
+      assert(math.abs(zq - z) <= 5e-7 + 1e-12, s"z_q drift: $zq vs $z")
+      assert(keep == (z >= 0.0), "keep must threshold the exact z")
+      val sig = 1.0 / (1.0 + math.exp(-z))
+      assert(math.abs(score - sig) < 1e-4 + 1e-9, s"score $score vs $sig")
+      assert(score > 0.0 && score < 1.0)
+    }
+  }
+
+  test("llm_hash_split partitions the corpus and follows the md5 nibble rule") {
+    import spark.implicits._
+    val splits = q("llm_hash_split")
+      .select(col("split"), col("n_docs"), col("doc_share"))
+      .as[(String, Long, Double)].collect().toSeq
+    val total = ops.T.documents(spark, sf).count()
+    assert(splits.map(_._2).sum == total, "splits must partition the corpus")
+    assert(math.abs(splits.map(_._3).sum - 1.0) < 1e-12)
+    assert(splits.map(_._1).toSet == Set("train", "val", "test"))
+    val train = splits.find(_._1 == "train").get._2
+    assert(train > total / 2, s"train split implausibly small: $train/$total")
+    // spot-check membership is the documented pure function of doc_id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantTrain = ops.T.documents(spark, sf).select("doc_id").as[Long]
+      .collect().count { id =>
+        val nib = Integer.parseInt(
+          md.digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 1), 16)
+        md.reset(); nib < 12
+      }
+    assert(wantTrain.toLong == train,
+      s"train membership drifted from the md5-nibble rule: $wantTrain vs $train")
+  }
 }

@@ -537,4 +537,72 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       s"signature/common joins must stay equi-keyed:\n$p")
   }
+
+  test("win_ewma is one user-partitioned window pass, no joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan("win_ewma")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.size === 1, s"the 20 lags must share one WindowExec:\n$p")
+    assert(ws.head.partitionSpec.nonEmpty, "window must partition on user_id")
+    assert(collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("stream_cdc_apply windows share one user_id exchange, no joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan("stream_cdc_apply")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.size <= 2,
+      s"rank + partition counts must plan as at most two window nodes:\n$p")
+    assert(ws.forall(_.partitionSpec.nonEmpty))
+    // one hash exchange for the windows, one range exchange for the orderBy
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"cdc must not reshuffle between its windows:\n$p")
+    assert(collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("llm_pmi_bigrams joins vocab-keyed; only the two 1-row totals BNLJ") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("llm_pmi_bigrams")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product allowed:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 2,
+      s"only the two 1-row total crossJoins may BNLJ, got ${bnlj.size}:\n$p")
+  }
+
+  test("llm_score_linear is shuffle-free map work before the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("llm_score_linear")
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 1, s"only the final orderBy may exchange:\n$p")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("agg_rank_movers windows partition on month; join is part+month-keyed") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("agg_rank_movers")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"rank self-join must stay equi-keyed:\n$p")
+    val ws = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"rank windows must partition on month, never global:\n$p")
+  }
+
+  test("llm_hash_split is aggregate-only plus the 1-row total") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("llm_hash_split")
+    assert(collectWithSubqueries(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty,
+      s"split must not plan a window:\n$p")
+    val bnlj = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the 1-row total crossJoin may BNLJ, got ${bnlj.size}:\n$p")
+  }
 }

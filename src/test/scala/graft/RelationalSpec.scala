@@ -175,4 +175,29 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hhi >= 1.0 / n && hhi <= 1.0)
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("agg_rank_movers: exactly top-3 per month, consistent rank arithmetic") {
+    import spark.implicits._
+    val rows = q("agg_rank_movers")
+      .select(col("m"), col("pk"), col("rank_prev"), col("rank_cur"),
+        col("improve"), col("rn"))
+      .as[(Long, Long, Int, Int, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (m, g) =>
+      assert(g.length <= 3 && g.map(_._6).sorted.toSeq == (1 to g.length),
+        s"month $m must emit a dense rn 1..<=3")
+      // rn order follows (improve desc, pk asc)
+      val byRn = g.sortBy(_._6).toSeq
+      byRn.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2),
+            s"month $m: rn order must follow (improve desc, pk asc)")
+        case _ =>
+      }
+    }
+    rows.foreach { case (_, _, rp, rc, imp, _) =>
+      assert(imp == rp - rc, "improve must equal rank_prev - rank_cur")
+      assert(rp >= 1 && rc >= 1)
+    }
+  }
 }

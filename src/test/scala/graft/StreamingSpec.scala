@@ -356,4 +356,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("c_mktsegment").distinct().count() ==
       batch.select("c_mktsegment").distinct().count())
   }
+
+  test("cdcSnapshot stream state converges to the batch cdc snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CdcRow, EventRow}
+    val rows = eventRows(400).map(e =>
+      EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val mem = MemoryStream[EventRow]
+    val qy = Streams.cdcSnapshot(mem.toDS()).writeStream
+      .format("memory").queryName("out_cdc").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two chunks: state must carry latest/op-counts across micro-batches
+    mem.addData(rows.take(150)); qy.processAllAvailable()
+    mem.addData(rows.drop(150)); qy.processAllAvailable()
+    qy.stop()
+    val fin = spark.table("out_cdc").as[CdcRow].collect()
+      .groupBy(_.user_id).map { case (_, snaps) => snaps.maxBy(_.n_ops) }
+    // driver-side recompute over the same 400-op log
+    def mic(t: java.sql.Timestamp) =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val byUser = rows.groupBy(_.user_id)
+    fin.foreach { snap =>
+      val log = byUser(snap.user_id)
+      val latest = log.maxBy(e => (mic(e.ts), e.event_id))
+      assert(snap.last_em == mic(latest.ts) && snap.last_type == latest.event_type,
+        s"user ${snap.user_id}: stream state != latest op")
+      assert(snap.n_ops == log.size)
+      assert(snap.n_deletes == log.count(_.event_type == "error"))
+      assert(snap.deleted == (latest.event_type == "error"))
+    }
+    assert(fin.size == byUser.size)
+  }
+
+  test("stream_cdc_apply: latest-wins snapshot drops tombstoned keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = SparkEntry.queries("stream_cdc_apply")(spark, sf)
+    assert(snap.filter(col("last_type") === "error").count() == 0,
+      "a tombstone op must never survive as a snapshot row")
+    // driver-side recompute of the op log's latest state per key
+    val log = graft.ops.T.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("em"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val latest = log.groupBy(_._1).map { case (u, ops) =>
+      u -> ops.maxBy(e => (e._3, e._2))
+    }
+    val wantSurvivors = latest.filter(_._2._4 != "error").keySet
+    val got = snap.select("user_id").as[Long].collect().toSet
+    assert(got == wantSurvivors,
+      s"snapshot keys ${got.size} != recomputed survivors ${wantSurvivors.size}")
+    // op counts cover the whole log, deletes bounded by ops
+    val opCounts = log.groupBy(_._1).view.mapValues(_.length).toMap
+    snap.select(col("user_id"), col("n_ops"), col("n_deletes"))
+      .as[(Long, Long, Long)].collect().foreach { case (u, n, del) =>
+        assert(n == opCounts(u), s"user $u n_ops $n != log ${opCounts(u)}")
+        assert(del <= n && del >= 0)
+      }
+  }
 }

@@ -225,4 +225,48 @@ class WindowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("win_ewma matches a driver-side trailing-20 exponential recompute") {
+    import spark.implicits._
+    val rows = q("win_ewma")
+      .select(col("user_id"), col("em"), col("event_id"), col("value"),
+        col("ewma"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      ordered.indices.foreach { i =>
+        var num = 0.0; var den = 0.0
+        (0 until 20).foreach { k =>
+          val w = 1.0 / (1L << k)
+          if (i - k >= 0) { num += ordered(i - k)._4 * w; den += w }
+        }
+        // same op order as the operator -> should agree to the last bit,
+        // but assert at 1e-12 relative so the test doesn't depend on it
+        val want = num / den
+        assert(math.abs(ordered(i)._5 - want) <= math.abs(want) * 1e-12,
+          s"ewma drift at row $i: got ${ordered(i)._5}, want $want")
+      }
+    }
+  }
+
+  test("agg_cohort_retention: day-0 fully retained, cells bounded, cohorts partition users") {
+    import spark.implicits._
+    val cells = q("agg_cohort_retention")
+      .select(col("cohort_dn"), col("day_offset"), col("n_active"),
+        col("n_cohort"), col("retention"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(cells.nonEmpty)
+    cells.foreach { case (cdn, off, act, coh, r) =>
+      assert(off >= 0, s"negative offset $off for cohort $cdn")
+      assert(act <= coh, s"active $act exceeds cohort $coh")
+      assert(math.abs(r - act.toDouble / coh) == 0.0)
+      if (off == 0) assert(act == coh, s"day-0 cell must be fully retained")
+    }
+    // cohort sizes partition the user population exactly
+    val users = ops.T.events(spark, sf).select("user_id").distinct().count()
+    val cohortTotal = cells.filter(_._2 == 0).map(_._4).sum
+    assert(cohortTotal == users,
+      s"cohort sizes $cohortTotal must sum to the $users distinct users")
+  }
 }
