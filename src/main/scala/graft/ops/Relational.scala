@@ -631,6 +631,80 @@ count(*) FILTER (WHERE event_type = 'error') / count(*) AS error_rate,
 1 - count(*) FILTER (WHERE event_type = 'error') / count(*) AS success_rate
 FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** A/B TEST ANALYSIS (§2.4 ext) — the two-proportion z-test an
+    * experimentation platform runs per metric: users deterministically
+    * split 50/50 by the first md5 nibble of user_id (the same
+    * engine-portable hash family as llm_hash_split — assignment is a pure
+    * function of the id, reproducible across engines and reruns), the
+    * metric is the event-level error rate, and the test statistic is
+    * `z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with the pooled p̂.
+    * One row: counts, rates, z, and the |z| ≥ 1.96 two-sided flag.
+    *
+    * Float discipline — z emits RAW despite crossing zero: every input is
+    * an exact long; the divisions/products are spelled in identical
+    * operand order; and `sqrt` is NOT libm-divergent — IEEE 754 requires
+    * correct rounding for sqrt (unlike exp/ln/pow), so both engines agree
+    * on every bit of z. If p_a = p_b exactly, IEEE x−x = +0.0, so the
+    * zero never arrives signed. The flag thresholds the exact z. Oracle
+    * literals CAST AS DOUBLE (the DECIMAL-literal hazard).
+    *
+    * Scale shape: one 2-group map-side-combinable aggregate over a
+    * per-row hash — the 100 TB experiment readout is exactly this shape
+    * (no per-user state, no join; a per-user metric would add one
+    * user-grain pre-aggregate like agg_cohort_retention's).
+    */
+  private val aggAbTest = Q(
+    "agg_ab_test",
+    (s, d) => {
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1)) - 1")
+      val g = T.events(s, d)
+        .withColumn("variant", when(nib < 8, "A").otherwise("B"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+      val w = g.groupBy()
+        .agg(
+          sum(when(col("variant") === "A", col("n"))).as("n_a"),
+          sum(when(col("variant") === "B", col("n"))).as("n_b"),
+          sum(when(col("variant") === "A", col("x"))).as("x_a"),
+          sum(when(col("variant") === "B", col("x"))).as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a")
+      val pb = col("x_b").cast("double") / col("n_b")
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      w.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        ((pa - pb) / se).as("z"),
+        (abs((pa - pb) / se) >= 1.96).as("significant"))
+    },
+    Some("""WITH g AS (SELECT
+    CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+         THEN 'A' ELSE 'B' END AS variant,
+    count(*) AS n,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+w AS (SELECT
+    CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 'A' THEN x END) AS BIGINT) AS x_a,
+    CAST(sum(CASE WHEN variant = 'B' THEN x END) AS BIGINT) AS x_b
+  FROM g),
+c AS (SELECT n_a, n_b, x_a, x_b,
+    CAST(x_a AS DOUBLE) / n_a AS p_a,
+    CAST(x_b AS DOUBLE) / n_b AS p_b,
+    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+  FROM w)
+SELECT n_a, n_b, x_a, x_b, p_a, p_b,
+  (p_a - p_b) / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+    * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z,
+  abs((p_a - p_b) / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+    * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)))
+    >= CAST(1.96 AS DOUBLE) AS significant
+FROM c"""))
+
   private val aggCountDistinct = Q(
     "agg_count_distinct",
     (s, d) => T.events(s, d).groupBy("event_type")
@@ -1170,7 +1244,7 @@ FROM t WHERE rn <= 3 ORDER BY m, rn"""))
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, joinBucketed, joinFuzzy,
     srcPartitionedScan, srcProfile,
-    aggGlobal, aggGroupbyHash, aggSuccessRate, aggCountDistinct,
+    aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
     aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
     aggWeightedPercentile, aggStats, aggCollectSorted,

@@ -200,4 +200,18 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(rp >= 1 && rc >= 1)
     }
   }
+
+  test("agg_ab_test: z matches the pooled two-proportion formula on exact counts") {
+    val r = q("agg_ab_test").collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (xa, xb) = (r.getAs[Long]("x_a"), r.getAs[Long]("x_b"))
+    assert(na > 0 && nb > 0, "both variants must receive traffic")
+    val total = graft.ops.T.events(spark, sf).count()
+    assert(na + nb == total, "variants must partition the event stream")
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("z") == z, "z must be the exact IEEE chain")
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) >= 1.96))
+  }
 }
