@@ -92,7 +92,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop subset (comma-separated key names); the driver sets no env →
+    // full suite, and the emitted record still reports n_queries so a
+    // subset run can never masquerade as a full one
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val gc0 = gcMs
       // per-query loadavg sample: a contention spike MID-run (the quiesce
       // gate only protects the start) shows up against the specific keys it

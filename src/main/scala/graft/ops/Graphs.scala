@@ -419,7 +419,90 @@ SELECT u, v, s_uv, iu.s AS s_u, iv.s AS s_v,
 FROM pairs JOIN items iu ON u = iu.pk JOIN items iv ON v = iv.pk, nbt
 ORDER BY u, v"""))
 
+  /** Single-source BFS (3 hops) on the part co-order graph from part 0 —
+    * "how many co-purchase steps away is everything from this item?", the
+    * reachability/diameter probe of §2.12 (and the traversal primitive
+    * under recommendations-by-expansion). Emits (node, hop) for every part
+    * within 3 hops via [[graft.api.Graph.bfsHops]]; at sf0.01 the dense
+    * basket graph reaches 1 + 123 + 1876 = 2000 nodes by hop 2 (the 3rd
+    * round proves emptiness — the interesting output IS the hop
+    * distribution). Deterministic with no tie-breaks: frontier BFS assigns
+    * each node its unique shortest hop.
+    *
+    * Scale shape: rides the capped [[coOrderEdges]] ingestion; per round
+    * one src-keyed join + distinct + node-keyed anti-join (builder
+    * scaladoc). The oracle unrolls the identical 3 rounds as NOT-IN CTEs.
+    */
+  private val graphBfsHops = Q(
+    "graph_bfs_hops",
+    (s, d) => {
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      Graph.bfsHops(edges, source = 0L, maxHops = 3).orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""f$i AS (SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN f${i - 1} f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+v$i AS (SELECT node, hop FROM v${i - 1}
+  UNION ALL SELECT node, $i AS hop FROM f$i)"""
+      }.mkString(",\n")
+      s"""WITH $coOrderSql,
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+f0 AS (SELECT CAST(0 AS BIGINT) AS node),
+v0 AS (SELECT node, 0 AS hop FROM f0),
+$rounds
+SELECT node, hop FROM v3 ORDER BY node"""
+    })
+
+  /** k-core peel (k = 70, 5 synchronous rounds) on the part co-order graph
+    * — the cohesive-subgraph extractor of §2.12: parts surviving all five
+    * peels co-occur with ≥ 70 other surviving parts, the "always bought in
+    * rich baskets" core (and, on a link graph, the standard spam/periphery
+    * separator). Emits survivors as (node, coredeg) via
+    * [[graft.api.Graph.kcore]]; the probed trajectories are genuine
+    * cascades, not a one-shot degree filter: sf0.001 peels 200 → 185 →
+    * 177 → 169 → 153 → 123 (still shrinking at the bounded-round cut —
+    * the prefix semantics in the builder scaladoc), sf0.01 stabilizes at
+    * 2000 → 1972 → 1971.
+    *
+    * Scale shape: rides the capped [[coOrderEdges]] ingestion; per round
+    * two node-keyed joins + one hash aggregate over a shrinking node set
+    * (builder scaladoc). The oracle unrolls the identical 5 rounds.
+    */
+  private val graphKcore = Q(
+    "graph_kcore",
+    (s, d) => {
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      Graph.kcore(edges, k = 70, rounds = 5).orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""a$i AS (SELECT node FROM (
+  SELECT e.src AS node, count(*) AS dg FROM edges e
+    JOIN a${i - 1} x ON e.src = x.node
+    JOIN a${i - 1} y ON e.dst = y.node
+  GROUP BY 1) WHERE dg >= 70)"""
+      }.mkString(",\n")
+      s"""WITH $coOrderSql,
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+a0 AS (SELECT DISTINCT src AS node FROM edges),
+$rounds
+SELECT node, coredeg FROM (
+  SELECT e.src AS node, count(*) AS coredeg FROM edges e
+    JOIN a5 x ON e.src = x.node
+    JOIN a5 y ON e.dst = y.node
+  GROUP BY 1)
+ORDER BY node"""
+    })
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
-      graphJaccardSim, graphAssocRules)
+      graphJaccardSim, graphAssocRules, graphBfsHops, graphKcore)
 }

@@ -2348,7 +2348,150 @@ SELECT g.doc_id AS doc_id, count(*) AS n_grams,
 FROM g JOIN fo ON g.g = fo.g
 GROUP BY 1 ORDER BY 1"""))
 
+  /** Readability scoring (§2.9 ext) — a Flesch-reading-ease-shaped signal
+    * per document from two exact counts: words (space tokens) and a
+    * syllable proxy (maximal `[aeiou]+` vowel groups — the standard
+    * dictionary-free approximation). The fixture corpus is one "sentence"
+    * per doc (no sentence punctuation), so words-per-sentence degenerates
+    * to words-per-doc; the formula keeps Flesch's coefficients
+    * (206.835 − 1.015·wps − 84.6·spw) and on this corpus acts as a
+    * length+morphology quality band — exactly how readability scores are
+    * used as pretraining-corpus filters.
+    *
+    * Float discipline: both counts are exact longs; spw and the score are
+    * identical spelled-order IEEE chains with every literal pinned DOUBLE
+    * on the DuckDB side (bare decimal literals are DECIMALs there — the
+    * measured win_ewma/llm_score_linear hazard) → all columns RAW, no
+    * engine round anywhere. CJK docs have zero ASCII vowel groups → spw 0,
+    * score = high band, deterministically.
+    *
+    * Scale shape: pure per-row map work, no shuffle before the output
+    * sort; the regex is a codegen'd `regexp_extract_all` (no UDF).
+    */
+  private val llmReadability = Q(
+    "llm_readability",
+    (s, d) => {
+      val nw = size(split(col("text"), " ")).cast("long")
+      val nv = size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+        .cast("long")
+      T.documents(s, d)
+        .select(col("doc_id"), nw.as("n_words"), nv.as("n_vgroups"))
+        .withColumn("spw",
+          col("n_vgroups").cast("double") / col("n_words"))
+        .withColumn("flesch",
+          lit(206.835) - lit(1.015) * col("n_words").cast("double")
+            - lit(84.6) * col("spw"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vgroups
+  FROM documents)
+SELECT doc_id, n_words, n_vgroups,
+  CAST(n_vgroups AS DOUBLE) / n_words AS spw,
+  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+    - CAST(84.6 AS DOUBLE) * (CAST(n_vgroups AS DOUBLE) / n_words) AS flesch
+FROM f ORDER BY doc_id"""))
+
+  /** Vocabulary-growth (Heaps-law) curve (§2.9 ext) — per document in
+    * corpus order: its token count, how many of its token TYPES are new to
+    * the corpus so far, and the running totals (cum_toks, cum_vocab) whose
+    * log-log slope is the Heaps exponent. The operational use is corpus
+    * saturation monitoring: when cum_vocab flattens against cum_toks, new
+    * data is re-treading the existing vocabulary — a dedup/diversity alarm
+    * upstream of training.
+    *
+    * All-integer output (counts and prefix sums) — zero float exposure.
+    *
+    * Scale shape: "first doc containing each token" is ONE token-keyed
+    * hash aggregate (min doc_id — map-side combinable; no per-token
+    * window), collapsed to doc grain before the cumulative window. The
+    * prefix-sum window is unpartitioned over DOC grain — the winNtile
+    * caveat; at unbounded corpus size the curve runs per shard bucket and
+    * stitches via the ntileScalable two-stage offset pattern.
+    */
+  private val llmVocabGrowth = Q(
+    "llm_vocab_growth",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val newPer = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new_toks"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(newPer, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_new_toks"), lit(0L)).as("n_new_toks"))
+        .withColumn("cum_toks", sum("n_toks").over(w))
+        .withColumn("cum_vocab", sum("n_new_toks").over(w))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+fs AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+np AS (SELECT fd AS doc_id, count(*) AS n_new_toks FROM fs GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents)
+SELECT base.doc_id AS doc_id, n_toks,
+  coalesce(n_new_toks, 0) AS n_new_toks,
+  CAST(sum(n_toks) OVER (ORDER BY base.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks,
+  CAST(sum(coalesce(n_new_toks, 0)) OVER (ORDER BY base.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM base LEFT JOIN np ON base.doc_id = np.doc_id
+ORDER BY doc_id"""))
+
+  /** Embedding-space outlier scoring (§2.9 ext) — every vector's cosine to
+    * its LABEL CENTROID: the per-cluster coherence signal behind
+    * embedding-based quality filtering (a doc far from its domain centroid
+    * is mislabeled, noise, or genuinely novel — SemDeDup's complement,
+    * which prunes the TOO-CLOSE instead). Emits (vec_id, label, cos_c)
+    * for the whole corpus.
+    *
+    * Float discipline: centroids are [[graft.api.Vectors.centroids]]'
+    * DECIMAL(28,10)-exact per-position means (bit-identical across
+    * engines/partitionings — the k-means update rule); the dot product is
+    * the same-order sequential `vec_dot` both engines reproduce
+    * (list_dot_product), sqrt/division are correctly-rounded IEEE → the
+    * raw cosine matches bit-for-bit; [[H.r4z]] only collapses the emitted
+    * grain (the domain crosses zero — random-data cosines go negative —
+    * so the signed-zero rule applies to the rounding).
+    *
+    * Scale shape: ONE posexplode + (label, pos) hash aggregate builds the
+    * label-grain codebook (bounded: labels × dim rows), which then
+    * BROADCASTS into a map-side join — the corpus never shuffles. Same
+    * plan at 10⁹ vectors: the centroid aggregate is map-side combinable
+    * and the join stays broadcast as long as labels × dim stays
+    * codebook-sized.
+    */
+  private val llmDocOutlier = Q(
+    "llm_doc_outlier",
+    (s, d) => {
+      val nv = normEmb(s, d)
+      val cent = Vectors.centroids(
+        nv.select(col("label").as("cell"), col("vd")), "cell")
+      nv.join(broadcast(cent), col("label") === col("cell"))
+        .select(col("vec_id"), col("label"),
+          H.r4z(expr("vec_dot(vd, cvd)") / (col("nrm") * col("cnrm")))
+            .as("cos_c"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+nv AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+cp AS (SELECT label, i AS pos,
+    CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+  FROM nv, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
+c AS (SELECT label, list(cx ORDER BY pos) AS cvd FROM cp GROUP BY 1),
+cn AS (SELECT label, cvd, sqrt(list_dot_product(cvd, cvd)) AS cnrm FROM c)
+SELECT vec_id, nv.label AS label,
+  ${H.r4zSql("list_dot_product(vd, cvd) / (nrm * cnrm)")} AS cos_c
+FROM nv JOIN cn ON nv.label = cn.label
+ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
+    llmReadability, llmVocabGrowth, llmDocOutlier,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
     llmNgramDfcapRecall,

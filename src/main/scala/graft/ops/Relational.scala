@@ -1234,8 +1234,137 @@ SELECT CAST(m AS BIGINT) AS m, pk, rank_prev, rank_cur,
   CAST(improve AS BIGINT) AS improve, rn
 FROM t WHERE rn <= 3 ORDER BY m, rn"""))
 
+  /** Chi-square test of independence (§2.4 ext) on the order-priority ×
+    * order-status contingency table — the categorical-association screen
+    * behind "does this dimension actually predict that one?" (e.g. does a
+    * transfer's priority class move its terminal status mix?). Emits every
+    * cell with its observed count, expected count under independence, and
+    * contribution, plus the table-level chi2 and degrees of freedom
+    * repeated per row (the n_capped_orders pattern — one frame, cell grain
+    * + table stats).
+    *
+    * Float discipline: row/column/grand totals are exact longs;
+    * `expected = rt·ct/n` and `contrib = (obs−exp)²/exp` are identical
+    * spelled-order IEEE chains on those longs → RAW; only the chi2 SUM
+    * over cells is order-divergent → [[H.q6]] + [[H.dec6Sum]]. `dof` is
+    * pure integer arithmetic.
+    *
+    * Scale shape: one (pri, status) hash aggregate over the fact table,
+    * then everything runs at CELL grain (|pri|×|status| rows); the margins
+    * join cell-keyed and the 1-row total broadcasts. Nothing row-grain
+    * survives the first aggregate — the shape that holds at any corpus
+    * size with bounded category cardinalities.
+    */
+  private val aggChi2 = Q(
+    "agg_chi2",
+    (s, d) => {
+      val cells = T.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("o_orderpriority").agg(sum("obs").as("rt"))
+      val ct = cells.groupBy("o_orderstatus").agg(sum("obs").as("ct"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("o_orderpriority").as("npri"),
+        countDistinct("o_orderstatus").as("nst"))
+      val obsD = col("obs").cast("double")
+      val e = cells.join(rt, "o_orderpriority").join(ct, "o_orderstatus")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          col("rt").cast("double") * col("ct").cast("double")
+            / col("n").cast("double"))
+        .withColumn("contrib",
+          (obsD - col("expected")) * (obsD - col("expected"))
+            / col("expected"))
+      val stat = e.agg(dec6Sum(q6(col("contrib"))).as("chi2"),
+        ((max(col("npri")) - 1L) * (max(col("nst")) - 1L)).as("dof"))
+      e.select(col("o_orderpriority"), col("o_orderstatus"), col("obs"),
+          col("expected"), col("contrib"))
+        .crossJoin(broadcast(stat))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some(s"""WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS obs
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+ct AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        count(DISTINCT o_orderpriority) AS npri,
+        count(DISTINCT o_orderstatus) AS nst FROM c),
+e AS (SELECT c.o_orderpriority, c.o_orderstatus, obs,
+        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib,
+        npri, nst
+      FROM c JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus), t),
+x AS (SELECT ${dec6SumSql(q6Sql("contrib"))} AS chi2,
+        (max(npri) - 1) * (max(nst) - 1) AS dof FROM e)
+SELECT o_orderpriority, o_orderstatus, obs, expected, contrib, chi2, dof
+FROM e, x ORDER BY o_orderpriority, o_orderstatus"""))
+
+  /** Two-sample Kolmogorov–Smirnov test (§2.4 ext) — the distributional
+    * twin of [[aggAbTest]]'s proportion z-test: D = max |F̂₁(v) − F̂₂(v)|
+    * between the order-value ECDFs of finished ('F') vs open ('O') orders,
+    * plus the scaled statistic `ks = D·√(n1·n2/(n1+n2))` (the quantity
+    * compared against the Kolmogorov critical values). One row:
+    * (n1, n2, ks_d, ks_stat).
+    *
+    * Float discipline: the ECDF steps are exact-long cumulative counts
+    * over identically-grouped exact doubles (o_totalprice bits from the
+    * same parquet); each row's `|k1/n1 − k2/n2|` is an identical
+    * spelled-order IEEE chain and `max` is order-independent → RAW; sqrt
+    * is IEEE-correctly-rounded → ks_stat RAW too.
+    *
+    * Scale shape: one hash aggregate collapses the fact table to DISTINCT
+    * VALUE grain, then the cumulative window runs over that (bounded by
+    * value cardinality). The window is unpartitioned — the winNtile
+    * caveat: fine at dimension-ish distinct-value counts; an unbounded
+    * value domain takes the two-stage ntileScalable prefix-sum form
+    * instead.
+    */
+  private val aggKsTest = Q(
+    "agg_ks_test",
+    (s, d) => {
+      val o = T.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("isa"))
+      val g = o.groupBy("v").agg(sum("isa").as("c1"),
+        (count(lit(1)) - sum("isa")).as("c2"))
+      val n = o.agg(sum("isa").as("n1"),
+        (count(lit(1)) - sum(col("isa"))).as("n2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("v"), sum("c1").over(w).as("k1"),
+          sum("c2").over(w).as("k2"))
+        .crossJoin(broadcast(n))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("k1").cast("double") / col("n1")
+            - col("k2").cast("double") / col("n2"))).as("ks_d"))
+        .withColumn("ks_stat", col("ks_d") *
+          sqrt(col("n1").cast("double") * col("n2").cast("double")
+            / (col("n1").cast("double") + col("n2").cast("double"))))
+    },
+    Some("""WITH o AS (SELECT o_totalprice AS v,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS isa
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+g AS (SELECT v, CAST(sum(isa) AS BIGINT) AS c1,
+        CAST(count(*) - sum(isa) AS BIGINT) AS c2 FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(isa) AS BIGINT) AS n1,
+        CAST(count(*) - sum(isa) AS BIGINT) AS n2 FROM o),
+c AS (SELECT v,
+        CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k1,
+        CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k2
+      FROM g),
+m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+        max(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)) AS ks_d
+      FROM c, t)
+SELECT n1, n2, ks_d,
+  ks_d * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS ks_stat
+FROM m"""))
+
   val all: Seq[Q] = Seq(
-    aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers,
+    aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

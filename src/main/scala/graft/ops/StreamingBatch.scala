@@ -243,7 +243,47 @@ FROM (SELECT user_id, event_id, em, event_type, value,
 WHERE rn = 1 AND event_type <> 'error'
 ORDER BY user_id"""))
 
+  /** Windowed TOP-K (§2.10 ext) — per tumbling 1-day window, the top-3
+    * event types by summed value with their rank: the "trending now"
+    * leaderboard every streaming dashboard runs. Batch-declared like the
+    * rest of the family; in a live stream the per-window aggregate is the
+    * same `window()` groupBy, and the rank finalizes when the watermark
+    * closes the window (rank is not incrementally appendable, so a
+    * streaming deployment emits it from the closed-window state — the
+    * documented seam, same class as stream_session's gap-close).
+    *
+    * Float discipline: sum_value via [[H.dsum]] (exact decimal, cast back
+    * once) → ranking compares bit-identical doubles, ties broken on
+    * event_type — no tie-split hazard across engines.
+    *
+    * Scale shape: one (window, type) hash aggregate with map-side partial
+    * combine, then the rank window partitions per-day over TYPE grain —
+    * bounded rows per partition regardless of event volume.
+    */
+  private val streamTopkWindowed = Q(
+    "stream_topk_windowed",
+    (s, d) => {
+      val wR = Window.partitionBy("day_start")
+        .orderBy(col("sum_value").desc, col("event_type").asc)
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("day_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 3)
+        .orderBy("day_start", "rk")
+    },
+    Some(s"""WITH b AS (SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_start,
+    event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+  FROM events GROUP BY 1, 2),
+r AS (SELECT day_start, event_type, n, sum_value,
+    row_number() OVER (PARTITION BY day_start
+      ORDER BY sum_value DESC, event_type ASC) AS rk FROM b)
+SELECT day_start, event_type, n, sum_value, rk FROM r
+WHERE rk <= 3 ORDER BY day_start, rk"""))
+
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
     streamDedup, streamLateData, streamStaticJoin, streamStreamJoin,
-    streamResampleFill, streamCdcApply)
+    streamResampleFill, streamCdcApply, streamTopkWindowed)
 }

@@ -767,9 +767,91 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** Kaplan–Meier survival curve (§2.4/2.5 ext) over order→ship latency —
+    * the time-to-event analytic behind "how long until a queued transfer
+    * actually ships, given some never observably do": duration = weeks from
+    * order date to ship date, an observation is an EVENT if the lineitem
+    * was not returned (`l_returnflag != 'R'`) and CENSORED otherwise (the
+    * return hides the true outcome — the standard right-censoring story).
+    * Per distinct week t: the at-risk count (observations with duration
+    * ≥ t), events d, censorings c, and the KM estimate
+    * `S(t) = Π_{u<=t} (1 − d_u/n_u)`. Negative-duration rows (the synthetic
+    * fixture ships some lines before the order date) are excluded upfront.
+    *
+    * Float discipline: d, c, n_risk are exact longs (reverse-cumulative
+    * window sums); the product runs as exp(Σ ln(1 − d/n)) with each ln term
+    * [[H.q6]]-quantized and the cumulative sum in DECIMAL(28,6) (the
+    * header's running-sum rule — DuckDB's segment-tree window association
+    * order never sees raw doubles); exp is libm → [[H.r4]] on the strictly
+    * positive survival. A week where d = n (everyone at risk dies) zeroes
+    * S from there on — handled by an exact integer flag and a cumulative
+    * zero counter, never by ln(0).
+    *
+    * Scale shape: one hash aggregate collapses the fact join to WEEK grain;
+    * all three windows run over that bounded-cardinality frame (the
+    * winNtile caveat — a finer-than-week grain on an unbounded horizon
+    * would take the ntileScalable two-stage prefix-sum form).
+    */
+  private val aggSurvivalKm = Q(
+    "agg_survival_km",
+    (s, d) => {
+      val b = T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))).as("days"),
+          (col("l_returnflag") =!= "R").as("ev"))
+        .filter(col("days") >= 0)
+      val g = b.groupBy(floor(col("days") / lit(7.0)).cast("long").as("t_wk"))
+        .agg(count(when(col("ev"), 1)).as("d_ev"),
+          count(when(!col("ev"), 1)).as("c_cens"))
+      val wRev = Window.orderBy("t_wk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("t_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.withColumn("n_risk",
+        sum(col("d_ev") + col("c_cens")).over(wRev))
+      val sLn = r
+        .withColumn("lnf", when(col("n_risk") > col("d_ev"),
+          q6(log((col("n_risk") - col("d_ev")).cast("double")
+            / col("n_risk")))))
+        .withColumn("zc", sum(when(col("n_risk") === col("d_ev"), 1L)
+          .otherwise(0L)).over(wCum))
+      sLn.select(col("t_wk"), col("n_risk"), col("d_ev"), col("c_cens"),
+          when(col("zc") > 0L, lit(0.0)).otherwise(
+            r4(exp(sum(col("lnf")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(wCum)
+              .cast("double")))).as("s_km"))
+        .orderBy("t_wk")
+    },
+    Some(s"""WITH b0 AS (SELECT
+    CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS days,
+    (l_returnflag != 'R') AS ev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+b AS (SELECT * FROM b0 WHERE days >= 0),
+g AS (SELECT CAST(days // 7 AS BIGINT) AS t_wk,
+        count(*) FILTER (WHERE ev) AS d_ev,
+        count(*) FILTER (WHERE NOT ev) AS c_cens
+      FROM b GROUP BY 1),
+r AS (SELECT t_wk, d_ev, c_cens,
+        CAST(sum(d_ev + c_cens) OVER (ORDER BY t_wk
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      FROM g),
+s AS (SELECT t_wk, n_risk, d_ev, c_cens,
+        CASE WHEN n_risk > d_ev
+          THEN ${q6Sql("ln(CAST(n_risk - d_ev AS DOUBLE) / n_risk)")} END AS lnf,
+        CAST(sum(CASE WHEN n_risk = d_ev THEN 1 ELSE 0 END)
+          OVER (ORDER BY t_wk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS zc
+      FROM r)
+SELECT t_wk, n_risk, d_ev, c_cens,
+  CASE WHEN zc > 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE round(exp(CAST(sum(CAST(lnf AS DECIMAL(28,6)))
+      OVER (ORDER BY t_wk ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 4) END AS s_km
+FROM s ORDER BY t_wk"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
-    winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention)
+    winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
+    aggSurvivalKm)
 }

@@ -144,6 +144,77 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("bfsHops on a planted path assigns exact shortest hops and stops at maxHops") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val got = graft.api.Graph.bfsHops(edges, source = 1L, maxHops = 2)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    // nodes 4, 5 are 3+ hops out: excluded by the bound
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("kcore on a planted clique-plus-tail peels the tail, keeps the clique") {
+    import spark.implicits._
+    // K5 on 1..5 plus a pendant tail 5-6-7
+    val und = (for (a <- 1 to 5; b <- a + 1 to 5)
+      yield (a.toLong, b.toLong)) ++ Seq((5L, 6L), (6L, 7L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val got = graft.api.Graph.kcore(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("coredeg")).toMap
+    // tail nodes 6 (deg 2) and 7 (deg 1) peel in round 1; the K5 is stable
+    // and every survivor's in-core degree is exactly 4
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.values.forall(_ == 4L))
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("graph_bfs_hops hop-1 frontier is exactly part 0's co-order neighborhood") {
+    val rows = q("graph_bfs_hops").collect()
+    val hops = rows.map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    assert(hops.size === rows.length) // each node at exactly one hop
+    assert(hops(0L) === 0)
+    assert(hops.values.forall(h => h >= 0 && h <= 3))
+    // recompute hop 1 from the raw baskets (cap 64 is inert at sf0.001's
+    // <=7-item orders): parts sharing at least one order with part 0
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val o0 = li.filter(col("pk") === 0L).select("ok").distinct()
+    val n1 = li.join(o0, "ok").filter(col("pk") =!= 0L)
+      .select("pk").distinct().collect().map(_.getLong(0)).toSet
+    assert(hops.filter(_._2 == 1).keySet === n1)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("graph_kcore survivors shrink across rounds and bound their degrees") {
+    // probed trajectory at sf0.001 (k=70): 200 -> 185 -> 177 -> 169 ->
+    // 153 -> 123 — a genuine cascade (a one-shot deg>=70 filter would
+    // keep 185); the planted-clique test above pins survivor semantics
+    val rows = q("graph_kcore").collect()
+    assert(rows.length === 123)
+    // final coredeg is the degree among round-5 survivors: bounded by the
+    // full-graph degree, and round 5 filtered on >= 70 over round-4 nodes
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val deg = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cd = r.getAs[Long]("coredeg")
+      assert(cd <= deg(r.getAs[Long]("node")))
+      assert(cd >= 1L)
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

@@ -397,4 +397,61 @@ class LlmSpec extends SparkSpec {
     assert(wantTrain.toLong == train,
       s"train membership drifted from the md5-nibble rule: $wantTrain vs $train")
   }
+
+  test("llm_readability equals the per-row formula recount") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rows = q("llm_readability").collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val nw = t.split(" ", -1).length.toLong
+      val nv = "[aeiou]+".r.findAllIn(t).length.toLong
+      assert(r.getAs[Long]("n_words") === nw)
+      assert(r.getAs[Long]("n_vgroups") === nv)
+      val spw = nv.toDouble / nw
+      assert(r.getAs[Double]("spw") === spw)
+      assert(r.getAs[Double]("flesch") === 206.835 - 1.015 * nw - 84.6 * spw,
+        "flesch must be the exact IEEE chain")
+    }
+  }
+
+  test("llm_vocab_growth prefix sums close over a sequential scan") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val rows = q("llm_vocab_growth").collect()
+    assert(rows.length === docs.length)
+    assert(rows.last.getAs[Long]("cum_toks") ===
+      docs.map(_._2.split(" ", -1).length.toLong).sum)
+    assert(rows.last.getAs[Long]("cum_vocab") ===
+      docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong)
+    val seen = scala.collection.mutable.Set[String]()
+    var (ct, cv) = (0L, 0L)
+    docs.zip(rows).foreach { case ((id, text), r) =>
+      val toks = text.split(" ", -1)
+      val nn = toks.distinct.count(!seen.contains(_)).toLong
+      seen ++= toks
+      ct += toks.length; cv += nn
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Long]("n_new_toks") === nn)
+      assert(r.getAs[Long]("cum_toks") === ct)
+      assert(r.getAs[Long]("cum_vocab") === cv)
+    }
+  }
+
+  test("llm_doc_outlier cosines are bounded and label-coherent") {
+    val rows = q("llm_doc_outlier").collect()
+    assert(rows.length === 500)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos_c"); c >= -1.0000001 && c <= 1.0000001
+    })
+    // every vector contributes 1/n of its own centroid, so the label-mean
+    // cosine must be positive even on isotropic random embeddings
+    q("llm_doc_outlier").collect().groupBy(_.getAs[Int]("label"))
+      .values.foreach { g =>
+        assert(g.map(_.getAs[Double]("cos_c")).sum / g.size > 0.0)
+      }
+  }
 }

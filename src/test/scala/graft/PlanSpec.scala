@@ -573,6 +573,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"only the two 1-row total crossJoins may BNLJ, got ${bnlj.size}:\n$p")
   }
 
+  test("llm_readability is shuffle-free map work before the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("llm_readability")
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 1, s"only the final orderBy may exchange:\n$p")
+    assert(collectWithSubqueries(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("llm_doc_outlier joins the label codebook broadcast; corpus never shuffle-joins") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("llm_doc_outlier")
+    val bhj = collectWithSubqueries(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a broadcast codebook join:\n$p")
+    assert(collectWithSubqueries(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      s"the corpus side must not sort-merge:\n$p")
+  }
+
   test("llm_score_linear is shuffle-free map work before the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec

@@ -214,4 +214,46 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r.getAs[Double]("z") == z, "z must be the exact IEEE chain")
     assert(r.getAs[Boolean]("significant") == (math.abs(z) >= 1.96))
   }
+
+  test("agg_chi2 equals a driver-side contingency recount") {
+    val rows = q("agg_chi2").collect()
+    val obs = rows.map(r => (r.getAs[String]("o_orderpriority"),
+      r.getAs[String]("o_orderstatus")) -> r.getAs[Long]("obs")).toMap
+    val rt = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = obs.values.sum.toDouble
+    var chi = 0.0
+    obs.foreach { case ((p, st), o) =>
+      val e = rt(p) * ct(st) / n
+      chi += (o - e) * (o - e) / e
+    }
+    val r0 = rows.head
+    // q6 quantization of each cell contribution bounds the drift
+    assert(math.abs(r0.getAs[Double]("chi2") - chi) < 1e-3)
+    assert(r0.getAs[Long]("dof") === (rt.size - 1L) * (ct.size - 1L))
+    rows.foreach { r =>
+      val e = rt(r.getAs[String]("o_orderpriority")) *
+        ct(r.getAs[String]("o_orderstatus")) / n
+      assert(math.abs(r.getAs[Double]("expected") - e) < 1e-9)
+    }
+  }
+
+  test("agg_ks_test equals a brute-force two-sample ECDF scan") {
+    import spark.implicits._
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_totalprice"), col("o_orderstatus"))
+      .as[(Double, String)].collect()
+    val a = vals.filter(_._2 == "F").map(_._1)
+    val b = vals.filter(_._2 == "O").map(_._1)
+    def ecdf(xs: Array[Double], v: Double) = xs.count(_ <= v).toDouble / xs.length
+    val d = (a ++ b).distinct
+      .map(v => math.abs(ecdf(a, v) - ecdf(b, v))).max
+    val r = q("agg_ks_test").collect()(0)
+    assert(r.getAs[Long]("n1") === a.length.toLong)
+    assert(r.getAs[Long]("n2") === b.length.toLong)
+    assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ks_stat") -
+      d * math.sqrt(a.length.toDouble * b.length / (a.length + b.length))) < 1e-12)
+  }
 }

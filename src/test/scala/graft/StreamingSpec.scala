@@ -415,4 +415,17 @@ class StreamingSpec extends SparkSpec {
         assert(del <= n && del >= 0)
       }
   }
+
+  test("stream_topk_windowed ranks are contiguous and ordered per window") {
+    val rows = q("stream_topk_windowed").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("day_start")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq === (1 to g.length))
+      assert(g.length <= 3)
+      val sv = byRank.map(_.getAs[Double]("sum_value"))
+      assert(sv.zip(sv.tail).forall { case (a, b) => a >= b },
+        "sum_value must be non-increasing in rank")
+    }
+  }
 }

@@ -269,4 +269,43 @@ class WindowsSpec extends SparkSpec {
     assert(cohortTotal == users,
       s"cohort sizes $cohortTotal must sum to the $users distinct users")
   }
+
+  test("agg_survival_km matches a sequential Kaplan-Meier recount") {
+    import spark.implicits._
+    val rows = q("agg_survival_km").collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Double]("s_km"))
+    assert(s.zip(s.tail).forall { case (x, y) => y <= x + 1e-9 },
+      "survival must be non-increasing")
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    // sequential single-threaded recount of the estimator
+    val data = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).as("days"),
+        (col("l_returnflag") =!= "R").as("ev"))
+      .filter(col("days") >= 0)
+      .as[(Int, Boolean)].collect()
+    val byT = data.groupBy(_._1 / 7).toSeq.sortBy(_._1)
+    var atRisk = data.length.toLong
+    var surv = 1.0
+    val exp = byT.map { case (t, g) =>
+      val dd = g.count(_._2).toLong
+      val n = atRisk
+      surv *= (n - dd).toDouble / n
+      atRisk -= g.length
+      (t.toLong, n, dd, g.length - dd, surv)
+    }
+    assert(rows.length === exp.length)
+    exp.zip(rows).foreach { case ((t, n, dd, cc, sv), r) =>
+      assert(r.getAs[Long]("t_wk") === t)
+      assert(r.getAs[Long]("n_risk") === n)
+      assert(r.getAs[Long]("d_ev") === dd)
+      assert(r.getAs[Long]("c_cens") === cc.toLong)
+      // q6 on each ln term + round(4) on the exp bound the drift
+      assert(math.abs(r.getAs[Double]("s_km") - sv) < 5e-4,
+        s"t=$t: ${r.getAs[Double]("s_km")} vs $sv")
+    }
+  }
 }
