@@ -564,25 +564,27 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
     * the SQL twin of [[graft.api.Vectors.kmeansCodebook]] over a CTE `n0`
     * with (vec_id, vd, nrm). Emits c0..c{iters} and a{1..iters}.
     */
-  private def kmeansSql(src: String, k: Int, iters: Int): String = {
-    val seeds = s"""seeds AS (SELECT vd AS cvd, nrm AS cnrm, rn0 - 1 AS cell FROM (
+  private def kmeansSql(src: String, k: Int, iters: Int,
+      prefix: String = "", tag: String = "cb"): String = {
+    val p = prefix
+    val seeds = s"""${p}seeds AS (SELECT vd AS cvd, nrm AS cnrm, rn0 - 1 AS cell FROM (
     SELECT vd, nrm,
-      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cb')) AS rn0
+      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':$tag')) AS rn0
     FROM $src) WHERE rn0 <= $k),
-c0 AS (SELECT cell, cvd, cnrm FROM seeds)"""
+${p}c0 AS (SELECT cell, cvd, cnrm FROM ${p}seeds)"""
     val steps = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vec_id, vd, nrm, cell FROM (
+      s"""${p}a$i AS (SELECT vec_id, vd, nrm, cell FROM (
     SELECT s.vec_id, s.vd, s.nrm, c.cell,
       row_number() OVER (PARTITION BY s.vec_id
         ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
-    FROM $src s CROSS JOIN c${i - 1} c) WHERE r = 1),
-u${i}p AS (SELECT cell, i AS pos,
+    FROM $src s CROSS JOIN ${p}c${i - 1} c) WHERE r = 1),
+${p}u${i}p AS (SELECT cell, i AS pos,
          CAST(sum(CAST(vd[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
-       FROM a$i, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
-u$i AS (SELECT cell, list(cx ORDER BY pos) AS cvd FROM u${i}p GROUP BY cell),
-c$i AS (SELECT c.cell AS cell, coalesce(u$i.cvd, c.cvd) AS cvd,
-         sqrt(list_dot_product(coalesce(u$i.cvd, c.cvd), coalesce(u$i.cvd, c.cvd))) AS cnrm
-       FROM c${i - 1} c LEFT JOIN u$i ON c.cell = u$i.cell)"""
+       FROM ${p}a$i, UNNEST(generate_series(1, len(vd))) AS u(i) GROUP BY 1, 2),
+${p}u$i AS (SELECT cell, list(cx ORDER BY pos) AS cvd FROM ${p}u${i}p GROUP BY cell),
+${p}c$i AS (SELECT c.cell AS cell, coalesce(u.cvd, c.cvd) AS cvd,
+         sqrt(list_dot_product(coalesce(u.cvd, c.cvd), coalesce(u.cvd, c.cvd))) AS cnrm
+       FROM ${p}c${i - 1} c LEFT JOIN ${p}u$i u ON c.cell = u.cell)"""
     }
     (seeds +: steps).mkString(",\n")
   }
@@ -744,6 +746,110 @@ SELECT q.q_id AS q_id, COALESCE(h.h, 0) AS n_hits,
 CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
 FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 ORDER BY q_id"""))
+
+  /** Product-quantization ANN (§2.9 ext) — recall@5 of PQ
+    * asymmetric-distance scoring against the brute-force cosine truth:
+    * the memory-bound half of the ANN trade (llm_ann_ivf prunes WHICH
+    * vectors to score; PQ compresses WHAT is stored — dim 64 × 4 bytes
+    * → m=4 one-byte codes, 64×). Each vector splits into 4 contiguous
+    * 16-dim subspaces; an independent deterministic k-means (k=8,
+    * 2 iters, hash-seeded per subspace) trains each sub-codebook; a
+    * vector's code is its per-subspace nearest centroid, and ADC scores
+    * `cos(query, reconstruction)` where the reconstruction CONCATENATES
+    * the 4 coded centroids — one sequential 64-dim dot, the identical
+    * float path as every other cosine key (no per-subspace partial sums
+    * to order-stabilize). Per query: |PQ top-5 ∩ exact top-5| — driven
+    * from the query side so an empty intersection still emits its zero
+    * (the ann_recall lesson). Reading the fixture number: structureless
+    * N(0,0.1) embeddings are PQ's worst case (nothing for 8 centroids
+    * per subspace to exploit), so fixture recall sits near the random
+    * floor — exactly what the metric exists to measure per corpus; real
+    * clustered embeddings score high.
+    *
+    * Scale shape: training/assignment per subspace is the
+    * [[graft.api.Vectors.kmeansCodebook]] literal-codegen path
+    * (shuffle-free corpus passes); the m per-subspace code frames rejoin
+    * on vec_id (m−1 narrow id-keyed shuffles — a production-width PQ
+    * (m=8..64) would instead chain m literal argmax columns in ONE pass,
+    * the documented seam); reconstruction centroids arrive by BROADCAST
+    * cell join; both top-5s ride [[graft.api.Vectors.cosineTopK]]'s
+    * broadcast-query shape (the corpus never shuffles for scoring).
+    */
+  private val llmAnnPqRecall = Q(
+    "llm_ann_pq_recall",
+    (s, d) => {
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val parts = (0 until 4).map { sIdx =>
+        val subF = nv
+          .select(col("vec_id"), slice(col("vd"), sIdx * 16 + 1, 16).as("vd"))
+          .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+        val cb = Vectors.kmeansCodebook(subF, "vec_id", k = 8, iters = 2,
+          seedTag = s"pq$sIdx")
+        Vectors.assignCells(subF, cb)
+          .join(broadcast(cb), "cell")
+          .select(col("vec_id"), col("cvd").as(s"c$sIdx"))
+      }
+      val recon = parts.reduce((a, b) => a.join(b, "vec_id"))
+        .select(col("vec_id"),
+          concat(col("c0"), col("c1"), col("c2"), col("c3")).as("vd"))
+        .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      val approx = Vectors.cosineTopK(recon, q, "vec_id", 5)
+        .select(col("q_id"), col("n_id"))
+      val exact = Vectors.cosineTopK(nv, q, "vec_id", 5)
+        .select(col("q_id").as("e_qid"), col("n_id").as("e_nid"))
+      val hits = approx.join(exact,
+          col("q_id") === col("e_qid") && col("n_id") === col("e_nid"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / 5).as("recall_at_5"))
+        .orderBy("q_id")
+    },
+    Some {
+      val sub = (0 until 4).map { i =>
+        s"""p$i AS (SELECT vec_id, list_slice(vd, ${i * 16 + 1}, ${(i + 1) * 16}) AS vd0 FROM n0),
+p${i}n AS (SELECT vec_id, vd0 AS vd, sqrt(list_dot_product(vd0, vd0)) AS nrm FROM p$i),
+${kmeansSql(s"p${i}n", 8, 2, prefix = s"s${i}_", tag = s"pq$i")},
+enc$i AS (SELECT vec_id, cvd AS c$i FROM (
+    SELECT p.vec_id, c.cvd,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY list_dot_product(p.vd, c.cvd) / (p.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM p${i}n p CROSS JOIN s${i}_c2 c) WHERE r = 1)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+$sub,
+rec AS (SELECT enc0.vec_id, enc0.c0 || enc1.c1 || enc2.c2 || enc3.c3 AS vd
+  FROM enc0 JOIN enc1 ON enc0.vec_id = enc1.vec_id
+    JOIN enc2 ON enc0.vec_id = enc2.vec_id
+    JOIN enc3 ON enc0.vec_id = enc3.vec_id),
+recn AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM rec),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n0 WHERE vec_id % 50 = 0),
+acand AS (SELECT q_id, r.vec_id AS n_id,
+    list_dot_product(q_vd, r.vd) / (q_nrm * r.nrm) AS cos
+  FROM recn r CROSS JOIN q WHERE r.vec_id != q_id),
+approx AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM acand) WHERE rn <= 5),
+ecand AS (SELECT q_id, n.vec_id AS n_id,
+    list_dot_product(q_vd, n.vd) / (q_nrm * n.nrm) AS cos
+  FROM n0 n CROSS JOIN q WHERE n.vec_id != q_id),
+exact AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM ecand) WHERE rn <= 5),
+hits AS (SELECT a.q_id, count(*) AS h
+  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+  GROUP BY a.q_id)
+SELECT q.q_id AS q_id, COALESCE(h.h, 0) AS n_hits,
+CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
+FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+ORDER BY q_id"""
+    })
 
   /** SemDeDup-style semantic dedup: k-means cells as the blocking
     * structure, exact cosine ≥ 0.4 pairs WITHIN a cell only, and the
@@ -2490,15 +2596,138 @@ SELECT vec_id, nv.label AS label,
 FROM nv JOIN cn ON nv.label = cn.label
 ORDER BY vec_id"""))
 
+  /** AUC-ROC by rank-sum (§2.9 ext) — the Mann–Whitney identity
+    * `AUC = (U − n₁(n₁+1)/2) / (n₁·n₂)` with tie-AVERAGED ranks, the
+    * standard offline evaluation of any quality/ranking score before it
+    * gates a corpus. The fixture evaluates doc length (`n_chars`) against
+    * a PLANTED noisy length label (`n_chars + 25·md5nibble(doc_id) ≥ 480`
+    * — the llm_hash_split nibble family: deterministic, engine-portable,
+    * ~53/47 balance, AUC ≈ 0.85; the synthetic corpus carries no organic
+    * score→label correlation to evaluate, so the fixture plants one and
+    * says so). One row: (n_pos, n_neg, u_stat, auc).
+    *
+    * Float discipline — everything RAW, no rounding: per distinct score,
+    * the tie-averaged rank is `cumprev + (c+1)/2` — an exact multiple of
+    * 0.5 from exact longs — and `c1 · rank` stays an exact half-integer
+    * below 2⁵³, so the DOUBLE sum is exact in ANY association order (both
+    * engines land the identical bits without decimal casts); the closing
+    * U→AUC arithmetic is one identical spelled-order IEEE chain.
+    *
+    * Scale shape: collapses to DISTINCT-SCORE grain in one hash
+    * aggregate; the cumulative window runs over that (unpartitioned —
+    * the winNtile caveat; an unbounded score domain takes the
+    * ntileScalable two-stage prefix-sum form).
+    */
+  private val llmAucRoc = Q(
+    "llm_auc_roc",
+    (s, d) => {
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+      val f = T.documents(s, d)
+        .select(col("n_chars").as("s"),
+          (col("n_chars") + lit(25L) * nib >= 480L).as("y"))
+      val g = f.groupBy("s").agg(
+        count(when(col("y"), 1)).as("c1"),
+        count(when(!col("y"), 1)).as("c0"),
+        count(lit(1)).as("c"))
+      val w = Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumprev", coalesce(sum("c").over(w), lit(0L)))
+        .agg(sum("c1").as("n_pos"), sum("c0").as("n_neg"),
+          sum(col("c1") * (col("cumprev") +
+            (col("c") + lit(1.0)) / lit(2.0))).as("u_stat"))
+        .withColumn("auc",
+          (col("u_stat") - col("n_pos") * (col("n_pos") + lit(1.0)) / lit(2.0))
+            / (col("n_pos") * col("n_neg").cast("double")))
+    },
+    Some("""WITH f AS (SELECT n_chars AS s,
+    (n_chars + 25*(strpos('0123456789abcdef',
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) >= 480) AS y
+  FROM documents),
+g AS (SELECT s, count(*) FILTER (WHERE y) AS c1,
+        count(*) FILTER (WHERE NOT y) AS c0, count(*) AS c
+      FROM f GROUP BY 1),
+r AS (SELECT s, c1, c0, c,
+        coalesce(CAST(sum(c) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumprev
+      FROM g),
+u AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos, CAST(sum(c0) AS BIGINT) AS n_neg,
+        sum(c1 * (cumprev + (c + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))) AS u_stat
+      FROM r)
+SELECT n_pos, n_neg, u_stat,
+  (u_stat - n_pos * (n_pos + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+    / (n_pos * CAST(n_neg AS DOUBLE)) AS auc
+FROM u"""))
+
+  /** Decile lift & cumulative-gains table (§2.9 ext) — AUC's operational
+    * companion: docs ranked by the score into 10 equal bins, per bin the
+    * positive rate vs the base rate (`lift`) and the cumulative share of
+    * all positives captured (`cum_gain`) — "how much of the good data do
+    * the top-k score deciles actually hold", the curve a filtering budget
+    * is set from. Same planted (score = n_chars, noisy length label)
+    * fixture as [[llmAucRoc]], so the two keys cross-check: decile-1 lift
+    * high ⇔ AUC ≫ 0.5. Emits (decile, n, n_pos, resp_rate, lift,
+    * cum_gain) — every ratio an identical spelled-order IEEE chain on
+    * exact longs → RAW.
+    *
+    * Scale shape: `ntile` over (score desc, doc_id) is a DOC-grain global
+    * window — the winNtile caveat, with win_ntile_scalable's two-stage
+    * prefix-sum as the documented fact-scale form; everything after the
+    * binning is decile-grain (10 rows).
+    */
+  private val llmLiftGains = Q(
+    "llm_lift_gains",
+    (s, d) => {
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+      val f = T.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("s"),
+          (col("n_chars") + lit(25L) * nib >= 480L).as("y"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("s").desc, col("doc_id").asc)))
+      val t = f.agg(count(lit(1)).as("t_n"),
+        count(when(col("y"), 1)).as("t_pos"))
+      val g = f.groupBy("decile").agg(count(lit(1)).as("n"),
+        count(when(col("y"), 1)).as("n_pos"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_pos", sum("n_pos").over(wc))
+        .crossJoin(broadcast(t))
+        .select(col("decile"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n")).as("resp_rate"),
+          ((col("n_pos").cast("double") / col("n"))
+            / (col("t_pos").cast("double") / col("t_n"))).as("lift"),
+          (col("cum_pos").cast("double") / col("t_pos")).as("cum_gain"))
+        .orderBy("decile")
+    },
+    Some("""WITH f AS (SELECT doc_id, n_chars AS s,
+    (n_chars + 25*(strpos('0123456789abcdef',
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) >= 480) AS y
+  FROM documents),
+d AS (SELECT doc_id, y,
+        ntile(10) OVER (ORDER BY s DESC, doc_id ASC) AS decile FROM f),
+t AS (SELECT count(*) AS t_n, count(*) FILTER (WHERE y) AS t_pos FROM d),
+g AS (SELECT decile, count(*) AS n, count(*) FILTER (WHERE y) AS n_pos
+      FROM d GROUP BY 1),
+c AS (SELECT decile, n, n_pos,
+        CAST(sum(n_pos) OVER (ORDER BY decile
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      FROM g)
+SELECT decile, n, n_pos,
+  CAST(n_pos AS DOUBLE) / n AS resp_rate,
+  (CAST(n_pos AS DOUBLE) / n) / (CAST(t_pos AS DOUBLE) / t_n) AS lift,
+  CAST(cum_pos AS DOUBLE) / t_pos AS cum_gain
+FROM c, t ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
-    llmReadability, llmVocabGrowth, llmDocOutlier,
+    llmReadability, llmVocabGrowth, llmDocOutlier, llmAucRoc, llmLiftGains,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
     llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,
-    llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmSemdedup,
+    llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmAnnPqRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
     llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,

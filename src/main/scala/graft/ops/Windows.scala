@@ -767,6 +767,82 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** NEAREST-neighbor as-of join (§2.3/2.5 ext) — for every error event,
+    * the nearest click by the SAME user in EITHER time direction (the
+    * bidirectional completion of join_asof's backward-only rule): which
+    * interaction was this failure closest to? Emits per error: both
+    * candidate click timestamps (prev/next in the user's total event
+    * order), the winning |Δµs|, and the direction ('prev' on exact ties —
+    * deterministic; 'none' for users with no clicks at all, who still
+    * surface rather than silently drop).
+    *
+    * Declared as a θ-join (argmin over |t_a − t_b| per left row), executed
+    * as ONE per-user window pass: a last-non-null lookback and a
+    * first-non-null lookahead over the merged event stream replace the
+    * per-pair distance scan entirely — the same
+    * windows-instead-of-θ-join rewrite as join_asof, run once in each
+    * direction over one exchange. All integer µs arithmetic → RAW.
+    *
+    * Scale shape: one shuffle on high-cardinality user_id, one sort, two
+    * frame-bounded window functions sharing the spec; no self-join, no
+    * candidate blowup, no driver state.
+    */
+  private val joinAsofNearest = Q(
+    "join_asof_nearest",
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("em", "event_id")
+      val clickEm = when(col("event_type") === "click", col("em"))
+      val prevC = last(clickEm, ignoreNulls = true)
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val nextC = first(clickEm, ignoreNulls = true)
+        .over(wOrd.rowsBetween(1, Window.unboundedFollowing))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          em(col("ts")).as("em"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("em"), prevC.as("prev_click_em"), nextC.as("next_click_em"))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("em"),
+          col("prev_click_em"), col("next_click_em"),
+          when(col("prev_click_em").isNull && col("next_click_em").isNull,
+            lit(null).cast("long"))
+            .when(col("next_click_em").isNull ||
+              (col("prev_click_em").isNotNull &&
+                col("em") - col("prev_click_em") <= col("next_click_em") - col("em")),
+              col("em") - col("prev_click_em"))
+            .otherwise(col("next_click_em") - col("em")).as("delta_us"),
+          when(col("prev_click_em").isNull && col("next_click_em").isNull, "none")
+            .when(col("next_click_em").isNull ||
+              (col("prev_click_em").isNotNull &&
+                col("em") - col("prev_click_em") <= col("next_click_em") - col("em")),
+              "prev")
+            .otherwise("next").as("direction"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+    epoch_us(ts) AS em FROM events),
+w AS (SELECT user_id, event_id, event_type, em,
+    last_value(CASE WHEN event_type = 'click' THEN em END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY em, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_em,
+    first_value(CASE WHEN event_type = 'click' THEN em END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY em, event_id
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_em
+  FROM e)
+SELECT user_id, event_id, em, prev_click_em, next_click_em,
+  CASE WHEN prev_click_em IS NULL AND next_click_em IS NULL THEN NULL
+       WHEN next_click_em IS NULL OR (prev_click_em IS NOT NULL
+         AND em - prev_click_em <= next_click_em - em)
+         THEN em - prev_click_em
+       ELSE next_click_em - em END AS delta_us,
+  CASE WHEN prev_click_em IS NULL AND next_click_em IS NULL THEN 'none'
+       WHEN next_click_em IS NULL OR (prev_click_em IS NOT NULL
+         AND em - prev_click_em <= next_click_em - em)
+         THEN 'prev'
+       ELSE 'next' END AS direction
+FROM w WHERE event_type = 'error'
+ORDER BY user_id, event_id"""))
+
   /** Kaplan–Meier survival curve (§2.4/2.5 ext) over order→ship latency —
     * the time-to-event analytic behind "how long until a queued transfer
     * actually ships, given some never observably do": duration = weeks from
@@ -853,5 +929,5 @@ FROM s ORDER BY t_wk"""))
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
-    aggSurvivalKm)
+    aggSurvivalKm, joinAsofNearest)
 }

@@ -441,6 +441,59 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_auc_roc equals a brute-force pairwise AUC") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def nib(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123456789abcdef".indexOf(f"${md(0) & 0xff}%02x".charAt(0)).toLong
+    }
+    val scored = docs.map { case (id, nc) => (nc, nc + 25L * nib(id) >= 480L) }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filter(!_._2).map(_._1)
+    // pairwise definition: P(s_pos > s_neg) + 0.5 P(tie)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val want = num / (pos.length.toDouble * neg.length)
+    val r = q("llm_auc_roc").collect()(0)
+    assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(math.abs(r.getAs[Double]("auc") - want) < 1e-12,
+      s"rank-sum AUC ${r.getAs[Double]("auc")} vs pairwise $want")
+  }
+
+  test("llm_lift_gains identities: deciles partition, gains close at 1") {
+    val rows = q("llm_lift_gains").collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val tp = rows.map(_.getAs[Long]("n_pos")).sum
+    assert(n === 500L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("resp_rate") ===
+        r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n"))
+      assert(r.getAs[Double]("lift") ===
+        r.getAs[Double]("resp_rate") / (tp.toDouble / n))
+    }
+    assert(rows.last.getAs[Double]("cum_gain") === 1.0)
+    // the planted label is genuinely score-correlated: the top decile must
+    // out-lift the bottom one decisively
+    assert(rows.head.getAs[Double]("lift") > rows.last.getAs[Double]("lift"))
+  }
+
+  test("llm_ann_pq_recall emits one exact-ratio row per query") {
+    val rows = q("llm_ann_pq_recall").collect()
+    assert(rows.length === 10) // 500 vectors / 50
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L)
+      assert(r.getAs[Double]("recall_at_5") === h / 5.0)
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("llm_doc_outlier cosines are bounded and label-coherent") {
     val rows = q("llm_doc_outlier").collect()
     assert(rows.length === 500)

@@ -270,6 +270,37 @@ class WindowsSpec extends SparkSpec {
       s"cohort sizes $cohortTotal must sum to the $users distinct users")
   }
 
+  test("join_asof_nearest equals a brute-force per-error nearest-click scan") {
+    import spark.implicits._
+    val ev = graft.ops.T.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.ops.H.em(col("ts")).as("em"))
+      .as[(Long, Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val rows = q("join_asof_nearest").collect()
+    val errors = ev.filter(_._3 == "error")
+    assert(rows.length === errors.length)
+    val got = rows.map(r => r.getAs[Long]("event_id") ->
+      (Option(r.getAs[java.lang.Long]("delta_us")).map(_.toLong),
+        r.getAs[String]("direction"))).toMap
+    errors.foreach { case (u, eid, _, t) =>
+      // clicks strictly before/after this row in the (em, event_id) order
+      val clicks = byUser(u).filter(_._3 == "click")
+      val prev = clicks.filter(c => c._4 < t || (c._4 == t && c._2 < eid))
+        .map(_._4).maxOption
+      val next = clicks.filter(c => c._4 > t || (c._4 == t && c._2 > eid))
+        .map(_._4).minOption
+      val (wantD, wantDir) = (prev, next) match {
+        case (None, None) => (None, "none")
+        case (Some(p), None) => (Some(t - p), "prev")
+        case (None, Some(nx)) => (Some(nx - t), "next")
+        case (Some(p), Some(nx)) =>
+          if (t - p <= nx - t) (Some(t - p), "prev") else (Some(nx - t), "next")
+      }
+      assert(got(eid) === ((wantD, wantDir)), s"error $eid")
+    }
+  }
+
   test("agg_survival_km matches a sequential Kaplan-Meier recount") {
     import spark.implicits._
     val rows = q("agg_survival_km").collect()
