@@ -502,7 +502,71 @@ SELECT node, coredeg FROM (
 ORDER BY node"""
     })
 
+  /** Degree assortativity (§2.12 ext) — the Pearson correlation of
+    * endpoint degrees across the (symmetric) directed edge list: do
+    * high-degree parts co-occur with other hubs (r > 0, social-network
+    * shape) or with the periphery (r < 0, hub-and-spoke/technological
+    * shape)? One row: (n_edges_directed, mean_deg, assortativity) on the
+    * capped co-order graph — the one-number structural fingerprint next
+    * to triangles' clustering count.
+    *
+    * Float discipline: all five moment sums accumulate in DECIMAL(38,0)
+    * (exact, order-independent, overflow-safe — Σxy alone can pass 2⁶³ on
+    * a hub-heavy corpus where raw BIGINT sums would wrap); the closing
+    * Pearson chain casts each sum to double once and runs identical
+    * spelled-order IEEE (sqrt is correctly rounded) → RAW, the
+    * agg_ab_test precedent for zero-crossing statistics.
+    *
+    * Scale shape: one node-grain degree aggregate, one node-keyed join
+    * per endpoint (the degree frame broadcasts — |V|-grain, the
+    * jaccardSimilarity caveat), one 5-sum map-side-combinable aggregate
+    * over the edges. Nothing quadratic anywhere.
+    */
+  private val graphAssortativity = Q(
+    "graph_assortativity",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("dg"))
+      val xy = adj
+        .join(broadcast(deg.select(col("src"), col("dg").as("x"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"), col("dg").as("y"))),
+          "dst")
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).cast("double").as("sx"),
+        sum(col("y").cast(dec38)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(dec38)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec38)).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast(dec38)).cast("double").as("sxy"))
+      m.select(col("n").as("n_edges_directed"),
+        (col("sx") / col("n")).as("mean_deg"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+    },
+    Some(s"""WITH $coOrderSql,
+adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT src, count(*) AS dg FROM adj GROUP BY 1),
+xy AS (SELECT dx.dg AS x, dy.dg AS y
+  FROM adj JOIN deg dx ON adj.src = dx.src JOIN deg dy ON adj.dst = dy.src),
+m AS (SELECT count(*) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM xy)
+SELECT n AS n_edges_directed, sx / n AS mean_deg,
+  (n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS assortativity
+FROM m"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
-      graphJaccardSim, graphAssocRules, graphBfsHops, graphKcore)
+      graphJaccardSim, graphAssocRules, graphBfsHops, graphKcore,
+      graphAssortativity)
 }

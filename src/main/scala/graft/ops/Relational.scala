@@ -1363,8 +1363,67 @@ SELECT n1, n2, ks_d,
     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS ks_stat
 FROM m"""))
 
+  /** Deterministic bootstrap confidence interval (§2.4 ext) — the
+    * resampling answer to "how stable is this mean?": B = 10 virtual
+    * resamples of the order-value mean, each row's multiplicity in
+    * resample b drawn from md5 hex digit b+1 of its key (0/1/2/3 with
+    * probabilities 6/16, 6/16, 3/16, 1/16 — a Poisson(1)-shaped
+    * approximate-multiplicity bootstrap, E[w] = 0.9375, engine-portable
+    * and RNG-free like every hash-sampling key). Emits one row per
+    * resample (b, n_eff, mean_b) plus the band (mean_lo/mean_hi = the
+    * min/max resample mean) and the point estimate on every row.
+    *
+    * Float discipline: weights and counts are exact ints; each weighted
+    * sum runs through [[H.dsum]] (w·price stays 2-decimal — DECIMAL-exact
+    * in any order); means are identical IEEE divisions; min/max are
+    * order-independent → ALL RAW.
+    *
+    * Scale shape: ONE corpus pass computing all 20 aggregates map-side
+    * (no 10× row explosion — the virtual-resample trick that makes
+    * bootstrap affordable at fact scale; the oracle uses the explode form
+    * at fixture size); everything after is 10-row grain.
+    */
+  private val aggBootstrapCi = Q(
+    "agg_bootstrap_ci",
+    (s, d) => {
+      def w(b: Int) = {
+        val nib = expr(s"instr('0123456789abcdef', substring(md5(cast(o_orderkey as string)), ${b + 1}, 1)) - 1")
+        when(nib < 6, 0L).when(nib < 12, 1L).when(nib < 15, 2L).otherwise(3L)
+      }
+      val aggs = (0 until 10).flatMap { b =>
+        Seq(sum(w(b)).as(s"n$b"),
+          dsum(w(b).cast("double") * col("o_totalprice")).as(s"s$b"))
+      }
+      val base = T.orders(s, d)
+        .agg(aggs.head, aggs.tail :+
+          dsum(col("o_totalprice")).as("tot") :+
+          count(lit(1)).as("n"): _*)
+      val rows = base.select(
+        explode(array((0 until 10).map(b => struct(lit(b).as("b"),
+          col(s"n$b").as("n_eff"), col(s"s$b").as("sv"))): _*)).as("r"),
+        (col("tot") / col("n")).as("mean_full"))
+        .select(col("r.b").as("b"), col("r.n_eff").as("n_eff"),
+          (col("r.sv") / col("r.n_eff")).as("mean_b"), col("mean_full"))
+      val band = rows.agg(min("mean_b").as("mean_lo"),
+        max("mean_b").as("mean_hi"))
+      rows.crossJoin(broadcast(band)).orderBy("b")
+    },
+    Some(s"""WITH r AS (SELECT o_orderkey, o_totalprice, b,
+    CASE WHEN nib < 6 THEN 0 WHEN nib < 12 THEN 1 WHEN nib < 15 THEN 2 ELSE 3 END AS w
+  FROM (SELECT o_orderkey, o_totalprice, b,
+      strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), b + 1, 1)) - 1 AS nib
+    FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b))),
+t AS (SELECT ${dsumSql("o_totalprice")} / count(*) AS mean_full FROM orders),
+m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        ${dsumSql("CAST(w AS DOUBLE) * o_totalprice")} / CAST(sum(w) AS BIGINT) AS mean_b
+      FROM r GROUP BY b),
+band AS (SELECT min(mean_b) AS mean_lo, max(mean_b) AS mean_hi FROM m)
+SELECT b, n_eff, mean_b, mean_full, mean_lo, mean_hi
+FROM m, t, band ORDER BY b"""))
+
   val all: Seq[Q] = Seq(
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
+    aggBootstrapCi,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

@@ -283,7 +283,83 @@ r AS (SELECT day_start, event_type, n, sum_value,
 SELECT day_start, event_type, n, sum_value, rk FROM r
 WHERE rk <= 3 ORDER BY day_start, rk"""))
 
+  /** Gap-filling LINEAR interpolation (§2.10 ext) — stream_resample_fill's
+    * zero-fill sibling for a SPARSE signal: the hourly mean of high-value
+    * events (value ≥ 200 — ~22 % of hours observed at sf0.01) on the full
+    * hourly spine, with every gap hour linearly interpolated between its
+    * nearest observed neighbors, the head back-filled and the tail
+    * held — the standard sensor/metric resampling semantics
+    * (pandas `interpolate(limit_direction='both')`).
+    *
+    * Float discipline: observed means are [[H.davg]] (DECIMAL-exact sums
+    * → identical doubles); the interpolation weight `(t−tp)/(tn−tp)` is
+    * an exact integer ratio and the blend `vp + (vn−vp)·w` one identical
+    * spelled-order IEEE chain → ALL RAW.
+    *
+    * Scale shape: the fact table collapses to HOUR grain before
+    * anything else; the spine is calendar-bounded; the neighbor lookups
+    * are the asof window pair (last/first non-null over one ordering) on
+    * the spine — unpartitioned but CALENDAR-grain (the
+    * join_interval_overlap precedent: constant-size at any corpus
+    * scale), not fact-grain.
+    */
+  private val streamInterpolate = Q(
+    "stream_interpolate",
+    (s, d) => {
+      val ev = T.events(s, d)
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hs"),
+          col("value"))
+      val obs = ev.filter(col("value") >= 200.0)
+        .groupBy("hs").agg(davg(col("value")).as("v"))
+      val spine = ev.agg(min("hs").as("lo"), max("hs").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+          .as("hour_s"))
+      val g = spine.join(obs, col("hour_s") === col("hs"), "left")
+      val wPrev = Window.orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy("hour_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = g.select(col("hour_s"), col("v"),
+        last(col("hs"), ignoreNulls = true).over(wPrev).as("tp"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("vp"),
+        first(col("hs"), ignoreNulls = true).over(wNext).as("tn"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("vn"))
+      filled.select(col("hour_s"),
+        (!col("v").isNull).as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("vp").isNull, col("vn"))
+          .when(col("vn").isNull, col("vp"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("hour_s") - col("tp")).cast("double")
+              / (col("tn") - col("tp")))).as("v_interp"))
+        .orderBy("hour_s")
+    },
+    Some(s"""WITH ev AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hs, value
+  FROM events),
+obs AS (SELECT hs, ${davgSql("value")} AS v FROM ev WHERE value >= 200.0 GROUP BY 1),
+spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s
+  FROM (SELECT min(hs) AS lo, max(hs) AS hi FROM ev)),
+g AS (SELECT hour_s, obs.hs AS ohs, v FROM spine LEFT JOIN obs ON hour_s = obs.hs),
+f AS (SELECT hour_s, v,
+    last_value(ohs IGNORE NULLS) OVER (ORDER BY hour_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    last_value(v IGNORE NULLS) OVER (ORDER BY hour_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+    first_value(ohs IGNORE NULLS) OVER (ORDER BY hour_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+    first_value(v IGNORE NULLS) OVER (ORDER BY hour_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+  FROM g)
+SELECT hour_s, (v IS NOT NULL) AS observed,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN vp IS NULL THEN vn
+       WHEN vn IS NULL THEN vp
+       ELSE vp + (vn - vp) *
+         (CAST(hour_s - tp AS DOUBLE) / (tn - tp)) END AS v_interp
+FROM f ORDER BY hour_s"""))
+
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
     streamDedup, streamLateData, streamStaticJoin, streamStreamJoin,
-    streamResampleFill, streamCdcApply, streamTopkWindowed)
+    streamResampleFill, streamCdcApply, streamTopkWindowed,
+    streamInterpolate)
 }

@@ -767,6 +767,57 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** Last-touch conversion attribution (§2.5 ext) — every purchase
+    * credits the user's most recent PRECEDING view-or-click (the standard
+    * last-touch marketing model; purchases with no prior touch surface as
+    * 'none' rather than dropping). Emits the channel rollup
+    * (attributed_type, n_purchases, share) — which interaction type
+    * actually precedes conversion, the attribution dashboard's first
+    * number. Share is an exact-long IEEE ratio → RAW.
+    *
+    * Scale shape: the [[graft.api.Fts.asofLastBefore]] pattern — ONE
+    * per-user window pass (last-non-null lookback over the merged event
+    * stream; no self-join, no per-pair scan), then a 3-row channel
+    * aggregate with the 1-row total broadcast.
+    */
+  private val winAttribution = Q(
+    "win_attribution",
+    (s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("em", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = last(
+        when(col("event_type").isin("view", "click"), col("event_type")),
+        ignoreNulls = true).over(wPrev)
+      val p = T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          em(col("ts")).as("em"))
+        .withColumn("attr", touch)
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("attr"), lit("none")).as("attributed_type"))
+      val tot = p.agg(count(lit(1)).as("total"))
+      p.groupBy("attributed_type")
+        .agg(count(lit(1)).as("n_purchases"))
+        .crossJoin(broadcast(tot))
+        .select(col("attributed_type"), col("n_purchases"),
+          (col("n_purchases").cast("double") / col("total")).as("share"))
+        .orderBy("attributed_type")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+    epoch_us(ts) AS em FROM events),
+w AS (SELECT event_type,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY em, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM e),
+p AS (SELECT coalesce(attr, 'none') AS attributed_type FROM w
+      WHERE event_type = 'purchase'),
+t AS (SELECT count(*) AS total FROM p)
+SELECT attributed_type, count(*) AS n_purchases,
+  CAST(count(*) AS DOUBLE) / total AS share
+FROM p, t GROUP BY attributed_type, total
+ORDER BY attributed_type"""))
+
   /** NEAREST-neighbor as-of join (§2.3/2.5 ext) — for every error event,
     * the nearest click by the SAME user in EITHER time direction (the
     * bidirectional completion of join_asof's backward-only rule): which
@@ -929,5 +980,5 @@ FROM s ORDER BY t_wk"""))
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
-    aggSurvivalKm, joinAsofNearest)
+    aggSurvivalKm, joinAsofNearest, winAttribution)
 }

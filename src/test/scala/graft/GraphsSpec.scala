@@ -215,6 +215,33 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("graph_assortativity equals a driver-side Pearson recount") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted.take(64)
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val adj = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = adj.map { case (u, v) => (deg(u).toDouble, deg(v).toDouble) }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val r = q("graph_assortativity").collect()(0)
+    assert(r.getAs[Long]("n_edges_directed") === adj.length.toLong)
+    val got = r.getAs[Double]("assortativity")
+    assert(got >= -1.0 && got <= 1.0)
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

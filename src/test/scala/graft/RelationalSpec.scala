@@ -238,6 +238,37 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("agg_bootstrap_ci resample means match a driver-side hash recount") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
+    def digit(key: Long, b: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      "0123456789abcdef".indexOf(hex.charAt(b))
+    }
+    def w(nib: Int): Long =
+      if (nib < 6) 0L else if (nib < 12) 1L else if (nib < 15) 2L else 3L
+    val rows = q("agg_bootstrap_ci").collect().sortBy(_.getAs[Int]("b"))
+    assert(rows.length === 10)
+    val means = rows.map(_.getAs[Double]("mean_b"))
+    rows.foreach { r =>
+      val b = r.getAs[Int]("b")
+      val ws = orders.map { case (k, p) => (w(digit(k, b)), p) }
+      val nEff = ws.map(_._1).sum
+      assert(r.getAs[Long]("n_eff") === nEff)
+      // exact-decimal weighted mean: recompute over scaled longs
+      val sv = ws.map { case (wt, p) => wt * math.round(p * 100) }.sum
+      assert(math.abs(r.getAs[Double]("mean_b") - sv / 100.0 / nEff) < 1e-9)
+      assert(r.getAs[Double]("mean_lo") === means.min)
+      assert(r.getAs[Double]("mean_hi") === means.max)
+    }
+    // the band must bracket the point estimate at fixture scale
+    val full = rows.head.getAs[Double]("mean_full")
+    assert(means.min <= full && full <= means.max)
+  }
+
   test("agg_ks_test equals a brute-force two-sample ECDF scan") {
     import spark.implicits._
     val vals = spark.read.parquet(s"$sf/orders.parquet")

@@ -416,6 +416,32 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("stream_interpolate blends gaps between neighbors and fills the edges") {
+    val rows = q("stream_interpolate").collect()
+    assert(rows.nonEmpty)
+    // the spine is contiguous hourly
+    val hs = rows.map(_.getAs[Long]("hour_s"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => b - a == 3600L })
+    val obsIdx = rows.zipWithIndex.filter(_._1.getAs[Boolean]("observed"))
+      .map(_._2)
+    assert(obsIdx.nonEmpty && obsIdx.length < rows.length,
+      "fixture must exercise both observed and gap hours")
+    val v = rows.map(_.getAs[Double]("v_interp"))
+    // head back-fill and tail hold
+    (0 until obsIdx.head).foreach(i => assert(v(i) === v(obsIdx.head)))
+    (obsIdx.last + 1 until rows.length)
+      .foreach(i => assert(v(i) === v(obsIdx.last)))
+    // every interior gap value lies strictly on the segment between its
+    // surrounding observations (monotone between the two endpoints)
+    obsIdx.zip(obsIdx.tail).foreach { case (a, b) =>
+      (a + 1 until b).foreach { i =>
+        val lo = math.min(v(a), v(b)) - 1e-9
+        val hi = math.max(v(a), v(b)) + 1e-9
+        assert(v(i) >= lo && v(i) <= hi, s"gap $i escapes [$lo,$hi]")
+      }
+    }
+  }
+
   test("stream_topk_windowed ranks are contiguous and ordered per window") {
     val rows = q("stream_topk_windowed").collect()
     assert(rows.nonEmpty)

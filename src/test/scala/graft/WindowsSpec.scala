@@ -270,6 +270,28 @@ class WindowsSpec extends SparkSpec {
       s"cohort sizes $cohortTotal must sum to the $users distinct users")
   }
 
+  test("win_attribution equals a brute-force last-touch recount") {
+    import spark.implicits._
+    val ev = graft.ops.T.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.ops.H.em(col("ts")).as("em"))
+      .as[(Long, Long, String, Long)].collect()
+    val want = ev.filter(_._3 == "purchase").map { case (u, eid, _, t) =>
+      ev.filter(e => e._1 == u && (e._3 == "view" || e._3 == "click") &&
+          (e._4 < t || (e._4 == t && e._2 < eid)))
+        .sortBy(e => (e._4, e._2)).lastOption.map(_._3).getOrElse("none")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = q("win_attribution").collect()
+    val got = rows.map(r => r.getAs[String]("attributed_type") ->
+      r.getAs[Long]("n_purchases")).toMap
+    assert(got === want)
+    val total = want.values.sum.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") ===
+        r.getAs[Long]("n_purchases") / total)
+    }
+  }
+
   test("join_asof_nearest equals a brute-force per-error nearest-click scan") {
     import spark.implicits._
     val ev = graft.ops.T.events(spark, sf)
