@@ -316,7 +316,38 @@ FROM (SELECT s_suppkey,
   FROM supplier)
 ORDER BY s_suppkey"""))
 
+  /** Spark 4 VARIANT ingestion (§2.8 ext) — semi-structured JSON parsed
+    * ONCE into the binary VARIANT encoding and then field-extracted with
+    * type coercion (`variant_get`), the modern replacement for
+    * per-access `get_json_object` string re-parsing on wide event
+    * payloads. Extracts the typed field, its string form, a missing-path
+    * probe (NULL, not an error), and the inferred schema — over the
+    * events `props` column. The oracle reproduces the same reads with
+    * DuckDB's JSON extraction (VARIANT itself is engine-specific; its
+    * OBSERVABLE reads are not).
+    *
+    * Scale note: `parse_json` is evaluated once per row under a common
+    * subexpression; on a real pipeline the VARIANT column would be
+    * materialized at ingest so every downstream read is binary-offset
+    * access, never a re-parse — that is the feature's point.
+    */
+  private val fnVariant = Q(
+    "fn_variant",
+    (s, d) => T.events(s, d)
+      .selectExpr("event_id",
+        "variant_get(parse_json(props), '$.k', 'int') AS k_int",
+        "variant_get(parse_json(props), '$.k', 'string') AS k_str",
+        "variant_get(parse_json(props), '$.missing', 'int') AS miss",
+        "schema_of_variant(parse_json(props)) AS sch")
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+json_extract_string(props, '$.k') AS k_str,
+CAST(json_extract(props, '$.missing') AS INTEGER) AS miss,
+'OBJECT<k: BIGINT>' AS sch
+FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
     fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
-    fnString2, fnUrl)
+    fnString2, fnUrl, fnVariant)
 }

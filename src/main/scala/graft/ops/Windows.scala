@@ -767,6 +767,40 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** Seasonality profile (§2.4 ext) — the day-of-week × hour-of-day
+    * traffic heatmap over the event stream (ISO dow 1–7 × hour 0–23):
+    * per cell the event count, exact-decimal value sum, and the share of
+    * total traffic — the calendar fingerprint behind load forecasting and
+    * "is this dip a weekend or an outage". All exact longs / dsum /
+    * one IEEE ratio → RAW.
+    *
+    * Scale shape: ONE calendar-dims hash aggregate with map-side combine
+    * (≤168 groups regardless of volume) + the 1-row total broadcast.
+    * Engine note: Spark's `weekday` (Mon=0) + 1 equals DuckDB's `isodow`
+    * — `dayofweek` starts Sunday=1 in Spark and Sunday=0 in DuckDB, the
+    * off-by-one every cross-engine calendar query trips on.
+    */
+  private val aggSeasonalProfile = Q(
+    "agg_seasonal_profile",
+    (s, d) => {
+      val ev = T.events(s, d)
+        .select((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hod"),
+          col("value"))
+      val tot = ev.agg(count(lit(1)).as("total"))
+      ev.groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n"), col("sum_value"),
+          (col("n").cast("double") / col("total")).as("share"))
+        .orderBy("dow", "hod")
+    },
+    Some(s"""WITH e AS (SELECT isodow(ts) AS dow, hour(ts) AS hod, value FROM events),
+t AS (SELECT count(*) AS total FROM e)
+SELECT dow, hod, count(*) AS n, ${dsumSql("value")} AS sum_value,
+  CAST(count(*) AS DOUBLE) / total AS share
+FROM e, t GROUP BY dow, hod, total
+ORDER BY dow, hod"""))
+
   /** Last-touch conversion attribution (§2.5 ext) — every purchase
     * credits the user's most recent PRECEDING view-or-click (the standard
     * last-touch marketing model; purchases with no prior touch surface as
@@ -980,5 +1014,5 @@ FROM s ORDER BY t_wk"""))
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
-    aggSurvivalKm, joinAsofNearest, winAttribution)
+    aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile)
 }

@@ -155,4 +155,20 @@ class FunctionsSpec extends SparkSpec {
     assert(ext.sql("SELECT bits_hamming(array(1, 0, 1), array(1, 1, 1))")
       .as[Int].head() == 1)
   }
+
+  test("fn_variant typed reads agree with a from_json re-parse") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("fn_variant")(spark, sf)
+    val alt = graft.ops.T.events(spark, sf)
+      .select(col("event_id"),
+        expr("from_json(props, 'k INT').k").as("k_alt"))
+    val joined = rows.join(alt, "event_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Int]("k_int") === r.getAs[Int]("k_alt"))
+      assert(r.getAs[String]("k_str") === r.getAs[Int]("k_alt").toString)
+      assert(r.isNullAt(r.fieldIndex("miss")),
+        "a missing variant path must read as NULL, not error")
+    }
+  }
 }

@@ -270,6 +270,18 @@ class WindowsSpec extends SparkSpec {
       s"cohort sizes $cohortTotal must sum to the $users distinct users")
   }
 
+  test("agg_seasonal_profile cells partition the event stream") {
+    val rows = q("agg_seasonal_profile").collect()
+    assert(rows.nonEmpty && rows.length <= 168)
+    rows.foreach { r =>
+      val (dow, hod) = (r.getAs[Int]("dow"), r.getAs[Int]("hod"))
+      assert(dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23)
+    }
+    val total = graft.ops.T.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("win_attribution equals a brute-force last-touch recount") {
     import spark.implicits._
     val ev = graft.ops.T.events(spark, sf)
