@@ -554,6 +554,28 @@ object Stress {
     }
     recs += StageRec("triangles", triSec, nTri)
     graft.api.Caches.sweep(spark)
+    // k-core peel + bounded BFS on the same capped graph (the other two
+    // Pregel-shaped api.Graph builders): per round the only shuffle is
+    // NODE-grain (the alive set / the frontier distinct) — the edge list,
+    // planted mega-hub included, is read in place under broadcast hints
+    // and never reshuffled. Survivor/reach counts recorded so a semantic
+    // drift in the builders shows in the stress record too.
+    val (nCore, coreSec) = timed {
+      val (e0, _) = graft.ops.Graphs.capBaskets(items)
+      val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      graft.api.Graph.kcore(adj, k = 30, rounds = 3).count()
+    }
+    recs += StageRec("kcore_k30_r3", coreSec, nCore)
+    graft.api.Caches.sweep(spark)
+    val (nReach, bfsSec) = timed {
+      val (e0, _) = graft.ops.Graphs.capBaskets(items)
+      val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      graft.api.Graph.bfsHops(adj, source = 0L, maxHops = 3).count()
+    }
+    recs += StageRec("bfs_3hops", bfsSec, nReach)
+    graft.api.Caches.sweep(spark)
     unpersistQuietly(items)
     recs.toSeq
   }

@@ -247,11 +247,15 @@ object Graph {
     * localCheckpoint per round like [[pagerankUntil]]). Both state frames
     * are NODE-grain and carry a broadcast hint, so the edge list is never
     * reshuffled — each round is map-side edge⋈frontier + one node-grain
-    * distinct + a broadcast anti-join (measured 6.6 s → ~2 s at sf0.1's
-    * 2.4M directed edges). The hint is the [[jaccardSimilarity]] degree
-    * caveat: right whenever the NODE set fits an executor (8–16
-    * bytes/node); for a node set beyond broadcast range, drop the hints
-    * and AQE shuffles the (still node-grain) state instead.
+    * distinct + a broadcast anti-join. At the sf0.1 fixture (2.4M
+    * directed edges) wall-clock is DOMINATED by deriving+caching the
+    * co-order edge list, so the hint is cost-neutral there; its value is
+    * the shuffle-volume asymmetry at scale (per round the shuffle is the
+    * node-grain distinct, never the edge list). The hint is the
+    * [[jaccardSimilarity]] degree caveat: right whenever the NODE set
+    * fits an executor (8–16 bytes/node); for a node set beyond broadcast
+    * range, drop the hints and AQE shuffles the (still node-grain) state
+    * instead.
     */
   def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
@@ -287,10 +291,12 @@ object Graph {
     * beyond broadcast range, drop the hints and AQE shuffles the node
     * set, never the edges) and one map-side-combinable hash aggregate
     * recomputes degrees — the edge list is read in place every round,
-    * never reshuffled (measured 9.9 s → ~2 s at sf0.1). No edge mutation,
-    * no accumulating state beyond the shrinking alive set (cached per
-    * round via [[Caches]]; an open-ended peel would checkpoint like the
-    * CC builder).
+    * never reshuffled. At the sf0.1 fixture the cost is dominated by the
+    * edge-list derivation, not the rounds; the hint's payoff is the
+    * per-round shuffle volume at scale (node-grain aggregates only). No
+    * edge mutation, no accumulating state beyond the shrinking alive set
+    * (cached per round via [[Caches]]; an open-ended peel would
+    * checkpoint like the CC builder).
     */
   def kcore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
