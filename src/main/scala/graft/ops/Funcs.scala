@@ -347,7 +347,45 @@ CAST(json_extract(props, '$.missing') AS INTEGER) AS miss,
 'OBJECT<k: BIGINT>' AS sch
 FROM events ORDER BY event_id"""))
 
+  /** Error-safe TRY arithmetic (§2.8 ext) — the ANSI-mode escape hatches
+    * a production pipeline leans on so one dirty row NULLs instead of
+    * killing the job: `try_divide` (÷0 → NULL, not Inf/error),
+    * `try_cast` (unparseable → NULL), `try_element_at` (out-of-range
+    * index → NULL), `try_multiply` (64-bit overflow → NULL). The fixture
+    * exercises every NULL path on real rows (zero tax lines, a
+    * non-numeric flag, line numbers past the array end, an
+    * overflow-forcing literal). The oracle spells each TRY as its exact
+    * DuckDB equivalent: NULLIF-guarded division (DuckDB's float ÷0 is
+    * Inf, not an error — the guard IS the semantics), TRY_CAST, native
+    * out-of-range list indexing, and a HUGEINT-checked product.
+    */
+  private val fnTryArith = Q(
+    "fn_try_arith",
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture, so
+    // the ORDER BY extends over every input the emitted values derive from
+    // — any rows still tied are value-IDENTICAL, so cross-engine tie order
+    // cannot flip the produced-order compare (SURVEY §5.4 total-order rule)
+    (s, d) => T.lineitem(s, d)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "l_extendedprice AS ep", "l_tax AS tx", "l_quantity AS qt",
+        "l_discount AS dc",
+        "try_divide(l_extendedprice, l_tax) AS q_div",
+        "try_cast(l_returnflag AS INT) AS bad_cast",
+        "try_element_at(array(l_quantity, l_discount, l_tax), l_linenumber) AS elem",
+        "try_multiply(l_orderkey, 9223372036854775807L) AS ovf")
+      .orderBy("l_orderkey", "l_linenumber", "ep", "tx", "qt", "dc")
+      .drop("ep", "tx", "qt", "dc"),
+    Some("""SELECT l_orderkey, l_linenumber,
+l_extendedprice / NULLIF(l_tax, 0) AS q_div,
+TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+([l_quantity, l_discount, l_tax])[l_linenumber] AS elem,
+CASE WHEN abs(CAST(l_orderkey AS HUGEINT) * 9223372036854775807) > 9223372036854775807
+     THEN NULL
+     ELSE CAST(l_orderkey AS BIGINT) * 9223372036854775807 END AS ovf
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_tax, l_quantity, l_discount"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
     fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
-    fnString2, fnUrl, fnVariant)
+    fnString2, fnUrl, fnVariant, fnTryArith)
 }

@@ -767,6 +767,58 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** Pareto skyline (§2.5 ext) — the classic dominance query: parts that
+    * are Pareto-optimal on (price ↓, size ↑): no other part is at most as
+    * expensive AND at least as large with one strict. The catalog
+    * shortlist operator ("nothing on the list is strictly beaten"), and
+    * the same shape prunes model/configuration sweeps.
+    *
+    * Executed as the sort-scan skyline, not a pair join: with parts
+    * ordered by exact integer price-cents, a part survives iff its size
+    * beats the running max size over all STRICTLY CHEAPER parts (a range
+    * frame ending 1 before the current price) AND it holds the max size
+    * within its own price tie group (same-price larger-size dominates;
+    * equal (price, size) pairs don't dominate each other and all
+    * survive). Both conditions are range-frame window maxima over ONE
+    * price ordering — exact integer comparisons, no float exposure
+    * anywhere (price enters as cents).
+    *
+    * Scale shape: one global sort on the PART dimension (the winNtile
+    * caveat — a fact-scale skyline would pre-filter with a coarse grid
+    * then sort survivors); the dominance test is two window maxima on the
+    * same ordering, no n² pair join.
+    */
+  private val winSkyline = Q(
+    "win_skyline",
+    (s, d) => {
+      val pc = round(col("p_retailprice") * 100).cast("long")
+      val wCheaper = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wTie = Window.partitionBy("price_c")
+      T.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"), pc.as("price_c"))
+        .withColumn("max_cheaper",
+          max(col("p_size")).over(wCheaper))
+        .withColumn("max_tie", max(col("p_size")).over(wTie))
+        .filter(col("p_size") > coalesce(col("max_cheaper"), lit(-1)) &&
+          col("p_size") === col("max_tie"))
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy("p_retailprice", "p_partkey")
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_name, p_size, p_retailprice,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c FROM part),
+w AS (SELECT p_partkey, p_name, p_size, p_retailprice,
+    max(p_size) OVER (ORDER BY price_c
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_cheaper,
+    max(p_size) OVER (PARTITION BY price_c) AS max_tie
+  FROM p)
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM w
+WHERE p_size > coalesce(max_cheaper, -1) AND p_size = max_tie
+ORDER BY p_retailprice, p_partkey"""))
+
   /** Seasonality profile (§2.4 ext) — the day-of-week × hour-of-day
     * traffic heatmap over the event stream (ISO dow 1–7 × hour 0–23):
     * per cell the event count, exact-decimal value sum, and the share of
@@ -1014,5 +1066,6 @@ FROM s ORDER BY t_wk"""))
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
-    aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile)
+    aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
+    winSkyline)
 }

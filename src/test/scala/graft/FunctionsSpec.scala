@@ -156,6 +156,28 @@ class FunctionsSpec extends SparkSpec {
       .as[Int].head() == 1)
   }
 
+  test("fn_try_arith NULLs every error path instead of failing") {
+    val rows = SparkEntry.queries("fn_try_arith")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    // (1161 tie groups at sf0.001), so assert the NULL-path populations,
+    // not per-row lookups: cast of a flag letter is always NULL; division
+    // NULLs exactly the zero-tax lines; element reads NULL exactly past
+    // the 3-array; overflow spares only orderkeys 0/1
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_tax").collect()
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("bad_cast"))))
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("q_div"))) ===
+      li.count(_.getDouble(2) == 0.0))
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("elem"))) ===
+      li.count(_.getInt(1) > 3))
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("ovf"))) ===
+      li.count(_.getLong(0) > 1L))
+    // each population is genuinely exercised in both directions
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("q_div"))))
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("elem"))))
+  }
+
   test("fn_variant typed reads agree with a from_json re-parse") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("fn_variant")(spark, sf)

@@ -270,6 +270,22 @@ class WindowsSpec extends SparkSpec {
       s"cohort sizes $cohortTotal must sum to the $users distinct users")
   }
 
+  test("win_skyline equals a brute-force dominance scan") {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size")).as[(Long, Long, Int)].collect()
+    val want = parts.filter { case (k, pc, sz) =>
+      !parts.exists { case (k2, pc2, sz2) =>
+        k2 != k && pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = q("win_skyline").collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("agg_seasonal_profile cells partition the event stream") {
     val rows = q("agg_seasonal_profile").collect()
     assert(rows.nonEmpty && rows.length <= 168)
