@@ -16,10 +16,23 @@ object Relational {
 
   // ---------------------------------------------------------------- §2.1 sources
 
+  /** Full-row ORDER BY on the row-grain lineitem keys: the synthetic
+    * fixture's (l_orderkey, l_linenumber) is NOT unique (1161 duplicate
+    * groups at sf0.001 — unlike real TPC-H), and the oracle compare runs
+    * in produced order, so a two-column sort leaves cross-engine tie
+    * order to both engines' (empirically stable, never guaranteed) sort
+    * stability. Ordering by every emitted column makes residual ties
+    * value-identical rows — flake-proof by construction (SURVEY §5.4).
+    */
+  private val liAllCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+  private def liAllColsSql = liAllCols.mkString(", ")
+
   private val srcParquetScan = Q(
     "src_parquet_scan",
-    (s, d) => T.lineitem(s, d).orderBy("l_orderkey", "l_linenumber"),
-    Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+    (s, d) => T.lineitem(s, d).orderBy(liAllCols.map(col): _*),
+    Some(s"SELECT * FROM lineitem ORDER BY $liAllColsSql"))
 
   /** CSV sink + source round-trip with explicit schema (no inferSchema —
     * SURVEY §1.3). Side-effecting (writes the CSV), but the round-trip is
@@ -34,10 +47,10 @@ object Relational {
       val sample = T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
       sample.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(sample.schema).option("header", "true").csv(out)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(liAllCols.map(col): _*)
     },
-    Some("""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
-ORDER BY l_orderkey, l_linenumber"""))
+    Some(s"""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
+ORDER BY $liAllColsSql"""))
 
   /** ORC sink + source round-trip — the second columnar format Spark ships
     * natively (predicate pushdown, column pruning, and vectorized reads all
@@ -57,10 +70,10 @@ ORDER BY l_orderkey, l_linenumber"""))
         s"orc_${d.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
       val sample = T.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
       sample.write.mode("overwrite").orc(out)
-      s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+      s.read.orc(out).orderBy(liAllCols.map(col): _*)
     },
-    Some("""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
-ORDER BY l_orderkey, l_linenumber"""))
+    Some(s"""SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
+ORDER BY $liAllColsSql"""))
 
   /** JSON-lines sink + source round-trip (models the FTS REST JSON shape).
     * ts is surfaced as epoch µs so the round-trip is precision-exact; the
@@ -105,11 +118,12 @@ GROUP BY r_regionkey, r_name ORDER BY r_regionkey"""))
       col("l_orderkey"), col("l_linenumber"),
       (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
       (col("l_extendedprice") * col("l_tax")).as("tax_amt"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // full emitted-column order: see liAllCols' scaladoc (non-unique key)
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "tax_amt"),
     Some("""SELECT l_orderkey, l_linenumber,
 l_extendedprice * (1 - l_discount) AS revenue,
 l_extendedprice * l_tax AS tax_amt
-FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, tax_amt"""))
 
   /** TPC-H Q6-shaped conjunctive predicate; filters stay on raw columns so
     * parquet pushdown fires (SURVEY §4).
@@ -124,13 +138,15 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"),
         (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // full emitted-column order: see liAllCols' scaladoc (non-unique key)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "disc_revenue"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
 l_extendedprice * l_discount AS disc_revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
-ORDER BY l_orderkey, l_linenumber"""))
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, disc_revenue"""))
 
   private val filtInBetweenLike = Q(
     "filt_in_between_like",
@@ -154,13 +170,16 @@ ORDER BY p_partkey"""))
         expr("nullif(l_returnflag, 'N')").as("rf"),
         (expr("nullif(l_returnflag, 'N')") <=> lit("R")).as("is_r_nullsafe"),
         expr("nullif(l_returnflag, 'N')").isNull.as("rf_is_null"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // (is_r_nullsafe, rf_is_null) jointly determine the nullable rf, so
+      // ordering by the two NON-NULL booleans totals the emitted values
+      // without tripping the engines' opposite NULL-sort defaults
+      .orderBy("l_orderkey", "l_linenumber", "is_r_nullsafe", "rf_is_null"),
     Some("""SELECT l_orderkey, l_linenumber,
 nullif(l_returnflag, 'N') AS rf,
 (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'R') AS is_r_nullsafe,
 (nullif(l_returnflag, 'N') IS NULL) AS rf_is_null
 FROM lineitem WHERE l_linenumber <= 3
-ORDER BY l_orderkey, l_linenumber"""))
+ORDER BY l_orderkey, l_linenumber, is_r_nullsafe, rf_is_null"""))
 
   /** Correlated scalar subqueries through the spark.sql surface (Catalyst
     * decorrelates them into joins — SURVEY §4). The comparison is kept in
@@ -217,11 +236,12 @@ ORDER BY o_orderkey"""))
       .join(T.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // full emitted-column order: see liAllCols' scaladoc (non-unique key)
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "o_orderstatus"),
     Some("""SELECT l_orderkey, l_linenumber, o_orderstatus,
 l_extendedprice * (1 - l_discount) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-ORDER BY l_orderkey, l_linenumber"""))
+ORDER BY l_orderkey, l_linenumber, revenue, o_orderstatus"""))
 
   /** TPC-H Q5-shaped star join: fact side keeps its partitioning, all dims
     * broadcast, aggregation is partial+final.
