@@ -370,18 +370,32 @@ FROM events ORDER BY event_id"""))
         "l_extendedprice AS ep", "l_tax AS tx", "l_quantity AS qt",
         "l_discount AS dc",
         "try_divide(l_extendedprice, l_tax) AS q_div",
-        "try_cast(l_returnflag AS INT) AS bad_cast",
+        // the dirty cast is RARE (line 7 rows carry the letter flag, the
+        // rest a numeric string) for the same reason as the overflow
+        // below: Spark's try_cast string→int failure is an ANSI exception
+        // caught per row — every-row failure benched 4.5 s alone at sf0.1
+        """try_cast(CASE WHEN l_linenumber = 7 THEN l_returnflag
+                         ELSE CAST(l_orderkey AS STRING) END AS BIGINT)
+           AS bad_cast""",
         "try_element_at(array(l_quantity, l_discount, l_tax), l_linenumber) AS elem",
-        "try_multiply(l_orderkey, 9223372036854775807L) AS ovf")
+        // overflow on the RARE subset only (every 1000th order): Spark's
+        // try_multiply handles the overflow by catching the ANSI
+        // ArithmeticException PER ROW — an every-row overflow paid 600k
+        // exception unwinds and benched 30.8 s at sf0.1 vs ~0.6 s with the
+        // rare-path shape, which is also the honest production profile
+        // (dirty rows are the exception, not the rule)
+        """try_multiply(9223372036854775807L,
+           CASE WHEN l_orderkey % 1000 = 0 AND l_orderkey > 0
+                THEN l_orderkey ELSE 1L END) AS ovf""")
       .orderBy("l_orderkey", "l_linenumber", "ep", "tx", "qt", "dc")
       .drop("ep", "tx", "qt", "dc"),
     Some("""SELECT l_orderkey, l_linenumber,
 l_extendedprice / NULLIF(l_tax, 0) AS q_div,
-TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+TRY_CAST(CASE WHEN l_linenumber = 7 THEN l_returnflag
+               ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT) AS bad_cast,
 ([l_quantity, l_discount, l_tax])[l_linenumber] AS elem,
-CASE WHEN abs(CAST(l_orderkey AS HUGEINT) * 9223372036854775807) > 9223372036854775807
-     THEN NULL
-     ELSE CAST(l_orderkey AS BIGINT) * 9223372036854775807 END AS ovf
+CASE WHEN l_orderkey % 1000 = 0 AND l_orderkey > 0 THEN NULL
+     ELSE CAST(9223372036854775807 AS BIGINT) END AS ovf
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_tax, l_quantity, l_discount"""))
 

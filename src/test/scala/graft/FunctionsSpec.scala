@@ -161,18 +161,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
     // (1161 tie groups at sf0.001), so assert the NULL-path populations,
-    // not per-row lookups: cast of a flag letter is always NULL; division
-    // NULLs exactly the zero-tax lines; element reads NULL exactly past
-    // the 3-array; overflow spares only orderkeys 0/1
+    // not per-row lookups: the cast is dirty exactly on line-7 rows (the
+    // flag letter); division NULLs exactly the zero-tax lines; element
+    // reads NULL exactly past the 3-array; overflow hits exactly the
+    // positive multiples of 1000
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_tax").collect()
-    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("bad_cast"))))
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("bad_cast"))) ===
+      li.count(_.getInt(1) == 7))
     assert(rows.count(_.isNullAt(rows.head.fieldIndex("q_div"))) ===
       li.count(_.getDouble(2) == 0.0))
     assert(rows.count(_.isNullAt(rows.head.fieldIndex("elem"))) ===
       li.count(_.getInt(1) > 3))
     assert(rows.count(_.isNullAt(rows.head.fieldIndex("ovf"))) ===
-      li.count(_.getLong(0) > 1L))
+      li.count(r => r.getLong(0) % 1000 == 0 && r.getLong(0) > 0))
     // each population is genuinely exercised in both directions
     assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("q_div"))))
     assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("elem"))))
