@@ -330,6 +330,13 @@ ORDER BY s_suppkey"""))
     * subexpression; on a real pipeline the VARIANT column would be
     * materialized at ingest so every downstream read is binary-offset
     * access, never a re-parse — that is the feature's point.
+    *
+    * ORACLE FIXTURE ASSUMPTION: the oracle hardcodes `sch` as the constant
+    * `'OBJECT<k: BIGINT>'` — valid because every fixture `props` value is
+    * uniformly `{"k": <int>}` (verified across all SFs). If a future
+    * fixture regeneration varies the props shape, this key's hash compare
+    * fails HERE first: update the constant (or compute the schema per row
+    * in the oracle) rather than hunting the Spark side.
     */
   private val fnVariant = Q(
     "fn_variant",

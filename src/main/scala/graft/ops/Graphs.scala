@@ -512,7 +512,11 @@ ORDER BY node"""
     *
     * Float discipline: all five moment sums accumulate in DECIMAL(38,0)
     * (exact, order-independent, overflow-safe — Σxy alone can pass 2⁶³ on
-    * a hub-heavy corpus where raw BIGINT sums would wrap); the closing
+    * a hub-heavy corpus where raw BIGINT sums would wrap), and the
+    * PER-ROW products cast each FACTOR to DECIMAL(19,0) before
+    * multiplying (r8 advisory: a BIGINT x·y wraps silently in non-ANSI
+    * Spark / errors in DuckDB before any decimal sum can save it;
+    * 19+19 ≤ 38 keeps the product width legal in both engines); the closing
     * Pearson chain casts each sum to double once and runs identical
     * spelled-order IEEE (sqrt is correctly rounded) → RAW, the
     * agg_ab_test precedent for zero-crossing statistics.
@@ -526,6 +530,7 @@ ORDER BY node"""
     "graph_assortativity",
     (s, d) => {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val (e0raw, _) = coOrderEdges(s, d)
       val e0 = Caches.cache(e0raw)
       val adj = e0.select(col("u").as("src"), col("v").as("dst"))
@@ -538,9 +543,9 @@ ORDER BY node"""
       val m = xy.agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec38)).cast("double").as("sx"),
         sum(col("y").cast(dec38)).cast("double").as("sy"),
-        sum((col("x") * col("x")).cast(dec38)).cast("double").as("sxx"),
-        sum((col("y") * col("y")).cast(dec38)).cast("double").as("syy"),
-        sum((col("x") * col("y")).cast(dec38)).cast("double").as("sxy"))
+        sum(col("x").cast(dec19) * col("x").cast(dec19)).cast("double").as("sxx"),
+        sum(col("y").cast(dec19) * col("y").cast(dec19)).cast("double").as("syy"),
+        sum(col("x").cast(dec19) * col("y").cast(dec19)).cast("double").as("sxy"))
       m.select(col("n").as("n_edges_directed"),
         (col("sx") / col("n")).as("mean_deg"),
         ((col("n") * col("sxy") - col("sx") * col("sy"))
@@ -556,9 +561,9 @@ xy AS (SELECT dx.dg AS x, dy.dg AS y
 m AS (SELECT count(*) AS n,
         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-        CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-        CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
       FROM xy)
 SELECT n AS n_edges_directed, sx / n AS mean_deg,
   (n * sxy - sx * sy)

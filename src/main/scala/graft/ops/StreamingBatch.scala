@@ -249,8 +249,18 @@ ORDER BY user_id"""))
     * rest of the family; in a live stream the per-window aggregate is the
     * same `window()` groupBy, and the rank finalizes when the watermark
     * closes the window (rank is not incrementally appendable, so a
-    * streaming deployment emits it from the closed-window state — the
-    * documented seam, same class as stream_session's gap-close).
+    * streaming deployment emits it from the closed-window state — pinned
+    * in code by [[graft.streaming.Streams.topkWindowed]], whose chained
+    * append-mode aggregation StreamingSpec replays in chunks and asserts
+    * equal to this key's final ranks).
+    *
+    * TIMEZONE CONTRACT: Spark's `window(ts, "1 day")` aligns tumbling
+    * windows to the epoch in the SESSION timezone while the oracle's
+    * `date_trunc('day', ts)` truncates the naive timestamp — the two
+    * agree because every harness session pins
+    * `spark.sql.session.timeZone = UTC` (Verify/Bench/QRun/tests). A
+    * non-UTC session would shift Spark's day boundaries but not
+    * DuckDB's; keep the pin.
     *
     * Float discipline: sum_value via [[H.dsum]] (exact decimal, cast back
     * once) → ranking compares bit-identical doubles, ties broken on
