@@ -745,6 +745,119 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
       .orderBy("day"),
     None)
 
+  /** Mergeable HLL sketches (§2.4 ext) — the 100 TB production distinct
+    * shape [[aggApproxDistinct]]'s one-shot query doesn't exercise:
+    * sketch per DAY (`hll_sketch_agg`, the daily-sketch table a real
+    * pipeline stores), then answer the cross-day question by UNIONING the
+    * stored sketches (`hll_union_agg` → `hll_sketch_estimate`) — the
+    * corpus is scanned once ever; every later report is sketch-only.
+    * Delegates to [[graft.api.Sketches.hllMergeEstimate]].
+    *
+    * Declared-only BY DESIGN: the estimate comes out of DataSketches HLL
+    * registers DuckDB cannot reproduce. It is deterministic (HLL register
+    * updates and unions are per-register MAX — insertion- and merge-order
+    * independent), so GoldenSpec pins the exact value; ApiSpec pins the
+    * merge ASSOCIATIVITY (union-of-day-sketches == one global sketch,
+    * and a different sharding gives the identical estimate) plus the ±5%
+    * accuracy envelope; and [[aggHllMergeExact]] is the oracled companion
+    * computing the exact value this key approximates.
+    */
+  private val aggHllMerge = Q(
+    "agg_hll_merge",
+    (s, d) => graft.api.Sketches.hllMergeEstimate(
+        T.events(s, d).withColumn("day", to_date(date_trunc("day", col("ts")))),
+        col("day"), Seq("event_type"), "user_id", lgK = 12)
+      .withColumnRenamed("approx_distinct", "approx_users")
+      .orderBy("event_type"),
+    None)
+
+  /** The exact re-aggregation twin of [[aggHllMerge]] — and the metric that
+    * justifies storing sketches at all: `sum_daily_users` (what summing the
+    * per-day distinct counts would claim) vs `n_users_exact` (the true
+    * cross-day distinct), whose ratio `overlap_factor` is the double-count
+    * factor naive shard-sum reporting commits. Exactly SQL-expressible →
+    * the oracled gate of the sketch family.
+    *
+    * Scale shape: daily grain first (one hash agg), then the user-grain
+    * distinct for the exact cross-day count — the expensive path the HLL
+    * key exists to avoid, run here at fixture scale as the oracle.
+    * `overlap_factor` is an integer ratio → one identical IEEE division,
+    * emitted RAW.
+    */
+  private val aggHllMergeExact = Q(
+    "agg_hll_merge_exact",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("event_type"), col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(countDistinct(col("user_id")).as("du"))
+      val shard = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("du")).as("sum_daily_users"))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users_exact"))
+      shard.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("sum_daily_users"),
+          col("n_users_exact"),
+          (col("sum_daily_users").cast("double") / col("n_users_exact"))
+            .as("overlap_factor"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+  SELECT event_type, user_id, date_trunc('day', ts) AS day FROM events),
+daily AS (SELECT event_type, day, count(DISTINCT user_id) AS du
+          FROM ev GROUP BY 1, 2),
+shard AS (SELECT event_type, count(*) AS n_days,
+            CAST(sum(du) AS BIGINT) AS sum_daily_users
+          FROM daily GROUP BY 1),
+ex AS (SELECT event_type, count(*) AS n_users_exact
+       FROM (SELECT DISTINCT event_type, user_id FROM ev) GROUP BY 1)
+SELECT s.event_type AS event_type, n_days, sum_daily_users, n_users_exact,
+CAST(sum_daily_users AS DOUBLE) / n_users_exact AS overlap_factor
+FROM shard s JOIN ex e ON s.event_type = e.event_type
+ORDER BY event_type"""))
+
+  /** Mergeable QUANTILE sketch (§2.4 ext) — the percentile counterpart of
+    * [[aggHllMerge]], built so the merge itself runs under the DuckDB
+    * gate: per-day fixed-grid histogram bin counts (the sketch a daily
+    * stats table stores), counts summed across days (integer addition —
+    * associative, merge-order-free, unlike KLL/GK partials), then
+    * p50/p90/p99 read off the merged histogram by linear interpolation
+    * inside the crossing bin. 256 bins bound the rank error by the
+    * largest bin's row share; ApiSpec pins merged == direct-global bin
+    * counts and the ±1-percentile-rank envelope vs exact. Delegates to
+    * [[graft.api.Sketches.histQuantiles]].
+    *
+    * Scale shape: one corpus pass for bounds (in production: the shard
+    * stats table), one binning pass with map-side combine; everything
+    * after is BIN-grain (shards × 256 rows). The cumulative window runs
+    * over 256 rows — corpus-size-free.
+    */
+  private val aggHistQuantileMerge = Q(
+    "agg_hist_quantile_merge",
+    (s, d) => graft.api.Sketches.histQuantiles(
+      T.events(s, d).withColumn("day", to_date(date_trunc("day", col("ts")))),
+      "value", col("day"), bins = 256, qs = Seq(0.5, 0.9, 0.99)),
+    Some("""WITH v AS (SELECT value AS v, date_trunc('day', ts) AS shard FROM events),
+b AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+binned AS (SELECT shard,
+    CASE WHEN hi = lo THEN 0
+         ELSE CAST(least(floor((v - lo) / (hi - lo) * 256), 255) AS BIGINT)
+    END AS bin
+  FROM v, b),
+per_shard AS (SELECT shard, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+merged AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c FROM per_shard GROUP BY 1),
+cum AS (SELECT bin, c,
+    CAST(sum(c) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM merged),
+qr AS (SELECT q, bin, c, cum, cum - c AS cb, lo, hi, n,
+    row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM cum, b, (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+  WHERE cum >= q * n)
+SELECT q, lo + (hi - lo) / 256 * (CAST(bin AS DOUBLE) + (q * n - cb) / c) AS est,
+n AS n_rows
+FROM qr WHERE rn = 1 ORDER BY q"""))
+
   private val aggGroupingSets = Q(
     "agg_grouping_sets",
     (s, d) => T.events(s, d)
@@ -1453,7 +1566,8 @@ FROM m, t, band ORDER BY b"""))
     joinAsof, joinSkewSalted, joinBucketed, joinFuzzy,
     srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
-    aggApproxDistinct, aggGroupingSets, aggRollup, aggCube, aggHaving,
+    aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHistQuantileMerge,
+    aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
     aggWeightedPercentile, aggStats, aggCollectSorted,
     aggPivot, aggMinmaxBy,

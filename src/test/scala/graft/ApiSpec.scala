@@ -1028,4 +1028,69 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("orientation key"), e.getMessage)
     graft.api.Caches.sweep(spark)
   }
+
+  // -------------------------------------------------------------- Sketches
+
+  test("hllMergeEstimate: union-of-shard-sketches == one global sketch, any sharding") {
+    import spark.implicits._
+    import graft.api.Sketches
+    // HLL registers merge by per-register max → the merged estimate must
+    // EQUAL the direct estimate exactly, for every way of sharding the rows
+    val df = graft.ops.T.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+    val direct = Sketches.hllDirectEstimate(df, Seq("event_type"), "user_id")
+      .orderBy("event_type")
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toSeq
+    val byDay = Sketches.hllMergeEstimate(df, col("day"), Seq("event_type"), "user_id")
+      .orderBy("event_type")
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toSeq
+    val byMod = Sketches.hllMergeEstimate(df, pmod(col("event_id"), lit(7)),
+        Seq("event_type"), "user_id")
+      .orderBy("event_type")
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toSeq
+    assert(byDay == direct, s"day-sharded merge diverged: $byDay vs $direct")
+    assert(byMod == direct, s"mod-sharded merge diverged: $byMod vs $direct")
+  }
+
+  test("hllMergeEstimate lands within 5% of exact countDistinct") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val df = graft.ops.T.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+    val est = Sketches.hllMergeEstimate(df, col("day"), Seq("event_type"), "user_id")
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toMap
+    val exact = df.groupBy("event_type").agg(countDistinct("user_id").as("x"))
+      .select("event_type", "x").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, x) =>
+      assert(math.abs(est(k) - x) <= math.max(1L, (0.05 * x).toLong),
+        s"$k: est=${est(k)} exact=$x diverges >5%")
+    }
+  }
+
+  test("histQuantiles merge is shard-invariant and within one bin of exact rank") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val ev = graft.ops.T.events(spark, sf)
+      .select(col("value"), col("event_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val byDay = Sketches.histQuantiles(ev, "value", col("day"), 256, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val byMod = Sketches.histQuantiles(ev, "value", pmod(col("event_id"), lit(13)), 256, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    // bin counts are integers summed per bin → sharding must not move a bit
+    assert(byDay == byMod, s"shard-variant quantiles: $byDay vs $byMod")
+    // accuracy envelope: est must sit between the exact (q∓0.01) quantiles
+    val exact = graft.ops.T.events(spark, sf)
+      .select(expr("percentile(value, array(0.49D,0.5D,0.51D,0.89D,0.9D,0.91D,0.98D,0.99D,1.0D))"))
+      .as[Seq[Double]].head()
+    def bounds(i: Int) = (exact(i - 1), exact(i + 1))
+    Seq(0.5 -> 1, 0.9 -> 4, 0.99 -> 7).foreach { case (qv, i) =>
+      val (lo, hi) = bounds(i)
+      assert(byDay(qv) >= lo && byDay(qv) <= hi,
+        s"q=$qv est=${byDay(qv)} outside exact ±1-rank band [$lo, $hi]")
+    }
+  }
 }
