@@ -167,6 +167,55 @@ object Graph {
     labels.select(col("node"), col("label"))
   }
 
+  /** Newman modularity of a community assignment over a SYMMETRIC edge
+    * list — the quality score that tells a user whether their
+    * [[labelPropagation]] rounds were enough (the recall-metric
+    * discipline the ANN family applies to its blocking heuristics,
+    * applied to communities): `Q = Σ_c (L_c/m − (d_c/2m)²)` ∈
+    * [−0.5, 1), where m is the undirected edge count, L_c the
+    * intra-community undirected edges, and d_c the community's total
+    * degree. Q ≈ 0 means the partition is no better than random wiring;
+    * well-separated communities score 0.3+.
+    *
+    * Computed over the DIRECTED symmetric list E = 2m: `L_c/m =
+    * in_c/E` (in_c = directed intra-community edges) and `d_c/2m =
+    * d_c/E` with d_c = directed out-edges from c, so
+    * `Q = (Σ_c in_c·E − d_c²) / E²` — ALL-INTEGER numerators. Each
+    * product casts its factors to DECIMAL(19,0) first (the
+    * assortativity overflow rule: d_c² passes 2⁶³ when one community
+    * holds >3B directed edges), the two term sums accumulate exact in
+    * DECIMAL(38,0), and the closing divide is one identical-IEEE double
+    * op → emitted RAW (crosses zero, but x−x and exact-integer casts
+    * never produce −0.0 — the agg_ab_test precedent).
+    *
+    * Returns one row: (n_communities, n_edges_directed, modularity).
+    *
+    * Scale shape: two NODE-KEYED label joins onto the edge list (labels
+    * are |V|-grain — joined, not broadcast), one community-grain hash
+    * aggregate, one 5-column global fold. Nothing quadratic, no windows.
+    */
+  def modularity(edgesIn: DataFrame, labels: DataFrame): DataFrame = {
+    val dec19 = DecimalType(19, 0)
+    val e = edgesIn.select(col("src"), col("dst"))
+      .join(labels.select(col("node").as("src"), col("label").as("lsrc")), "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+    val tot = e.agg(count(lit(1)).as("etot"))
+    val perC = e.groupBy("lsrc")
+      .agg(count(lit(1)).as("d"),
+        sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("inc"))
+    perC.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("etot")).as("e2"),
+        sum(col("inc").cast(dec19) * col("etot").cast(dec19)).cast("double")
+          .as("s_in"),
+        sum(col("d").cast(dec19) * col("d").cast(dec19)).cast("double")
+          .as("s_d2"))
+      .select(col("n_communities"), col("e2").as("n_edges_directed"),
+        ((col("s_in") - col("s_d2")) /
+          (col("e2").cast("double") * col("e2").cast("double")))
+          .as("modularity"))
+  }
+
   /** Degree-ordering multiplier for [[triangles]]' orientation key
     * `k(n) = deg(n)·KMUL + n` — one long that totally orders nodes by
     * (degree, id) without struct comparison (portable to engines without

@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic skew-handling toolkit — the reusable form of the machinery the
+  * gated keys use inline (`join_skew_salted`'s fixed salt grid, Dedup's
+  * salted band pair-join): point it at ANY equi-join whose key distribution
+  * is skewed and it detects the hot keys, salts ONLY those, and returns the
+  * exact unsalted-join result with the hot keys' rows spread over `salts`
+  * reducers instead of one.
+  *
+  * Production shape notes (100 TB):
+  *  - [[hotKeys]] is one map-side-combinable count aggregate over the probe
+  *    side's JOIN KEY only (column-pruned scan); its output is bounded by
+  *    n/threshold keys, so the hot set always broadcasts. On a corpus where
+  *    even that pass is unwelcome, run it over a sample and lower the
+  *    threshold accordingly — the join stays correct for ANY hot set
+  *    (salting a cold key is wasted fan-out, missing a hot key is the
+  *    status quo ante), which is what makes the detector's precision a
+  *    performance knob rather than a correctness input.
+  *  - only the RIGHT side's hot rows replicate (`salts`×); cold keys join
+  *    on salt 0 exactly as before. With AQE's skew-join handling available
+  *    this builder is the explicit/deterministic alternative for the cases
+  *    AQE cannot see (skew materializing after an upstream transform, or a
+  *    sort-merge join AQE declines to split).
+  */
+object Skew {
+
+  /** Keys of `df.keyCol` whose row count exceeds `threshold` — one
+    * column-pruned count aggregate, output ≤ count(df)/threshold rows.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, threshold: Long): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > threshold)
+      .select(keyCol)
+
+  /** Inner equi-join `left ⋈ right ON key`, identical result to the plain
+    * join, with keys hotter than `hotThreshold` (counted on `left`) spread
+    * over `salts` reducers: hot left rows take a deterministic row-hash
+    * salt, hot right rows replicate once per salt, cold rows on both sides
+    * ride salt 0 untouched.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+    require(salts > 0, s"saltedJoin requires salts > 0, got $salts")
+    val hot = hotKeys(left, key, hotThreshold).withColumn("__hot", lit(true))
+    val l = left.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val r = right.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salts",
+        when(col("__hot").isNotNull, sequence(lit(0L), lit(salts - 1L)))
+          .otherwise(sequence(lit(0L), lit(0L))))
+      .withColumn("__salt", explode(col("__salts")))
+      .drop("__hot", "__salts")
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -286,6 +286,69 @@ $rounds
 SELECT node, label FROM l4 ORDER BY node"""
     })
 
+  /** Community QUALITY for [[graphLabelProp]] (§2.12 ext) — Newman
+    * modularity of the 4-round LPA labels on the co-order graph, via
+    * [[graft.api.Graph.modularity]]: the number that says whether the
+    * rounds were enough (Q ≈ 0 → labels no better than random wiring;
+    * 0.3+ → real community structure), the same metric-beside-heuristic
+    * discipline the ANN keys apply with their recall metrics. One row:
+    * (n_communities, n_edges_directed, modularity).
+    *
+    * Reading the fixture number: the co-order graph is DENSE by
+    * construction (~0.006 edge density, median degree ~115), so 4 LPA
+    * rounds collapse it to 2 communities at Q ≈ 0.004 — correctly
+    * reporting that the fixture graph has no real community structure
+    * (the llm_ann_pq_recall precedent: a metric keyed to corpus shape
+    * shows its floor on structureless synthetic data; ApiSpec's planted
+    * cliques pin the high-Q regime).
+    *
+    * All-integer numerators with DECIMAL(19,0)-factor products and
+    * DECIMAL(38,0) sums; ONE closing IEEE division → RAW (builder
+    * scaladoc has the full derivation). The oracle extends the LPA key's
+    * unrolled round chain with the same two-aggregate modularity read,
+    * so the two keys cannot disagree about the labels.
+    *
+    * Scale shape: the LPA rounds (two map-side-combinable aggregates per
+    * round) + two node-keyed label joins + a community-grain aggregate.
+    */
+  private val graphModularity = Q(
+    "graph_modularity",
+    (s, d) => {
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val edges =
+        e0.select(col("u").as("src"), col("v").as("dst"))
+          .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val labels = Graph.labelPropagation(edges, iters = 4)
+      Graph.modularity(edges, labels)
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label AS label, count(*) AS cnt
+FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+l$i AS (SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $coOrderSql,
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+$rounds,
+le AS (SELECT ls.label AS lsrc, ld.label AS ldst
+  FROM edges JOIN l4 ls ON edges.src = ls.node
+             JOIN l4 ld ON edges.dst = ld.node),
+tot AS (SELECT count(*) AS etot FROM le),
+perc AS (SELECT lsrc, count(*) AS d,
+    CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT) AS inc
+  FROM le GROUP BY 1)
+SELECT count(*) AS n_communities, max(etot) AS n_edges_directed,
+  (CAST(sum(CAST(inc AS DECIMAL(19,0)) * CAST(etot AS DECIMAL(19,0))) AS DOUBLE)
+   - CAST(sum(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE))
+  / (CAST(max(etot) AS DOUBLE) * CAST(max(etot) AS DOUBLE)) AS modularity
+FROM perc, tot"""
+    })
+
   /** Neighbor cap for [[graphJaccardSim]] — C(32, 2) = 496 wedges per
     * center max. The co-order graph's MEDIAN degree is ~115 at every SF
     * (dense by construction), so most neighborhoods are genuinely sampled;
@@ -572,6 +635,6 @@ FROM m"""))
 
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
-      graphJaccardSim, graphAssocRules, graphBfsHops, graphKcore,
-      graphAssortativity)
+      graphModularity, graphJaccardSim, graphAssocRules, graphBfsHops,
+      graphKcore, graphAssortativity)
 }

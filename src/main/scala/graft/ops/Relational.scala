@@ -431,6 +431,39 @@ FROM lineitem JOIN (SELECT r_regionkey % 3 AS k, r_name FROM region WHERE r_regi
 ON l_orderkey % 3 = r.k
 GROUP BY 1, 2 ORDER BY hot_key, r_name"""))
 
+  /** The GENERIC form of [[joinSkewSalted]] (§2.3 ext): where that key
+    * salts a known hot key inline with a fixed salt grid, this one hands an
+    * arbitrary skewed equi-join to [[graft.api.Skew.saltedJoin]] — detect
+    * hot keys by count threshold, salt ONLY those (cold keys ride salt 0
+    * untouched, hot right rows replicate salts×) — the production shape
+    * where the hot set isn't known until the data arrives. Fixture: a
+    * planted 70/30 key over lineitem (~70 % of rows on hk=0) joined to a
+    * nation-derived dim with per-key fan-out. The oracle is the UNSALTED
+    * join — the rewrite must be invisible in the result, for ANY outcome
+    * of the hot-key detection (the threshold is a performance knob, not a
+    * correctness input; ApiSpec pins the per-reducer spread on a planted
+    * frame).
+    */
+  private val joinSkewSaltedGeneric = Q(
+    "join_skew_salted_generic",
+    (s, d) => {
+      val fact = T.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("l_orderkey") % 10).as("hk"),
+        col("l_quantity"))
+      val dim = T.nation(s, d)
+        .select((col("n_nationkey") % 10).as("hk"), col("n_name"))
+      graft.api.Skew.saltedJoin(fact, dim, "hk", salts = 8, hotThreshold = 1000L)
+        .groupBy("hk", "n_name")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("hk", "n_name")
+    },
+    Some(s"""SELECT f.hk AS hk, n_name, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END AS hk,
+        l_quantity FROM lineitem) f
+JOIN (SELECT n_nationkey % 10 AS hk, n_name FROM nation) d ON f.hk = d.hk
+GROUP BY 1, 2 ORDER BY hk, n_name"""))
+
   /** Partitioned-datalake layout: write events partitioned by event_type,
     * read back with a partition filter — partition pruning (not row
     * filtering) must eliminate the other partitions; asserted in PlanSpec.
@@ -1563,7 +1596,7 @@ FROM m, t, band ORDER BY b"""))
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof, joinSkewSalted, joinBucketed, joinFuzzy,
+    joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBucketed, joinFuzzy,
     srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
     aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHistQuantileMerge,

@@ -1029,6 +1029,85 @@ class ApiSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("modularity is 0.5 for two disjoint cliques and 0 for one community") {
+    import spark.implicits._
+    import graft.api.Graph
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    // two disjoint K3s, perfectly labeled: m=6, L_c=3, d_c=6, E=12 →
+    // Q = 2·(3/6 − (6/12)²) = 0.5 EXACTLY (all-integer arithmetic)
+    val twoK3 = sym(clique(1L to 3L) ++ clique(11L to 13L))
+    val lab2 = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L)).toDF("node", "label")
+    val r2 = Graph.modularity(twoK3, lab2).collect()(0)
+    assert(r2.getAs[Long]("n_communities") == 2L)
+    assert(r2.getAs[Long]("n_edges_directed") == 12L)
+    assert(r2.getAs[Double]("modularity") == 0.5)
+    // everything in ONE community: L/m = 1 and (d/2m)² = 1 → Q = 0 exactly
+    val lab1 = (Seq(1L, 2L, 3L, 11L, 12L, 13L)).map(n => (n, 1L))
+      .toDF("node", "label")
+    val r1 = Graph.modularity(twoK3, lab1).collect()(0)
+    assert(r1.getAs[Long]("n_communities") == 1L)
+    assert(r1.getAs[Double]("modularity") == 0.0)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("modularity of labelPropagation communities on bridged cliques is high") {
+    import graft.api.Graph
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = sym(clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L))
+    val labels = Graph.labelPropagation(edges, iters = 4)
+    val q = Graph.modularity(edges, labels).collect()(0).getAs[Double]("modularity")
+    // two 5-cliques joined by one bridge, correctly split: Q ≈ 0.452
+    assert(q > 0.4, s"expected strong community structure, got Q=$q")
+    graft.api.Caches.sweep(spark)
+  }
+
+  // ------------------------------------------------------------------ Skew
+
+  test("Skew.saltedJoin equals the plain join on a planted 80/20 hot key") {
+    import spark.implicits._
+    import graft.api.Skew
+    // 5000 rows, 80% on key 1, the rest spread over keys 2..21
+    val left = spark.range(5000)
+      .select(when(col("id") % 5 < 4, lit(1L))
+        .otherwise(col("id") % 20 + 2).as("k"), col("id").as("v"))
+    val right = spark.range(25)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8, hotThreshold = 500L)
+    val plain = left.join(right, "k")
+    val cols = salted.columns.sorted.map(col)
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
+  }
+
+  test("Skew.saltedJoin spreads the hot key across salts and leaves cold keys alone") {
+    import spark.implicits._
+    import graft.api.Skew
+    val left = spark.range(5000)
+      .select(when(col("id") % 5 < 4, lit(1L))
+        .otherwise(col("id") % 20 + 2).as("k"), col("id").as("v"))
+    assert(Skew.hotKeys(left, "k", 500L).as[Long].collect().toSeq == Seq(1L))
+    // reproduce the builder's left-side salting and check the reducer bound:
+    // the 4000-row hot key must spread over all 8 salts, each holding well
+    // under the unsalted single-reducer 4000 (2x the ideal 500 as slack for
+    // the row-hash distribution); cold keys must all sit on salt 0
+    val hot = Skew.hotKeys(left, "k", 500L).withColumn("__hot", lit(true))
+    val saltedLeft = left.join(broadcast(hot), Seq("k"), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(col("k"), col("v")), lit(8L))).otherwise(lit(0L)))
+    val hotCounts = saltedLeft.filter(col("k") === 1L)
+      .groupBy("__salt").count().as[(Long, Long)].collect().toMap
+    assert(hotCounts.size == 8, s"hot key not spread over all salts: $hotCounts")
+    assert(hotCounts.values.max <= 1000L,
+      s"per-reducer bound violated: $hotCounts")
+    val coldSalts = saltedLeft.filter(col("k") =!= 1L)
+      .select("__salt").distinct().as[Long].collect().toSeq
+    assert(coldSalts == Seq(0L), s"cold keys salted: $coldSalts")
+  }
+
   // -------------------------------------------------------------- Sketches
 
   test("hllMergeEstimate: union-of-shard-sketches == one global sketch, any sharding") {
