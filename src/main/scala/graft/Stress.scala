@@ -233,6 +233,32 @@ object Stress {
     recs.toSeq
   }
 
+  /** Production-width PQ at stress scale: m = 8 sub-codebooks (k = 16,
+    * 2 iters) trained per 8-dim slice, then the ONE-PASS 8-column
+    * literal-argmax encode ([[graft.api.Vectors.pqCodes]]) — the seam
+    * llm_ann_pq_recall's m-joined fixture form documents, here measured:
+    * the encode is a pure projection (shuffles nothing — the listener's
+    * shuffle counters stay at the training stages' level) and must grow
+    * linearly with the corpus.
+    */
+  private def pqRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((nv, nRows), genSec) = timed {
+      val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
+        .select(col("vec_id"), col("vd"), col("nrm")).persist()
+      (n, n.count())
+    }
+    recs += StageRec("gen_vectors", genSec, nRows)
+    val (codes, trainSec) = timed(
+      graft.api.Vectors.pqCodes(nv, "vec_id", m = 8, k = 16, iters = 2))
+    recs += StageRec("pq_train_m8_k16_i2", trainSec, 8L * 16L)
+    val (encRows, encSec) = timed(codes.count())
+    recs += StageRec("pq_encode_onepass", encSec, encRows)
+    unpersistQuietly(nv)
+    graft.api.Caches.sweep(spark)
+    recs.toSeq
+  }
+
   /** SemDeDup at stress scale: trained cells as blocking structure, then the
     * within-cell salted pair join (the llm_semdedup shape) over the
     * clusterable corpus. The extra observables are the per-cell pair-count
@@ -619,6 +645,10 @@ object Stress {
     // paths' row volumes, so the path runs at the dedup sizes
     val triSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_TRIS", "50000,150000,300000")
       .split(",").map(_.trim.toLong).toSeq
+    // the PQ encode is a pure projection (no pair joins anywhere), so the
+    // path runs at the ivf sizes' lower two rungs
+    val pqSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PQS", "100000,300000")
+      .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -657,6 +687,7 @@ object Stress {
     if (enabled("span_dedup")) spanRun(spark, 3000)
     if (enabled("winnow")) winnowRun(spark, 3000)
     if (enabled("triangles")) trianglesRun(spark, 3000)
+    if (enabled("pq_codes")) pqRun(spark, 2000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -733,6 +764,8 @@ object Stress {
       winnowSizes.foreach(n => runs += measured("winnow", n, winnowRun(spark, n)))
     if (enabled("triangles"))
       triSizes.foreach(n => runs += measured("triangles", n, trianglesRun(spark, n)))
+    if (enabled("pq_codes"))
+      pqSizes.foreach(n => runs += measured("pq_codes", n, pqRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     if (enabled("kmeans_joinpath"))
       runs += measured("kmeans_joinpath", semSizes(1),

@@ -214,6 +214,53 @@ object Vectors {
     cb.toSeq.toDF("cell", "cvd", "cnrm")
   }
 
+  /** Production-width product-quantization encoder — the ONE-PASS form of
+    * the m-joined-frames seam llm_ann_pq_recall documents: trains `m`
+    * independent hash-seeded sub-codebooks ([[kmeansCodebook]] per
+    * contiguous dim/m slice, seedTag `"<seedPrefix><i>"` — the exact
+    * seeding of the gated key, so ApiSpec can pin bit-equality with the
+    * joined form), then encodes the WHOLE corpus in ONE projection: `m`
+    * literal-codebook `argmax_cell` columns chained in a single select,
+    * each slicing its subspace and scoring it inside the same codegen
+    * stage. No id-keyed rejoin per subspace, no m× corpus scan — at
+    * m = 8..64 (the production widths) the joined form pays m−1 narrow
+    * shuffles this shape never issues.
+    *
+    * Output: (idCol, code0..code{m−1}) — int cell ids, i.e. the PQ code
+    * word; reconstruction/ADC scoring stays with the caller (the gated
+    * key shows the concat-centroids read).
+    *
+    * Scale: training collects only m codebooks of k×(dim/m) doubles;
+    * encoding is a pure per-row map (shuffle-free; PlanSpec pins zero
+    * exchanges). Codebook size bounds follow [[kmeansCodebook]]'s
+    * literal-path contract (k ≤ literalMaxK per subspace).
+    */
+  def pqCodes(nv: DataFrame, idCol: String, m: Int, k: Int = 8,
+      iters: Int = 2, seedPrefix: String = "pq"): DataFrame = {
+    require(m > 0, s"pqCodes requires m > 0, got $m")
+    graft.functions.VectorFunctions.register(nv.sparkSession)
+    // 1-row dim probe (the bounded-probe discipline): fail on a
+    // non-divisible width HERE, not as a wrong-length slice mid-encode
+    val dim = nv.select(size(col("vd")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"pqCodes: dim $dim is not divisible by m = $m")
+    val sub = dim / m
+    val cbs = (0 until m).map { i =>
+      val subF = nv
+        .select(col(idCol), slice(col("vd"), i * sub + 1, sub).as("vd"))
+        .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+      collectCodebook(kmeansCodebook(subF, idCol, k, iters, s"$seedPrefix$i"))
+    }
+    val codeCols = (0 until m).map { i =>
+      val cb = cbs(i)
+      val sv = slice(col("vd"), i * sub + 1, sub)
+      call_function("argmax_cell", sv,
+        sqrt(call_function("vec_dot", sv, sv)),
+        typedLit(cb.map(_._2).toSeq), typedLit(cb.map(_._3).toSeq),
+        typedLit(cb.map(_._1).toSeq)).as(s"code$i")
+    }
+    nv.select(col(idCol) +: codeCols: _*)
+  }
+
   /** IVF-style ANN probe: rank cells per query against the broadcast
     * centroid codebook, probe the top `probes` cells, exact-rank inside them.
     * The query→index join is a salted shuffle equi-join on (cell, salt) —

@@ -63,6 +63,41 @@ object Streams {
     .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
       col("n_events"), col("sum_value"))
 
+  /** The true-streaming twin of `stream_topk_windowed`: per tumbling 1-day
+    * window, the top-k event types by exact-decimal summed value, with
+    * rank. Rank is NOT incrementally appendable, so it finalizes at
+    * WATERMARK CLOSE — and this builder makes that seam executable code
+    * instead of a scaladoc note: the (window, type) aggregate runs in
+    * append mode (bounded state per open (window, type) pair), and a
+    * SECOND chained stateful aggregate — Spark's multiple-stateful-
+    * operators support, re-windowing on `window_time` so the watermark
+    * propagates — collects each CLOSED window's type totals and reads the
+    * top-k off one sorted array. A window's leaderboard emits exactly
+    * once, when the watermark passes its end; StreamingSpec replays the
+    * fixture in ts-ordered chunks plus a watermark-advancing sentinel and
+    * pins the emitted ranks against the batch computation.
+    *
+    * Ordering: the struct array sorts by (−sum_value, event_type) —
+    * sum_value is the exact-decimal-derived double (negation is exact),
+    * so the sort is the same total order as the batch key's
+    * `row_number() OVER (ORDER BY sum_value DESC, event_type)`.
+    *
+    * On a batch frame the same plan degenerates to two plain aggregates
+    * (`withWatermark` is a no-op), so one builder serves both modes.
+    */
+  def topkWindowed(events: DataFrame, k: Int = 3): DataFrame = events
+    .withWatermark("ts", "10 minutes")
+    .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    .groupBy(window(window_time(col("w")), "1 day").as("w2"))
+    .agg(collect_list(struct((-col("sum_value")).as("ns"),
+      col("event_type"), col("n"), col("sum_value"))).as("xs"))
+    .select(unix_timestamp(col("w2.start")).as("day_start"),
+      posexplode(slice(array_sort(col("xs")), 1, k)))
+    .select(col("day_start"), col("col.event_type").as("event_type"),
+      col("col.n").as("n"), col("col.sum_value").as("sum_value"),
+      (col("pos") + 1).cast("int").as("rk"))
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")

@@ -1029,6 +1029,31 @@ class ApiSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("pqCodes one-pass encoding equals the m-joined assignCells form bit-for-bit") {
+    import graft.api.Vectors
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nv = Vectors.normalized(graft.ops.T.embeddings(spark, sf), "embedding")
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val onePass = Vectors.pqCodes(nv, "vec_id", m = 4, k = 8, iters = 2)
+    // the gated key's shape: one kmeans+assign per subspace, rejoined on id
+    val joined = (0 until 4).map { i =>
+      val subF = nv.select(col("vec_id"), slice(col("vd"), i * 16 + 1, 16).as("vd"))
+        .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+      val cb = Vectors.kmeansCodebook(subF, "vec_id", 8, 2, s"pq$i")
+      Vectors.assignCells(subF, cb).select(col("vec_id"), col("cell").as(s"code$i"))
+    }.reduce((a, b) => a.join(b, "vec_id"))
+    val cols = onePass.columns.sorted.map(col)
+    val d1 = onePass.select(cols: _*).exceptAll(joined.select(cols: _*)).count()
+    val d2 = joined.select(cols: _*).exceptAll(onePass.select(cols: _*)).count()
+    assert(d1 == 0 && d2 == 0, s"one-pass vs joined codes diverged ($d1/$d2)")
+    // the one-pass ENCODE is a pure projection: zero exchanges in its plan
+    val exchanges = onePass.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"pqCodes encode plan shuffles: $exchanges")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("modularity is 0.5 for two disjoint cliques and 0 for one community") {
     import spark.implicits._
     import graft.api.Graph

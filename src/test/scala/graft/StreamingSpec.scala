@@ -117,6 +117,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed top-k finalizes at watermark close with the batch key's ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ts-ordered chunks: append-mode chained aggregation drops data behind
+    // the watermark, so the replay must be in-order ACROSS chunks (the
+    // within-chunk order is free); the far-future sentinel then pushes the
+    // watermark past every real window's end so all leaderboards close
+    val rows = eventRows(400).sortBy(e => (e.ts.getTime, e.event_id))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new Timestamp(maxTs + 3 * 86400 * 1000L),
+      -1L, "zzz_sentinel", 0.0, "{}")
+    val mem = MemoryStream[Ev]
+    val qy = Streams.topkWindowed(mem.toDF()).writeStream
+      .format("memory").queryName("out_topk").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(a)
+    qy.processAllAvailable()
+    mem.addData(b)
+    qy.processAllAvailable()
+    mem.addData(Seq(sentinel))
+    qy.processAllAvailable()
+    qy.stop()
+    val sentinelDay = sentinel.ts.getTime / 1000 / 86400 * 86400
+    val streamed = spark.table("out_topk")
+      .filter(col("day_start") < sentinelDay)
+    // the twin on the static frame AND a direct row_number computation
+    // (the batch key's rank shape) must all agree on the closed windows
+    val batchTwin = Streams.topkWindowed(spark.createDataFrame(rows))
+    val wR = org.apache.spark.sql.expressions.Window.partitionBy("day_start")
+      .orderBy(col("sum_value").desc, col("event_type").asc)
+    val batchKeyShape = spark.createDataFrame(rows)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("day_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= 3)
+    for ((name, other) <- Seq("batch twin" -> batchTwin,
+        "batch key shape" -> batchKeyShape)) {
+      val cols = streamed.columns.sorted.map(col)
+      val extra = streamed.select(cols: _*).exceptAll(other.select(cols: _*)).count()
+      val missing = other.select(cols: _*).exceptAll(streamed.select(cols: _*)).count()
+      assert(extra == 0 && missing == 0,
+        s"stream vs $name diverged (missing=$missing, extra=$extra)")
+    }
+  }
+
   test("flatMapGroupsWithState anomaly detector matches a direct fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
