@@ -150,15 +150,33 @@ object Graph {
     * Bounded unroll, like [[pagerank]]: plan depth is fixed; labels are
     * node ids, so `−label` stays in long range whenever ids do.
     */
-  def labelPropagation(edgesIn: DataFrame, iters: Int = 4): DataFrame = {
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 4): DataFrame =
+    labelPropagationWeighted(
+      edgesIn.select(col("src"), col("dst"), lit(1L).as("w")), iters)
+
+  /** WEIGHTED label propagation over a SYMMETRIC weighted edge list
+    * `edges(src, dst, w)` — the votes are `sum(w)` instead of neighbor
+    * counts, so a node follows its HEAVIEST neighborhood (transaction
+    * multiplicity, co-occurrence counts), not its most numerous one — the
+    * same signal upgrade pagerankUntil's weights give the rank solver.
+    * Ties still break on the SMALLEST label; with INTEGER weights every
+    * vote is exact, so the rounds stay fully deterministic and unroll
+    * into the oracle's SQL chain. `w = 1` reduces to [[labelPropagation]]
+    * exactly (sum(1) == count — ApiSpec pins the equality), which is why
+    * the unweighted builder is this one applied to a unit weight.
+    *
+    * Scale shape: identical to the unweighted form — per round two
+    * map-side-combinable hash aggregates, no per-node window sort.
+    */
+  def labelPropagationWeighted(edgesIn: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val edges = Caches.cache(edgesIn.select(col("src"), col("dst"), col("w")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val cnts = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("w")).as("cnt"))
       labels = cnts
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))

@@ -286,6 +286,57 @@ $rounds
 SELECT node, label FROM l4 ORDER BY node"""
     })
 
+  /** WEIGHTED label propagation (§2.12 ext) — [[graphLabelProp]] with
+    * CO-ORDER MULTIPLICITY as the edge weight: the signal the unweighted
+    * key's `distinct()` discards (two parts co-ordered 40× pull each
+    * other 40× harder than a one-off pairing) — the exact upgrade
+    * graph_pagerank_weighted applies to the rank solver, here applied to
+    * communities via [[graft.api.Graph.labelPropagationWeighted]]
+    * (votes are integer `sum(w)` — exact, deterministic, tie → smallest
+    * label, so the rounds unroll into the oracle chain; the w = 1
+    * reduction to the unweighted builder is ApiSpec-pinned bit-for-bit).
+    *
+    * Scale shape: the pair-count aggregate rides the shared
+    * [[cappedItems]] stage (≤ C(64,2) pairs per basket); per round the
+    * same two map-side-combinable hash aggregates as the unweighted key.
+    */
+  private val graphLabelPropWeighted = Q(
+    "graph_label_prop_weighted",
+    (s, d) => {
+      val (kept, _) = cappedItems(T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      val e0 = Caches.cache(
+        kept.as("a").join(kept.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("w")))
+      val edges = e0
+        .select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      Graph.labelPropagationWeighted(edges, iters = 4).orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label AS label, CAST(sum(e.w) AS BIGINT) AS cnt
+FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+l$i AS (SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+rk AS (SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk FROM li),
+kept AS (SELECT ok, pk FROM rk WHERE rk <= $MAXBASKET),
+e0 AS (SELECT a.pk AS u, b.pk AS v, count(*) AS w
+  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+edges AS (SELECT u AS src, v AS dst, w FROM e0
+  UNION ALL SELECT v AS src, u AS dst, w FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+$rounds
+SELECT node, label FROM l4 ORDER BY node"""
+    })
+
   /** Community QUALITY for [[graphLabelProp]] (§2.12 ext) — Newman
     * modularity of the 4-round LPA labels on the co-order graph, via
     * [[graft.api.Graph.modularity]]: the number that says whether the
@@ -635,6 +686,6 @@ FROM m"""))
 
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
-      graphModularity, graphJaccardSim, graphAssocRules, graphBfsHops,
-      graphKcore, graphAssortativity)
+      graphLabelPropWeighted, graphModularity, graphJaccardSim,
+      graphAssocRules, graphBfsHops, graphKcore, graphAssortativity)
 }

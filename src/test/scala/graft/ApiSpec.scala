@@ -1054,6 +1054,37 @@ class ApiSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("labelPropagationWeighted follows the heavier edge where counts tie") {
+    import spark.implicits._
+    import graft.api.Graph
+    // path 1—2—3: node 2's neighbor labels tie 1-vs-1 unweighted (→ min
+    // label 1) but the w=5 edge to 3 must win the weighted vote
+    val ew = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 5L), (3L, 2L, 5L))
+      .toDF("src", "dst", "w")
+    val w1 = Graph.labelPropagationWeighted(ew, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1(2L) == 3L, s"weighted vote lost to the light edge: $w1")
+    val u1 = Graph.labelPropagation(ew.select("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u1(2L) == 1L, s"unweighted tie must break to min label: $u1")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("labelPropagationWeighted with unit weights equals labelPropagation bit-for-bit") {
+    import spark.implicits._
+    import graft.api.Graph
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = sym(clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L))
+    val unw = Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wtd = Graph.labelPropagationWeighted(
+        edges.withColumn("w", lit(1L)), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unw == wtd)
+    graft.api.Caches.sweep(spark)
+  }
+
   test("modularity is 0.5 for two disjoint cliques and 0 for one community") {
     import spark.implicits._
     import graft.api.Graph
