@@ -10,15 +10,19 @@ import scala.jdk.CollectionConverters._
   * Queries run in sorted-name order (deterministic run order across rounds,
   * so positional effects like JIT/code-cache drift are comparable). Each
   * query runs THREE times (fresh plan each run, caches swept between) and
-  * records the MEDIAN; a query whose samples ran contended (per-sample
-  * loadavg above the quiesce threshold, or spread > 2x median) takes up to
-  * TWO extra samples and medians over the quiet ones — self-correction, not
-  * just self-diagnosis (the r8 record shipped a 9.45 s agg_global median
-  * that a quiet host runs in 1.20 s). The per-query "detail" map keeps the
-  * first (cold) run's build/plan/exec split plus the median, min-max
-  * spread, sample count, and the contended flag. Failures are recorded as
-  * NEGATIVE seconds plus a "failed" list — a broken query cannot
-  * masquerade as a fast one.
+  * records the MEDIAN over all samples; a query whose spread exceeds 2x its
+  * median (the data-visible signature of transient contention or JIT
+  * warm-up) takes up to TWO extra samples first — self-correction, not just
+  * self-diagnosis (the r8 record shipped a 9.45 s agg_global median that a
+  * quiet host runs in 1.20 s). Loadavg is deliberately NOT used to trigger
+  * or select samples — mid-suite 1-min loadavg is dominated by the
+  * harness's own local[32] work (see the inline note) — it is recorded as
+  * diagnosis: `contended` flags any per-sample loadavg above
+  * max(2.0, 2x run-start). The per-query "detail" map keeps the first
+  * (cold) run's build/plan/exec split plus the median, min-max spread,
+  * sample count, and the contended flag. Failures are recorded as NEGATIVE
+  * seconds plus a "failed" list — a broken query cannot masquerade as a
+  * fast one.
   *
   * DESIGN NOTE (also emitted as "note" in the detail record): because
   * caches are swept between the three samples, every sample — medians
@@ -165,22 +169,27 @@ object Bench {
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
       // contention self-CORRECTION (the r8 record's failure shape: quiesce
-      // passed at loadavg 1.97, load climbed to 4.6 mid-run, and agg_global
-      // recorded 9.45 s where a quiet host runs 1.20 s). The per-sample
-      // loadavg makes a contended sample identifiable, so: if any sample ran
-      // above the quiesce threshold, or the spread exceeds 2x the median
-      // (contention without a loadavg signature), take up to 2 extra samples
-      // and median over the QUIET samples only — falling back to all samples
-      // if none were quiet, with `contended` in detail marking the record as
-      // load-poisoned rather than silently trusted.
-      val contended = base.exists(_._2 > 2.0) || (base.size > 1 &&
-        base.map(_._1).max - base.map(_._1).min > 2 * medOf(base.map(_._1)))
-      val all = if (ok && contended) base ++ (1 to 2).flatMap(_ => runOnce())
+      // passed at loadavg 1.97, load climbed mid-run, and agg_global
+      // recorded 9.45 s where a quiet host runs 1.20 s). The re-sample
+      // trigger is the SPREAD (> 2x the median) — the data-visible
+      // signature of transient contention or JIT warm-up. Deliberately NOT
+      // a loadavg trigger, and NOT a quiet-loadavg sample filter: mid-suite
+      // 1-min loadavg is dominated by the harness's OWN local[32] work
+      // (measured on the r9 build: p50 per-query loadavg 5.3 on an
+      // otherwise-idle host, 184/194 keys false-flagged, and one median
+      // BIASED UP by the filter), so loadavg cannot select samples here.
+      // The median runs over ALL samples — five samples absorb two inflated
+      // ones; a PERSISTENT external load inflates every sample alike, which
+      // no sampling policy can undo, so it is flagged for the reader
+      // instead: `contended` marks any per-sample loadavg above
+      // max(2.0, 2x the run-start loadavg).
+      val spreadTrig = base.size > 1 &&
+        base.map(_._1).max - base.map(_._1).min > 2 * medOf(base.map(_._1))
+      val all = if (ok && spreadTrig) base ++ (1 to 2).flatMap(_ => runOnce())
                 else base
-      val quiet = all.filter(_._2 <= 2.0)
-      val used = if (quiet.nonEmpty) quiet else all
-      val med = medOf(used.map(_._1))
+      val med = medOf(all.map(_._1))
       val spread = all.map(_._1).max - all.map(_._1).min
+      val contended = all.exists(_._2 > math.max(2.0, 2 * loadStart))
       System.err.println(
         f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${all.size} runs${if (contended) ", CONTENDED" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
       (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread,

@@ -198,13 +198,15 @@ object Graph {
     * Computed over the DIRECTED symmetric list E = 2m: `L_c/m =
     * in_c/E` (in_c = directed intra-community edges) and `d_c/2m =
     * d_c/E` with d_c = directed out-edges from c, so
-    * `Q = (Σ_c in_c·E − d_c²) / E²` — ALL-INTEGER numerators. Each
-    * product casts its factors to DECIMAL(19,0) first (the
-    * assortativity overflow rule: d_c² passes 2⁶³ when one community
-    * holds >3B directed edges), the two term sums accumulate exact in
-    * DECIMAL(38,0), and the closing divide is one identical-IEEE double
-    * op → emitted RAW (crosses zero, but x−x and exact-integer casts
-    * never produce −0.0 — the agg_ab_test precedent).
+    * `Q = (E·Σ_c in_c − Σ_c d_c²) / E²` — ALL-INTEGER numerators from
+    * one community-grain pass (E itself is Σ_c d_c). The d_c² products
+    * cast their factors to DECIMAL(19,0) first (the assortativity
+    * overflow rule: d_c² passes 2⁶³ when one community holds >3B
+    * directed edges) and sum exact in DECIMAL(38,0); the closing
+    * `E·Σin − Σd²` / `E·E` chain is identical-IEEE double ops on
+    * exact-integer casts (bit-exact below 2⁵³; beyond, 1-ulp relative
+    * on a unitless score) → emitted RAW (crosses zero, but exact
+    * subtraction never produces −0.0 — the agg_ab_test precedent).
     *
     * Returns one row: (n_communities, n_edges_directed, modularity).
     *
@@ -214,23 +216,29 @@ object Graph {
     */
   def modularity(edgesIn: DataFrame, labels: DataFrame): DataFrame = {
     val dec19 = DecimalType(19, 0)
+    // labels is typically an ITERATIVE plan (the LPA rounds); it feeds BOTH
+    // endpoint joins, so without a cache the whole round chain executes
+    // twice (measured 40 s vs 10 s on the r9 fixture key). Registered with
+    // Caches for the harness sweep.
+    val lab = Caches.cache(labels.select(col("node"), col("label")))
     val e = edgesIn.select(col("src"), col("dst"))
-      .join(labels.select(col("node").as("src"), col("label").as("lsrc")), "src")
-      .join(labels.select(col("node").as("dst"), col("label").as("ldst")), "dst")
-    val tot = e.agg(count(lit(1)).as("etot"))
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+    // ONE pass over the labeled edges: Σ_c in_c·E = E·Σ_c in_c because E is
+    // constant, so every term reduces to community-grain sums — no second
+    // scan for the total, no broadcast-rejoin
     val perC = e.groupBy("lsrc")
       .agg(count(lit(1)).as("d"),
         sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("inc"))
-    perC.crossJoin(broadcast(tot))
+    perC
       .agg(count(lit(1)).as("n_communities"),
-        max(col("etot")).as("e2"),
-        sum(col("inc").cast(dec19) * col("etot").cast(dec19)).cast("double")
-          .as("s_in"),
+        sum(col("d")).as("etot"),
+        sum(col("inc")).as("sinc"),
         sum(col("d").cast(dec19) * col("d").cast(dec19)).cast("double")
-          .as("s_d2"))
-      .select(col("n_communities"), col("e2").as("n_edges_directed"),
-        ((col("s_in") - col("s_d2")) /
-          (col("e2").cast("double") * col("e2").cast("double")))
+          .as("sd2"))
+      .select(col("n_communities"), col("etot").as("n_edges_directed"),
+        ((col("etot").cast("double") * col("sinc").cast("double") - col("sd2"))
+          / (col("etot").cast("double") * col("etot").cast("double")))
           .as("modularity"))
   }
 

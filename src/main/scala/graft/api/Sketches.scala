@@ -61,6 +61,41 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
         .as("approx_distinct"))
 
+  /** Pairwise distinct-INTERSECTION estimates by inclusion–exclusion over
+    * per-set HLL sketches: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, every
+    * term read from the SAME stored per-set sketches (`hll_union` merges
+    * two sketch columns pairwise) — the audience-overlap question ("how
+    * many users did BOTH A and B") answered sketch-only, no re-scan, no
+    * user-grain pair join. Output: one row per unordered set pair
+    * (set_a < set_b): est_a, est_b, est_union, est_intersect.
+    *
+    * Error bar: inclusion–exclusion compounds the three estimates'
+    * errors, so the ABSOLUTE error scales with |A∪B| (~1.6% relative
+    * standard error per term at lgK = 12) — small intersections of large
+    * sets drown in it, which is why `est_union` ships on every row: the
+    * caller judges `est_intersect` against it. ApiSpec pins a 5%-of-union
+    * envelope vs the exact pair intersections on the fixture.
+    *
+    * Scale shape: one sketch per set (map-side-combinable agg over the
+    * corpus), then everything is SET-grain: C(n_sets, 2) pair rows each
+    * carrying two 4 KB sketches.
+    */
+  def hllIntersectEstimate(df: DataFrame, setCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    val sk = df.groupBy(col(setCol).as("s"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
+    val a = sk.select(col("s").as("set_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("s").as("set_b"), col("sk").as("sk_b"))
+    a.join(b, col("set_a") < col("set_b"))
+      .select(col("set_a"), col("set_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Mergeable fixed-grid histogram quantiles: global [lo, hi] bounds (one
     * 1-row broadcast — at scale the bounds come from the same shard-stats
     * table the sketches live in), `bins` equal-width bin counts per shard,

@@ -389,15 +389,15 @@ $rounds,
 le AS (SELECT ls.label AS lsrc, ld.label AS ldst
   FROM edges JOIN l4 ls ON edges.src = ls.node
              JOIN l4 ld ON edges.dst = ld.node),
-tot AS (SELECT count(*) AS etot FROM le),
 perc AS (SELECT lsrc, count(*) AS d,
     CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT) AS inc
   FROM le GROUP BY 1)
-SELECT count(*) AS n_communities, max(etot) AS n_edges_directed,
-  (CAST(sum(CAST(inc AS DECIMAL(19,0)) * CAST(etot AS DECIMAL(19,0))) AS DOUBLE)
+SELECT count(*) AS n_communities,
+  CAST(sum(d) AS BIGINT) AS n_edges_directed,
+  (CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(inc) AS BIGINT) AS DOUBLE)
    - CAST(sum(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE))
-  / (CAST(max(etot) AS DOUBLE) * CAST(max(etot) AS DOUBLE)) AS modularity
-FROM perc, tot"""
+  / (CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)) AS modularity
+FROM perc"""
     })
 
   /** Neighbor cap for [[graphJaccardSim]] — C(32, 2) = 496 wedges per

@@ -865,6 +865,68 @@ ORDER BY event_type"""))
     * after is BIN-grain (shards × 256 rows). The cumulative window runs
     * over 256 rows — corpus-size-free.
     */
+  /** Sketch-only distinct INTERSECTION (§2.4 ext) — the audience-overlap
+    * question ("how many users did BOTH A and B") answered from the same
+    * stored per-set sketches as [[aggHllMerge]], by inclusion–exclusion
+    * over pairwise `hll_union`: no re-scan, no user-grain pair join.
+    * Delegates to [[graft.api.Sketches.hllIntersectEstimate]]; emits the
+    * union estimate on every row because the absolute error scales with
+    * |A∪B| (the builder scaladoc's error-bar contract).
+    *
+    * Declared-only BY DESIGN (DataSketches registers; deterministic →
+    * golden-pinned); ApiSpec pins a 5%-of-union accuracy envelope against
+    * the exact intersections, and [[aggHllIntersectExact]] is the oracled
+    * companion computing the numbers this key approximates.
+    */
+  private val aggHllIntersect = Q(
+    "agg_hll_intersect",
+    (s, d) => graft.api.Sketches.hllIntersectEstimate(
+        T.events(s, d), "event_type", "user_id", lgK = 12)
+      .orderBy("set_a", "set_b"),
+    None)
+
+  /** The exact oracled twin of [[aggHllIntersect]]: pairwise
+    * |users(A) ∩ users(B)| over distinct (type, user) memberships plus
+    * the exact Jaccard — the cross-audience overlap matrix (the
+    * source-overlap discipline of llm_source_overlap, here at USER
+    * grain). `jaccard` is an exact-long IEEE ratio → RAW.
+    *
+    * Scale shape: membership collapses to (set, user) grain first; the
+    * pair join is USER-KEYED with per-user fan-out bounded by C(k, 2)
+    * where k = sets a user touches (≤ 5 here — bounded category
+    * cardinality, the agg_chi2 contract); set sizes re-attach SET-keyed
+    * (5 rows — broadcasts). Never a set×set×user blowup.
+    */
+  private val aggHllIntersectExact = Q(
+    "agg_hll_intersect_exact",
+    (s, d) => {
+      val m = T.events(s, d).select(col("event_type"), col("user_id")).distinct()
+      val sz = m.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pr = m.as("a").join(m.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("set_a"),
+          col("b.event_type").as("set_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pr.join(sz.select(col("event_type").as("set_a"), col("n").as("n_a")), "set_a")
+        .join(sz.select(col("event_type").as("set_b"), col("n").as("n_b")), "set_b")
+        .select(col("set_a"), col("set_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .orderBy("set_a", "set_b")
+    },
+    Some("""WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+pr AS (SELECT a.event_type AS set_a, b.event_type AS set_b, count(*) AS n_common
+  FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT set_a, set_b, sa.n AS n_a, sb.n AS n_b, n_common,
+CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM pr JOIN sz sa ON pr.set_a = sa.event_type
+JOIN sz sb ON pr.set_b = sb.event_type
+ORDER BY set_a, set_b"""))
+
   private val aggHistQuantileMerge = Q(
     "agg_hist_quantile_merge",
     (s, d) => graft.api.Sketches.histQuantiles(
@@ -1599,7 +1661,8 @@ FROM m, t, band ORDER BY b"""))
     joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBucketed, joinFuzzy,
     srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
-    aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHistQuantileMerge,
+    aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHllIntersect,
+    aggHllIntersectExact, aggHistQuantileMerge,
     aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
     aggWeightedPercentile, aggStats, aggCollectSorted,

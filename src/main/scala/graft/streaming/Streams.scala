@@ -98,6 +98,24 @@ object Streams {
       col("col.n").as("n"), col("col.sum_value").as("sum_value"),
       (col("pos") + 1).cast("int").as("rk"))
 
+  /** Windowed approx-distinct as a live stream: per tumbling day ×
+    * event_type, `approx_count_distinct(user_id)` — the streaming face of
+    * the sketch family (agg_hll_merge's daily-sketch table, maintained
+    * incrementally instead of batch-rebuilt). HLL register updates are
+    * per-register MAX — insertion- and merge-order independent — so the
+    * streamed final state equals the batch computation EXACTLY, not just
+    * approximately; StreamingSpec pins that equality over an out-of-order
+    * chunk replay. State per open (window, type) is one bounded register
+    * array, the same 100 TB contract as the batch sketch table.
+    */
+  def approxDistinctWindowed(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "10 minutes")
+    .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+    .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      count(lit(1)).as("n"))
+    .select(unix_timestamp(col("w.start")).as("day_start"),
+      col("event_type"), col("approx_users"), col("n"))
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")

@@ -1204,6 +1204,33 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("hllIntersectEstimate lands within 5% of the union vs exact intersections") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val ev = graft.ops.T.events(spark, sf).select(col("event_type"), col("user_id"))
+    val est = Sketches.hllIntersectEstimate(ev, "event_type", "user_id")
+      .select("set_a", "set_b", "est_union", "est_intersect")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, u, i) => (a, b) -> ((u, i)) }.toMap
+    val m = ev.distinct()
+    val exact = m.as("a").join(m.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type"), col("b.event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(est.keySet == exact.keySet, s"pair sets differ: ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, x) =>
+      val (u, i) = est(k)
+      // inclusion–exclusion compounds three ~1.6%-RSE estimates, so the
+      // envelope is relative to the UNION size (the builder's error-bar
+      // contract), not the intersection
+      assert(math.abs(i - x) <= math.max(1L, (0.05 * u).toLong),
+        s"$k: est=$i exact=$x union=$u — outside the 5%-of-union envelope")
+    }
+  }
+
   test("histQuantiles merge is shard-invariant and within one bin of exact rank") {
     import spark.implicits._
     import graft.api.Sketches

@@ -71,6 +71,10 @@ class StreamingSpec extends SparkSpec {
     assertStreamEqualsBatch("success", Streams.successRate, "complete")
   }
 
+  test("windowed approx-distinct: stream == batch (HLL order-independence)") {
+    assertStreamEqualsBatch("approxd", Streams.approxDistinctWindowed, "complete")
+  }
+
   test("stateful dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
