@@ -10,15 +10,17 @@ import scala.jdk.CollectionConverters._
   * Queries run in sorted-name order (deterministic run order across rounds,
   * so positional effects like JIT/code-cache drift are comparable). Each
   * query runs THREE times (fresh plan each run, caches swept between) and
-  * records the MEDIAN over all samples; a query whose spread exceeds 2x its
-  * median (the data-visible signature of transient contention or JIT
-  * warm-up) takes up to TWO extra samples first — self-correction, not just
-  * self-diagnosis (the r8 record shipped a 9.45 s agg_global median that a
-  * quiet host runs in 1.20 s). Loadavg is deliberately NOT used to trigger
-  * or select samples — mid-suite 1-min loadavg is dominated by the
-  * harness's own local[32] work (see the inline note) — it is recorded as
-  * diagnosis: `contended` flags any per-sample loadavg above
-  * max(2.0, 2x run-start). The per-query "detail" map keeps the first
+  * records the MEDIAN over all samples; a query whose max sample exceeds
+  * 2x its min (the data-visible signature of transiently inflated samples
+  * — contention or JIT warm-up) takes up to TWO extra samples first, so
+  * the 5-sample median settles on the dominant regime — self-correction,
+  * not just self-diagnosis (the r8 record shipped a 9.45 s agg_global
+  * median that a quiet host runs in 1.20 s). Loadavg is deliberately NOT
+  * used to trigger or select samples — mid-suite 1-min loadavg is
+  * dominated by the harness's own local[32] work (see the inline note) —
+  * it stays in detail as diagnosis; `contended` = the spread still
+  * exceeds the fastest sample after re-sampling (a wobbly median, read
+  * with care). The per-query "detail" map keeps the first
   * (cold) run's build/plan/exec split plus the median, min-max spread,
   * sample count, and the contended flag. Failures are recorded as NEGATIVE
   * seconds plus a "failed" list — a broken query cannot masquerade as a
@@ -171,25 +173,30 @@ object Bench {
       // contention self-CORRECTION (the r8 record's failure shape: quiesce
       // passed at loadavg 1.97, load climbed mid-run, and agg_global
       // recorded 9.45 s where a quiet host runs 1.20 s). The re-sample
-      // trigger is the SPREAD (> 2x the median) — the data-visible
-      // signature of transient contention or JIT warm-up. Deliberately NOT
-      // a loadavg trigger, and NOT a quiet-loadavg sample filter: mid-suite
-      // 1-min loadavg is dominated by the harness's OWN local[32] work
-      // (measured on the r9 build: p50 per-query loadavg 5.3 on an
-      // otherwise-idle host, 184/194 keys false-flagged, and one median
-      // BIASED UP by the filter), so loadavg cannot select samples here.
-      // The median runs over ALL samples — five samples absorb two inflated
-      // ones; a PERSISTENT external load inflates every sample alike, which
-      // no sampling policy can undo, so it is flagged for the reader
-      // instead: `contended` marks any per-sample loadavg above
-      // max(2.0, 2x the run-start loadavg).
-      val spreadTrig = base.size > 1 &&
-        base.map(_._1).max - base.map(_._1).min > 2 * medOf(base.map(_._1))
-      val all = if (ok && spreadTrig) base ++ (1 to 2).flatMap(_ => runOnce())
+      // trigger is max > 2x min (spread exceeds the fastest sample) — the
+      // data-visible signature of a transiently inflated sample, whether
+      // the inflated ones are the minority ([9.4, 9.5, 1.2]: the r8 shape,
+      // median still poisoned without correction) or the majority; two
+      // extra samples then let the 5-sample median settle on the dominant
+      // regime. Deliberately NOT a loadavg trigger and NOT a quiet-loadavg
+      // sample filter: mid-suite 1-min loadavg is dominated by the
+      // harness's OWN local[32] work (measured on the r9 build: p50
+      // per-query loadavg 5.3 on an otherwise-idle host, 184/194 keys
+      // false-flagged, one median BIASED UP by the filter), so loadavg
+      // cannot select samples here — it stays in detail as diagnosis.
+      // A PERSISTENT external load inflates every sample alike (small
+      // spread), which no in-process policy can detect or undo; the
+      // run-level quiesce gate and loadavg_start/end bracket that case.
+      // `contended` in detail = the spread still exceeds the fastest
+      // sample AFTER re-sampling: this median is wobbly, read with care.
+      def wide(xs: Seq[Double]): Boolean =
+        xs.size > 1 && xs.max - xs.min > xs.min
+      val all = if (ok && wide(base.map(_._1)))
+                  base ++ (1 to 2).flatMap(_ => runOnce())
                 else base
       val med = medOf(all.map(_._1))
       val spread = all.map(_._1).max - all.map(_._1).min
-      val contended = all.exists(_._2 > math.max(2.0, 2 * loadStart))
+      val contended = wide(all.map(_._1))
       System.err.println(
         f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${all.size} runs${if (contended) ", CONTENDED" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
       (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread,
