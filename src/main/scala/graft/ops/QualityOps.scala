@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import H._
+
+/** SURVEY.md §2.1-ext data-quality & table-maintenance operators — the
+  * ingest-gate shapes a production training-data pipeline runs on every
+  * batch: a declarative expectations suite ([[graft.api.Quality]]), a
+  * distribution-drift monitor (PSI), and small-file compaction
+  * ([[graft.api.Tables.compactFiles]]).
+  */
+object QualityOps {
+
+  /** Declarative data-quality expectations report (§2.1 ext) — the
+    * Deequ-style constraint suite over four fixture tables: row-grain
+    * domain/format checks folded into ONE scan per table
+    * ([[graft.api.Quality.report]]), key uniqueness (count-distinct), and
+    * lineitem→orders referential integrity (key-grain anti join). One row
+    * per rule: counts exact longs, `violation_rate` an exact-long IEEE
+    * ratio → RAW, `pass = (n_violations = 0)`.
+    *
+    * The suite is deliberately NOT all-green on real fixtures: the
+    * `events.value ≤ 450` range expectation fails at sf0.01/sf0.1 (planted
+    * tail values) — a report that can only say "pass" audits nothing.
+    *
+    * Scale shape: 8 row-grain rules cost 4 table scans TOTAL (one
+    * conditional-sum pass per table, map-side combinable to a 1-row
+    * partial per executor); uniqueness is a two-stage count-distinct; the
+    * FK check anti-joins at KEY grain (child collapses to distinct keys
+    * first). The final union is 11 rows — driver-trivial at any corpus
+    * size.
+    */
+  private val srcQualityRules = Q(
+    "src_quality_rules",
+    (s, d) => {
+      import graft.api.Quality
+      import graft.api.Quality.Check
+      val orders = T.orders(s, d)
+      val li = T.lineitem(s, d)
+      val ev = T.events(s, d)
+      val docs = T.documents(s, d)
+      Quality.suite(Seq(
+        Quality.report(orders, "orders", Seq(
+          Check("r01_totalprice_pos", "o_totalprice", col("o_totalprice") <= 0),
+          Check("r02_status_domain", "o_orderstatus",
+            !col("o_orderstatus").isin("O", "F", "P")))),
+        Quality.report(li, "lineitem", Seq(
+          Check("r03_discount_range", "l_discount",
+            col("l_discount") < 0 || col("l_discount") > 0.1),
+          Check("r04_qty_integral", "l_quantity",
+            col("l_quantity") =!= floor(col("l_quantity"))))),
+        Quality.report(ev, "events", Seq(
+          Check("r05_value_range", "value",
+            col("value") < 0 || col("value") > 450),
+          Check("r06_props_format", "props",
+            !col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")))),
+        Quality.report(docs, "documents", Seq(
+          Check("r07_text_nonempty", "text",
+            col("text").isNull || length(col("text")) === 0),
+          Check("r08_nchars_consistent", "n_chars",
+            col("n_chars") =!= length(col("text"))))),
+        Quality.uniqueKey(orders, "orders", "o_orderkey", "r09_orderkey_unique"),
+        Quality.uniqueKey(docs, "documents", "doc_id", "r10_docid_unique"),
+        Quality.fkIntegrity(li, "lineitem", "l_orderkey",
+          orders, "o_orderkey", "r11_fk_li_orders")))
+    },
+    Some("""WITH o AS (SELECT count(*) n,
+    count(*) FILTER (WHERE o_totalprice <= 0) v1,
+    count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                       OR o_orderstatus IS NULL) v2,
+    count(DISTINCT o_orderkey) dk
+  FROM orders),
+l AS (SELECT count(*) n,
+    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) v1,
+    count(*) FILTER (WHERE l_quantity <> floor(l_quantity)) v2
+  FROM lineitem),
+e AS (SELECT count(*) n,
+    count(*) FILTER (WHERE value < 0 OR value > 450) v1,
+    count(*) FILTER (WHERE NOT regexp_matches(props, '^\{"k": -?[0-9]+\}$')
+                       OR props IS NULL) v2
+  FROM events),
+dcs AS (SELECT count(*) n,
+    count(*) FILTER (WHERE text IS NULL OR length(text) = 0) v1,
+    count(*) FILTER (WHERE n_chars <> length(text)) v2,
+    count(DISTINCT doc_id) dk
+  FROM documents),
+fk AS (SELECT (SELECT count(*) FROM lineitem) n,
+    (SELECT count(*) FROM lineitem li
+       WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                         WHERE oo.o_orderkey = li.l_orderkey)) v
+  ),
+rules AS (
+  SELECT 'r01_totalprice_pos' rule_id, 'orders' table_name,
+    'o_totalprice' column_name, n n_rows, v1 n_violations FROM o
+  UNION ALL SELECT 'r02_status_domain', 'orders', 'o_orderstatus', n, v2 FROM o
+  UNION ALL SELECT 'r03_discount_range', 'lineitem', 'l_discount', n, v1 FROM l
+  UNION ALL SELECT 'r04_qty_integral', 'lineitem', 'l_quantity', n, v2 FROM l
+  UNION ALL SELECT 'r05_value_range', 'events', 'value', n, v1 FROM e
+  UNION ALL SELECT 'r06_props_format', 'events', 'props', n, v2 FROM e
+  UNION ALL SELECT 'r07_text_nonempty', 'documents', 'text', n, v1 FROM dcs
+  UNION ALL SELECT 'r08_nchars_consistent', 'documents', 'n_chars', n, v2 FROM dcs
+  UNION ALL SELECT 'r09_orderkey_unique', 'orders', 'o_orderkey', n, n - dk FROM o
+  UNION ALL SELECT 'r10_docid_unique', 'documents', 'doc_id', n, n - dk FROM dcs
+  UNION ALL SELECT 'r11_fk_li_orders', 'lineitem', 'l_orderkey', n, v FROM fk)
+SELECT rule_id, table_name, column_name,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
+  n_violations = 0 AS pass
+FROM rules ORDER BY rule_id"""))
+
+  /** Population-Stability-Index distribution drift (§2.4 ext) — the ML
+    * feature-monitoring gauge: per event_type, `value`'s distribution in
+    * the first half of the month (baseline, ts < Jan 16) vs the second
+    * (current), over 10 equal-width bins spanning the GLOBAL min/max, with
+    * add-one (Laplace) smoothing so empty bins stay finite:
+    * `PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base)`. The standard
+    * reading: < 0.1 stable, 0.1–0.2 moderate shift, ≥ 0.2 drifted.
+    *
+    * Float discipline: bin edges derive from exact double min/max with
+    * identical-IEEE `(v−mn)/width` + `floor` + `least` both engines;
+    * smoothed shares `(cnt+1)/(tot+10)` are exact-long IEEE ratios; each
+    * PSI term crosses libm (`ln`) → [[H.q6]]-quantized and summed as exact
+    * DECIMAL ([[H.dec6Sum]]) — order-independent, so the emitted `psi` is
+    * RAW and the `drifted` threshold compares identical bits. Every term
+    * is ≥ 0 ((x−y)·ln(x/y) ≥ 0), so no signed-zero hazard.
+    *
+    * Scale shape: one hash aggregate at (feature, period, bin) grain —
+    * map-side combinable, bounded by features × 20 groups — then a
+    * feature-grain rollup; the global min/max is a 1-row broadcast. The
+    * period split is a column derivation, not a second scan.
+    */
+  private val aggDriftPsi = Q(
+    "agg_drift_psi",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val binned = ev.crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          when(col("ts") < split, 0).otherwise(1).as("per"),
+          least(floor((col("value") - col("mn"))
+            / ((col("mx") - col("mn")) / 10.0)), lit(9L)).cast("long").as("bin"))
+      // the bin-count frame feeds four consumers (tots, grid, the share
+      // join, and the period totals) — cache it or each consumer re-scans
+      // events (the r9 graph_modularity lesson); it is features×20 rows
+      val cnts = graft.api.Caches.cache(
+        binned.groupBy("event_type", "per", "bin")
+          .agg(count(lit(1)).as("cnt")))
+      val tots = cnts.groupBy("event_type", "per").agg(sum("cnt").as("tot"))
+      val grid = tots.select(col("event_type"), col("per"), col("tot"))
+        .crossJoin(broadcast(s.range(0, 10).select(col("id").as("bin"))))
+      val shares = grid.join(cnts, Seq("event_type", "per", "bin"), "left")
+        .select(col("event_type"), col("per"), col("bin"),
+          ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+            / (col("tot") + lit(10L))).as("p"))
+      val wide = shares.groupBy("event_type", "bin")
+        .agg(max(when(col("per") === 0, col("p"))).as("pb"),
+          max(when(col("per") === 1, col("p"))).as("pc"))
+      val perType = wide.groupBy("event_type")
+        .agg(dec6Sum(q6((col("pc") - col("pb"))
+          * log(col("pc") / col("pb")))).as("psi"))
+      // period totals fall out of the bin counts — no third events scan
+      val ns = tots.groupBy("event_type")
+        .agg(max(when(col("per") === 0, col("tot"))).as("n_base"),
+          max(when(col("per") === 1, col("tot"))).as("n_cur"))
+      ns.join(perType, "event_type")
+        .select(col("event_type"), col("n_base"), col("n_cur"), col("psi"),
+          (col("psi") >= 0.2).as("drifted"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH mm AS (SELECT min(value) mn, max(value) mx FROM events),
+b AS (SELECT event_type,
+    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END per,
+    CAST(least(floor((value - mn) / ((mx - mn) / 10.0)), 9) AS BIGINT) bin
+  FROM events, mm),
+c AS (SELECT event_type, per, bin, count(*) cnt FROM b GROUP BY 1, 2, 3),
+t AS (SELECT event_type, per, sum(cnt) tot FROM c GROUP BY 1, 2),
+grid AS (SELECT t.event_type, t.per, t.tot, g.bin
+  FROM t CROSS JOIN (SELECT range AS bin FROM range(0, 10)) g),
+sh AS (SELECT grid.event_type, grid.per, grid.bin,
+    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (grid.tot + 10) p
+  FROM grid LEFT JOIN c ON grid.event_type = c.event_type
+    AND grid.per = c.per AND grid.bin = c.bin),
+w AS (SELECT event_type, bin,
+    max(CASE WHEN per = 0 THEN p END) pb,
+    max(CASE WHEN per = 1 THEN p END) pc
+  FROM sh GROUP BY 1, 2),
+psi AS (SELECT event_type,
+    ${dec6SumSql(q6Sql("(pc - pb) * ln(pc / pb)"))} psi
+  FROM w GROUP BY 1),
+ns AS (SELECT event_type,
+    CAST(max(CASE WHEN per = 0 THEN tot END) AS BIGINT) n_base,
+    CAST(max(CASE WHEN per = 1 THEN tot END) AS BIGINT) n_cur
+  FROM t GROUP BY 1)
+SELECT ns.event_type AS event_type, n_base, n_cur, psi,
+  psi >= 0.2 AS drifted
+FROM ns JOIN psi ON ns.event_type = psi.event_type
+ORDER BY event_type"""))
+
+  /** Small-file compaction round-trip (§2.1 ext) — ingest-shaped damage
+    * (documents written at ≤ 50 rows/file) repaired by
+    * [[graft.api.Tables.compactFiles]] into ~250-row files, then READ BACK
+    * and audited per source: row count, char sum, doc_id sum and min/max —
+    * all exact longs proving the rewrite preserved every row. The oracle
+    * computes the same audit straight off the fixture: a hash match means
+    * compaction changed layout only, never content. File-count
+    * expectations (≥ 10 before, ⌈n/250⌉ after) are pinned by ApiSpec —
+    * file layout is engine-specific and has no DuckDB mirror.
+    *
+    * Scale shape: the damage write and the compaction are each one
+    * distributed pass; compaction's row count is parquet-footer
+    * metadata-only; the round-robin `repartition` balances output files
+    * regardless of input skew (the coalesce-inherits-skew trap the
+    * builder's scaladoc documents). Audit = one hash aggregate at source
+    * grain. Scratch dirs live under the per-JVM reaped [[Llm.shardRoot]]
+    * (concurrent JVMs on the same sf dir never collide).
+    */
+  private val srcCompaction = Q(
+    "src_compaction",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val smallDir = new java.io.File(Llm.shardRoot,
+        s"compact_in_$tag").getAbsolutePath
+      val outDir = new java.io.File(Llm.shardRoot,
+        s"compact_out_$tag").getAbsolutePath
+      T.documents(s, d).repartition(10)
+        .write.mode("overwrite").option("maxRecordsPerFile", 50L)
+        .parquet(smallDir)
+      graft.api.Tables.compactFiles(s, smallDir, outDir, 250L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_ids"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Z-order (Morton) clustered layout (§2.1 ext) — orders keyed on two
+    * independent dimensions (customer bucket `x = o_custkey % 16`, day
+    * bucket `y = day(o_orderdate) % 16`), bit-interleaved into a z-value
+    * ([[graft.api.Layout.zValue]]), WRITTEN z-clustered
+    * (range-partitioned + sorted — the real layout job), read back, and
+    * audited per z-TILE (`z >> 4`): row count and the (x, y) bounding box
+    * each tile occupies. Morton tiles are 4×4 cells, so every tile's
+    * `box_area` is ≤ 16 regardless of data volume — the zone-map locality
+    * that lets file-level min/max stats prune on EITHER dimension (a
+    * single-key sort prunes only its leading column). All columns exact
+    * ints; the oracle mirrors the bit arithmetic term by term.
+    *
+    * Scale shape: z is pure codegen'd bitwise math; the layout write is
+    * one range shuffle (`repartitionByRange` on z) — the same cost as any
+    * sorted write; the audit is one 16-group hash agg. ApiSpec pins the
+    * per-FILE guarantee on a uniform grid (16 files ↔ 16 disjoint
+    * z-ranges, each file's box exactly one 4×4 tile).
+    */
+  private val srcZorderLayout = Q(
+    "src_zorder_layout",
+    (s, d) => {
+      import graft.api.Layout
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val outDir = new java.io.File(Llm.shardRoot,
+        s"zorder_$tag").getAbsolutePath
+      val keyed = T.orders(s, d).select(
+        (col("o_custkey") % 16).cast("int").as("x"),
+        (dayofmonth(col("o_orderdate")) % 16).cast("int").as("y"))
+      val z = keyed.withColumn("z", Layout.zValue(col("x"), col("y"), 4))
+      Layout.zOrderWrite(s, z, "z", 16, outDir)
+        .groupBy(shiftright(col("z"), 4).as("tile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("box_area",
+          (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+        .orderBy("tile")
+    },
+    Some(s"""WITH k AS (SELECT CAST(o_custkey % 16 AS INT) x,
+    CAST(day(o_orderdate) % 16 AS INT) y FROM orders),
+z AS (SELECT x, y, ${graft.api.Layout.zValueSql("x", "y", 4)} z FROM k)
+SELECT z >> 4 AS tile, count(*) AS n_orders,
+  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS box_area
+FROM z GROUP BY 1 ORDER BY tile"""))
+
+  val all: Seq[Q] = Seq(srcQualityRules, aggDriftPsi, srcCompaction,
+    srcZorderLayout)
+}

@@ -1255,4 +1255,105 @@ class ApiSpec extends SparkSpec {
         s"q=$qv est=${byDay(qv)} outside exact ±1-rank band [$lo, $hi]")
     }
   }
+
+  // --------------------------------------------------------------- Quality
+
+  test("Quality.report counts violations in one pass, nulls count as violations") {
+    import spark.implicits._
+    import graft.api.Quality
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (-3L, "c"), (null, "d"), (5L, null))
+      .toDF("amount", "tag")
+    val r = Quality.report(df, "t", Seq(
+        Quality.Check("pos_amount", "amount", col("amount") <= 0),
+        Quality.Check("tag_present", "tag", col("tag").isNull)))
+      .orderBy("rule_id")
+      .select("rule_id", "n_rows", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    // amount: −3 violates, null amount → null predicate → violation; 5 ok
+    assert(r == Seq(("pos_amount", 5L, 2L, false), ("tag_present", 5L, 1L, false)))
+  }
+
+  test("Quality uniqueKey and fkIntegrity find planted violations") {
+    import spark.implicits._
+    import graft.api.Quality
+    val child = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "o"), (9L, "p"))
+      .toDF("k", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val uk = Quality.uniqueKey(child, "child", "k", "uk")
+      .select("n_rows", "n_violations", "pass")
+      .as[(Long, Long, Boolean)].head()
+    assert(uk == ((5L, 2L, false))) // 5 rows, 3 distinct keys
+    val fk = Quality.fkIntegrity(child, "child", "k", parent, "pk", "fk")
+      .select("n_rows", "n_violations", "pass")
+      .as[(Long, Long, Boolean)].head()
+    assert(fk == ((5L, 2L, false))) // the two k=9 rows are orphans
+  }
+
+  test("Tables.compactFiles reduces file count without touching content") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("grp"))
+    df.repartition(20).write.option("maxRecordsPerFile", 50L).parquet(inDir)
+    def parquetFiles(dir: String) = new java.io.File(dir)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) >= 20, "damage write should fragment")
+    val out = graft.api.Tables.compactFiles(spark, inDir, outDir, 250L)
+    assert(parquetFiles(outDir) == 4, // ceil(1000/250)
+      s"expected 4 compacted files, got ${parquetFiles(outDir)}")
+    val a = out.orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = df.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a == b, "compaction must preserve content bit-for-bit")
+  }
+
+  // ---------------------------------------------------------------- Layout
+
+  test("Layout.zValue interleaves bits bijectively") {
+    import spark.implicits._
+    import graft.api.Layout
+    val grid = spark.range(0, 256)
+      .select((col("id") % 16).cast("int").as("x"),
+        (col("id") / 16).cast("int").as("y"))
+    val z = grid.select(Layout.zValue(col("x"), col("y"), 4).as("z"))
+    assert(z.distinct().count() == 256, "z must be a bijection on the grid")
+    assert(z.agg(min("z"), max("z")).as[(Int, Int)].head() == ((0, 255)))
+    // spot values: x=3 (0b0011), y=5 (0b0101) → 1+2+4+32 = 39
+    val spot = Seq((3, 5), (1, 0), (0, 1), (15, 15)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 4).as("z"))
+      .as[Int].collect().toSeq
+    assert(spot == Seq(39, 1, 2, 255))
+  }
+
+  test("zOrderWrite gives every file a disjoint z-range and a local (x,y) box") {
+    import spark.implicits._
+    import graft.api.Layout
+    val outDir = java.nio.file.Files.createTempDirectory("graft_zorder_spec_")
+      .resolve("out").toString
+    // uniform 16×16 grid, 16 rows per cell → 4096 rows, 16 rows per z value
+    val df = spark.range(0, 4096)
+      .select((col("id") % 16).cast("int").as("x"),
+        ((col("id") / 16) % 16).cast("int").as("y"))
+    val z = df.withColumn("z", Layout.zValue(col("x"), col("y"), 4))
+    val back = Layout.zOrderWrite(spark, z, "z", 16, outDir)
+    val files = back.groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"),
+        ((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+      .orderBy("lo")
+      .select("lo", "hi", "area").as[(Int, Int, Int)].collect().toSeq
+    assert(files.size == 16, s"expected 16 z-range files, got ${files.size}")
+    files.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"overlapping z-ranges: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+    // range boundaries come from sampling, so a file may straddle a tile
+    // border — but locality must hold: nothing near the full 16×16 grid
+    val areas = files.map(_._3)
+    assert(areas.max <= 64, s"a file's box covers ${areas.max} cells (> 4 tiles)")
+    assert(areas.sum.toDouble / areas.size <= 32.0,
+      s"mean box area ${areas.sum / 16.0} — z-clustering not localizing")
+  }
 }

@@ -623,4 +623,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.size <= 1,
       s"only the 1-row total crossJoin may BNLJ, got ${bnlj.size}:\n$p")
   }
+
+  test("src_quality_rules folds row-grain rules into one scan per table") {
+    // 8 row-grain rules over 4 tables = 4 scans; +2 uniqueness passes
+    // (orders, documents) + the FK pair (lineitem keys, orders keys) = 8
+    // scans total. One-scan-per-rule would be 11+.
+    val n = scans(plan("src_quality_rules")).size
+    assert(n <= 8, s"quality suite scans $n times (> 1 per rule group):\n" +
+      s"${plan("src_quality_rules")}")
+  }
+
+  test("agg_drift_psi reads events only to build the cached bin counts") {
+    // the bin-count frame is cached (four consumers); every consumer must
+    // ride the InMemoryTableScan — a direct file scan outside the cache
+    // build means a consumer re-derived the events aggregate
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = plan("agg_drift_psi")
+    assert(scans(p).isEmpty,
+      s"a PSI consumer bypassed the bin-count cache:\n$p")
+    val imts = collectWithSubqueries(p) { case s: InMemoryTableScanExec => s }
+    assert(imts.nonEmpty, s"expected cached bin counts in the plan:\n$p")
+    // the cache build itself: bounds pass + binned pass = 2 events scans
+    val inner = scans(imts.head.relation.cachedPlan)
+    assert(inner.size == 2,
+      s"cache build must be bounds-pass + binned pass, got ${inner.size}:\n" +
+        s"${imts.head.relation.cachedPlan}")
+  }
 }
