@@ -116,6 +116,51 @@ object Streams {
     .select(unix_timestamp(col("w.start")).as("day_start"),
       col("event_type"), col("approx_users"), col("n"))
 
+  /** Online PSI feature-drift monitor — the streaming face of
+    * `agg_drift_psi`: the live stream's `value` distribution per
+    * event_type, binned against a STORED baseline profile (the production
+    * shape: the baseline is a frozen training-period artifact, passed in
+    * as literals, never recomputed online), with drift scored
+    * incrementally as events arrive.
+    *
+    * The whole query is ONE stateful aggregation — each of the 10 bins is
+    * a conditional count column in a single `groupBy(event_type)`, and
+    * PSI closes as fixed-width row arithmetic over those columns plus the
+    * baseline literals (add-one smoothing, 10-term left-to-right sum —
+    * deterministic, so the streamed final state equals the batch builder
+    * bit-for-bit; StreamingSpec pins that over an out-of-order replay).
+    * Structured Streaming allows one aggregation per query; folding bins
+    * into columns instead of rows is what keeps the PSI close INSIDE that
+    * single aggregation. State per event_type is 10 longs — bounded by
+    * features × bins at any stream volume.
+    *
+    * @param mn,mx   frozen bin range from the baseline profile
+    * @param baseline per-feature 10 smoothed baseline shares (same
+    *                 add-one convention), in bin order
+    */
+  def driftPsi(events: DataFrame, mn: Double, mx: Double,
+      baseline: Map[String, Seq[Double]]): DataFrame = {
+    val width = (mx - mn) / 10.0
+    val bin = least(floor((col("value") - lit(mn)) / lit(width)), lit(9L))
+    val binAggs = (0 until 10).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"b$i"))
+    val counts = events.groupBy(col("event_type"))
+      .agg(binAggs.head, binAggs.tail: _*)
+    val tot = (0 until 10).map(i => col(s"b$i")).reduce(_ + _)
+    val pb = map(baseline.toSeq.sortBy(_._1).flatMap { case (k, ps) =>
+      Seq(lit(k), array(ps.map(lit): _*))
+    }: _*)
+    val terms = (0 until 10).map { i =>
+      val pc = (col(s"b$i") + lit(1L)).cast("double") / (col("n_cur") + lit(10L))
+      val pbi = element_at(col("pb"), col("event_type"))(i)
+      floor((pc - pbi) * log(pc / pbi) * 1e6 + 0.5) / 1e6
+    }
+    counts.withColumn("n_cur", tot).withColumn("pb", pb)
+      .select(col("event_type"), col("n_cur"),
+        terms.reduce(_ + _).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")

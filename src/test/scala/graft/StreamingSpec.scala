@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assertStreamEqualsBatch("approxd", Streams.approxDistinctWindowed, "complete")
   }
 
+  test("online PSI drift monitor: stream == batch against a frozen baseline") {
+    import spark.implicits._
+    // the frozen baseline profile a production monitor would load: derive
+    // it from the first 200 events batch-side (add-one smoothed shares)
+    val base = eventRows(200)
+    val (mn, mx) = (base.map(_.value).min, base.map(_.value).max)
+    val width = (mx - mn) / 10.0
+    val baseline = base.groupBy(_.event_type).map { case (k, evs) =>
+      val cnt = Array.fill(10)(0L)
+      evs.foreach { e =>
+        cnt(math.min(((e.value - mn) / width).toInt, 9)) += 1
+      }
+      k -> (0 until 10).map(i =>
+        (cnt(i) + 1.0) / (evs.size + 10.0)).toSeq
+    }
+    assertStreamEqualsBatch("psi",
+      df => Streams.driftPsi(df, mn, mx, baseline), "complete")
+  }
+
   test("stateful dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
