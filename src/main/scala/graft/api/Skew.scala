@@ -59,4 +59,35 @@ object Skew {
       .drop("__hot", "__salts")
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Inner equi-join `fact ⋈ dim`, identical result to the plain join,
+    * with the fact side (the 100 TB side) pre-filtered by a Bloom filter
+    * built over the dim keys BEFORE the join shuffle — the explicit,
+    * deterministic form of Spark's runtime bloom filter (which only
+    * injects under its own selectivity heuristics). When the dim is
+    * selective but too large (or too late-derived) to broadcast-hash-join,
+    * the bloom bit array still broadcasts at ~10 bits/key and drops the
+    * overwhelming non-matching majority of fact rows at scan time, so the
+    * join shuffle carries ~|matching rows| instead of |fact|.
+    *
+    * Bloom false positives are removed by the exact join that follows;
+    * false negatives don't exist — the result is EXACTLY the plain join
+    * (ApiSpec pins equality). Keys must be 64-bit integers (the probe is
+    * the codegen'd [[graft.functions.BloomProbe]] over the serialized
+    * filter — a few hashes on a long, fused into the scan-side codegen
+    * span). Eager: building the filter runs one distinct-aggregate job
+    * over the dim keys.
+    */
+  def bloomPrefilterJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey)).distinct()
+    val expected = math.max(keys.count(), 1000L)
+    val bf = keys.stat.bloomFilter(dimKey, expected, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    graft.functions.VectorFunctions.register(fact.sparkSession)
+    fact.filter(call_function("bloom_probe",
+        lit(bytes.toByteArray), col(factKey).cast("long")))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

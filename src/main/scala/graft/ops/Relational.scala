@@ -464,6 +464,41 @@ FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END AS hk
 JOIN (SELECT n_nationkey % 10 AS hk, n_name FROM nation) d ON f.hk = d.hk
 GROUP BY 1, 2 ORDER BY hk, n_name"""))
 
+  /** Bloom-prefiltered fact⋈dim join (§2.3 ext) — the runtime-filter shape
+    * made explicit via [[graft.api.Skew.bloomPrefilterJoin]]: one brand's
+    * parts (a ~4 % dim slice) joined to lineitem, with the FACT side
+    * pruned at scan time by a Bloom bit array built over the dim keys
+    * before any shuffle. False positives die in the exact join that
+    * follows; false negatives don't exist — the oracle IS the plain join
+    * (the rewrite must be invisible in the result, like the salted
+    * rewrites). Per-type revenue rollup over the surviving rows, all
+    * exact decimal-factor arithmetic.
+    *
+    * Scale shape: the bloom broadcast is ~10 bits/dim-key regardless of
+    * dim row width; the join shuffle carries ~|matching fact rows|
+    * (+fpp·|fact|) instead of |fact| — the difference between shuffling
+    * 4 % and 100 % of a 100 TB fact table. PlanSpec asserts the
+    * bloom_probe filter sits on the fact scan side under codegen.
+    */
+  private val joinBloomPrefilter = Q(
+    "join_bloom_prefilter",
+    (s, d) => {
+      val dim = T.part(s, d).filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"), col("p_type"))
+      graft.api.Skew.bloomPrefilterJoin(
+          T.lineitem(s, d), "l_partkey", dim, "p_partkey")
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("p_type")
+    },
+    Some(s"""SELECT p_type, count(*) AS n,
+CAST(sum(${m2Sql("l_extendedprice")} * ${oneMinusSql("l_discount")}) AS DOUBLE) AS revenue
+FROM lineitem JOIN (SELECT p_partkey, p_type FROM part WHERE p_brand = 'Brand#13') p
+ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY p_type"""))
+
   /** Partitioned-datalake layout: write events partitioned by event_type,
     * read back with a partition filter — partition pruning (not row
     * filtering) must eliminate the other partitions; asserted in PlanSpec.
@@ -1658,7 +1693,8 @@ FROM m, t, band ORDER BY b"""))
     filtSubqueryScalar, projDistinct,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBucketed, joinFuzzy,
+    joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBloomPrefilter,
+    joinBucketed, joinFuzzy,
     srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
     aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHllIntersect,
