@@ -162,6 +162,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(udfs.isEmpty, s"no ScalaUDF may remain in the bloom path:\n$p")
   }
 
+  test("join_bloom_prefilter probes the Bloom filter on the fact scan side, in codegen") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val p = plan("join_bloom_prefilter")
+    val preShuffleProbe = collectWithSubqueries(p) {
+      case f: FilterExec
+          if f.condition.exists(_.isInstanceOf[graft.functions.BloomProbe]) &&
+            f.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec]) &&
+            f.collect { case e: ShuffleExchangeExec => e }.isEmpty => f
+    }
+    assert(preShuffleProbe.nonEmpty,
+      s"the fact-side Bloom probe must run scan-side, ahead of the join exchange:\n$p")
+    val udfs = collectWithSubqueries(p) {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+    }
+    assert(udfs.isEmpty, s"no ScalaUDF may remain in the bloom path:\n$p")
+  }
+
   test("agg_approx_topk partial-aggregates the sketch map-side") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     val aggs = collectWithSubqueries(plan("agg_approx_topk")) {
