@@ -1014,7 +1014,15 @@ SELECT a_id, b_id, cos FROM v WHERE cos >= 0.95 ORDER BY a_id, b_id"""
     // fully deterministic (hash-seeded init, DECIMAL-exact centroid means,
     // total-ordered ranks): the training loop unrolls into SQL and both
     // engines derive the bit-identical codebook, cells, and neighbor ranks
-    Some(s"""WITH e AS (SELECT vec_id,
+    Some(annIvfOracleSql))
+
+  /** The llm_ann_ivf training loop + codebook + assignments are fully
+    * deterministic, so the SAME oracle covers both the in-memory probe and
+    * the persisted-index probe (read-back == direct is the claim the shared
+    * oracle checks).
+    */
+  private lazy val annIvfOracleSql =
+    s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
 n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
 ${kmeansSql("n0", 8, 2)},
@@ -1036,7 +1044,35 @@ r AS (SELECT q_id, neighbor_id, cos, cell,
     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM cand)
 SELECT q_id, neighbor_id, ${H.r4zSql("cos")} AS cos, rn, cell
-FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  /** The persisted-index shape of llm_ann_ivf — train once, WRITE the
+    * codebook + cell-partitioned corpus as parquet
+    * ([[graft.api.Vectors.writeIndex]]), then answer the query from the
+    * STORED artifacts ([[graft.api.Vectors.probeIndex]]): the production
+    * discipline a re-queried 100 TB index actually runs, and the physical
+    * round trip llm_shard_write pins applied to ANN. Identical parameters
+    * and query set to llm_ann_ivf, so the SAME oracle gates it — a hash
+    * match here proves read-back == direct through the parquet layout
+    * (partition-column `cell` included).
+    */
+  private val llmAnnIndexPersist = Q(
+    "llm_ann_index_persist",
+    (s, d) => {
+      // per-fixture path under the reaped shardRoot (the llm_shard_write
+      // placement rules: absolute, JVM-unique, overwrite-per-build)
+      val outBase = new java.io.File(shardRoot,
+        s"graft_annidx_${new java.io.File(d).getName}").getAbsolutePath
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      Vectors.writeIndex(nv, "vec_id", outBase, k = 8, iters = 2)
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      Vectors.probeIndex(s, outBase, q, "vec_id", k = 5, probes = 2)
+        .select(col("q_id"), col("n_id").as("neighbor_id"),
+          H.r4z(col("cos")).as("cos"),
+          col("rn"), col("n_cell").as("cell"))
+        .orderBy("q_id", "rn")
+    },
+    Some(annIvfOracleSql))
 
   // ----------------------------------------------------------- text analysis
 
@@ -2727,7 +2763,8 @@ FROM c, t ORDER BY decile"""))
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,
-    llmEmbedNeardup, llmAnnIvf, llmAnnRecall, llmAnnPqRecall, llmSemdedup,
+    llmEmbedNeardup, llmAnnIvf, llmAnnIndexPersist, llmAnnRecall,
+    llmAnnPqRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
     llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,

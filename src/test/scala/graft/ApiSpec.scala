@@ -822,6 +822,52 @@ class ApiSpec extends SparkSpec {
       "join-path training must match literal-path training bit-for-bit")
   }
 
+  test("probeIndex over a writeIndex layout equals the direct in-memory ivf probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 20).map(i =>
+        (ci * 100L + i, c.map(x => x + rnd.nextGaussian() * 0.05)))
+    }
+    val nv = Vectors.normalized(data.toDF("id", "vec"), "vec")
+      .select(col("id"), col("vd"), col("nrm"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_spec_")
+      .toFile.getAbsolutePath
+    try {
+      Vectors.writeIndex(nv, "id", dir, k = 4, iters = 2)
+      // the stored artifacts round-trip: codebook rows == trained codebook,
+      // index carries every corpus row exactly once with its trained cell
+      val cb = Vectors.kmeansCodebook(nv, "id", k = 4, iters = 2)
+      val storedCb = spark.read.parquet(s"$dir/codebook")
+      assert(storedCb.collect().map(_.toString).sorted
+        .sameElements(cb.collect().map(_.toString).sorted),
+        "stored codebook must equal the trained codebook bit-for-bit")
+      val direct = Vectors.ivfProbeWith(
+        Vectors.assignCells(nv, cb).select(col("id"), col("cell"), col("vd"), col("nrm")),
+        cb, nv.filter(col("id").isin(0L, 100L, 200L)), "id", "cell",
+        k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      val persisted = Vectors.probeIndex(spark, dir,
+        nv.filter(col("id").isin(0L, 100L, 200L)), "id", k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      assert(persisted.sameElements(direct),
+        s"read-back probe must equal the direct probe:\n" +
+          s"direct=${direct.mkString(",")}\npersisted=${persisted.mkString(",")}")
+      // overwrite contract: a retrain replaces, never merges
+      Vectors.writeIndex(nv, "id", dir, k = 4, iters = 2)
+      assert(spark.read.parquet(s"$dir/index").count() == nv.count(),
+        "rewritten index must hold each corpus row exactly once")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("assignCellsJoin (broadcast-codebook path) equals the literal-codebook assignCells") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
