@@ -320,30 +320,41 @@ object Graph {
     * [[Caches]] (visited is re-read by every later round's anti-join);
     * bounded `maxHops` keeps plan depth fixed (an open-ended BFS would
     * localCheckpoint per round like [[pagerankUntil]]). Both state frames
-    * are NODE-grain and carry a broadcast hint, so the edge list is never
+    * are NODE-grain; when they broadcast, the edge list is never
     * reshuffled — each round is map-side edge⋈frontier + one node-grain
-    * distinct + a broadcast anti-join. At the sf0.1 fixture (2.4M
-    * directed edges) wall-clock is DOMINATED by deriving+caching the
-    * co-order edge list, so the hint is cost-neutral there; its value is
-    * the shuffle-volume asymmetry at scale (per round the shuffle is the
-    * node-grain distinct, never the edge list). The hint is the
-    * [[jaccardSimilarity]] degree caveat: right whenever the NODE set
-    * fits an executor (8–16 bytes/node); for a node set beyond broadcast
-    * range, drop the hints and AQE shuffles the (still node-grain) state
-    * instead.
+    * distinct + a broadcast anti-join. But frontier and visited GROW
+    * monotonically toward the node set (on a hub graph hop 2 is most of
+    * it), so a forced broadcast hint would be the one plan shape that
+    * degrades with scale by construction. The hint is therefore GUARDED by
+    * an eager node-count probe (the [[triangles]] precondition-probe
+    * discipline, one approx agg over the cached edges): only when the
+    * WHOLE node set — the ceiling either state frame can reach — is
+    * broadcast-range (`broadcastMaxNodes`) do the state sides carry the
+    * hint; beyond it the hints are dropped and AQE picks broadcast vs
+    * shuffle per round from measured sizes, shuffling at most the
+    * node-grain state, never the edge list. Either path produces the
+    * identical result (ApiSpec pins hinted == unhinted).
     */
-  def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int): DataFrame = {
+  def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
     val spark = edgesIn.sparkSession
+    // bounded driver probe: ±5% default accuracy is plenty for a size
+    // guard, and the partial-aggregated sketch never shuffles edge rows
+    val nNodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("n"))
+      .agg(approx_count_distinct(col("n")).as("c")).head().getLong(0)
+    val hinted: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
     var frontier = Caches.cache(
       spark.range(1).select(lit(source).as("node"), lit(0).as("hop")))
     var visited = frontier
     for (h <- 1 to maxHops) {
       frontier = Caches.cache(edges
-        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .join(hinted(frontier.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+        .join(hinted(visited.select("node")), Seq("node"), "left_anti")
         .withColumn("hop", lit(h)))
       visited = Caches.cache(visited.union(frontier))
     }

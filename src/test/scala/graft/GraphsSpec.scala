@@ -154,6 +154,14 @@ class GraphsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
     // nodes 4, 5 are 3+ hops out: excluded by the bound
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // broadcastMaxNodes = 0 forces the no-hint (AQE) path — the guard is a
+    // plan knob, never a semantics knob, so the hop map must be identical
+    val unhinted = graft.api.Graph
+      .bfsHops(edges, source = 1L, maxHops = 2, broadcastMaxNodes = 0L)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    assert(unhinted === got,
+      s"hinted and unhinted BFS must agree: $got vs $unhinted")
     graft.api.Caches.sweep(spark)
   }
 
