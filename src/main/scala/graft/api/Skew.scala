@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *  - [[hotKeys]] is one map-side-combinable count aggregate over the probe
   *    side's JOIN KEY only (column-pruned scan); its output is bounded by
   *    n/threshold keys, so the hot set always broadcasts. On a corpus where
-  *    even that pass is unwelcome, run it over a sample and lower the
-  *    threshold accordingly — the join stays correct for ANY hot set
+  *    even that pass is unwelcome, pass `sample` < 1 and the detector runs
+  *    over a seeded row sample with a proportionally scaled threshold —
+  *    the join stays correct for ANY hot set
   *    (salting a cold key is wasted fan-out, missing a hot key is the
   *    status quo ante), which is what makes the detector's precision a
   *    performance knob rather than a correctness input.
@@ -29,11 +30,29 @@ object Skew {
 
   /** Keys of `df.keyCol` whose row count exceeds `threshold` — one
     * column-pruned count aggregate, output ≤ count(df)/threshold rows.
+    *
+    * `sample` < 1.0 runs the detector over a seeded Bernoulli row sample
+    * and scales the threshold by the same fraction (a key at the threshold
+    * is expected to keep `threshold × sample` sampled rows), so the count
+    * pass touches only `sample` of the corpus. Sampling trades detector
+    * PRECISION, never join correctness: a key the sample misses simply
+    * isn't salted (status quo ante), a cold key it over-detects is wasted
+    * fan-out — the contract that makes the hot set a performance knob.
+    * The seed is fixed so repeated plans (retry, AQE replan) detect the
+    * same set.
     */
-  def hotKeys(df: DataFrame, keyCol: String, threshold: Long): DataFrame =
-    df.groupBy(keyCol).agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > threshold)
+  def hotKeys(df: DataFrame, keyCol: String, threshold: Long,
+      sample: Double = 1.0): DataFrame = {
+    require(sample > 0.0 && sample <= 1.0,
+      s"sample must be in (0, 1], got $sample")
+    val (src, thr) =
+      if (sample >= 1.0) (df, threshold)
+      else (df.sample(withReplacement = false, sample, seed = 42L),
+        math.max((threshold * sample).toLong, 1L))
+    src.groupBy(keyCol).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > thr)
       .select(keyCol)
+  }
 
   /** Inner equi-join `left ⋈ right ON key`, identical result to the plain
     * join, with keys hotter than `hotThreshold` (counted on `left`) spread
@@ -42,13 +61,24 @@ object Skew {
     * ride salt 0 untouched.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+      salts: Int = 16, hotThreshold: Long = 100000L,
+      detectSample: Double = 1.0): DataFrame = {
     require(salts > 0, s"saltedJoin requires salts > 0, got $salts")
-    val hot = hotKeys(left, key, hotThreshold).withColumn("__hot", lit(true))
+    val hot = hotKeys(left, key, hotThreshold, detectSample)
+      .withColumn("__hot", lit(true))
+    // the salt hash mixes a PHYSICAL disambiguator
+    // (monotonically_increasing_id: partition id << 33 | row index) into
+    // the row-value hash: real logs carry fully duplicate rows, and a hot
+    // key whose rows are value-identical would otherwise all hash to ONE
+    // salt — re-concentrating on a single reducer, exactly the case
+    // salting exists for. The salt only ROUTES rows (it is joined on and
+    // dropped), so a physical, run-varying input leaves the RESULT exactly
+    // the plain join either way.
     val l = left.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot").isNotNull,
-          pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+          pmod(xxhash64(left.columns.map(col) :+
+            monotonically_increasing_id(): _*), lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("__hot")
     val r = right.join(broadcast(hot), Seq(key), "left")

@@ -1210,6 +1210,55 @@ class ApiSpec extends SparkSpec {
     assert(coldSalts == Seq(0L), s"cold keys salted: $coldSalts")
   }
 
+  test("Skew.saltedJoin spreads a hot key of fully DUPLICATE rows (physical salt)") {
+    import spark.implicits._
+    import graft.api.Skew
+    // 4000 value-identical hot rows (k=1, v=7) — a pure row-value hash
+    // would send every one to the same salt; plus cold keys for contrast
+    val left = spark.range(5000)
+      .select(when(col("id") < 4000, lit(1L)).otherwise(col("id") % 20 + 2).as("k"),
+        when(col("id") < 4000, lit(7L)).otherwise(col("id")).as("v"))
+    val right = spark.range(25)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    // result is still exactly the plain join (multiset equality)
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8, hotThreshold = 500L)
+    val plain = left.join(right, "k")
+    val cols = salted.columns.sorted.map(col)
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
+    // and the duplicate hot rows spread: reproduce the builder's left-side
+    // salt (value hash + monotonically_increasing_id) and bound the max
+    // reducer share — without the physical term this is 4000 on one salt
+    val hot = Skew.hotKeys(left, "k", 500L).withColumn("__hot", lit(true))
+    val saltedLeft = left.join(broadcast(hot), Seq("k"), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(col("k"), col("v"), monotonically_increasing_id()),
+            lit(8L))).otherwise(lit(0L)))
+    val hotCounts = saltedLeft.filter(col("k") === 1L)
+      .groupBy("__salt").count().as[(Long, Long)].collect().toMap
+    assert(hotCounts.size == 8,
+      s"duplicate-row hot key not spread over all salts: $hotCounts")
+    assert(hotCounts.values.max <= 1000L,
+      s"per-reducer bound violated on duplicate rows: $hotCounts")
+  }
+
+  test("Skew.hotKeys(sample) detects a planted hot key from a row sample") {
+    import spark.implicits._
+    import graft.api.Skew
+    // 100k rows, 40% on key 1, rest uniform over 2..1001: at sample=0.05
+    // the detector scans ~5k rows but must still flag exactly key 1 with
+    // threshold 10000 (expected sampled count 2000 vs scaled thr 500)
+    val df = spark.range(100000)
+      .select(when(col("id") % 5 < 2, lit(1L))
+        .otherwise(col("id") % 1000 + 2).as("k"))
+    val sampled = Skew.hotKeys(df, "k", 10000L, sample = 0.05)
+      .as[Long].collect().toSeq
+    assert(sampled == Seq(1L), s"sampled detector flagged $sampled")
+    // full-scan default unchanged
+    assert(Skew.hotKeys(df, "k", 10000L).as[Long].collect().toSeq == Seq(1L))
+  }
+
   // -------------------------------------------------------------- Sketches
 
   test("hllMergeEstimate: union-of-shard-sketches == one global sketch, any sharding") {
