@@ -90,6 +90,39 @@ object Quality {
         (col("n_violations") === 0L).as("pass"))
   }
 
+  /** Tags every row with `violated_rules` — the SORTED array of rule ids
+    * whose violation predicate fires on it (empty array = clean row; the
+    * same null-counts-as-violation contract as [[report]]). All checks
+    * evaluate inside one projection over one scan — the per-row form of
+    * [[report]]'s one-pass discipline.
+    */
+  def violations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    df.withColumn("violated_rules", array_sort(array_compact(array(
+      checks.map(c =>
+        when(coalesce(c.violation, lit(true)), lit(c.ruleId))): _*))))
+  }
+
+  /** Routes a table through the check suite: `(pass, quarantined)` row
+    * sets — the ingest gate that doesn't just COUNT bad rows
+    * ([[report]]) but SPLITS them out, so downstream trains on `pass`
+    * while `quarantined` lands in a review table with its audit trail
+    * (`violated_rules`). Every input row appears on exactly one side.
+    *
+    * Scale shape: both sides are a conditional filter over the same
+    * one-projection [[violations]] frame — each side materializes as one
+    * column-pruned scan with the OR-of-violations predicate pushed down
+    * (no join, no shuffle, no second pass per rule). To pay ONE physical
+    * scan total, write `violations(df, checks)` partitioned by
+    * `size(violated_rules) > 0` and read the two partitions back — the
+    * shard-write discipline; the lazy split here is the composable form.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val v = violations(df, checks)
+    (v.filter(size(col("violated_rules")) === 0).drop("violated_rules"),
+      v.filter(size(col("violated_rules")) > 0))
+  }
+
   /** Union a suite into the canonical report ordering. */
   def suite(reports: Seq[DataFrame]): DataFrame = {
     require(reports.nonEmpty, "empty suite")

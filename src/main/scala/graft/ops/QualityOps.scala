@@ -66,23 +66,26 @@ object QualityOps {
           orders, "o_orderkey", "r11_fk_li_orders")))
     },
     Some("""WITH o AS (SELECT count(*) n,
-    count(*) FILTER (WHERE o_totalprice <= 0) v1,
+    count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL) v1,
     count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
                        OR o_orderstatus IS NULL) v2,
     count(DISTINCT o_orderkey) dk
   FROM orders),
 l AS (SELECT count(*) n,
-    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) v1,
-    count(*) FILTER (WHERE l_quantity <> floor(l_quantity)) v2
+    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1
+                       OR l_discount IS NULL) v1,
+    count(*) FILTER (WHERE l_quantity <> floor(l_quantity)
+                       OR l_quantity IS NULL) v2
   FROM lineitem),
 e AS (SELECT count(*) n,
-    count(*) FILTER (WHERE value < 0 OR value > 450) v1,
+    count(*) FILTER (WHERE value < 0 OR value > 450 OR value IS NULL) v1,
     count(*) FILTER (WHERE NOT regexp_matches(props, '^\{"k": -?[0-9]+\}$')
                        OR props IS NULL) v2
   FROM events),
 dcs AS (SELECT count(*) n,
     count(*) FILTER (WHERE text IS NULL OR length(text) = 0) v1,
-    count(*) FILTER (WHERE n_chars <> length(text)) v2,
+    count(*) FILTER (WHERE n_chars <> length(text)
+                       OR n_chars IS NULL OR text IS NULL) v2,
     count(DISTINCT doc_id) dk
   FROM documents),
 fk AS (SELECT (SELECT count(*) FROM lineitem) n,
@@ -109,6 +112,60 @@ SELECT rule_id, table_name, column_name,
   CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
   n_violations = 0 AS pass
 FROM rules ORDER BY rule_id"""))
+
+  /** Quarantine routing (§2.1 ext) — [[graft.api.Quality.quarantine]]
+    * applied as the events ingest gate: the same r05/r06 expectations the
+    * report key COUNTS, here SPLITTING the batch into (pass, quarantine)
+    * row sets, every row on exactly one side, quarantined rows carrying
+    * their violated-rule audit trail. The checked result audits BOTH
+    * sides: per (side, violated-rule-set) the exact row count, the
+    * event_id range, and the distinct-user count — so a row routed to the
+    * wrong side, a dropped row, or a wrong rule attribution all break the
+    * hash.
+    *
+    * Scale shape: the split is two conditional filters over one
+    * projection (no join/shuffle); the audit is one map-side-combinable
+    * aggregate per side over rule-set grain (bounded by 2^rules, here 4).
+    */
+  private val srcQualityQuarantine = Q(
+    "src_quality_quarantine",
+    (s, d) => {
+      import graft.api.Quality
+      import graft.api.Quality.Check
+      val checks = Seq(
+        Check("r05_value_range", "value",
+          col("value") < 0 || col("value") > 450),
+        Check("r06_props_format", "props",
+          !col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")))
+      val (pass, quar) = Quality.quarantine(T.events(s, d), checks)
+      val p = pass.select(lit("pass").as("side"), lit("").as("violated"),
+        col("event_id"), col("user_id"))
+      val q = quar.select(lit("quarantine").as("side"),
+        concat_ws(",", col("violated_rules")).as("violated"),
+        col("event_id"), col("user_id"))
+      p.unionByName(q)
+        .groupBy("side", "violated")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("side", "violated")
+    },
+    // the violated-set string is built in the same sorted rule order the
+    // array_sort'd Spark array produces; IS NULL arms mirror the
+    // null-counts-as-violation Check contract
+    Some("""WITH v AS (SELECT event_id, user_id,
+    concat_ws(',',
+      CASE WHEN value < 0 OR value > 450 OR value IS NULL
+           THEN 'r05_value_range' END,
+      CASE WHEN NOT regexp_matches(props, '^\{"k": -?[0-9]+\}$')
+             OR props IS NULL THEN 'r06_props_format' END) AS violated
+  FROM events)
+SELECT CASE WHEN violated = '' THEN 'pass' ELSE 'quarantine' END AS side,
+  violated, count(*) AS n_rows,
+  min(event_id) AS min_event, max(event_id) AS max_event,
+  count(DISTINCT user_id) AS n_users
+FROM v GROUP BY 1, 2 ORDER BY side, violated"""))
 
   /** Population-Stability-Index distribution drift (§2.4 ext) — the ML
     * feature-monitoring gauge: per event_type, `value`'s distribution in
@@ -287,6 +344,6 @@ SELECT z >> 4 AS tile, count(*) AS n_orders,
   (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS box_area
 FROM z GROUP BY 1 ORDER BY tile"""))
 
-  val all: Seq[Q] = Seq(srcQualityRules, aggDriftPsi, srcCompaction,
-    srcZorderLayout)
+  val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
+    srcCompaction, srcZorderLayout)
 }

@@ -1369,6 +1369,32 @@ class ApiSpec extends SparkSpec {
     assert(r == Seq(("pos_amount", 5L, 2L, false), ("tag_present", 5L, 1L, false)))
   }
 
+  test("Quality.quarantine routes every row to exactly one side with its audit trail") {
+    import spark.implicits._
+    import graft.api.Quality
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, -5L, "b"), (3L, 20L, null), (4L, null, "d"),
+      (5L, -1L, null))
+      .toDF("id", "amount", "tag")
+    val checks = Seq(
+      Quality.Check("neg_amount", "amount", col("amount") < 0),
+      Quality.Check("tag_missing", "tag", col("tag").isNull))
+    val (pass, quar) = Quality.quarantine(df, checks)
+    // clean rows only on the pass side, schema unchanged
+    assert(pass.columns.toSeq == df.columns.toSeq)
+    assert(pass.select("id").as[Long].collect().toSet == Set(1L))
+    // quarantined rows carry the SORTED violated-rule set; a null
+    // predicate (null amount) counts as a violation
+    val audit = quar.select(col("id"),
+        concat_ws(",", col("violated_rules")).as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(audit == Map(2L -> "neg_amount", 3L -> "tag_missing",
+      4L -> "neg_amount", 5L -> "neg_amount,tag_missing"),
+      s"wrong audit trail: $audit")
+    // partition: no row lost, no row on both sides
+    assert(pass.count() + quar.count() == df.count())
+  }
+
   test("Quality uniqueKey and fkIntegrity find planted violations") {
     import spark.implicits._
     import graft.api.Quality
