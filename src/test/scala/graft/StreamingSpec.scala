@@ -410,6 +410,56 @@ class StreamingSpec extends SparkSpec {
     assert(sink.select("event_id").distinct().count() == rows.length)
   }
 
+  test("AvailableNow file-to-file pipeline: stateful windows survive a checkpoint restart") {
+    // the production deployment shape a scheduled 100 TB incremental job
+    // actually runs — parquet FILE source, Trigger.AvailableNow, parquet
+    // file sink, checkpointed STATEFUL aggregation (Streams.tumbling in
+    // append mode) — stopped after the first batch of input files and
+    // RESTARTED from the same checkpoint over newly arrived files. The
+    // watermark, window state, and file-source offsets all live in the
+    // checkpoint: every window must land in the sink exactly once with
+    // its full cross-restart total.
+    import spark.implicits._
+    val rows = eventRows(400)
+    val (chunk1, chunk2) = rows.splitAt(200)
+    val base = java.nio.file.Files.createTempDirectory("graft_avnow_").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/data", s"$base/ckpt")
+    val schema = spark.createDataFrame(rows).schema
+    def runOnce(): Unit = {
+      val q = Streams.tumbling(
+          spark.readStream.schema(schema).parquet(in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+      assert(!q.isActive, "AvailableNow query failed to drain and stop")
+    }
+    spark.createDataFrame(chunk1).write.mode("append").parquet(in)
+    runOnce()
+    // new files arrive between scheduled runs: the second half plus a
+    // far-future sentinel that drags the watermark past every real window
+    // so each one finalizes and emits
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new Timestamp(maxTs + 3 * 86400 * 1000L),
+      -1L, "zzz_sentinel", 0.0, "{}")
+    spark.createDataFrame(chunk2 :+ sentinel).write.mode("append").parquet(in)
+    runOnce()
+    // exactly-once across the restart: the sink equals the batch result
+    // over all real events (the sentinel's own window never closes);
+    // a rewritten run-1 window or a lost run-2 file both break this
+    val sink = spark.read.parquet(out).filter(col("event_type") =!= "zzz_sentinel")
+    val batch = Streams.tumbling(spark.createDataFrame(rows))
+    val cols = batch.columns.sorted.map(col)
+    val extra = sink.select(cols: _*).exceptAll(batch.select(cols: _*)).count()
+    val missing = batch.select(cols: _*).exceptAll(sink.select(cols: _*)).count()
+    assert(extra == 0 && missing == 0,
+      s"restart broke exactly-once: extra=$extra missing=$missing")
+    // and every (window, type) appears exactly once — no split emission
+    assert(sink.groupBy("hour_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0,
+      "a window emitted more than once across the restart")
+  }
+
   test("stream-static join enriches with customer segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
