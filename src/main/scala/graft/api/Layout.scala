@@ -21,16 +21,24 @@ object Layout {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    // shift in 64-bit space: JVM shifts mask the count by the OPERAND
+    // width, so on an int column the y-term's shift amount 2i+1 wraps at
+    // bits >= 16 and silently emits wrong z-values — the long cast makes
+    // every shift a long shift (counts here max out at 61 < 64)
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
 
-  /** DuckDB fragment mirroring [[zValue]] term by term. */
+  /** DuckDB fragment mirroring [[zValue]] term by term (BIGINT casts
+    * mirror the builder's 64-bit shift space).
+    */
   def zValueSql(x: String, y: String, bits: Int): String =
     (0 until bits).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
   /** Write `df` z-clustered on the (already computed) `zCol` into `files`

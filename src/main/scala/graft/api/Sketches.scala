@@ -111,7 +111,12 @@ object Sketches {
   def histQuantiles(df: DataFrame, valueCol: String, shardCol: Column,
       bins: Int, qs: Seq[Double]): DataFrame = {
     require(bins > 0 && qs.nonEmpty, "histQuantiles needs bins > 0 and >= 1 q")
+    // NULL values are excluded BEFORE binning: min/max already skip them,
+    // so an unfiltered count would inflate n_rows with rows no bin holds —
+    // and the null bin would sort first in Spark (asc_nulls_first) but
+    // last in DuckDB, silently skewing every quantile on null-bearing data
     val v = df.select(col(valueCol).as("v"), shardCol.as("__shard"))
+      .filter(col("v").isNotNull)
     val bounds = v.agg(min("v").as("lo"), max("v").as("hi"),
       count(lit(1)).as("n"))
     val binned = v.crossJoin(broadcast(bounds))

@@ -967,7 +967,8 @@ ORDER BY set_a, set_b"""))
     (s, d) => graft.api.Sketches.histQuantiles(
       T.events(s, d).withColumn("day", to_date(date_trunc("day", col("ts")))),
       "value", col("day"), bins = 256, qs = Seq(0.5, 0.9, 0.99)),
-    Some("""WITH v AS (SELECT value AS v, date_trunc('day', ts) AS shard FROM events),
+    Some("""WITH v AS (SELECT value AS v, date_trunc('day', ts) AS shard
+  FROM events WHERE value IS NOT NULL),
 b AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
 binned AS (SELECT shard,
     CASE WHEN hi = lo THEN 0

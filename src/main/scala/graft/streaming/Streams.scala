@@ -158,7 +158,15 @@ object Streams {
     counts.withColumn("n_cur", tot).withColumn("pb", pb)
       .select(col("event_type"), col("n_cur"),
         terms.reduce(_ + _).as("psi"))
-      .withColumn("drifted", col("psi") >= 0.2)
+      // an event_type ABSENT from the frozen baseline nulls every pbi and
+      // hence psi — and a drift monitor silently blind to exactly the
+      // new-feature case would be worthless. Surface it: known_baseline
+      // flags the miss, and a missing baseline IS drift (a feature the
+      // training period never saw), so drifted forces true rather than
+      // inheriting psi's null.
+      .withColumn("known_baseline", col("psi").isNotNull)
+      .withColumn("drifted",
+        when(col("known_baseline"), col("psi") >= 0.2).otherwise(lit(true)))
   }
 
   /** Stateful dedup on event_id within the watermark horizon. */

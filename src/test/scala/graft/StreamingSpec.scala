@@ -92,6 +92,17 @@ class StreamingSpec extends SparkSpec {
     }
     assertStreamEqualsBatch("psi",
       df => Streams.driftPsi(df, mn, mx, baseline), "complete")
+    // an event_type the frozen baseline never saw must FLAG, not null out:
+    // missing baseline is itself drift (the new-feature case the monitor
+    // exists to catch)
+    val novel = base.take(5).map(_.copy(event_type = "brand_new_type"))
+    val flagged = Streams.driftPsi(
+        spark.createDataFrame(base ++ novel), mn, mx, baseline)
+      .filter(col("event_type") === "brand_new_type")
+      .select("known_baseline", "drifted")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(flagged == Seq((false, true)),
+      s"unknown-baseline feature must force drifted=true: $flagged")
   }
 
   test("stateful dedup drops redelivered event_ids") {
