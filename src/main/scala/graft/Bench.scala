@@ -22,7 +22,12 @@ import scala.jdk.CollectionConverters._
   * exceeds the fastest sample after re-sampling (a wobbly median, read
   * with care). The per-query "detail" map keeps the first
   * (cold) run's build/plan/exec split plus the median, min-max spread,
-  * sample count, and the contended flag. Failures are recorded as NEGATIVE
+  * sample count, and the contended flag. A UNIFORMLY loaded host defeats
+  * the spread trigger (every sample equally slow — the r9 fn_variant
+  * 35.9 s shape), so each key's median is additionally compared against
+  * its own committed quiet-host history (bench_baseline.json): >3x plus a
+  * 1 s absolute floor marks `suspect_load` in detail and the summary —
+  * diagnosis only, never a rerun policy. Failures are recorded as NEGATIVE
   * seconds plus a "failed" list — a broken query cannot masquerade as a
   * fast one.
   *
@@ -107,6 +112,24 @@ object Bench {
     // subset run can never masquerade as a full one. Every requested key
     // must exist: a misspelled key would otherwise silently filter the
     // suite down (worst case to zero) and emit an empty-but-valid record.
+    // previous-round per-key medians (committed bench_baseline.json, a flat
+    // {"key": seconds} map refreshed after quiet-host runs): spread-based
+    // re-sampling cannot see a UNIFORMLY loaded host (every sample equally
+    // slow — the r9 fn_variant 35.9 s shape, quiet-host 1.0 s), but a >3x
+    // jump against the key's own committed history can. suspect_load is
+    // DIAGNOSIS only — it never gates or reruns; persistent external load
+    // needs a host-level fix, not a harness policy.
+    val baseline: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+        .orElse(Seq("bench_baseline.json", "/root/repo/bench_baseline.json")
+          .find(p => new java.io.File(p).isFile))
+      path.filter(p => new java.io.File(p).isFile).map { p =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     only.foreach { req =>
@@ -197,19 +220,24 @@ object Bench {
       val med = medOf(all.map(_._1))
       val spread = all.map(_._1).max - all.map(_._1).min
       val contended = wide(all.map(_._1))
+      // uniform-load detection (what the spread trigger cannot see): this
+      // median vs the key's own committed quiet-host history; the absolute
+      // floor keeps sub-second keys from flagging on scheduler noise
+      val suspect = ok && baseline.get(name)
+        .exists(b => med > 3 * b && med - b > 1.0)
       System.err.println(
-        f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${all.size} runs${if (contended) ", CONTENDED" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
+        f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${all.size} runs${if (contended) ", CONTENDED" else ""}${if (suspect) ", SUSPECT_LOAD" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
       (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread,
-        qLoad, all.size, contended)
+        qLoad, all.size, contended, suspect)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v, b, p, g, run1, spread, qLoad, n, cont) =>
+    val detail = results.map { case (k, v, b, p, g, run1, spread, qLoad, n, cont, susp) =>
       val e = r3(run1 - b - p)
       s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)},""" +
         s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)},""" +
-        s""""loadavg":${r3(qLoad)},"samples":$n,"contended":$cont}"""
+        s""""loadavg":${r3(qLoad)},"samples":$n,"contended":$cont,"suspect_load":$susp}"""
     }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total_sec IS the median-sum (each query contributes its 3-run median)
@@ -218,8 +246,11 @@ object Bench {
     // total_cold_sec (sum of each query's first run) is the diagnostic twin:
     // cold-vs-median divergence quantifies how much plan/JIT/contention the
     // steady-state number excludes
-    val total = r3(results.map { case (_, v, _, _, _, _, _, _, _, _) => math.abs(v) }.sum)
-    val totalCold = r3(results.map { case (_, _, _, _, _, run1, _, _, _, _) => run1 }.sum)
+    val total = r3(results.map { case (_, v, _, _, _, _, _, _, _, _, _) => math.abs(v) }.sum)
+    val totalCold = r3(results.map { case (_, _, _, _, _, run1, _, _, _, _, _) => run1 }.sum)
+    val suspects = results.collect {
+      case (k, _, _, _, _, _, _, _, _, _, true) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // Two lines, detail first: the committed record keeps only the LAST 2000
     // chars of stdout, so rounds 1-4's single line (headline total at the
     // head, detail at the tail) lost its total to truncation. The final line
@@ -232,11 +263,11 @@ object Bench {
       "so every run re-pays builder cache population (graph edge frames, " +
       "CC checkpoints, bucketed writes); amortized reuse is PlanSpec-pinned, " +
       "not priced here"
-    println(s"""{"metric":"detail","note":"$note","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
-    val top5 = results.sortBy { case (_, v, _, _, _, _, _, _, _, _) => -math.abs(v) }
-      .take(5).map { case (k, v, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
+    println(s"""{"metric":"detail","note":"$note","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"suspect_load":$suspects,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
+    val top5 = results.sortBy { case (_, v, _, _, _, _, _, _, _, _, _) => -math.abs(v) }
+      .take(5).map { case (k, v, _, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"suspect_load":$suspects,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
