@@ -132,9 +132,12 @@ FROM rules ORDER BY rule_id"""))
     (s, d) => {
       import graft.api.Quality
       import graft.api.Quality.Check
+      // stricter than the report key's 450 audit bound: the ingest gate
+      // quarantines the planted high tail, giving both fixture scales a
+      // populated quarantine side (sf0.001: 15 rows, sf0.01: 172)
       val checks = Seq(
         Check("r05_value_range", "value",
-          col("value") < 0 || col("value") > 450),
+          col("value") < 0 || col("value") > 200),
         Check("r06_props_format", "props",
           !col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")))
       val (pass, quar) = Quality.quarantine(T.events(s, d), checks)
@@ -156,7 +159,7 @@ FROM rules ORDER BY rule_id"""))
     // null-counts-as-violation Check contract
     Some("""WITH v AS (SELECT event_id, user_id,
     concat_ws(',',
-      CASE WHEN value < 0 OR value > 450 OR value IS NULL
+      CASE WHEN value < 0 OR value > 200 OR value IS NULL
            THEN 'r05_value_range' END,
       CASE WHEN NOT regexp_matches(props, '^\{"k": -?[0-9]+\}$')
              OR props IS NULL THEN 'r06_props_format' END) AS violated

@@ -1440,12 +1440,19 @@ class ApiSpec extends SparkSpec {
         (col("id") / 16).cast("int").as("y"))
     val z = grid.select(Layout.zValue(col("x"), col("y"), 4).as("z"))
     assert(z.distinct().count() == 256, "z must be a bijection on the grid")
-    assert(z.agg(min("z"), max("z")).as[(Int, Int)].head() == ((0, 255)))
+    assert(z.agg(min("z"), max("z")).as[(Long, Long)].head() == ((0L, 255L)))
     // spot values: x=3 (0b0011), y=5 (0b0101) → 1+2+4+32 = 39
     val spot = Seq((3, 5), (1, 0), (0, 1), (15, 15)).toDF("x", "y")
       .select(Layout.zValue(col("x"), col("y"), 4).as("z"))
-      .as[Int].collect().toSeq
-    assert(spot == Seq(39, 1, 2, 255))
+      .as[Long].collect().toSeq
+    assert(spot == Seq(39L, 1L, 2L, 255L))
+    // the 64-bit shift space is live past the int-width wrap point: at
+    // bits=20 the y-term shifts reach 39, which a masked int shift would
+    // fold mod 32 — pin a value whose high interleaved bits survive
+    val wide = Seq((0, 1 << 19)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 20).as("z"))
+      .as[Long].head()
+    assert(wide == (1L << 39), s"bits=20 z-value wrapped: $wide")
   }
 
   test("zOrderWrite gives every file a disjoint z-range and a local (x,y) box") {
@@ -1463,7 +1470,7 @@ class ApiSpec extends SparkSpec {
       .agg(min("z").as("lo"), max("z").as("hi"),
         ((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
       .orderBy("lo")
-      .select("lo", "hi", "area").as[(Int, Int, Int)].collect().toSeq
+      .select("lo", "hi", "area").as[(Long, Long, Int)].collect().toSeq
     assert(files.size == 16, s"expected 16 z-range files, got ${files.size}")
     files.sliding(2).foreach {
       case Seq((_, hi1, _), (lo2, _, _)) =>
