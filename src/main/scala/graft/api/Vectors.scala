@@ -360,18 +360,38 @@ object Vectors {
     * the direct in-memory probe (the `llm_shard_write` physical-round-trip
     * discipline applied to ANN). The query set never touches the training
     * path; at scale this is the hot loop — a constant-size codebook scan
-    * plus a cell-selective index read (the `cell=` partition directories
-    * give the scan partition pruning once the probed-cell filter reaches
-    * it; the salted equi-join shape is unchanged from the in-memory probe).
+    * plus a CELL-SELECTIVE index read: the union of probed cells is
+    * computed first (one bounded job — DISTINCT probed cells never exceeds
+    * the k codebook rows, however many queries arrive) and pushed as an
+    * `isin` partition filter, so the scan lists only the probed `cell=`
+    * directories and a 100 TB index pays only its matching cells
+    * (PlanSpec pins the partition filter on the scan). The salted
+    * equi-join shape above the scan is unchanged from the in-memory
+    * probe, and the cell filter removes exactly rows the cell equi-join
+    * would drop — the result is identical (ApiSpec pins it).
+    *
+    * Eager: ranking probed cells runs one queries x codebook job up
+    * front — the price of partition pruning, bounded by the query set.
     */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, k: Int = 5, probes: Int = 2,
       salt: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val cb = spark.read.parquet(s"$dir/codebook")
+    val wC = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probedCells = queries.select(col(idCol).as("q_id"),
+        col("vd").as("q_vd"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cb))
+      .withColumn("ccos", cosine("q_vd", "q_nrm", "cvd", "cnrm"))
+      .withColumn("cr", row_number().over(wC))
+      .filter(col("cr") <= probes)
+      .select("cell").distinct().collect().map(_.getInt(0))
     // partition-column read-back: `cell` returns as the inferred partition
     // type (int for our int cell ids) — select it back into the column
     // order ivfProbeWith documents
     val idx = spark.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
       .select(col(idCol), col("cell"), col("vd"), col("nrm"))
     ivfProbeWith(idx, cb, queries, idCol, "cell", k, probes, salt)
   }

@@ -181,6 +181,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(udfs.isEmpty, s"no ScalaUDF may remain in the bloom path:\n$p")
   }
 
+  test("llm_ann_index_persist prunes the stored index scan to the probed cells") {
+    // the persisted-index scale contract: the probed-cell set (bounded by
+    // the k codebook rows) reaches the cell-partitioned layout as a
+    // PARTITION filter, so the scan lists only probed cell= directories
+    val idxScans = scans(plan("llm_ann_index_persist"))
+      .filter(_.metadata.getOrElse("Location", "").contains("/index"))
+    assert(idxScans.nonEmpty, "no scan over the stored index found")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      s"index scan carries no partition filter:\n${idxScans.head}")
+    assert(idxScans.forall(s =>
+      s.partitionFilters.mkString(";").contains("cell")),
+      "partition filter does not constrain the cell column")
+  }
+
   test("agg_approx_topk partial-aggregates the sketch map-side") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     val aggs = collectWithSubqueries(plan("agg_approx_topk")) {
