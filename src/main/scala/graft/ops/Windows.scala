@@ -767,6 +767,58 @@ CAST(n_active AS DOUBLE) / n_cohort AS retention
 FROM act JOIN sizes USING (cdn)
 ORDER BY cohort_dn, day_offset"""))
 
+  /** Cumulative distinct users (§2.5 ext) — the "total uniques to date"
+    * curve behind every growth dashboard, exactly (no HLL): per
+    * (event_type, day) the day's distinct actives, the FIRST-SEEN count,
+    * and the running total of distinct users through that day. The trick
+    * that makes an exact cumulative-distinct scale: a user contributes to
+    * the cumulative curve only on their first day, so
+    * `cum_distinct = running_sum(n_new)` — no day re-scans any prior
+    * day's users and no distinct-over-growing-window exists anywhere.
+    *
+    * Scale shape: one (type, user) min-day aggregate + one (type, user,
+    * day) distinct for actives — both map-side combinable, keyed on
+    * user_id; the window runs at CALENDAR grain (days per type), never
+    * row grain. The left join is day-grain ⋈ day-grain (calendar-sized
+    * both sides).
+    */
+  private val winCumulativeDistinct = Q(
+    "win_cumulative_distinct",
+    (s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"),
+          col("user_id"), datediff(to_date(col("ts")), epoch).as("dn"))
+      val firstSeen = ev.groupBy("event_type", "user_id")
+        .agg(min(col("dn")).as("first_dn"))
+      val newPerDay = firstSeen
+        .groupBy(col("event_type"), col("first_dn").as("dn"))
+        .agg(count(lit(1)).as("n_new"))
+      val activePerDay = ev.distinct()
+        .groupBy("event_type", "dn").agg(count(lit(1)).as("n_active"))
+      val wCum = Window.partitionBy("event_type").orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      activePerDay.join(newPerDay, Seq("event_type", "dn"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_distinct", sum(col("n_new")).over(wCum))
+        .orderBy("event_type", "dn")
+    },
+    // every-active-day-has-new-users is NOT assumed: the left join +
+    // coalesce keeps a day alive when all its actives are returns
+    Some("""WITH ev AS (SELECT event_type, user_id,
+    CAST(ts AS DATE) - DATE '1970-01-01' AS dn FROM events),
+fs AS (SELECT event_type, user_id, min(dn) AS first_dn FROM ev GROUP BY 1, 2),
+np AS (SELECT event_type, first_dn AS dn, count(*) AS n_new
+  FROM fs GROUP BY 1, 2),
+ap AS (SELECT event_type, dn, count(DISTINCT user_id) AS n_active
+  FROM ev GROUP BY 1, 2)
+SELECT ap.event_type AS event_type, ap.dn AS dn, n_active,
+  coalesce(n_new, 0) AS n_new,
+  CAST(sum(coalesce(n_new, 0)) OVER (PARTITION BY ap.event_type
+    ORDER BY ap.dn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS cum_distinct
+FROM ap LEFT JOIN np ON ap.event_type = np.event_type AND ap.dn = np.dn
+ORDER BY ap.event_type, ap.dn"""))
+
   /** Pareto skyline (§2.5 ext) — the classic dominance query: parts that
     * are Pareto-optimal on (price ↓, size ↑): no other part is at most as
     * expensive AND at least as large with one strict. The catalog
@@ -1067,5 +1119,5 @@ FROM s ORDER BY t_wk"""))
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
-    winSkyline)
+    winSkyline, winCumulativeDistinct)
 }

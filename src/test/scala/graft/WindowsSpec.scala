@@ -389,4 +389,29 @@ class WindowsSpec extends SparkSpec {
         s"t=$t: ${r.getAs[Double]("s_km")} vs $sv")
     }
   }
+
+  test("win_cumulative_distinct counts each returning user exactly once") {
+    // fixture invariants on the real events table: the cumulative curve is
+    // non-decreasing, its increments are exactly n_new, the final value
+    // equals the type's total distinct users, and n_new can never exceed
+    // the day's actives
+    val df = q("win_cumulative_distinct").cache()
+    val rows = df.orderBy("event_type", "dn").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      var cum = 0L
+      rs.foreach { r =>
+        val (nNew, nAct, c) = (r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_active"), r.getAs[Long]("cum_distinct"))
+        assert(nNew <= nAct, s"$et dn=${r.get(1)}: n_new $nNew > n_active $nAct")
+        cum += nNew
+        assert(c === cum, s"$et dn=${r.get(1)}: cum $c != running $cum")
+      }
+      val exact = graft.ops.T.events(spark, sf)
+        .filter(col("event_type") === et)
+        .select("user_id").distinct().count()
+      assert(cum === exact,
+        s"$et: final cumulative $cum != exact distinct users $exact")
+    }
+    df.unpersist()
+  }
 }
