@@ -355,6 +355,27 @@ object Vectors {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
   }
 
+  /** Appends a new vector batch to a [[writeIndex]] layout using the
+    * FROZEN stored codebook — the daily-delta maintenance shape: cell
+    * assignment is the same literal-codebook codegen projection training
+    * used, but NO retraining happens, so existing rows keep their cells
+    * and the append is a pure write into the matching `cell=` partition
+    * directories (`mode("append")` — new files land beside the old ones,
+    * nothing is rewritten). Probe results over the appended index equal a
+    * from-scratch assignment of the union under the same codebook
+    * (ApiSpec pins it); when drift accumulates enough that frozen cells
+    * stop fitting the data, that is a [[writeIndex]] retrain, not an
+    * append.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nv: DataFrame, idCol: String): Unit = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+    assignCells(nv, cb)
+      .select(col(idCol), col("cell"), col("vd"), col("nrm"))
+      .repartition(col("cell")).sortWithinPartitions(idCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+  }
+
   /** Probes a [[writeIndex]] layout: reads the stored codebook + index and
     * runs the exact [[ivfProbeWith]] plan against them — read-back equals
     * the direct in-memory probe (the `llm_shard_write` physical-round-trip

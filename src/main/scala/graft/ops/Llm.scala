@@ -1074,6 +1074,61 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
     },
     Some(annIvfOracleSql))
 
+  /** Incremental index maintenance — the delta shape between full
+    * [[graft.api.Vectors.writeIndex]] retrains: the index is built from
+    * the 90% base corpus (codebook trained on BASE ONLY), then the 10%
+    * delta batch is [[graft.api.Vectors.appendToIndex]]'d under the
+    * FROZEN codebook (pure append into matching cell directories — no
+    * retrain, nothing rewritten), and the probe answers from the merged
+    * layout. The oracle retrains k-means on the same base subset and
+    * assigns the union from scratch — a hash match proves the append path
+    * (frozen-codebook assignment + parquet append) equals the from-scratch
+    * union assignment, physically round-tripped.
+    */
+  private val llmAnnIndexAppend = Q(
+    "llm_ann_index_append",
+    (s, d) => {
+      val outBase = new java.io.File(shardRoot,
+        s"graft_annidx_append_${new java.io.File(d).getName}").getAbsolutePath
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val base = nv.filter(col("vec_id") % 10 =!= 0)
+      val delta = nv.filter(col("vec_id") % 10 === 0)
+      Vectors.writeIndex(base, "vec_id", outBase, k = 8, iters = 2)
+      Vectors.appendToIndex(s, outBase, delta, "vec_id")
+      // the % 50 query ids are all % 10 == 0: every query row arrived via
+      // the APPEND path, so the probe exercises the merged layout
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      Vectors.probeIndex(s, outBase, q, "vec_id", k = 5, probes = 2)
+        .select(col("q_id"), col("n_id").as("neighbor_id"),
+          H.r4z(col("cos")).as("cos"),
+          col("rn"), col("n_cell").as("cell"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+base AS (SELECT * FROM n0 WHERE vec_id % 10 != 0),
+${kmeansSql("base", 8, 2)},
+idx AS (SELECT vec_id, vd, nrm, cell FROM (
+    SELECT s.vec_id, s.vd, s.nrm, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n0 WHERE vec_id % 50 = 0),
+cellrank AS (SELECT q_id, q_vd, q_nrm, c.cell AS cell,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY list_dot_product(q_vd, c.cvd) / (q_nrm * c.cnrm) DESC, c.cell ASC) AS cr
+  FROM q CROSS JOIN c2 c),
+cells AS (SELECT q_id, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
+cand AS (SELECT q_id, t.vec_id AS neighbor_id, t.cell AS cell,
+    list_dot_product(q_vd, t.vd) / (q_nrm * t.nrm) AS cos
+  FROM cells JOIN idx t ON t.cell = cells.cell AND t.vec_id != q_id),
+r AS (SELECT q_id, neighbor_id, cos, cell,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM cand)
+SELECT q_id, neighbor_id, ${H.r4zSql("cos")} AS cos, rn, cell
+FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+
   // ----------------------------------------------------------- text analysis
 
   /** Corpus statistics per language: doc/token counts, type-token ratio and
@@ -2763,8 +2818,8 @@ FROM c, t ORDER BY decile"""))
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,
     llmKnnLabel,
-    llmEmbedNeardup, llmAnnIvf, llmAnnIndexPersist, llmAnnRecall,
-    llmAnnPqRecall, llmSemdedup,
+    llmEmbedNeardup, llmAnnIvf, llmAnnIndexPersist, llmAnnIndexAppend,
+    llmAnnRecall, llmAnnPqRecall, llmSemdedup,
     llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
     llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,

@@ -868,6 +868,55 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex under the frozen codebook equals a from-scratch union assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 20).map(i =>
+        (ci * 100L + i, c.map(x => x + rnd.nextGaussian() * 0.05)))
+    }
+    val nv = Vectors.normalized(data.toDF("id", "vec"), "vec")
+      .select(col("id"), col("vd"), col("nrm"))
+    val base = nv.filter(col("id") % 4 =!= 0)
+    val delta = nv.filter(col("id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annappend_spec_")
+      .toFile.getAbsolutePath
+    try {
+      Vectors.writeIndex(base, "id", dir, k = 4, iters = 2)
+      Vectors.appendToIndex(spark, dir, delta, "id")
+      // every row lands exactly once; appended rows carry the cell the
+      // FROZEN base codebook assigns (no retrain happened)
+      val stored = spark.read.parquet(s"$dir/index")
+      assert(stored.count() == nv.count())
+      val cbBase = Vectors.kmeansCodebook(base, "id", k = 4, iters = 2)
+      val fromScratch = Vectors.assignCells(nv, cbBase)
+        .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+      val storedCells = stored.select(col("id"), col("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(storedCells == fromScratch,
+        "appended layout's cells diverge from the from-scratch assignment")
+      // and the probe over the merged layout equals the direct probe over
+      // the union index under the same frozen codebook
+      val qs = nv.filter(col("id").isin(0L, 100L, 200L))
+      val direct = Vectors.ivfProbeWith(
+        Vectors.assignCells(nv, cbBase).select(col("id"), col("cell"), col("vd"), col("nrm")),
+        cbBase, qs, "id", "cell", k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      val merged = Vectors.probeIndex(spark, dir, qs, "id", k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      assert(merged.sameElements(direct),
+        s"merged-layout probe diverged:\ndirect=${direct.mkString(",")}\nmerged=${merged.mkString(",")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("assignCellsJoin (broadcast-codebook path) equals the literal-codebook assignCells") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
