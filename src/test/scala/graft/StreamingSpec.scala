@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
       s"unknown-baseline feature must force drifted=true: $flagged")
   }
 
+  test("quarantine gate on a stream routes rows identically to batch") {
+    // the ingest gate running ON the stream: Quality.violations is a
+    // stateless one-projection tag, so the same builder serves batch
+    // tables and append-mode streams — every event leaves the gate
+    // exactly once with its side and audit trail
+    import graft.api.Quality
+    import graft.api.Quality.Check
+    val checks = Seq(
+      Check("r05_value_range", "value",
+        col("value") < 0 || col("value") > 200),
+      Check("r06_props_format", "props",
+        !col("props").rlike("^\\{\"k\": -?[0-9]+\\}$")))
+    assertStreamEqualsBatch("quar",
+      df => Quality.violations(df, checks)
+        .select(col("event_id"),
+          (size(col("violated_rules")) > 0).as("quarantined"),
+          concat_ws(",", col("violated_rules")).as("violated")),
+      "append")
+  }
+
   test("stateful dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
