@@ -170,6 +170,116 @@ SELECT CASE WHEN violated = '' THEN 'pass' ELSE 'quarantine' END AS side,
   count(DISTINCT user_id) AS n_users
 FROM v GROUP BY 1, 2 ORDER BY side, violated"""))
 
+  /** CUSUM change-point detection (§2.4 ext) — agg_drift_psi's sequential
+    * sibling: PSI says WHETHER the distribution moved between two frozen
+    * periods; CUSUM says WHEN the level shifted, day by day.
+    * STANDARDIZED two-sided Page CUSUM over per-type daily means against
+    * the frozen first-half baseline: deviations are expressed in units of
+    * the baseline's own daily-mean sd
+    * (`S⁺_t = max(0, S⁺_{t-1} + ((x_t − μ0)/σ_m − k))`, mirrored `S⁻`),
+    * so the k = 0.5 slack and h = 5.0 threshold are NOISE-RELATIVE — the
+    * same constants stay selective at every fixture scale even though the
+    * per-day sample count (and hence daily-mean noise) varies 100×
+    * (absolute thresholds flagged 149/150 days at sf0.001 and would need
+    * retuning per scale — a detector that needs retuning per volume is
+    * mis-parameterized). A zero baseline sd (constant baseline means)
+    * would Inf-flag everything — degenerate input, not a detector state.
+    *
+    * The recursion is NOT computed recursively: `max(0, ·)`-reset CUSUM
+    * equals `P_t − min(0, min_{i≤t} P_i)` over the plain prefix sums P —
+    * an exact algebraic identity (WindowsSpec pins it against a literal
+    * sequential fold) that turns the sequential definition into two
+    * stacked WINDOW passes, each a calendar-grain frame per type.
+    *
+    * Float discipline: daily means are davg-exact IEEE ratios; the
+    * baseline moments (μ0, E[m²]) go through q6 + DECIMAL(28,6) sums —
+    * NOT direct double→decimal casts, which diverge between engines on
+    * full-precision doubles (the H.q6 scaladoc's measured case) — σ_m is
+    * one correctly-rounded sqrt, deviations are q6-quantized then
+    * prefix-summed as DECIMAL(28,6) (order-exact in any engine), the
+    * min/when/subtract close in decimal space, and ONE closing double
+    * cast is correctly-rounded in both engines → everything RAW.
+    *
+    * Scale shape: one (type, day) davg aggregate over the fact stream
+    * (map-side combinable) + one baseline-period aggregate; both window
+    * passes run at CALENDAR grain (days per type), never row grain.
+    */
+  private val aggDriftCusum = Q(
+    "agg_drift_cusum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = T.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("dn"),
+        col("value"))
+      val daily = ev.groupBy("event_type", "dn").agg(davg(col("value")).as("m"))
+      // frozen baseline: first half of the fixture month (dn < 19738 =
+      // 2024-01-16, the agg_drift_psi split) — mean AND sd of the DAILY
+      // MEANS per type, moments via q6 + dec6Sum (exact in any order)
+      val mu = daily.filter(col("dn") < 19738)
+        .groupBy("event_type")
+        .agg((dec6Sum(q6(col("m"))) / count(lit(1))).as("mu0"),
+          (dec6Sum(q6(col("m") * col("m"))) / count(lit(1))).as("em2"))
+        .withColumn("sdm", sqrt(col("em2") - col("mu0") * col("mu0")))
+        .drop("em2")
+      val dev = daily.join(mu, "event_type")
+        .withColumn("devp",
+          q6((col("m") - col("mu0")) / col("sdm") - lit(0.5)))
+        .withColumn("devn",
+          q6((col("mu0") - col("m")) / col("sdm") - lit(0.5)))
+      val w = Window.partitionBy("event_type").orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val zero = lit(0).cast(DecimalType(38, 6))
+      val pre = dev
+        .withColumn("pp", sum(col("devp").cast(DecimalType(28, 6))).over(w))
+        .withColumn("pn", sum(col("devn").cast(DecimalType(28, 6))).over(w))
+      pre
+        .withColumn("mpp", min(col("pp")).over(w))
+        .withColumn("mpn", min(col("pn")).over(w))
+        // min(0, minP) via when, NOT least: DuckDB's least() returns
+        // DOUBLE for decimal args (measured), which would reintroduce the
+        // accumulated-double noise the decimal path exists to avoid
+        .withColumn("cusum_up",
+          (col("pp") - when(col("mpp") < 0, col("mpp")).otherwise(zero))
+            .cast("double"))
+        .withColumn("cusum_down",
+          (col("pn") - when(col("mpn") < 0, col("mpn")).otherwise(zero))
+            .cast("double"))
+        .select(col("event_type"), col("dn"),
+          r4z((col("m") - col("mu0")) / col("sdm")).as("dev_sd"),
+          col("cusum_up"), col("cusum_down"),
+          (col("cusum_up") > 5.0 || col("cusum_down") > 5.0).as("changepoint"))
+        .orderBy("event_type", "dn")
+    },
+    Some(s"""WITH ev AS (SELECT event_type,
+    CAST(ts AS DATE) - DATE '1970-01-01' AS dn, value FROM events),
+daily AS (SELECT event_type, dn, ${davgSql("value")} AS m FROM ev GROUP BY 1, 2),
+mu0s AS (SELECT event_type,
+    ${dec6SumSql(q6Sql("m"))} / count(*) AS mu0,
+    ${dec6SumSql(q6Sql("m * m"))} / count(*) AS em2
+  FROM daily WHERE dn < 19738 GROUP BY 1),
+mu AS (SELECT event_type, mu0, sqrt(em2 - mu0 * mu0) AS sdm FROM mu0s),
+dev AS (SELECT daily.event_type AS event_type, dn, m, mu0, sdm,
+    ${q6Sql("(m - mu0) / sdm - 0.5")} AS devp,
+    ${q6Sql("(mu0 - m) / sdm - 0.5")} AS devn
+  FROM daily JOIN mu USING (event_type)),
+pre AS (SELECT event_type, dn, m, mu0, sdm,
+    sum(CAST(devp AS DECIMAL(28,6))) OVER w AS pp,
+    sum(CAST(devn AS DECIMAL(28,6))) OVER w AS pn
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY dn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cs AS (SELECT event_type, dn, m, mu0, sdm,
+    CAST(pp - CASE WHEN min(pp) OVER w2 < 0 THEN min(pp) OVER w2
+              ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS cusum_up,
+    CAST(pn - CASE WHEN min(pn) OVER w2 < 0 THEN min(pn) OVER w2
+              ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS cusum_down
+  FROM pre WINDOW w2 AS (PARTITION BY event_type ORDER BY dn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, dn, ${r4zSql("(m - mu0) / sdm")} AS dev_sd,
+  cusum_up, cusum_down,
+  (cusum_up > 5.0 OR cusum_down > 5.0) AS changepoint
+FROM cs ORDER BY event_type, dn"""))
+
   /** Population-Stability-Index distribution drift (§2.4 ext) — the ML
     * feature-monitoring gauge: per event_type, `value`'s distribution in
     * the first half of the month (baseline, ts < Jan 16) vs the second
@@ -348,5 +458,5 @@ SELECT z >> 4 AS tile, count(*) AS n_orders,
 FROM z GROUP BY 1 ORDER BY tile"""))
 
   val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
-    srcCompaction, srcZorderLayout)
+    aggDriftCusum, srcCompaction, srcZorderLayout)
 }

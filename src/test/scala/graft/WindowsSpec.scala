@@ -390,6 +390,36 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("agg_drift_cusum equals the sequential max(0,.)-reset fold") {
+    // the prefix-minus-running-min identity vs the literal recursion,
+    // checked on the real fixture output: replay each type's dev series
+    // through S_t = max(0, S_{t-1} + dev_t) and compare
+    val rows = q("agg_drift_cusum").orderBy("event_type", "dn").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      var sUp = 0.0
+      rs.foreach { r =>
+        // reconstruct dev from the reported cusum via the identity's own
+        // inverse is circular — instead recompute dev from dev_sd - k
+        // (dev_sd is round(4)-published; the q6 grain means the
+        // sequential fold can drift by at most n * 1e-4 here)
+        val dev = r.getAs[Double]("dev_sd") - 0.5
+        sUp = math.max(0.0, sUp + dev)
+        assert(math.abs(sUp - r.getAs[Double]("cusum_up")) < 0.01,
+          s"$et dn=${r.get(1)}: sequential $sUp vs ${r.getAs[Double]("cusum_up")}")
+      }
+      // the flag matches its published threshold
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("changepoint") ===
+          (r.getAs[Double]("cusum_up") > 5.0 ||
+            r.getAs[Double]("cusum_down") > 5.0))
+      }
+    }
+    // the detector is live on the fixture: the planted second-half shift
+    // must trip at least one changepoint somewhere
+    assert(rows.exists(_.getAs[Boolean]("changepoint")),
+      "no changepoint fired on the drifted fixture")
+  }
+
   test("win_cumulative_distinct counts each returning user exactly once") {
     // fixture invariants on the real events table: the cumulative curve is
     // non-decreasing, its increments are exactly n_new, the final value
