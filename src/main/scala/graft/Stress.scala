@@ -259,6 +259,55 @@ object Stress {
     recs.toSeq
   }
 
+  /** Persisted-index lifecycle at stress scale — the production sequence
+    * [[graft.api.Vectors.writeIndex]] (k = 64 train + cell-partitioned
+    * layout write) → [[graft.api.Vectors.appendToIndex]] (10% delta under
+    * the frozen codebook) → [[graft.api.Vectors.probeIndex]] (100 queries
+    * answered from the stored artifacts). The write/append stages must
+    * grow linearly with the corpus; the probe's scan is CELL-SELECTIVE
+    * (the probed-cell partition filter bounds read volume by the probed
+    * cells' share, not the corpus), so probe wall-clock must grow far
+    * slower than the write side.
+    */
+  private def annIndexRun(spark: SparkSession, nVecs: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((nv, nRows), genSec) = timed {
+      val n = graft.api.Vectors.normalized(vectors(spark, nVecs), "vec")
+        .select(col("vec_id"), col("vd"), col("nrm")).persist()
+      (n, n.count())
+    }
+    recs += StageRec("gen_vectors", genSec, nRows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_annidx_")
+      .toFile
+    try {
+      val base = nv.filter(col("vec_id") % 10 =!= 0)
+      val delta = nv.filter(col("vec_id") % 10 === 0)
+      val (_, writeSec) = timed(
+        graft.api.Vectors.writeIndex(base, "vec_id", dir.getAbsolutePath,
+          k = 64, iters = 2))
+      recs += StageRec("index_write_k64_i2", writeSec, nRows * 9 / 10)
+      val (_, appendSec) = timed(
+        graft.api.Vectors.appendToIndex(spark, dir.getAbsolutePath, delta,
+          "vec_id"))
+      recs += StageRec("index_append_10pct", appendSec, nRows / 10)
+      val (probeRows, probeSec) = timed {
+        val queries = nv.filter(col("vec_id") < 100)
+        graft.api.Vectors.probeIndex(spark, dir.getAbsolutePath, queries,
+          "vec_id", k = 10, probes = 2, salt = 8).count()
+      }
+      recs += StageRec("index_probe_100q", probeSec, probeRows)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+      unpersistQuietly(nv)
+      graft.api.Caches.sweep(spark)
+    }
+    recs.toSeq
+  }
+
   /** SemDeDup at stress scale: trained cells as blocking structure, then the
     * within-cell salted pair join (the llm_semdedup shape) over the
     * clusterable corpus. The extra observables are the per-cell pair-count
@@ -649,6 +698,10 @@ object Stress {
     // path runs at the ivf sizes' lower two rungs
     val pqSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PQS", "100000,300000")
       .split(",").map(_.trim.toLong).toSeq
+    // the index lifecycle adds parquet write I/O on top of the kmeans_ivf
+    // work, so it runs at the ivf sizes' lower two rungs as well
+    val annIdxSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_ANNIDX", "100000,300000")
+      .split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -688,6 +741,7 @@ object Stress {
     if (enabled("winnow")) winnowRun(spark, 3000)
     if (enabled("triangles")) trianglesRun(spark, 3000)
     if (enabled("pq_codes")) pqRun(spark, 2000)
+    if (enabled("ann_index")) annIndexRun(spark, 2000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -766,6 +820,8 @@ object Stress {
       triSizes.foreach(n => runs += measured("triangles", n, trianglesRun(spark, n)))
     if (enabled("pq_codes"))
       pqSizes.foreach(n => runs += measured("pq_codes", n, pqRun(spark, n)))
+    if (enabled("ann_index"))
+      annIdxSizes.foreach(n => runs += measured("ann_index", n, annIndexRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     if (enabled("kmeans_joinpath"))
       runs += measured("kmeans_joinpath", semSizes(1),
