@@ -96,6 +96,46 @@ object Sketches {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
+  /** PHYSICALLY persisted sketch table — the storage half of the
+    * [[hllMergeEstimate]] discipline a production pipeline actually runs:
+    * one HLL sketch row per (group, shard), written as parquet
+    * PARTITIONED BY the shard column, so later reads prune to the shards
+    * a report asks about (a month of dailies out of years) at the file
+    * listing level. The corpus is scanned exactly once, at write time;
+    * the stored table is KB-per-shard forever after.
+    *
+    * The sketch bytes are Spark-DataSketches-specific (the same
+    * declared-only boundary as `agg_hll_merge`), but the LAYOUT contract
+    * is engine-free: `readMergeSketchTable` over the full table must
+    * equal the in-memory [[hllMergeEstimate]] EXACTLY (identical
+    * registers through the parquet round trip — ApiSpec pins it), and a
+    * shard-filtered read must equal the in-memory estimate of the
+    * same-filtered frame.
+    */
+  def writeSketchTable(df: DataFrame, shardCol: Column,
+      groupCols: Seq[String], valueCol: String, dir: String,
+      lgK: Int = 12): Unit =
+    df.groupBy(groupCols.map(col) :+ shardCol.as("shard"): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Merge-on-read over a [[writeSketchTable]] layout: union the stored
+    * per-shard sketches back up to `groupCols` grain, optionally pruning
+    * shards first (`shardFilter` references the partition column `shard`
+    * — Catalyst resolves it to a partition filter, so unwanted shards are
+    * never read). Output matches [[hllMergeEstimate]]:
+    * groupCols + (n_shards, approx_distinct).
+    */
+  def readMergeSketchTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, groupCols: Seq[String],
+      shardFilter: Column = lit(true)): DataFrame =
+    spark.read.parquet(dir)
+      .filter(shardFilter)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shards"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_distinct"))
+
   /** Mergeable fixed-grid histogram quantiles: global [lo, hi] bounds (one
     * 1-row broadcast — at scale the bounds come from the same shard-stats
     * table the sketches live in), `bins` equal-width bin counts per shard,

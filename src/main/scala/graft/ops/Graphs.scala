@@ -684,8 +684,62 @@ SELECT n AS n_edges_directed, sx / n AS mean_deg,
     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS assortativity
 FROM m"""))
 
+  /** Connected components of the SUPPORT-THRESHOLDED co-order graph
+    * (pairs co-ordered in ≥ 3 distinct orders) — the graph-family oracled
+    * CC key: where `llm_dedup_clusters_ngram` gates the
+    * [[graft.api.Dedup.connectedComponents]] solver on document-pair
+    * edges, this gates the SAME Shiloach–Vishkin pointer-doubling on a
+    * relationally-derived product graph whose support filter leaves the
+    * many-small-components regime (56 components of ≤ 4 parts at sf0.01)
+    * — the co-purchase "product family" extraction. DuckDB recomputes the
+    * components with a recursive-CTE transitive closure (a completely
+    * different algorithm), so a hash match verifies the solver, not its
+    * input.
+    *
+    * Scale shape: the pair aggregate rides the shared [[cappedItems]]
+    * stage (≤ C(64,2) pairs per basket, hash-keyed count — map-side
+    * combinable; the support-≥3 filter prunes BEFORE the solver sees an
+    * edge); the CC solver is O(log n) pointer-doubling rounds with
+    * per-round localCheckpoint (the llm_dedup_clusters shape).
+    */
+  private val graphComponents = Q(
+    "graph_components",
+    (s, d) => {
+      val (kept, _) = cappedItems(T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      val pairs = kept.as("a").join(kept.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+        .select("a_id", "b_id")
+      graft.api.Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_parts"), min(col("id")).as("rep_part"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+rk AS (SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk FROM li),
+kept AS (SELECT ok, pk FROM rk WHERE rk <= $MAXBASKET),
+p2 AS (SELECT a.pk AS u, b.pk AS v FROM kept a JOIN kept b
+         ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY 1, 2 HAVING count(*) >= 3),
+edges AS (SELECT u AS src, v AS dst FROM p2
+          UNION ALL SELECT v AS src, u AS dst FROM p2),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_parts, min(id) AS rep_part
+FROM cc GROUP BY component ORDER BY component"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
-      graphAssocRules, graphBfsHops, graphKcore, graphAssortativity)
+      graphAssocRules, graphBfsHops, graphKcore, graphAssortativity,
+      graphComponents)
 }

@@ -1685,6 +1685,170 @@ band AS (SELECT min(mean_b) AS mean_lo, max(mean_b) AS mean_hi FROM m)
 SELECT b, n_eff, mean_b, mean_full, mean_lo, mean_hi
 FROM m, t, band ORDER BY b"""))
 
+  /** One-pass pairwise Pearson correlation MATRIX over the four lineitem
+    * measures — the multi-metric profiling shape (feature-redundancy scan
+    * before model training / mixture design) that [[aggStats]]'s single
+    * grouped pair doesn't exercise: all C(4,2) = 6 correlations computed
+    * in ONE aggregate pass over the corpus (Spark evaluates the six
+    * `corr` co-moment accumulators side by side in the same hash agg —
+    * one scan, map-side partials, a 1-row result), not six passes.
+    *
+    * Float discipline: corr's co-moment accumulation order differs
+    * between engines (genuinely path-divergent) and correlations cross
+    * zero → the [[H.r4z]]/[[H.r4zSql]] pair on every coefficient
+    * (agg_stats precedent, core.scala H scaladoc audit).
+    */
+  private val aggCorrMatrix = Q(
+    "agg_corr_matrix",
+    (s, d) => {
+      def c2(a: String, b: String) = H.r4z(corr(col(a), col(b)))
+      T.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        c2("l_quantity", "l_extendedprice").as("corr_qty_price"),
+        c2("l_quantity", "l_discount").as("corr_qty_disc"),
+        c2("l_quantity", "l_tax").as("corr_qty_tax"),
+        c2("l_extendedprice", "l_discount").as("corr_price_disc"),
+        c2("l_extendedprice", "l_tax").as("corr_price_tax"),
+        c2("l_discount", "l_tax").as("corr_disc_tax"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+${H.r4zSql("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+${H.r4zSql("corr(l_quantity, l_discount)")} AS corr_qty_disc,
+${H.r4zSql("corr(l_quantity, l_tax)")} AS corr_qty_tax,
+${H.r4zSql("corr(l_extendedprice, l_discount)")} AS corr_price_disc,
+${H.r4zSql("corr(l_extendedprice, l_tax)")} AS corr_price_tax,
+${H.r4zSql("corr(l_discount, l_tax)")} AS corr_disc_tax
+FROM lineitem"""))
+
+  /** Closed-form OLS fit (price ~ quantity, per return flag) from the
+    * normal equations — distributed regression as ONE aggregation pass:
+    * the five sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) come out
+    * of a single map-side-combinable hash agg, and slope / intercept /
+    * R² are scalar arithmetic on the 3-row result. The 100 TB shape for
+    * linear model fitting: no iteration, no driver-side data, the model
+    * IS the aggregate.
+    *
+    * Float discipline: x (quantity) and y (price) are exactly-2-decimal
+    * fixtures, so every sufficient statistic is an exact DECIMAL sum
+    * (factor-cast products — the sum_charge precedent) cast once to
+    * double; the closed-form arithmetic after that is IDENTICAL IEEE ops
+    * on identical bits in both engines, so slope/intercept/r2 emit RAW
+    * (no rounding), spelled with the same expression tree in the oracle.
+    */
+  private val aggOlsFit = Q(
+    "agg_ols_fit",
+    (s, d) => {
+      val g = T.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        sum(m2(col("l_quantity")) * m2(col("l_quantity")))
+          .cast("double").as("sxx"),
+        sum(m2(col("l_quantity")) * m2(col("l_extendedprice")))
+          .cast("double").as("sxy"),
+        sum(m2(col("l_extendedprice")) * m2(col("l_extendedprice")))
+          .cast("double").as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      g.select(col("l_returnflag"),
+          col("n").cast("bigint").as("n_rows"),
+          (cxy / vx).as("slope"),
+          ((col("sy") - cxy / vx * col("sx")) / col("n")).as("intercept"),
+          (cxy * cxy / (vx * vy)).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH g AS (SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    ${dsumSql("l_quantity")} AS sx,
+    ${dsumSql("l_extendedprice")} AS sy,
+    CAST(sum(${m2Sql("l_quantity")} * ${m2Sql("l_quantity")}) AS DOUBLE) AS sxx,
+    CAST(sum(${m2Sql("l_quantity")} * ${m2Sql("l_extendedprice")}) AS DOUBLE) AS sxy,
+    CAST(sum(${m2Sql("l_extendedprice")} * ${m2Sql("l_extendedprice")}) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+(n * sxy - sx * sy) * (n * sxy - sx * sy)
+  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM g ORDER BY l_returnflag"""))
+
+  /** PHYSICALLY persisted daily-sketch table (§2.4 ext) — the missing
+    * storage half of [[aggHllMerge]], which sketches and merges within
+    * one job: here the per-(event_type, day) HLL sketches are WRITTEN as
+    * a parquet table partitioned by day
+    * ([[graft.api.Sketches.writeSketchTable]]) and the answer is computed
+    * from the STORED table ([[graft.api.Sketches.readMergeSketchTable]])
+    * — the llm_shard_write / llm_ann_index_persist physical-round-trip
+    * discipline applied to the sketch family. Day-partitioned layout
+    * means a "last month" report prunes at file-listing level and reads
+    * KB of sketches, never the corpus.
+    *
+    * Declared-only BY DESIGN (DataSketches registers — the agg_hll_merge
+    * boundary); deterministic, so GoldenSpec pins the estimates, and
+    * ApiSpec pins the layout contract: read-back-merge == in-memory
+    * [[graft.api.Sketches.hllMergeEstimate]] EXACTLY, full and
+    * shard-filtered.
+    */
+  private val aggHllSketchTable = Q(
+    "agg_hll_sketch_table",
+    (s, d) => {
+      val dir = new java.io.File(Llm.shardRoot,
+        s"graft_hllsk_${new java.io.File(d).getName}").getAbsolutePath
+      val ev = T.events(s, d)
+        .withColumn("day", to_date(date_trunc("day", col("ts"))))
+      graft.api.Sketches.writeSketchTable(ev, col("day"),
+        Seq("event_type"), "user_id", dir, lgK = 12)
+      graft.api.Sketches.readMergeSketchTable(s, dir, Seq("event_type"))
+        .withColumnRenamed("approx_distinct", "approx_users")
+        .orderBy("event_type")
+    },
+    None)
+
+  /** Dynamic partition pruning (§2.3 ext) — THE 100 TB star-join scan
+    * killer: the fact table (orders, physically partitioned by
+    * o_orderpriority) is joined to a dimension whose filter is on a
+    * NON-KEY attribute (`rn <= 2`, a stored dimension column), so no
+    * static predicate can reach the fact scan — only Spark's runtime DPP
+    * (reusing the dim's broadcast result as an IN-filter on the fact's
+    * partition column) prunes the fact read to the 2 matching partitions
+    * of 5. PlanSpec pins `dynamicpruningexpression` inside the fact
+    * scan's PartitionFilters; the oracle proves result equivalence on
+    * the unpartitioned source.
+    *
+    * Both sides are physically written each build (llm_shard_write
+    * discipline): the fact as a partitioned layout, the dim as a plain
+    * parquet whose `rn` attribute is a deterministic dense rank —
+    * dimension-grain (5 rows), so its global window is constant-size.
+    */
+  private val joinDppPrune = Q(
+    "join_dpp_prune",
+    (s, d) => {
+      val outBase = new java.io.File(Llm.shardRoot,
+        s"graft_dpp_${new java.io.File(d).getName}").getAbsolutePath
+      val o = T.orders(s, d)
+      o.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$outBase/fact")
+      o.select(col("o_orderpriority").as("prio")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("prio")))
+        .write.mode("overwrite").parquet(s"$outBase/dim")
+      val fact = s.read.parquet(s"$outBase/fact")
+      val dim = s.read.parquet(s"$outBase/dim").filter(col("rn") <= 2)
+      fact.join(dim, fact("o_orderpriority") === dim("prio"))
+        .groupBy(col("prio").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("priority")
+    },
+    Some(s"""WITH dim AS (SELECT prio, row_number() OVER (ORDER BY prio) AS rn
+  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders))
+SELECT prio AS priority, count(*) AS n_orders,
+${dsumSql("o_totalprice")} AS sum_total
+FROM orders JOIN dim ON o_orderpriority = prio
+WHERE rn <= 2
+GROUP BY prio ORDER BY priority"""))
+
   val all: Seq[Q] = Seq(
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
     aggBootstrapCi,
@@ -1695,11 +1859,12 @@ FROM m, t, band ORDER BY b"""))
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBloomPrefilter,
-    joinBucketed, joinFuzzy,
+    joinBucketed, joinFuzzy, joinDppPrune,
     srcPartitionedScan, srcProfile,
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
     aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHllIntersect,
-    aggHllIntersectExact, aggHistQuantileMerge,
+    aggHllIntersectExact, aggHistQuantileMerge, aggHllSketchTable,
+    aggCorrMatrix, aggOlsFit,
     aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
     aggWeightedPercentile, aggStats, aggCollectSorted,

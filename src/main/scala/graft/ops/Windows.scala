@@ -1113,11 +1113,51 @@ SELECT t_wk, n_risk, d_ev, c_cens,
       OVER (ORDER BY t_wk ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 4) END AS s_km
 FROM s ORDER BY t_wk"""))
 
+  /** Gaps-and-islands — the classic streak/outage detector (consecutive
+    * active DAYS per user, one row per maximal run): the SQL idiom every
+    * sessionization-adjacent pipeline needs that [[winSessionize]]'s
+    * timeout-gap grouping doesn't express (islands are defined by
+    * CALENDAR adjacency, not event spacing). Implemented with the
+    * canonical `day − row_number()` constant-per-island trick.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, day) grain
+    * first (one hash agg, map-side combinable — days-per-user ≤ calendar
+    * span regardless of event volume); the window partitions BY USER
+    * (parallel across users, no global sort); islands aggregate on the
+    * (user, grp) key. Day arithmetic is INTEGER division of epoch-µs
+    * longs (`div` — epoch-µs ≈ 1.7e18 exceeds double's 2^53 exact range,
+    * so float division would corrupt day boundaries; the T.events
+    * contract).
+    */
+  private val winGapsIslands = Q(
+    "win_gaps_islands",
+    (s, d) => {
+      val days = T.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    },
+    Some("""WITH dd AS (SELECT DISTINCT user_id,
+    epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM dd)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+count(*) AS n_days
+FROM r GROUP BY user_id, grp ORDER BY user_id, start_day"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
-    winSkyline, winCumulativeDistinct)
+    winSkyline, winCumulativeDistinct, winGapsIslands)
 }

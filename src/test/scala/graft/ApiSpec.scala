@@ -1332,6 +1332,33 @@ class ApiSpec extends SparkSpec {
     assert(byMod == direct, s"mod-sharded merge diverged: $byMod vs $direct")
   }
 
+  test("writeSketchTable/readMergeSketchTable round-trips registers exactly, full and pruned") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_sktest_").toString
+    val df = graft.ops.T.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+    Sketches.writeSketchTable(df, col("day"), Seq("event_type"), "user_id", dir)
+    def rows(f: org.apache.spark.sql.DataFrame) = f.orderBy("event_type")
+      .select("event_type", "n_shards", "approx_distinct")
+      .as[(String, Long, Long)].collect().toSeq
+    // full-table merge == in-memory merge (identical registers through parquet)
+    val mem = rows(Sketches.hllMergeEstimate(df, col("day"), Seq("event_type"), "user_id"))
+    val disk = rows(Sketches.readMergeSketchTable(spark, dir, Seq("event_type")))
+    assert(disk == mem, s"stored-table merge diverged: $disk vs $mem")
+    // shard-pruned read == in-memory estimate of the same-filtered frame
+    val days = df.select(col("day")).distinct().orderBy("day")
+      .as[java.sql.Date].collect()
+    val cut = days(days.length / 2)
+    val memCut = rows(Sketches.hllMergeEstimate(
+      df.filter(col("day") >= lit(cut)), col("day"), Seq("event_type"), "user_id"))
+    val diskCut = rows(Sketches.readMergeSketchTable(spark, dir, Seq("event_type"),
+      col("shard") >= lit(cut)))
+    assert(diskCut == memCut, s"pruned merge diverged: $diskCut vs $memCut")
+    assert(diskCut != mem, "cutoff pruned nothing — pick a later cut")
+  }
+
   test("hllMergeEstimate lands within 5% of exact countDistinct") {
     import spark.implicits._
     import graft.api.Sketches

@@ -223,6 +223,30 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("graph_components partitions the support-3 graph; labels are min ids") {
+    import spark.implicits._
+    val comp = q("graph_components").cache()
+    // nodes only enter via edges → no singleton components
+    assert(comp.filter(col("n_parts") < 2).count() == 0)
+    // pointer-doubling converges to the component's min id, which is also
+    // the emitted representative — label and rep must coincide
+    assert(comp.filter(col("component") =!= col("rep_part")).count() == 0)
+    // components partition the node set of the support-3 pair graph
+    val (kept, _) = graft.ops.Graphs.cappedItems(
+      graft.ops.T.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+    val nNodes = pairs.select(col("u").as("n"))
+      .union(pairs.select(col("v").as("n"))).distinct().count()
+    val covered = comp.agg(sum("n_parts")).as[Long].first()
+    assert(covered == nNodes, s"components cover $covered of $nNodes nodes")
+    comp.unpersist()
+  }
+
   test("graph_assortativity equals a driver-side Pearson recount") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -195,6 +195,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "partition filter does not constrain the cell column")
   }
 
+  test("join_dpp_prune dynamically prunes the fact partitions from the dim result") {
+    // the dim filter sits on a NON-KEY attribute (rn), so no static
+    // predicate can reach the fact scan — only runtime DPP can, and the
+    // scan must carry it as a partition filter (pruned file listing)
+    val factScans = scans(plan("join_dpp_prune"))
+      .filter(_.metadata.getOrElse("Location", "").contains("/fact"))
+    assert(factScans.nonEmpty, "no scan over the partitioned fact found")
+    val pf = factScans.flatMap(_.partitionFilters).mkString(";")
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"fact scan partition filters carry no dynamic pruning: $pf")
+  }
+
   test("agg_approx_topk partial-aggregates the sketch map-side") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     val aggs = collectWithSubqueries(plan("agg_approx_topk")) {

@@ -238,6 +238,35 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("agg_ols_fit r2 is the squared Pearson correlation per group") {
+    import spark.implicits._
+    val fit = q("agg_ols_fit").select("l_returnflag", "r2")
+      .as[(String, Double)].collect().toMap
+    val co = graft.ops.T.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .select("l_returnflag", "c").as[(String, Double)].collect().toMap
+    co.foreach { case (k, c) =>
+      assert(math.abs(fit(k) - c * c) < 1e-6,
+        s"$k: closed-form r2=${fit(k)} vs corr²=${c * c}")
+    }
+  }
+
+  test("agg_corr_matrix is symmetric-consistent with single-pair corr") {
+    import spark.implicits._
+    val m = q("agg_corr_matrix").collect().head
+    val direct = graft.ops.T.lineitem(spark, sf)
+      .agg(corr(col("l_discount"), col("l_tax"))).as[Double].first()
+    val r4 = math.abs(m.getAs[Double]("corr_disc_tax"))
+    assert(math.abs(r4 - math.abs(BigDecimal(direct)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)) < 1e-12)
+    // self-correlation sanity: every coefficient is in [-1, 1]
+    Seq("corr_qty_price", "corr_qty_disc", "corr_qty_tax", "corr_price_disc",
+      "corr_price_tax", "corr_disc_tax").foreach { c =>
+      val v = m.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c out of range: $v")
+    }
+  }
+
   test("agg_bootstrap_ci resample means match a driver-side hash recount") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sf/orders.parquet")

@@ -420,6 +420,27 @@ class WindowsSpec extends SparkSpec {
       "no changepoint fired on the drifted fixture")
   }
 
+  test("win_gaps_islands tiles the active-day set with maximal runs") {
+    import spark.implicits._
+    val isl = q("win_gaps_islands").cache()
+    // every island length is consistent with its endpoints
+    assert(isl.filter(col("n_days") =!=
+      col("end_day") - col("start_day") + 1).count() == 0)
+    // islands tile the distinct (user, day) set exactly
+    val total = isl.agg(sum("n_days")).as[Long].first()
+    val expect = graft.ops.T.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .distinct().count()
+    assert(total == expect, s"islands cover $total of $expect active days")
+    // maximality: consecutive islands of a user are separated by a gap >= 2
+    val overl = isl.as("a").join(isl.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("b.start_day") > col("a.start_day") &&
+        col("b.start_day") <= col("a.end_day") + 1).count()
+    assert(overl == 0, s"$overl island pairs touch or overlap")
+    isl.unpersist()
+  }
+
   test("win_cumulative_distinct counts each returning user exactly once") {
     // fixture invariants on the real events table: the cumulative curve is
     // non-decreasing, its increments are exactly n_new, the final value
