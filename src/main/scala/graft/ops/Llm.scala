@@ -851,6 +851,142 @@ FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 ORDER BY q_id"""
     })
 
+  /** Combined IVF + PQ ANN (§2.9 ext) — the production index shape that
+    * [[llmAnnIvf]] (WHICH vectors to score) and [[llmAnnPqRecall]] (WHAT is
+    * stored) each exercise alone: coarse k-means cells route each query to
+    * its 2 best cells, the candidates THERE are scored by PQ
+    * asymmetric-distance (cos against the 4×16-dim coded reconstruction —
+    * the index holds 16 bytes/vector, never the floats), the ADC top-10
+    * shortlist is re-ranked EXACTLY against the true vectors, and the
+    * emitted metric is recall@5 of that full pipeline vs the brute-force
+    * truth — per query, driven from the query side so an empty
+    * intersection still contributes its zero (the ann_recall lesson).
+    *
+    * Scale shape: this is the standard large-scale ANN architecture
+    * (coarse quantizer + PQ codes + exact re-rank of a constant-size
+    * shortlist). Cell routing broadcasts only the k×dim codebook; ADC
+    * candidates flow through [[graft.api.Vectors.ivfProbeWith]]'s salted
+    * cell join with its two-stage top-k (a hot cell pre-ranks per salt
+    * block); the exact re-rank touches 10 rows/query — the only stage that
+    * reads true vectors, id-keyed. Deterministic end to end (hash-seeded
+    * k-means per quantizer, DECIMAL-exact means, total-ordered ranks), so
+    * the whole pipeline — both training loops included — unrolls into
+    * DuckDB CTEs and the recall is oracled exactly.
+    */
+  private val llmAnnIvfPq = Q(
+    "llm_ann_ivfpq",
+    (s, d) => {
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val idx = Vectors.assignCells(nv, cb)
+        .select(col("vec_id"), col("cell"))
+      val parts = (0 until 4).map { sIdx =>
+        val subF = nv
+          .select(col("vec_id"), slice(col("vd"), sIdx * 16 + 1, 16).as("vd"))
+          .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+        val scb = Vectors.kmeansCodebook(subF, "vec_id", k = 8, iters = 2,
+          seedTag = s"pq$sIdx")
+        Vectors.assignCells(subF, scb)
+          .join(broadcast(scb), "cell")
+          .select(col("vec_id"), col("cvd").as(s"c$sIdx"))
+      }
+      val recon = parts.reduce((a, b) => a.join(b, "vec_id"))
+        .select(col("vec_id"),
+          concat(col("c0"), col("c1"), col("c2"), col("c3")).as("vd"))
+        .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+      // the probed index carries the RECONSTRUCTION as its vector: the
+      // probe's cosine IS the PQ asymmetric distance
+      val pqIdx = idx.join(recon, "vec_id")
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      val shortlist = Vectors.ivfProbeWith(pqIdx, cb, q, "vec_id", "cell",
+          k = 10, probes = 2)
+        .select(col("q_id"), col("n_id"))
+      val rq = q.select(col("vec_id").as("q_id"), col("vd").as("q_vd"),
+        col("nrm").as("q_nrm"))
+      val wK = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      val approx = shortlist
+        .join(nv.select(col("vec_id").as("n_id"), col("vd").as("n_vd"),
+          col("nrm").as("n_nrm")), "n_id")
+        .join(broadcast(rq), "q_id")
+        .withColumn("cos", Vectors.cosine("q_vd", "q_nrm", "n_vd", "n_nrm"))
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val exact = Vectors.cosineTopK(nv, q, "vec_id", 5)
+        .select(col("q_id").as("e_qid"), col("n_id").as("e_nid"))
+      val hits = approx.join(exact,
+          col("q_id") === col("e_qid") && col("n_id") === col("e_nid"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / 5).as("recall_at_5"))
+        .orderBy("q_id")
+    },
+    Some {
+      val sub = (0 until 4).map { i =>
+        s"""p$i AS (SELECT vec_id, list_slice(vd, ${i * 16 + 1}, ${(i + 1) * 16}) AS vd0 FROM n0),
+p${i}n AS (SELECT vec_id, vd0 AS vd, sqrt(list_dot_product(vd0, vd0)) AS nrm FROM p$i),
+${kmeansSql(s"p${i}n", 8, 2, prefix = s"s${i}_", tag = s"pq$i")},
+enc$i AS (SELECT vec_id, cvd AS c$i FROM (
+    SELECT p.vec_id, c.cvd,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY list_dot_product(p.vd, c.cvd) / (p.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM p${i}n p CROSS JOIN s${i}_c2 c) WHERE r = 1)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+${kmeansSql("n0", 8, 2)},
+idx AS (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+$sub,
+rec AS (SELECT enc0.vec_id, enc0.c0 || enc1.c1 || enc2.c2 || enc3.c3 AS vd
+  FROM enc0 JOIN enc1 ON enc0.vec_id = enc1.vec_id
+    JOIN enc2 ON enc0.vec_id = enc2.vec_id
+    JOIN enc3 ON enc0.vec_id = enc3.vec_id),
+recn AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM rec),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n0 WHERE vec_id % 50 = 0),
+cellrank AS (SELECT q_id, q_vd, q_nrm, c.cell AS cell,
+    row_number() OVER (PARTITION BY q_id
+      ORDER BY list_dot_product(q_vd, c.cvd) / (q_nrm * c.cnrm) DESC, c.cell ASC) AS cr
+  FROM q CROSS JOIN c2 c),
+cells AS (SELECT q_id, q_vd, q_nrm, cell FROM cellrank WHERE cr <= 2),
+adc AS (SELECT cells.q_id, t.vec_id AS n_id,
+    list_dot_product(q_vd, r.vd) / (q_nrm * r.nrm) AS cos
+  FROM cells JOIN idx t ON t.cell = cells.cell AND t.vec_id != cells.q_id
+    JOIN recn r ON r.vec_id = t.vec_id),
+short AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM adc) WHERE rn <= 10),
+rr AS (SELECT s.q_id, s.n_id,
+    list_dot_product(q.q_vd, n.vd) / (q.q_nrm * n.nrm) AS cos
+  FROM short s JOIN q ON q.q_id = s.q_id JOIN n0 n ON n.vec_id = s.n_id),
+approx AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM rr) WHERE rn <= 5),
+ecand AS (SELECT q_id, n.vec_id AS n_id,
+    list_dot_product(q_vd, n.vd) / (q_nrm * n.nrm) AS cos
+  FROM n0 n CROSS JOIN q WHERE n.vec_id != q_id),
+exact AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+    FROM ecand) WHERE rn <= 5),
+hits AS (SELECT a.q_id, count(*) AS h
+  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+  GROUP BY a.q_id)
+SELECT q.q_id AS q_id, COALESCE(h.h, 0) AS n_hits,
+CAST(COALESCE(h.h, 0) AS DOUBLE) / 5 AS recall_at_5
+FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+ORDER BY q_id"""
+    })
+
   /** SemDeDup-style semantic dedup: k-means cells as the blocking
     * structure, exact cosine ≥ 0.4 pairs WITHIN a cell only, and the
     * deterministic greedy keep-lowest-id rule (any vector that is a
@@ -2819,7 +2955,7 @@ FROM c, t ORDER BY decile"""))
     llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnIndexPersist, llmAnnIndexAppend,
-    llmAnnRecall, llmAnnPqRecall, llmSemdedup,
+    llmAnnRecall, llmAnnPqRecall, llmAnnIvfPq, llmSemdedup,
     llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
     llmQualityFilter, llmRepetitionFilter, llmLangId,
     llmTokenCount, llmBpeTrain, llmBpeApply, llmUnigramLmPpl, llmBigramLmPpl,

@@ -457,6 +457,130 @@ SELECT z >> 4 AS tile, count(*) AS n_orders,
   (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS box_area
 FROM z GROUP BY 1 ORDER BY tile"""))
 
+  /** Per-column profile of an arbitrary frame — one scan, stacked to
+    * (col_name, dtype, n_null, n_distinct, min/max-as-double) rows; the
+    * [[srcSchemaDrift]] building block (src_profile's stack pattern
+    * generalized to a schema read at runtime).
+    */
+  private def columnProfile(df: DataFrame, suffix: String): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(col(f.name)).as(s"${f.name}_nn"),
+        countDistinct(col(f.name)).as(s"${f.name}_nd"),
+        (if (numeric) min(col(f.name)).cast("double")
+         else lit(null).cast("double")).as(s"${f.name}_mn"),
+        (if (numeric) max(col(f.name)).cast("double")
+         else lit(null).cast("double")).as(s"${f.name}_mx"))
+    }
+    val stacked = fields.map(f =>
+      s"'${f.name}', '${f.dataType.simpleString}', " +
+        s"${f.name}_nn, ${f.name}_nd, ${f.name}_mn, ${f.name}_mx")
+      .mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs.toSeq: _*)
+      .select(col("n_rows"), expr(s"stack(${fields.length}, $stacked) as " +
+        s"(col_name, dtype_$suffix, nn, nd, min_$suffix, max_$suffix)"))
+      .select(col("col_name"), col(s"dtype_$suffix"),
+        (col("n_rows") - col("nn")).as(s"n_null_$suffix"),
+        col("nd").as(s"n_distinct_$suffix"),
+        col(s"min_$suffix"), col(s"max_$suffix"))
+  }
+
+  /** Schema + distribution drift between two PHYSICAL snapshots of a table
+    * (§2.1 ext) — the contract check a scheduled ingest runs before
+    * trusting a new drop: which columns were added / dropped, which changed
+    * type, and how the null count, distinct cardinality, and numeric range
+    * moved. Snapshot B plants every drift class the report exists to catch:
+    * a dropped column (o_custkey), an added column (o_channel), a type
+    * narrowing (o_orderkey bigint→int), planted NULLs (o_totalprice,
+    * keys ≡ 0 mod 13), a value drift (×1.1 on keys ≡ 0 mod 10), and a new
+    * category ('X' on keys ≡ 0 mod 7). Both snapshots are physically
+    * written and read back (the llm_shard_write discipline), so the
+    * profiled schema is the PARQUET schema, not the derivation's.
+    *
+    * Scale shape: each side is ONE scan (all per-column aggregates fused
+    * into a single map-side-combinable pass — the src_profile pattern);
+    * the compare joins at COLUMN grain (rows = schema width). min/max
+    * surface as doubles (NULL for non-numerics): exact for the fixture's
+    * int/bigint/2-decimal domains, and the ×1.1 drift is identical
+    * per-row IEEE arithmetic in both engines.
+    */
+  private val srcSchemaDrift = Q(
+    "src_schema_drift",
+    (s, d) => {
+      val outBase = new java.io.File(Llm.shardRoot,
+        s"graft_sdrift_${new java.io.File(d).getName}").getAbsolutePath
+      val o = T.orders(s, d)
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$outBase/a")
+      o.select(col("o_orderkey").cast("int").as("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
+            .when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          (col("o_orderkey") % 3).cast("int").as("o_channel"))
+        .write.mode("overwrite").parquet(s"$outBase/b")
+      val pa = columnProfile(s.read.parquet(s"$outBase/a"), "a")
+      val pb = columnProfile(s.read.parquet(s"$outBase/b"), "b")
+      pa.join(pb, Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          when(col("dtype_a").isNull, lit("added"))
+            .when(col("dtype_b").isNull, lit("dropped"))
+            .otherwise(lit("common")).as("status"),
+          col("dtype_a"), col("dtype_b"),
+          when(col("dtype_a").isNotNull && col("dtype_b").isNotNull,
+            col("dtype_a") =!= col("dtype_b")).as("type_changed"),
+          col("n_null_a"), col("n_null_b"),
+          col("n_distinct_a"), col("n_distinct_b"),
+          col("min_a"), col("max_a"), col("min_b"), col("max_b"))
+        .orderBy("col_name")
+    },
+    Some {
+      def arm(src: String, cn: String, dt: String, numeric: Boolean) = {
+        val mn = if (numeric) s"CAST(min($cn) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"CAST(max($cn) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$cn' AS col_name, '$dt' AS dtype,
+  count(*) - count($cn) AS n_null, count(DISTINCT $cn) AS n_distinct,
+  $mn AS mn, $mx AS mx FROM $src"""
+      }
+      val pa = Seq(arm("sa", "o_orderkey", "bigint", numeric = true),
+        arm("sa", "o_custkey", "bigint", numeric = true),
+        arm("sa", "o_orderstatus", "string", numeric = false),
+        arm("sa", "o_totalprice", "double", numeric = true))
+        .mkString("\nUNION ALL\n")
+      val pb = Seq(arm("sb", "o_orderkey", "int", numeric = true),
+        arm("sb", "o_orderstatus", "string", numeric = false),
+        arm("sb", "o_totalprice", "double", numeric = true),
+        arm("sb", "o_channel", "int", numeric = true))
+        .mkString("\nUNION ALL\n")
+      s"""WITH sa AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders),
+sb AS (SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+         ELSE o_totalprice END AS o_totalprice,
+    CAST(o_orderkey % 3 AS INTEGER) AS o_channel
+  FROM orders),
+pa AS ($pa),
+pb AS ($pb)
+SELECT COALESCE(pa.col_name, pb.col_name) AS col_name,
+CASE WHEN pa.col_name IS NULL THEN 'added'
+     WHEN pb.col_name IS NULL THEN 'dropped' ELSE 'common' END AS status,
+pa.dtype AS dtype_a, pb.dtype AS dtype_b,
+CASE WHEN pa.dtype IS NOT NULL AND pb.dtype IS NOT NULL
+     THEN pa.dtype <> pb.dtype END AS type_changed,
+pa.n_null AS n_null_a, pb.n_null AS n_null_b,
+pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+pa.mn AS min_a, pa.mx AS max_a, pb.mn AS min_b, pb.mx AS max_b
+FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name
+ORDER BY col_name"""
+    })
+
   val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
-    aggDriftCusum, srcCompaction, srcZorderLayout)
+    aggDriftCusum, srcCompaction, srcZorderLayout, srcSchemaDrift)
 }

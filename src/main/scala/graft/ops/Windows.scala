@@ -1153,11 +1153,142 @@ SELECT user_id, min(day) AS start_day, max(day) AS end_day,
 count(*) AS n_days
 FROM r GROUP BY user_id, grp ORDER BY user_id, start_day"""))
 
+  /** Autocorrelation function (§2.4 ext) — sample ACF of the daily
+    * event-count series per event_type at lags 1..7: the periodicity
+    * diagnostic that turns [[aggSeasonalProfile]]'s "what does a week look
+    * like" into "HOW self-similar is the series at each offset" (a weekly
+    * cycle shows as an acf peak at lag 7; a trend as slow decay). Standard
+    * sample ACF: r_l = Σ_{t>l}(x_t−x̄)(x_{t−l}−x̄) / Σ(x_t−x̄)², full-series
+    * mean and denominator.
+    *
+    * Float discipline (the agg_ols_fit precedent): counts are exact
+    * integers, so every sufficient statistic (Σx, Σx², Σx_t·x_{t−l}, the
+    * lag-restricted Σ over each margin) is an EXACT bigint cast once to
+    * double, and the closed-form expansion
+    * `(sxy − x̄(sa+sb) + n_l·x̄²) / (q − s²/n)` is identical IEEE ops on
+    * identical bits in both engines → acf emits RAW, same expression tree
+    * in the oracle.
+    *
+    * Scale shape: the corpus collapses to CALENDAR grain (one map-side-
+    * combinable (type, day) count) in its single full pass; the time index,
+    * the lag self-join (t = t−l band), and both stat aggs all run on the
+    * days×types frame — at 100 TB that is still thousands of rows. Row-lag
+    * (not date-lag) semantics via row_number, so a day gap shifts rather
+    * than zero-fills the series — the definition both engines replay
+    * identically regardless of calendar holes.
+    */
+  private val aggAutocorr = Q(
+    "agg_autocorr",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val idx = daily.select(col("event_type"),
+        row_number().over(w).as("t"), col("x"))
+      val st = idx.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("s"),
+        sum(col("x") * col("x")).cast("double").as("q"))
+      val b = idx.select(col("event_type").as("b_type"),
+        col("t").as("tb"), col("x").as("xb"))
+      val pr = idx.join(b, col("event_type") === col("b_type") &&
+          (col("t") - col("tb")).between(1, 7))
+        .select(col("event_type"), (col("t") - col("tb")).as("lag"),
+          col("x").as("xa"), col("xb"))
+      val g = pr.groupBy("event_type", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).cast("double").as("sxy"),
+        sum(col("xa")).cast("double").as("sa"),
+        sum(col("xb")).cast("double").as("sb"))
+      g.join(st, "event_type")
+        .select(col("event_type"), col("lag").cast("int").as("lag"),
+          col("n_pairs"),
+          ((col("sxy") - col("s") / col("n") * (col("sa") + col("sb"))
+            + col("n_pairs").cast("double")
+              * (col("s") / col("n")) * (col("s") / col("n")))
+            / (col("q") - col("s") * col("s") / col("n"))).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+    count(*) AS x FROM events GROUP BY 1, 2),
+idx AS (SELECT event_type,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, x
+  FROM daily),
+st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x) AS DOUBLE) AS s, CAST(sum(x * x) AS DOUBLE) AS q
+  FROM idx GROUP BY 1),
+pr AS (SELECT a.event_type, a.t - b.t AS lag, a.x AS xa, b.x AS xb
+  FROM idx a JOIN idx b ON a.event_type = b.event_type
+    AND a.t - b.t BETWEEN 1 AND 7),
+g AS (SELECT event_type, lag, count(*) AS n_pairs,
+    CAST(sum(xa * xb) AS DOUBLE) AS sxy, CAST(sum(xa) AS DOUBLE) AS sa,
+    CAST(sum(xb) AS DOUBLE) AS sb
+  FROM pr GROUP BY 1, 2)
+SELECT g.event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+(sxy - s / n * (sa + sb)
+  + CAST(n_pairs AS DOUBLE) * (s / n) * (s / n)) / (q - s * s / n) AS acf
+FROM g JOIN st ON g.event_type = st.event_type
+ORDER BY g.event_type, lag"""))
+
+  /** OHLC resample bars (§2.5 ext) — the market-data candlestick idiom
+    * applied to the events stream: per (event_type, day), the value at the
+    * FIRST event of the day (open), the day's max/min (high/low), the
+    * value at the LAST event (close), plus count and exact turnover. The
+    * downsample-for-dashboards shape: 10k events become 150 bars.
+    *
+    * Determinism under timestamp TIES (the fixture has same-µs events):
+    * open/close are defined as the MIN value among rows at the minimal
+    * timestamp and the MAX value among rows at the maximal one — a total
+    * definition both engines compute identically (min_by/arg_min would be
+    * tie-nondeterministic). Implemented as one window pass (per-bar min/max
+    * epoch-µs) + one conditional agg — no join-back.
+    *
+    * Scale shape: the window partitions by (type, day) — bounded
+    * partitions, parallel across bars, no global sort; high/low/open/close
+    * are exact fixture doubles emitted RAW; turnover is the exact DECIMAL
+    * sum. At 100 TB the same two passes hold (window state is per-bar
+    * min/max only); a pre-agg per (type, day, em) would bound even a
+    * single-bar hot day.
+    */
+  private val winOhlc = Q(
+    "win_ohlc",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"),
+        em(col("ts")).as("e"), col("value"))
+      val w = Window.partitionBy("event_type", "day")
+      ev.withColumn("ts0", min(col("e")).over(w))
+        .withColumn("ts1", max(col("e")).over(w))
+        .groupBy("event_type", "day")
+        .agg(
+          min(when(col("e") === col("ts0"), col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("e") === col("ts1"), col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("turnover"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+    epoch_us(ts) AS e, value FROM events),
+w AS (SELECT *,
+    min(e) OVER (PARTITION BY event_type, day) AS ts0,
+    max(e) OVER (PARTITION BY event_type, day) AS ts1
+  FROM ev)
+SELECT event_type, day,
+min(value) FILTER (WHERE e = ts0) AS open,
+max(value) AS high, min(value) AS low,
+max(value) FILTER (WHERE e = ts1) AS close,
+count(*) AS n_events, ${dsumSql("value")} AS turnover
+FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
-    winSkyline, winCumulativeDistinct, winGapsIslands)
+    winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc)
 }

@@ -494,6 +494,17 @@ class LlmSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("llm_ann_ivfpq emits one exact-ratio row per query") {
+    val rows = q("llm_ann_ivfpq").collect()
+    assert(rows.length === 10) // 500 vectors / 50
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L)
+      assert(r.getAs[Double]("recall_at_5") === h / 5.0)
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("llm_doc_outlier cosines are bounded and label-coherent") {
     val rows = q("llm_doc_outlier").collect()
     assert(rows.length === 500)

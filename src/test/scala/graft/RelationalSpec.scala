@@ -316,4 +316,24 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(math.abs(r.getAs[Double]("ks_stat") -
       d * math.sqrt(a.length.toDouble * b.length / (a.length + b.length))) < 1e-12)
   }
+
+  test("src_schema_drift classifies every planted drift case") {
+    val rows = q("src_schema_drift").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size === 5)
+    assert(rows("o_custkey").getAs[String]("status") === "dropped")
+    assert(rows("o_channel").getAs[String]("status") === "added")
+    // type narrowing bigint -> int is the only type change
+    assert(rows("o_orderkey").getAs[Boolean]("type_changed"))
+    assert(!rows("o_orderstatus").getAs[Boolean]("type_changed"))
+    assert(!rows("o_totalprice").getAs[Boolean]("type_changed"))
+    // planted NULLs: exactly the keys = 0 mod 13, only in snapshot B
+    val expectNulls = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 13 === 0).count()
+    assert(rows("o_totalprice").getAs[Long]("n_null_a") === 0L)
+    assert(rows("o_totalprice").getAs[Long]("n_null_b") === expectNulls)
+    // x1.1 value drift must widen the numeric range upward
+    assert(rows("o_totalprice").getAs[Double]("max_b") >
+      rows("o_totalprice").getAs[Double]("max_a"))
+  }
 }

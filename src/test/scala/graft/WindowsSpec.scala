@@ -441,6 +441,28 @@ class WindowsSpec extends SparkSpec {
     isl.unpersist()
   }
 
+  test("agg_autocorr coefficients are bounded and pair counts are n - lag") {
+    val df = q("agg_autocorr").cache()
+    assert(df.count() == 35, "5 types x 7 lags")
+    // full-denominator sample ACF is Cauchy-Schwarz bounded
+    assert(df.filter(abs(col("acf")) > 1.0).count() == 0)
+    // every type's series has 30 days -> lag l leaves exactly 30 - l pairs
+    assert(df.filter(col("n_pairs") =!= lit(30) - col("lag")).count() == 0)
+    df.unpersist()
+  }
+
+  test("win_ohlc bars bound open/close by high/low and conserve totals") {
+    import spark.implicits._
+    val df = q("win_ohlc").cache()
+    assert(df.filter(col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")).count() == 0)
+    val ev = graft.ops.T.events(spark, sf)
+    assert(df.count() == ev.select(col("event_type"),
+      to_date(date_trunc("day", col("ts")))).distinct().count())
+    assert(df.agg(sum("n_events")).as[Long].first() == ev.count())
+    df.unpersist()
+  }
+
   test("win_cumulative_distinct counts each returning user exactly once") {
     // fixture invariants on the real events table: the cumulative curve is
     // non-decreasing, its increments are exactly n_new, the final value
