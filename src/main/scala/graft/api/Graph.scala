@@ -306,6 +306,58 @@ object Graph {
       .crossJoin(tri)
   }
 
+  /** Per-node local clustering coefficient over the same id-ordered
+    * undirected edge list `e0(u, v)`, `u < v`, as [[triangles]]: for each
+    * node, `cc = 2·t / (deg·(deg−1))` where `t` is the number of triangles
+    * through it (0 for degree-<2 nodes). Same compact-forward orientation
+    * and eager precondition probe as [[triangles]] — the only difference
+    * is that each closed wedge is attributed to its THREE corners (the
+    * wedge center `lo` plus both endpoints) instead of globally counted,
+    * one extra node-grain hash agg.
+    *
+    * Returns node-grain rows (node, degree, tri_n, cc). Float discipline:
+    * cc is one double division of exact integers — identical IEEE in any
+    * engine → RAW.
+    */
+  def localClustering(e0In: DataFrame): DataFrame = {
+    val e0 = Caches.cache(e0In.select(col("u"), col("v")))
+    val deg = Caches.cache(e0.select(col("u").as("n"))
+      .union(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg")))
+    val bounds = deg.agg(coalesce(max(col("n")), lit(0L)).as("mxid"),
+      coalesce(max(col("dg")), lit(0L)).as("mxdg")).head()
+    require(bounds.getLong(0) < KMUL && bounds.getLong(1) <= MAXDEG,
+      s"localClustering: orientation key needs ids < $KMUL and degrees <= " +
+        s"$MAXDEG, got max id ${bounds.getLong(0)}, max degree " +
+        s"${bounds.getLong(1)}")
+    val ek = e0
+      .join(deg.select(col("n").as("u"),
+        (col("dg") * KMUL + col("n")).as("ku")), "u")
+      .join(deg.select(col("n").as("v"),
+        (col("dg") * KMUL + col("n")).as("kv")), "v")
+    val oriented = Caches.cache(ek.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
+      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
+      .select(col("x.lo").as("ctr"), col("x.hi").as("wu"),
+        col("y.hi").as("wv"))
+    val closed = wedges.join(
+      oriented.select(col("lo").as("wu"), col("hi").as("wv")), Seq("wu", "wv"))
+    val triNode = closed.select(col("ctr").as("n"))
+      .union(closed.select(col("wu").as("n")))
+      .union(closed.select(col("wv").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("tri_n"))
+    deg.join(triNode, Seq("n"), "left_outer")
+      .select(col("n").as("node"), col("dg").as("degree"),
+        coalesce(col("tri_n"), lit(0L)).as("tri_n"),
+        when(col("dg") >= 2,
+          lit(2.0) * coalesce(col("tri_n"), lit(0L)).cast("double") /
+            (col("dg").cast("double") * (col("dg").cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
   /** Single-source BFS hop counts over a SYMMETRIC edge list
     * `edges(src, dst)` — (node, hop) for every node within `maxHops` of
     * `source` (hop 0 = the source itself). Bounded-depth unroll: the

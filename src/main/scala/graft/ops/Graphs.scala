@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{Caches, Graph}
+import H.{dec6Sum, dec6SumSql, q6, q6Sql}
 
 /** SURVEY.md §2.12 — graph analytics over relationally-derived graphs.
   *
@@ -737,9 +738,54 @@ cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
 SELECT component, count(*) AS n_parts, min(id) AS rep_part
 FROM cc GROUP BY component ORDER BY component"""))
 
+  /** Per-node local clustering coefficient (§2.12 ext) on the capped part
+    * co-order graph — how clique-like each part's co-purchase
+    * neighborhood is, the node-grain refinement of [[graphTriangles]]'
+    * global count: `cc = 2·t/(deg·(deg−1))`, plus the graph's average cc
+    * (all nodes, degree-<2 counted as 0 — the NetworkX convention)
+    * cross-joined onto every row.
+    *
+    * Same compact-forward orientation (out-degree O(√m) on any graph) as
+    * triangles; the per-corner attribution is one extra node-grain hash
+    * agg over the closed-wedge frame. Float discipline: cc is one double
+    * division of exact ints (RAW); the average quantizes each cc
+    * ([[H.q6]]) and sums as exact DECIMAL ([[H.dec6Sum]]) — node-order-
+    * independent.
+    */
+  private val graphClusteringCoeff = Q(
+    "graph_clustering_coeff",
+    (s, d) => {
+      val (e0, _) = coOrderEdges(s, d)
+      val nodes = Graph.localClustering(e0)
+      val avg = nodes.agg(
+        (dec6Sum(q6(col("cc"))) / count(lit(1))).as("avg_cc"))
+      nodes.crossJoin(broadcast(avg)).orderBy("node")
+    },
+    Some(s"""WITH $coOrderSql,
+deg AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
+ek AS (SELECT u, v, du.dg * ${Graph.KMUL} + u AS ku, dv.dg * ${Graph.KMUL} + v AS kv
+       FROM e0 JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
+o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS lo,
+             CASE WHEN ku < kv THEN v ELSE u END AS hi,
+             CASE WHEN ku < kv THEN kv ELSE ku END AS khi FROM ek),
+w AS (SELECT x.lo AS ctr, x.hi AS wu, y.hi AS wv
+      FROM o x JOIN o y ON x.lo = y.lo AND x.khi < y.khi),
+t AS (SELECT ctr, wu, wv FROM w JOIN o ON w.wu = o.lo AND w.wv = o.hi),
+tn AS (SELECT n, count(*) AS tri_n FROM (
+    SELECT ctr AS n FROM t UNION ALL SELECT wu AS n FROM t
+    UNION ALL SELECT wv AS n FROM t) GROUP BY 1),
+cc AS (SELECT deg.n AS node, dg AS degree,
+    CAST(coalesce(tri_n, 0) AS BIGINT) AS tri_n,
+    CASE WHEN dg >= 2 THEN 2.0 * CAST(coalesce(tri_n, 0) AS DOUBLE)
+        / (CAST(dg AS DOUBLE) * (CAST(dg AS DOUBLE) - 1.0))
+      ELSE 0.0 END AS cc
+  FROM deg LEFT JOIN tn ON deg.n = tn.n),
+a AS (SELECT ${dec6SumSql(q6Sql("cc"))} / count(*) AS avg_cc FROM cc)
+SELECT node, degree, tri_n, cc, avg_cc FROM cc, a ORDER BY node"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
       graphAssocRules, graphBfsHops, graphKcore, graphAssortativity,
-      graphComponents)
+      graphComponents, graphClusteringCoeff)
 }

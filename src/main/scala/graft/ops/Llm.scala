@@ -2946,7 +2946,87 @@ SELECT decile, n, n_pos,
   CAST(cum_pos AS DOUBLE) / t_pos AS cum_gain
 FROM c, t ORDER BY decile"""))
 
+  /** LSH band-configuration tuning table (§2.9 ext) — the design aid
+    * behind every banded MinHash key: for each (bands b, rows-per-band r)
+    * split of a 16-permutation budget, the EXPECTED candidate capture
+    * probability 1 − (1 − s^r)^b evaluated against THIS corpus's actual
+    * pairwise-Jaccard distribution (the df-capped inverted-index pair
+    * frame with threshold 0 — every co-shingling pair, not just dups).
+    * Emits per config: expected recall over true-dup pairs (J ≥ 0.6) and
+    * expected false-candidate rate over non-dup pairs — the two numbers
+    * that pick b×r for a corpus before running the expensive pipeline.
+    *
+    * Float discipline: s is the round(4) Jaccard the whole ngram family
+    * already gate-matches cross-engine; s^r and (1−s^r)^b expand to
+    * EXPLICIT repeated multiplication (identical IEEE) — never libm
+    * pow(); per-pair capture probabilities quantize at [[H.q6]] and sum
+    * as exact DECIMAL ([[H.dec6Sum]]) — pair-order-independent.
+    *
+    * Scale shape: ONE pass over the pair frame computing all 8
+    * conditional sums + 2 counts map-side; the 4-config table is a
+    * constant-size `stack` of that 1-row aggregate.
+    */
+  private val llmLshBandTuning = Q(
+    "llm_lsh_band_tuning",
+    (s, d) => {
+      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8)) // (bands, rows)
+      val pairs = graft.api.Dedup.ngramJaccardPairs(
+        T.documents(s, d), "doc_id", "text", threshold = 0.0)
+      def pcap(b: Int, r: Int): org.apache.spark.sql.Column = {
+        val sr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
+        val q = lit(1.0) - sr
+        lit(1.0) - (1 to b).map(_ => q).reduce(_ * _)
+      }
+      val aggs = configs.flatMap { case (b, r) =>
+        Seq(
+          dec6Sum(q6(when(col("jaccard") >= 0.6, pcap(b, r))))
+            .as(s"cd_${b}_$r"),
+          dec6Sum(q6(when(col("jaccard") < 0.6, pcap(b, r))))
+            .as(s"cn_${b}_$r"))
+      }
+      val base = pairs.agg(
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_dup"),
+        (Seq(sum(when(col("jaccard") < 0.6, 1L).otherwise(0L)).as("n_non"))
+          ++ aggs): _*)
+      val stacked = configs.map { case (b, r) =>
+        s"$b, $r, cd_${b}_$r, cn_${b}_$r"
+      }.mkString(", ")
+      base.select(col("n_dup"), col("n_non"),
+          expr(s"stack(${configs.size}, $stacked) as " +
+            "(bands, rows_per_band, caught_dup, caught_non)"))
+        .select(col("bands"), col("rows_per_band"), col("n_dup"),
+          col("n_non"),
+          (col("caught_dup") / col("n_dup").cast("double")).as("exp_recall"),
+          (col("caught_non") / col("n_non").cast("double")).as("exp_fp_rate"))
+        .orderBy("bands")
+    },
+    Some {
+      def powSql(e: String, k: Int) = (1 to k).map(_ => s"($e)").mkString(" * ")
+      def pcapSql(b: Int, r: Int) =
+        s"1.0 - ${powSql(s"1.0 - ${powSql("s", r)}", b)}"
+      val cfgSums = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band, n_dup, n_non,
+  cd_${b}_$r / CAST(n_dup AS DOUBLE) AS exp_recall,
+  cn_${b}_$r / CAST(n_non AS DOUBLE) AS exp_fp_rate FROM g"""
+      }.mkString("\nUNION ALL\n")
+      val aggCols = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        s"""${dec6SumSql(q6Sql(s"CASE WHEN s >= 0.6 THEN ${pcapSql(b, r)} END"))} AS cd_${b}_$r,
+    ${dec6SumSql(q6Sql(s"CASE WHEN s < 0.6 THEN ${pcapSql(b, r)} END"))} AS cn_${b}_$r"""
+      }.mkString(",\n    ")
+      s"""WITH $ngramPairCtes,
+sims AS (SELECT round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) AS s
+  FROM p),
+g AS (SELECT
+    CAST(sum(CASE WHEN s >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+    CAST(sum(CASE WHEN s < 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_non,
+    $aggCols
+  FROM sims)
+$cfgSums
+ORDER BY bands"""
+    })
+
   val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
+    llmLshBandTuning,
     llmReadability, llmVocabGrowth, llmDocOutlier, llmAucRoc, llmLiftGains,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,

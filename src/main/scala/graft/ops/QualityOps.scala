@@ -581,6 +581,90 @@ FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name
 ORDER BY col_name"""
     })
 
+  /** Freshness / SLA lag report (§2.1 ext) — the "is the feed still
+    * flowing?" check a scheduled ingest runs per stream: for each
+    * event_type, the last-seen timestamp, its lag behind the table's
+    * global high-water mark, and whether that lag breaches a 48-hour SLA.
+    * The reference point is the TABLE's max ts (not wall clock) so the
+    * report is deterministic and replayable.
+    *
+    * Scale shape: ONE corpus scan producing the per-type max (map-side
+    * combinable); the global high-water mark derives from the TYPE-grain
+    * frame (never a second corpus pass) and broadcasts back onto it.
+    * Lags are exact integer µs arithmetic ([[H.em]] ≡ DuckDB epoch_us);
+    * lag_hours is an integer `div` — no float anywhere.
+    */
+  private val srcFreshnessSla = Q(
+    "src_freshness_sla",
+    (s, d) => {
+      val perType = T.events(s, d).groupBy("event_type")
+        .agg(max(em(col("ts"))).as("last_us"), count(lit(1)).as("n_events"))
+      val hw = perType.agg(max("last_us").as("hw_us"))
+      perType.crossJoin(broadcast(hw))
+        .select(col("event_type"), col("n_events"), col("last_us"),
+          (col("hw_us") - col("last_us")).as("lag_us"),
+          expr("(hw_us - last_us) div 3600000000").as("lag_hours"),
+          (col("hw_us") - col("last_us") > lit(48L * 3600000000L))
+            .as("sla_breach"))
+        .orderBy("event_type")
+    },
+    Some("""WITH p AS (SELECT event_type, max(epoch_us(ts)) AS last_us,
+    count(*) AS n_events FROM events GROUP BY 1),
+h AS (SELECT max(last_us) AS hw_us FROM p)
+SELECT event_type, n_events, last_us,
+  hw_us - last_us AS lag_us,
+  (hw_us - last_us) // 3600000000 AS lag_hours,
+  hw_us - last_us > 48 * 3600000000 AS sla_breach
+FROM p, h ORDER BY event_type"""))
+
+  /** Primary-key uniqueness audit (§2.1 ext) — the ingest-gate twin of
+    * src_quality_rules for KEY integrity: how many (l_orderkey,
+    * l_linenumber) groups violate uniqueness (the synthetic lineitem is
+    * KNOWN non-unique — TESTDATA quirk the whole repo's row-grain keys
+    * must survive), worst multiplicity, total surplus rows that an upsert
+    * would collapse, plus the 5 worst offending keys (multiplicity-desc,
+    * key-asc deterministic cut) as an actionable sample.
+    *
+    * Scale shape: ONE key-grain hash agg over the corpus (map-side
+    * combinable counts), then violation filtering and the top-5 cut on
+    * the VIOLATION-grain frame; the summary row aggregates that same
+    * grain — the corpus is scanned exactly once.
+    */
+  private val srcPkAudit = Q(
+    "src_pk_audit",
+    (s, d) => {
+      val groups = T.lineitem(s, d)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("multiplicity"))
+      val viol = groups.filter(col("multiplicity") > 1)
+      val summary = viol.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_violating_keys"),
+        coalesce(sum(col("multiplicity") - 1), lit(0L)).as("surplus_rows"),
+        coalesce(max("multiplicity"), lit(0L)).as("max_multiplicity"))
+      viol.orderBy(col("multiplicity").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(5)
+        .crossJoin(broadcast(summary))
+        .select(col("l_orderkey"), col("l_linenumber"), col("multiplicity"),
+          col("n_violating_keys"), col("surplus_rows"),
+          col("max_multiplicity"))
+        .orderBy(col("multiplicity").desc, col("l_orderkey"),
+          col("l_linenumber"))
+    },
+    Some("""WITH g AS (SELECT l_orderkey, l_linenumber, count(*) AS multiplicity
+  FROM lineitem GROUP BY 1, 2),
+v AS (SELECT * FROM g WHERE multiplicity > 1),
+s AS (SELECT count(*) AS n_violating_keys,
+    CAST(coalesce(sum(multiplicity - 1), 0) AS BIGINT) AS surplus_rows,
+    CAST(coalesce(max(multiplicity), 0) AS BIGINT) AS max_multiplicity
+  FROM v),
+t AS (SELECT l_orderkey, l_linenumber, multiplicity FROM v
+  ORDER BY multiplicity DESC, l_orderkey, l_linenumber LIMIT 5)
+SELECT l_orderkey, l_linenumber, multiplicity,
+  n_violating_keys, surplus_rows, max_multiplicity
+FROM t, s ORDER BY multiplicity DESC, l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
-    aggDriftCusum, srcCompaction, srcZorderLayout, srcSchemaDrift)
+    aggDriftCusum, srcCompaction, srcZorderLayout, srcSchemaDrift,
+    srcFreshnessSla, srcPkAudit)
 }

@@ -206,6 +206,77 @@ WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 ORDER BY o_orderkey"""))
 
+  /** Correlated EXISTS / NOT EXISTS / IN predicates (§2.2 ext) — the other
+    * half of the subquery surface next to [[filtSubqueryScalar]]'s scalar
+    * form: customers who have at least one big order, have NO fulfilled
+    * order, and sit in a region-filtered nation set. Catalyst decorrelates
+    * the three predicates into LEFT SEMI (EXISTS, IN) and LEFT ANTI
+    * (NOT EXISTS) joins — RelationalSpec pins both shapes in the executed
+    * plan, so the key documents that the decorrelation actually happened
+    * rather than a per-row re-scan.
+    *
+    * Scale shape: each subquery becomes one key-partitioned semi/anti
+    * join (orders shuffles once per predicate on o_custkey; the nation IN
+    * set broadcasts); no correlated re-execution, no cartesian.
+    */
+  private val filtSubqueryExists = Q(
+    "filt_subquery_exists",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("v_orders")
+      T.customer(s, d).createOrReplaceTempView("v_customer")
+      T.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+          AND c_nationkey IN (SELECT n_nationkey FROM v_nation
+                              WHERE n_regionkey <= 2)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+ORDER BY c_custkey"""))
+
+  /** LATERAL correlated top-n join (§2.3 ext) — the SQL-standard form of
+    * "top 3 customers by balance per nation": a correlated LATERAL
+    * subquery with ORDER BY + LIMIT, the idiom an analyst ports from any
+    * warehouse. Spark decorrelates the per-row LIMIT into a partitioned
+    * rank under the hood (same physical shape as win_rank_topk's window),
+    * so declaring it LATERAL costs nothing over the window form — the key
+    * exists to pin that the SQL surface works and plans sanely.
+    *
+    * Ties: (c_acctbal DESC, c_name) is a total order within a nation
+    * (names are unique), so the LIMIT-3 cut is deterministic in both
+    * engines.
+    */
+  private val joinLateralTopn = Q(
+    "join_lateral_topn",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("v_customer")
+      T.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""SELECT n_name, c_name, c_acctbal
+        FROM v_nation, LATERAL (
+          SELECT c_name, c_acctbal FROM v_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3)
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+    Some("""SELECT n_name, c_name, c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3)
+ORDER BY n_name, c_acctbal DESC, c_name"""))
+
   private val projDistinct = Q(
     "proj_distinct",
     (s, d) => T.customer(s, d).select("c_mktsegment").distinct()
@@ -1849,13 +1920,293 @@ FROM orders JOIN dim ON o_orderpriority = prio
 WHERE rn <= 2
 GROUP BY prio ORDER BY priority"""))
 
+  /** Spearman rank correlation per group (§2.4 ext) — the monotone-
+    * association twin of agg_corr_matrix's Pearson: rho of (l_quantity,
+    * l_extendedprice) per l_returnflag, computed as Pearson on AVERAGE
+    * (tie-midrank) ranks so ties are handled exactly, not dropped.
+    *
+    * Scale shape: NO row-grain window. Each variable's average ranks are
+    * derived at VALUE grain (one map-side-combinable count per distinct
+    * value, then a cumulative window over the value-grain frame — bounded
+    * by distinct-value cardinality, not row count); the joint moment
+    * Σ rx·ry·w comes from the (x, y) PAIR grain joined back to the two
+    * value-grain rank frames. The only sorts in the plan are value-grain.
+    *
+    * Float discipline: DOUBLED midranks (2·avgrank = 2·cum − c + 1) are
+    * exact BIGINTs, so every sufficient statistic is a pure integer sum —
+    * order-independent with NO decimal accumulator at all (a DECIMAL sum
+    * would hit the measured DECIMAL→DOUBLE divergence: DuckDB converts
+    * via int128→double THEN divides by 10^scale, Spark via correctly-
+    * rounded BigDecimal — off by an ulp above 2^53). BIGINT→DOUBLE is
+    * correctly rounded in both engines; the ×2 rank scale multiplies the
+    * Pearson numerator and denominator by the same exact power of two,
+    * so rho is bit-identical to the unscaled value. Integer bound:
+    * Σ (2r)²·w ≈ 4n³/3 stays under 2^63 to n ≈ 1.3e6 per group (fixture
+    * max 2e5); past that the sums would need DECIMAL(38,0) kept as
+    * decimal into the closing arithmetic.
+    */
+  private val aggSpearman = Q(
+    "agg_spearman",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rankGrain(vcol: String): DataFrame = {
+        val w = Window.partitionBy("flag").orderBy(vcol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.groupBy("flag", vcol).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .select(col("flag"), col(vcol),
+            (lit(2L) * col("cum") - col("c") + lit(1L)).as(s"r_$vcol"))
+      }
+      val pairs = li.groupBy("flag", "x", "y").agg(count(lit(1)).as("w"))
+      val j = pairs
+        .join(rankGrain("x"), Seq("flag", "x"))
+        .join(rankGrain("y"), Seq("flag", "y"))
+      val g = j.groupBy("flag").agg(
+        sum("w").as("n"),
+        sum(col("r_x") * col("w")).as("sx"),
+        sum(col("r_y") * col("w")).as("sy"),
+        sum(col("r_x") * col("r_x") * col("w")).as("sxx"),
+        sum(col("r_y") * col("r_y") * col("w")).as("syy"),
+        sum(col("r_x") * col("r_y") * col("w")).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = dbl("n")
+      g.select(col("flag"), col("n"),
+          ((nD * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            sqrt((nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              (nD * dbl("syy") - dbl("sy") * dbl("sy")))).as("rho"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH li AS (SELECT l_returnflag AS flag, l_quantity AS x,
+    l_extendedprice AS y FROM lineitem),
+xg AS (SELECT flag, x, CAST(2 * cum - c + 1 AS BIGINT) AS r_x
+  FROM (SELECT flag, x, count(*) AS c,
+      sum(count(*)) OVER (PARTITION BY flag ORDER BY x
+        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM li GROUP BY 1, 2)),
+yg AS (SELECT flag, y, CAST(2 * cum - c + 1 AS BIGINT) AS r_y
+  FROM (SELECT flag, y, count(*) AS c,
+      sum(count(*)) OVER (PARTITION BY flag ORDER BY y
+        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM li GROUP BY 1, 2)),
+p AS (SELECT flag, x, y, count(*) AS w FROM li GROUP BY 1, 2, 3),
+g AS (SELECT flag, CAST(sum(w) AS BIGINT) AS n,
+    CAST(sum(r_x * w) AS BIGINT) AS sx,
+    CAST(sum(r_y * w) AS BIGINT) AS sy,
+    CAST(sum(r_x * r_x * w) AS BIGINT) AS sxx,
+    CAST(sum(r_y * r_y * w) AS BIGINT) AS syy,
+    CAST(sum(r_x * r_y * w) AS BIGINT) AS sxy
+  FROM p JOIN xg USING (flag, x) JOIN yg USING (flag, y) GROUP BY 1)
+SELECT flag, n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+FROM g ORDER BY flag"""))
+
+  /** Mann–Whitney U rank-sum test (§2.4 ext) — the nonparametric two-sample
+    * location test (does URGENT order value stochastically dominate LOW?):
+    * tie-midrank U statistic with the exact tie-corrected normal
+    * approximation, over o_totalprice of '1-URGENT' vs '5-LOW' orders.
+    *
+    * Scale shape: the corpus collapses to VALUE grain in one map-side-
+    * combinable agg (count + group-1 count per distinct price); average
+    * ranks come from ONE cumulative window over that grain; the final
+    * statistics are a 1-row aggregate. The only sort is value-grain —
+    * at 100 TB, distinct-value cardinality (or a pre-binned grid) bounds
+    * it, never the fact row count.
+    *
+    * Float discipline: DOUBLED midranks (2·avgrank = 2·cum − c + 1) are
+    * exact BIGINTs, so the rank sum is a pure integer sum halved ONCE in
+    * double (exact power-of-two scaling) — no decimal accumulator, no
+    * DECIMAL→DOUBLE conversion divergence (see [[aggSpearman]]); the tie
+    * term Σ(t³−t) is exact BIGINT; closing z is identical IEEE → ALL RAW.
+    */
+  private val aggMannWhitney = Q(
+    "agg_mann_whitney",
+    (s, d) => {
+      val o = T.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("in1"))
+      val grain = o.groupBy("v")
+        .agg(count(lit(1)).as("c"), sum("in1").as("c1"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = grain.withColumn("cum", sum(col("c")).over(w))
+        .select(col("c"), col("c1"),
+          (lit(2L) * col("cum") - col("c") + lit(1L)).as("r2"))
+      val g = ranked.agg(
+        sum("c1").as("n1"),
+        (sum("c") - sum("c1")).as("n2"),
+        (sum(col("r2") * col("c1")).cast("double") / lit(2.0)).as("r1"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val n1 = col("n1").cast("double")
+      val n2 = col("n2").cast("double")
+      val nT = n1 + n2
+      val u1 = col("r1") - n1 * (n1 + lit(1.0)) / lit(2.0)
+      val sigma = sqrt(n1 * n2 / lit(12.0) *
+        ((nT + lit(1.0)) - col("ties").cast("double") / (nT * (nT - lit(1.0)))))
+      g.select(col("n1"), col("n2"), col("r1"), u1.as("u1"),
+        ((u1 - n1 * n2 / lit(2.0)) / sigma).as("z"))
+    },
+    Some(s"""WITH o AS (SELECT o_totalprice AS v,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+grain AS (SELECT v, count(*) AS c, CAST(sum(in1) AS BIGINT) AS c1
+  FROM o GROUP BY 1),
+ranked AS (SELECT c, c1, CAST(2 * cum - c + 1 AS BIGINT) AS r2
+  FROM (SELECT c, c1, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum FROM grain)),
+g AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+    CAST(sum(c) - sum(c1) AS BIGINT) AS n2,
+    CAST(CAST(sum(r2 * c1) AS BIGINT) AS DOUBLE) / 2.0 AS r1,
+    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+  FROM ranked)
+SELECT n1, n2, r1,
+  r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+  (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+      - CAST(ties AS DOUBLE)
+        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS z
+FROM g"""))
+
+  /** Welch's unequal-variance t-test (§2.4 ext) — the means twin of
+    * agg_ab_test's proportions z: does mean order value differ between
+    * fulfilled ('F') and open ('O') orders, WITHOUT assuming equal
+    * variances (Welch–Satterthwaite dof).
+    *
+    * Scale shape: ONE corpus scan computing all six sufficient statistics
+    * as conditional aggregates (map-side combinable); everything after is
+    * a 1-row select.
+    *
+    * Float discipline: o_totalprice is an exact 2-decimal double, so Σx
+    * (DECIMAL(18,4)) and Σx² (factors cast to DECIMAL(12,2), product
+    * exact DECIMAL(24,4)) are exact order-independent sums; means,
+    * variances, t, and dof are then identical IEEE arithmetic on
+    * identical bits in both engines → ALL RAW, no rounding anywhere.
+    */
+  private val aggWelchTtest = Q(
+    "agg_welch_ttest",
+    (s, d) => {
+      val x = m2(col("o_totalprice"))
+      def side(st: String, tag: String) = Seq(
+        sum(when(col("o_orderstatus") === st, 1L).otherwise(0L))
+          .as(s"n_$tag"),
+        sum(when(col("o_orderstatus") === st, x)).cast("double")
+          .as(s"sx_$tag"),
+        sum(when(col("o_orderstatus") === st, x * x)).cast("double")
+          .as(s"sxx_$tag"))
+      val g = T.orders(s, d).agg(side("F", "f").head,
+        (side("F", "f").tail ++ side("O", "o")): _*)
+      def stats(tag: String) = {
+        val n = col(s"n_$tag").cast("double")
+        val m = col(s"sx_$tag") / n
+        val v = (col(s"sxx_$tag") - col(s"sx_$tag") * col(s"sx_$tag") / n) /
+          (n - lit(1.0))
+        (n, m, v)
+      }
+      val (nf, mf, vf) = stats("f")
+      val (no, mo, vo) = stats("o")
+      val se2 = vf / nf + vo / no
+      g.select(col("n_f"), col("n_o"), mf.as("mean_f"), mo.as("mean_o"),
+        vf.as("var_f"), vo.as("var_o"),
+        ((mf - mo) / sqrt(se2)).as("t_welch"),
+        (se2 * se2 / ((vf / nf) * (vf / nf) / (nf - lit(1.0))
+          + (vo / no) * (vo / no) / (no - lit(1.0)))).as("dof"))
+    },
+    Some(s"""WITH g AS (SELECT
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sx_f,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${m2Sql("o_totalprice")} * ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sxx_f,
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sx_o,
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${m2Sql("o_totalprice")} * ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sxx_o
+  FROM orders),
+c AS (SELECT n_f, n_o,
+    sx_f / CAST(n_f AS DOUBLE) AS mean_f,
+    sx_o / CAST(n_o AS DOUBLE) AS mean_o,
+    (sxx_f - sx_f * sx_f / CAST(n_f AS DOUBLE)) / (CAST(n_f AS DOUBLE) - 1.0) AS var_f,
+    (sxx_o - sx_o * sx_o / CAST(n_o AS DOUBLE)) / (CAST(n_o AS DOUBLE) - 1.0) AS var_o
+  FROM g)
+SELECT n_f, n_o, mean_f, mean_o, var_f, var_o,
+  (mean_f - mean_o) / sqrt(var_f / n_f + var_o / n_o) AS t_welch,
+  (var_f / n_f + var_o / n_o) * (var_f / n_f + var_o / n_o)
+    / ((var_f / n_f) * (var_f / n_f) / (CAST(n_f AS DOUBLE) - 1.0)
+      + (var_o / n_o) * (var_o / n_o) / (CAST(n_o AS DOUBLE) - 1.0)) AS dof
+FROM c"""))
+
+  /** Benford first-digit conformance (§2.4 ext) — the forensic data-quality
+    * screen: does o_totalprice's leading-digit distribution follow
+    * log10(1 + 1/d)? Emits per-digit observed count/share vs expectation
+    * plus the mean absolute deviation (the standard Benford MAD score).
+    *
+    * Engine portability: the first digit is extracted with INTEGER
+    * arithmetic, never libm — exact cents (DECIMAL(12,2) × 100 → BIGINT),
+    * then `cents div 10^(strlen(cents)−1)`; decimal string length of a
+    * BIGINT is identical in both engines, and pow(10, k≤15) is exact in
+    * double before the BIGINT cast. log10 appears ONLY in the 9-row
+    * expectation table and is rounded ([[H.r4]], strictly positive
+    * domain) before any downstream arithmetic, so libm ulp divergence
+    * cannot propagate; shares are exact count ratios (RAW); the MAD sum
+    * runs [[H.dec6Sum]]+[[H.q6]] over 9 rows.
+    *
+    * Scale shape: one map-side-combinable 9-group agg over the corpus;
+    * everything after is digit-grain (9 rows).
+    */
+  private val aggBenford = Q(
+    "agg_benford",
+    (s, d) => {
+      val cents = (m2(col("o_totalprice")) * lit(100))
+        .cast("long")
+      val digit = expr(
+        "cents div cast(pow(10, length(cast(cents as string)) - 1) as bigint)")
+      val obs = T.orders(s, d)
+        .select(cents.as("cents"))
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum("n_obs").as("n_tot"))
+      val e = obs.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_obs").cast("double") / col("n_tot"))
+        .withColumn("expected", r4(log(10.0,
+          lit(1.0) + lit(1.0) / col("digit").cast("double"))))
+        .withColumn("abs_dev", abs(col("share") - col("expected")))
+      val mad = e.agg((dec6Sum(q6(col("abs_dev"))) / lit(9.0)).as("mad"))
+      e.select(col("digit"), col("n_obs"), col("share"), col("expected"),
+          col("abs_dev"))
+        .crossJoin(broadcast(mad))
+        .orderBy("digit")
+    },
+    Some(s"""WITH c AS (SELECT CAST(${m2Sql("o_totalprice")} * 100 AS BIGINT) AS cents
+  FROM orders),
+obs AS (SELECT cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) AS digit,
+    count(*) AS n_obs
+  FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM obs),
+e AS (SELECT digit, n_obs,
+    CAST(n_obs AS DOUBLE) / n_tot AS share,
+    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS expected
+  FROM obs, t),
+e2 AS (SELECT digit, n_obs, share, expected,
+    abs(share - expected) AS abs_dev FROM e),
+m AS (SELECT ${dec6SumSql(q6Sql("abs_dev"))} / 9.0 AS mad FROM e2)
+SELECT digit, n_obs, share, expected, abs_dev, mad
+FROM e2, m ORDER BY digit"""))
+
   val all: Seq[Q] = Seq(
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
-    aggBootstrapCi,
+    aggBootstrapCi, aggSpearman, aggMannWhitney, aggWelchTtest, aggBenford,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
-    filtSubqueryScalar, projDistinct,
+    filtSubqueryScalar, filtSubqueryExists, projDistinct, joinLateralTopn,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBloomPrefilter,

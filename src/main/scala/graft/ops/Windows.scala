@@ -1284,11 +1284,63 @@ max(value) FILTER (WHERE e = ts1) AS close,
 count(*) AS n_events, ${dsumSql("value")} AS turnover
 FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
 
+  /** Pareto / ABC classification (§2.5 ext) — the inventory-analytics
+    * idiom: parts ranked by revenue, classified A (first 80 % of
+    * cumulative revenue share), B (to 95 %), C (tail), with per-class
+    * rollups. The class boundary uses the cumulative share INCLUDING the
+    * current part, tie-broken (revenue DESC, partkey ASC) so the cut is
+    * total-order deterministic in both engines.
+    *
+    * Scale shape: revenue collapses to PART grain in one map-side-
+    * combinable hash agg (exact decimal sums); the cumulative window and
+    * classification run at dimension grain — the global sort is over
+    * parts, never lineitem rows; the final rollup is 3 groups.
+    *
+    * Float discipline: revenue is [[H.dsum]]-exact; the total and the
+    * cumulative sum stay DECIMAL through the share division (one double
+    * division of exact decimals per part — identical IEEE) → RAW.
+    */
+  private val winParetoAbc = Q(
+    "win_pareto_abc",
+    (s, d) => {
+      val D184 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = T.lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(m2(col("l_extendedprice")).cast(D184)).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum("rev").as("tot"))
+      val cum = rev.crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          sum(col("rev")).over(w).cast("double") / col("tot").cast("double"))
+        .withColumn("abc", when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      cum.groupBy("abc").agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_rev"),
+          min("cum_share").as("min_share"), max("cum_share").as("max_share"))
+        .orderBy("abc")
+    },
+    Some(s"""WITH rev AS (SELECT l_partkey,
+    sum(CAST(${m2Sql("l_extendedprice")} AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(rev) AS tot FROM rev),
+c AS (SELECT l_partkey, rev,
+    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+  FROM rev, t),
+k AS (SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
+    WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc FROM c)
+SELECT abc, count(*) AS n_parts,
+  CAST(sum(rev) AS DOUBLE) AS class_rev,
+  min(cum_share) AS min_share, max(cum_share) AS max_share
+FROM k GROUP BY abc ORDER BY abc"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
-    winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc)
+    winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc,
+    winParetoAbc)
 }

@@ -274,6 +274,27 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("graph_clustering_coeff corner sums equal 3x the global triangle count") {
+    val nodes = q("graph_clustering_coeff").collect()
+    graft.api.Caches.sweep(spark)
+    val tri = q("graph_triangles").collect()(0).getAs[Long]("n_triangles")
+    graft.api.Caches.sweep(spark)
+    // each triangle is attributed to exactly its three corners
+    assert(nodes.map(_.getAs[Long]("tri_n")).sum === 3L * tri)
+    val avg = nodes.head.getAs[Double]("avg_cc")
+    assert(avg >= 0.0 && avg <= 1.0)
+    nodes.foreach { r =>
+      val dg = r.getAs[Long]("degree")
+      val t = r.getAs[Long]("tri_n")
+      val cc = r.getAs[Double]("cc")
+      assert(cc >= 0.0 && cc <= 1.0, s"cc out of range: $cc")
+      if (dg < 2) assert(t === 0L && cc === 0.0)
+      else assert(cc === 2.0 * t / (dg.toDouble * (dg - 1.0)))
+      // triangles through a node are bounded by its wedge count
+      assert(t <= dg * (dg - 1) / 2)
+    }
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

@@ -518,4 +518,26 @@ class LlmSpec extends SparkSpec {
         assert(g.map(_.getAs[Double]("cos_c")).sum / g.size > 0.0)
       }
   }
+
+  test("llm_lsh_band_tuning: more bands => higher recall AND higher fp rate") {
+    val rows = q("llm_lsh_band_tuning").collect()
+      .sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")))
+      .toSeq === Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") > 0L && r.getAs[Long]("n_non") > 0L)
+      val rec = r.getAs[Double]("exp_recall")
+      val fp = r.getAs[Double]("exp_fp_rate")
+      assert(rec >= 0.0 && rec <= 1.0 && fp >= 0.0 && fp <= 1.0)
+      // at a fixed permutation budget the dup side must be caught more
+      // readily than the non-dup side
+      assert(rec > fp)
+    }
+    // capture probability 1-(1-s^r)^b is monotone in b along this ladder
+    // (b up, r down) for every s in (0,1): both recall and fp rise
+    val recs = rows.map(_.getAs[Double]("exp_recall"))
+    val fps = rows.map(_.getAs[Double]("exp_fp_rate"))
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toSeq)
+    assert(fps.zip(fps.tail).forall { case (a, b) => a <= b }, fps.toSeq)
+  }
 }

@@ -26,6 +26,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected quantity/discount filters pushed, got: $pushed")
   }
 
+  test("filt_subquery_exists decorrelates into semi + anti joins (no re-scan loop)") {
+    val p = plan("filt_subquery_exists")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(joins.exists(_.sql == "LEFT SEMI"),
+      s"expected a LeftSemi join (EXISTS/IN decorrelation), got $joins")
+    assert(joins.exists(_.sql == "LEFT ANTI"),
+      s"expected a LeftAnti join (NOT EXISTS decorrelation), got $joins")
+  }
+
   test("proj_select_alias prunes the read schema to the used columns") {
     val sc = scans(plan("proj_select_alias"))
     assert(sc.nonEmpty)

@@ -317,6 +317,168 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       d * math.sqrt(a.length.toDouble * b.length / (a.length + b.length))) < 1e-12)
   }
 
+  test("agg_spearman equals a brute-force midrank correlation") {
+    import spark.implicits._
+    def midranks(vs: Array[Double]): Array[Double] = {
+      val idx = vs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](vs.length)
+      var i = 0
+      while (i < idx.length) {
+        var j = i
+        while (j < idx.length && idx(j)._1 == idx(i)._1) j += 1
+        val r = (i + 1 + j) / 2.0 // average of ranks i+1..j
+        (i until j).foreach(k => out(idx(k)._2) = r)
+        i = j
+      }
+      out
+    }
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(y => (y - mb) * (y - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val rows = q("agg_spearman").collect()
+    assert(rows.map(_.getAs[String]("flag")).toSeq ===
+      rows.map(_.getAs[String]("flag")).toSeq.sorted)
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getAs[String]("flag"))
+      assert(r.getAs[Long]("n") === g.length.toLong)
+      val expect =
+        pearson(midranks(g.map(_._2)), midranks(g.map(_._3)))
+      assert(math.abs(r.getAs[Double]("rho") - expect) < 1e-9)
+    }
+  }
+
+  test("agg_mann_whitney equals a brute-force tie-corrected rank sum") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select($"o_totalprice", $"o_orderpriority")
+      .as[(Double, String)].collect()
+    val all = o.map(_._1).sorted
+    def avgRank(v: Double): Double = {
+      val lo = all.indexWhere(_ == v); val hi = all.lastIndexWhere(_ == v)
+      (lo + 1 + hi + 1) / 2.0
+    }
+    val g1 = o.filter(_._2 == "1-URGENT").map(_._1)
+    val n1 = g1.length.toDouble; val n2 = o.length - n1
+    val r1 = g1.map(avgRank).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val ties = all.groupBy(identity).values
+      .map(t => t.length.toLong * t.length * t.length - t.length).sum
+    val nT = n1 + n2
+    val sigma = math.sqrt(n1 * n2 / 12.0 *
+      ((nT + 1) - ties / (nT * (nT - 1))))
+    val r = q("agg_mann_whitney").collect()(0)
+    assert(r.getAs[Long]("n1") === n1.toLong)
+    assert(r.getAs[Long]("n2") === n2.toLong)
+    assert(math.abs(r.getAs[Double]("r1") - r1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - (u1 - n1 * n2 / 2.0) / sigma) < 1e-9)
+  }
+
+  test("agg_welch_ttest equals brute-force per-group moments") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_totalprice", $"o_orderstatus")
+      .as[(Double, String)].collect()
+    def stats(st: String) = {
+      val xs = o.filter(_._2 == st).map(_._1)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (nf, mf, vf) = stats("F"); val (no, mo, vo) = stats("O")
+    val r = q("agg_welch_ttest").collect()(0)
+    assert(r.getAs[Long]("n_f") === nf.toLong)
+    assert(r.getAs[Long]("n_o") === no.toLong)
+    assert(math.abs(r.getAs[Double]("mean_f") - mf) < 1e-9 * math.abs(mf))
+    assert(math.abs(r.getAs[Double]("var_f") - vf) < 1e-9 * vf)
+    assert(math.abs(r.getAs[Double]("t_welch") -
+      (mf - mo) / math.sqrt(vf / nf + vo / no)) < 1e-6)
+    val dof = math.pow(vf / nf + vo / no, 2) /
+      (math.pow(vf / nf, 2) / (nf - 1) + math.pow(vo / no, 2) / (no - 1))
+    assert(math.abs(r.getAs[Double]("dof") - dof) < 1e-3)
+  }
+
+  test("agg_benford covers digits 1-9 with shares summing to one") {
+    val rows = q("agg_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq === (1L to 9L))
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // expectations are the Benford masses; mad recomputes from the rows
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("expected") -
+        math.rint(math.log10(1 + 1 / d) * 1e4) / 1e4) < 1e-12)
+      assert(math.abs(r.getAs[Double]("abs_dev") -
+        math.abs(r.getAs[Double]("share") - r.getAs[Double]("expected"))) < 1e-12)
+    }
+    val mad = rows.map(_.getAs[Double]("abs_dev")).sum / 9.0
+    assert(math.abs(rows.head.getAs[Double]("mad") - mad) < 1e-6)
+  }
+
+  test("join_lateral_topn equals the window-rank top-3 per nation") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    val expect = c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_name", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+      .collect()
+    assert(q("join_lateral_topn").collect() === expect)
+  }
+
+  test("src_freshness_sla lags are exact against per-type maxima") {
+    import spark.implicits._
+    val maxes = graft.ops.T.events(spark, sf)
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .as[(String, Long)].collect().toMap
+    val hw = maxes.values.max
+    val rows = q("src_freshness_sla").collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === maxes.keySet)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("last_us") === maxes(et))
+      assert(r.getAs[Long]("lag_us") === hw - maxes(et))
+      assert(r.getAs[Long]("lag_hours") === (hw - maxes(et)) / 3600000000L)
+      assert(r.getAs[Boolean]("sla_breach") ===
+        (hw - maxes(et) > 48L * 3600000000L))
+    }
+    // the high-water type itself always has zero lag and no breach
+    assert(rows.exists(r => r.getAs[Long]("lag_us") == 0L))
+  }
+
+  test("src_pk_audit matches a brute-force duplicate-key count") {
+    import spark.implicits._
+    val groups = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_orderkey", "l_linenumber").count()
+      .as[(Long, Long, Long)].collect()
+    val viol = groups.filter(_._3 > 1)
+    val rows = q("src_pk_audit").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val head = rows.head
+    assert(head.getAs[Long]("n_violating_keys") === viol.length.toLong)
+    assert(head.getAs[Long]("surplus_rows") === viol.map(_._3 - 1).sum)
+    assert(head.getAs[Long]("max_multiplicity") === viol.map(_._3).max)
+    // the sample is the deterministic worst-multiplicity cut
+    val expectTop = viol.sortBy(v => (-v._3, v._1, v._2)).take(rows.length)
+    assert(rows.map(r => (r.getAs[Long]("l_orderkey"),
+      r.getAs[Long]("l_linenumber"), r.getAs[Long]("multiplicity"))).toSeq
+      === expectTop.toSeq)
+  }
+
   test("src_schema_drift classifies every planted drift case") {
     val rows = q("src_schema_drift").collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

@@ -487,4 +487,30 @@ class WindowsSpec extends SparkSpec {
     }
     df.unpersist()
   }
+
+  test("win_pareto_abc classes partition parts and close at the full revenue") {
+    val rows = q("win_pareto_abc").collect()
+      .map(r => r.getAs[String]("abc") -> r).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nParts = li.select("l_partkey").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_parts")).sum === nParts)
+    // class revenues close at the exact total (cents-exact recount)
+    val totCents = li.select(
+      sum((col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    val classCents = rows.values
+      .map(r => math.round(r.getAs[Double]("class_rev") * 100)).sum
+    assert(classCents === totCents)
+    // share bands are ordered and nested: A tops out <= 0.80 < B <= 0.95 < C
+    assert(rows("A").getAs[Double]("max_share") <= 0.80)
+    rows.get("B").foreach { b =>
+      assert(b.getAs[Double]("min_share") > 0.80)
+      assert(b.getAs[Double]("max_share") <= 0.95)
+    }
+    rows.get("C").foreach { c =>
+      assert(c.getAs[Double]("min_share") > 0.95)
+      assert(math.abs(c.getAs[Double]("max_share") - 1.0) < 1e-12)
+    }
+  }
 }
