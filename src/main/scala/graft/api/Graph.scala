@@ -345,9 +345,11 @@ object Graph {
         col("y.hi").as("wv"))
     val closed = wedges.join(
       oriented.select(col("lo").as("wu"), col("hi").as("wv")), Seq("wu", "wv"))
-    val triNode = closed.select(col("ctr").as("n"))
-      .union(closed.select(col("wu").as("n")))
-      .union(closed.select(col("wv").as("n")))
+    // ONE pass over the closed wedges: a 3-branch union would re-execute
+    // the wedge join per corner (the graph_modularity multi-consumer
+    // lesson) — explode emits the three corners from a single traversal
+    val triNode = closed
+      .select(explode(array(col("ctr"), col("wu"), col("wv"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri_n"))
     deg.join(triNode, Seq("n"), "left_outer")
       .select(col("n").as("node"), col("dg").as("degree"),

@@ -756,7 +756,10 @@ FROM cc GROUP BY component ORDER BY component"""))
     "graph_clustering_coeff",
     (s, d) => {
       val (e0, _) = coOrderEdges(s, d)
-      val nodes = Graph.localClustering(e0)
+      // cache the node-grain result: it feeds BOTH the avg aggregate and
+      // the final cross join — uncached, the whole wedge pipeline would
+      // re-execute per consumer (the modularity lesson)
+      val nodes = Caches.cache(Graph.localClustering(e0))
       val avg = nodes.agg(
         (dec6Sum(q6(col("cc"))) / count(lit(1))).as("avg_cc"))
       nodes.crossJoin(broadcast(avg)).orderBy("node")
@@ -783,9 +786,68 @@ cc AS (SELECT deg.n AS node, dg AS degree,
 a AS (SELECT ${dec6SumSql(q6Sql("cc"))} / count(*) AS avg_cc FROM cc)
 SELECT node, degree, tri_n, cc, avg_cc FROM cc, a ORDER BY node"""))
 
+  /** Degree distribution + power-law slope (§2.12 ext) — the first plot
+    * anyone makes of a new graph, as a table: node count per degree value
+    * on the co-order graph, plus the log-log OLS slope/r² (the power-law
+    * exponent estimate — heavy-tail graphs need the skew-aware plans this
+    * module uses, and this key measures exactly that tail) cross-joined
+    * onto every row.
+    *
+    * Float discipline: the OLS runs on (ln d, ln count) at DEGREE grain —
+    * libm per row, so every sufficient-statistic term quantizes at
+    * [[H.q6]] and sums as exact DECIMAL ([[H.dec6Sum]]); the closing
+    * slope/r² arithmetic is identical IEEE (the agg_ols_fit closed form).
+    *
+    * Scale shape: degrees are one node-grain hash agg over the edge list;
+    * the distribution and the regression live at DEGREE grain (bounded by
+    * max degree, tiny at any corpus size).
+    */
+  private val graphDegreeStats = Q(
+    "graph_degree_stats",
+    (s, d) => {
+      val (e0raw, _) = coOrderEdges(s, d)
+      val e0 = Caches.cache(e0raw)
+      val deg = e0.select(col("u").as("n"))
+        .union(e0.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val dist = Caches.cache(
+        deg.groupBy("dg").agg(count(lit(1)).as("n_nodes")))
+      val x = log(col("dg").cast("double"))
+      val y = log(col("n_nodes").cast("double"))
+      val g = dist.agg(
+        count(lit(1)).cast("double").as("np"),
+        dec6Sum(q6(x)).as("sx"), dec6Sum(q6(y)).as("sy"),
+        dec6Sum(q6(x * x)).as("sxx"), dec6Sum(q6(x * y)).as("sxy"),
+        dec6Sum(q6(y * y)).as("syy"))
+      val vx = col("np") * col("sxx") - col("sx") * col("sx")
+      val vy = col("np") * col("syy") - col("sy") * col("sy")
+      val cxy = col("np") * col("sxy") - col("sx") * col("sy")
+      val fit = g.select(col("np").cast("bigint").as("n_points"),
+        (cxy / vx).as("slope"), (cxy * cxy / (vx * vy)).as("r2"))
+      dist.crossJoin(broadcast(fit)).orderBy("dg")
+    },
+    Some(s"""WITH $coOrderSql,
+deg AS (SELECT n, count(*) AS dg FROM (
+    SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
+dist AS (SELECT dg, count(*) AS n_nodes FROM deg GROUP BY 1),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS np,
+    ${dec6SumSql(q6Sql("ln(CAST(dg AS DOUBLE))"))} AS sx,
+    ${dec6SumSql(q6Sql("ln(CAST(n_nodes AS DOUBLE))"))} AS sy,
+    ${dec6SumSql(q6Sql("ln(CAST(dg AS DOUBLE)) * ln(CAST(dg AS DOUBLE))"))} AS sxx,
+    ${dec6SumSql(q6Sql("ln(CAST(dg AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE))"))} AS sxy,
+    ${dec6SumSql(q6Sql("ln(CAST(n_nodes AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE))"))} AS syy
+  FROM dist),
+fit AS (SELECT CAST(np AS BIGINT) AS n_points,
+    (np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope,
+    (np * sxy - sx * sy) * (np * sxy - sx * sy)
+      / ((np * sxx - sx * sx) * (np * syy - sy * sy)) AS r2
+  FROM g)
+SELECT dg, n_nodes, n_points, slope, r2
+FROM dist, fit ORDER BY dg"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
       graphAssocRules, graphBfsHops, graphKcore, graphAssortativity,
-      graphComponents, graphClusteringCoeff)
+      graphComponents, graphClusteringCoeff, graphDegreeStats)
 }

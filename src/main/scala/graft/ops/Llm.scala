@@ -3025,8 +3025,193 @@ $cfgSums
 ORDER BY bands"""
     })
 
+  /** Sentence-boundary chunking (§2.9 ext) — the boundary-aware twin of
+    * [[llmChunkStride]]'s fixed-char windows: documents split into
+    * sentence-like runs (`[^.!?]+[.!?]?` — one regex pass, no lookbehind,
+    * so Java regex and RE2 agree), packed 3 sentences per chunk. RAG and
+    * training pipelines chunk this way so no example starts mid-sentence;
+    * emits per (doc, chunk): sentence count and character size — the
+    * numbers a packing budget needs.
+    *
+    * Scale shape: one `regexp_extract_all` + posexplode projection per
+    * document (shuffle-free map work), one (doc, chunk) hash agg; chunk
+    * ids derive from sentence POSITION (`pos div 3`), no window.
+    */
+  private val llmSentenceChunk = Q(
+    "llm_sentence_chunk",
+    (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+            .as(Seq("pos", "sent")))
+        .select(col("doc_id"), expr("pos div 3").as("chunk_id"),
+          col("sent"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_sents"),
+          sum(length(col("sent"))).as("n_chars"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH sents AS (SELECT doc_id,
+    regexp_extract_all(text, '[^.!?]+[.!?]?') AS l FROM documents),
+e AS (SELECT doc_id, (i - 1) // 3 AS chunk_id, l[i] AS sent
+  FROM sents, UNNEST(generate_series(1, len(l))) AS u(i)),
+g AS (SELECT doc_id, chunk_id, count(*) AS n_sents,
+    CAST(sum(length(sent)) AS BIGINT) AS n_chars
+  FROM e GROUP BY 1, 2)
+SELECT doc_id, chunk_id, n_sents, n_chars
+FROM g ORDER BY doc_id, chunk_id"""))
+
+  /** Embedding-space k-means clustering summary (§2.9 ext) — the corpus-
+    * exploration op next to the ANN index keys, which train the SAME
+    * deterministic codebook but never expose the clustering itself: all
+    * vectors clustered into 8 cells (hash-seeded init, DECIMAL-exact
+    * means — the established cross-engine k-means), emitting per cell its
+    * size, mean cosine to its centroid (cohesion), and the dominant true
+    * label with its purity share — the numbers that say whether embedding
+    * space has usable structure before anything trains on it.
+    *
+    * Float discipline: per-row cosines are identical IEEE (same-order
+    * [[graft.functions.VecDot]] vs list_dot_product sums — the
+    * established contract of every ANN key); the per-cell mean quantizes
+    * each cosine at [[H.q6]] and sums as exact DECIMAL; purity is an
+    * exact count ratio; the dominant label is a total-ordered
+    * max(struct(votes, −label)) argmax — no window.
+    *
+    * Scale shape: codebook trains once (k×dim driver collect — the
+    * documented bounded probe); assignment is the literal-codebook
+    * codegen argmax, no shuffle; per-cell stats are one (cell, label)
+    * hash agg + one cell-grain rollup.
+    */
+  private val llmEmbedKmeans = Q(
+    "llm_embed_kmeans",
+    (s, d) => {
+      val nv = normEmb(s, d)
+      val cb = Vectors.kmeansCodebook(
+        nv.select(col("vec_id"), col("vd"), col("nrm")), "vec_id",
+        k = 8, iters = 2)
+      val asg = Vectors.assignCells(nv, cb)
+        .join(broadcast(cb.select(col("cell"), col("cvd"), col("cnrm"))),
+          "cell")
+        .select(col("cell"), col("label"),
+          (expr("vec_dot(vd, cvd)") / (col("nrm") * col("cnrm"))).as("cos"))
+      // keep the cosine sum DECIMAL through BOTH aggregation levels (the
+      // label-grain partial and the cell rollup) — one double cast at the
+      // end, so no order-dependent double sum anywhere
+      val cellLabel = asg.groupBy("cell", "label")
+        .agg(count(lit(1)).as("votes"),
+          sum(q6(col("cos"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .as("scos"))
+      cellLabel.groupBy("cell")
+        .agg(sum("votes").as("n_vecs"),
+          (sum("scos").cast("double") / sum("votes").cast("double"))
+            .as("mean_cos"),
+          (-max(struct(col("votes"), (-col("label")).cast("long")))
+            .getField("col2")).as("dom_label"),
+          (max("votes").cast("double") / sum("votes").cast("double"))
+            .as("purity"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+nall AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+n0 AS (SELECT vec_id, vd, nrm FROM nall),
+${kmeansSql("n0", 8, 2)},
+asg0 AS (SELECT vec_id, cell, cos FROM (
+    SELECT s.vec_id, c.cell,
+      list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) AS cos,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY list_dot_product(s.vd, c.cvd) / (s.nrm * c.cnrm) DESC, c.cell ASC) AS r
+    FROM n0 s CROSS JOIN c2 c) WHERE r = 1),
+asg AS (SELECT cell, label, cos FROM asg0 JOIN nall USING (vec_id)),
+cl AS (SELECT cell, label, count(*) AS votes,
+    sum(CAST(${q6Sql("cos")} AS DECIMAL(28,6))) AS scos
+  FROM asg GROUP BY 1, 2),
+top AS (SELECT cell, label AS dom_label FROM (
+    SELECT cell, label,
+      row_number() OVER (PARTITION BY cell ORDER BY votes DESC, label ASC) AS rn
+    FROM cl) WHERE rn = 1),
+g AS (SELECT cell, CAST(sum(votes) AS BIGINT) AS n_vecs,
+    CAST(sum(scos) AS DOUBLE) / sum(votes) AS mean_cos,
+    CAST(max(votes) AS DOUBLE) / sum(votes) AS purity
+  FROM cl GROUP BY 1)
+SELECT cell, n_vecs, mean_cos, CAST(dom_label AS BIGINT) AS dom_label, purity
+FROM g JOIN top USING (cell) ORDER BY cell"""))
+
+  /** Sparse TF-IDF cosine pairs (§2.9 ext) — the SPARSE complement of the
+    * dense-embedding similarity family: document-pair cosine over
+    * df-capped TF-IDF vectors via the inverted index (term-keyed join,
+    * never doc×doc, never densified). The vector space is the df ≤ 50
+    * terms (the ngram family's hot-token guard — corpus-stopword axes
+    * carry no discrimination and their postings lists are the quadratic
+    * hazard); emits the top-20 pairs (cos DESC, ids ASC — total order)
+    * with the ≥ 0.3 pair count cross-joined.
+    *
+    * Float discipline: weights are the SAME round(4) tf·ln((1+N)/(1+df))
+    * the oracled llm_tfidf key already gate-matches cross-engine, so
+    * products of weights are identical IEEE; dot products and squared
+    * norms accumulate as [[H.q6]]+[[H.dec6Sum]] (term-order-independent);
+    * the closing cos division and sqrt are identical IEEE → RAW.
+    *
+    * Scale shape: pair cost scales with Σ df² over kept terms (the
+    * inverted-index bound), not n²; norms are one doc-grain agg; the
+    * global top-20 sort runs on the PAIR frame.
+    */
+  private val llmTfidfCosinePairs = Q(
+    "llm_tfidf_cosine_pairs",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Caches.cache(tf.join(df, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))), 4)
+            .as("w")))
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(dec6Sum(q6(col("w") * col("w")))).as("nrm"))
+      val pairs = w.as("a").join(w.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(dec6Sum(q6(col("a.w") * col("b.w"))).as("dot"))
+        .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (col("dot") / (col("na") * col("nb"))).as("cos"))
+      val cnt = pairs.agg(
+        sum(when(col("cos") >= 0.3, 1L).otherwise(0L)).as("n_sim_pairs"))
+      pairs.orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(20)
+        .crossJoin(broadcast(cnt))
+        .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT doc_id, tok,
+    round(tf * ln((1.0 + n) / (1.0 + df)), 4) AS w
+  FROM tf JOIN df USING (tok), n),
+norms AS (SELECT doc_id,
+    sqrt(${dec6SumSql(q6Sql("w * w"))}) AS nrm FROM w GROUP BY 1),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    ${dec6SumSql(q6Sql("a.w * b.w"))} AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+c AS (SELECT a_id, b_id, dot / (na.nrm * nb.nrm) AS cos
+  FROM p JOIN norms na ON p.a_id = na.doc_id
+         JOIN norms nb ON p.b_id = nb.doc_id),
+k AS (SELECT CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sim_pairs FROM c),
+t AS (SELECT a_id, b_id, cos FROM c ORDER BY cos DESC, a_id, b_id LIMIT 20)
+SELECT a_id, b_id, cos, n_sim_pairs
+FROM t, k ORDER BY cos DESC, a_id, b_id"""))
+
   val all: Seq[Q] = Seq(llmZipfSlope, llmSourceOverlap, llmNgramNovelty,
-    llmLshBandTuning,
+    llmLshBandTuning, llmSentenceChunk, llmEmbedKmeans, llmTfidfCosinePairs,
     llmReadability, llmVocabGrowth, llmDocOutlier, llmAucRoc, llmLiftGains,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
     llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,

@@ -664,7 +664,114 @@ SELECT l_orderkey, l_linenumber, multiplicity,
   n_violating_keys, surplus_rows, max_multiplicity
 FROM t, s ORDER BY multiplicity DESC, l_orderkey, l_linenumber"""))
 
+  /** Incremental-ingest watermark consumption (§2.1 ext) — the bookmark
+    * pattern every scheduled batch feed runs: a PERSISTED high-water mark
+    * (1-row parquet, simulating the previous run's stored state at
+    * min_ts + 24 days), an incremental read of only the rows PAST it,
+    * and the updated bookmark for the next run. The bookmark is
+    * physically written and read back (llm_shard_write discipline), and
+    * the oracle recomputes the same batch from the raw table — pinning
+    * that the round trip changes nothing.
+    *
+    * Scale shape: the bookmark read is the repo's documented 1-ROW
+    * driver probe (production incremental jobs do exactly this: read the
+    * bookmark, build the query with a LITERAL predicate); the literal
+    * `e > wm` filter sits before any shuffle, and on a production
+    * date-partitioned layout the same literal prunes at file-listing
+    * level — the batch cost tracks NEW data, not table size. Per-type
+    * stats are one map-side-combinable agg over the incremental rows
+    * only; the new high-water mark derives from the TYPE-grain frame.
+    */
+  private val srcIncrementalWatermark = Q(
+    "src_incremental_watermark",
+    (s, d) => {
+      val wmDir = new java.io.File(Llm.shardRoot,
+        s"graft_wm_${new java.io.File(d).getName}").getAbsolutePath
+      val ev = T.events(s, d).select(col("event_type"),
+        em(col("ts")).as("e"))
+      // simulate the PRIOR run's stored bookmark: min_ts + 24 days
+      ev.agg((min(col("e")) + lit(24L * 86400000000L)).as("wm"))
+        .write.mode("overwrite").parquet(s"$wmDir/bookmark")
+      val wmVal = s.read.parquet(s"$wmDir/bookmark").head().getLong(0)
+      val batch = ev.filter(col("e") > lit(wmVal))
+      val perType = batch.groupBy("event_type")
+        .agg(count(lit(1)).as("n_new"), min(col("e")).as("first_us"),
+          max(col("e")).as("last_us"))
+      val newWm = perType.agg(max("last_us").as("new_wm"))
+      perType.crossJoin(broadcast(newWm)).orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS e FROM events),
+b AS (SELECT min(e) + 24 * 86400000000 AS wm FROM ev),
+inc AS (SELECT event_type, e FROM ev, b WHERE e > wm),
+p AS (SELECT event_type, count(*) AS n_new, min(e) AS first_us,
+    max(e) AS last_us FROM inc GROUP BY 1),
+w AS (SELECT max(last_us) AS new_wm FROM p)
+SELECT event_type, n_new, first_us, last_us, new_wm
+FROM p, w ORDER BY event_type"""))
+
+  /** Referential-integrity (FK orphan) audit (§2.1 ext) — the third
+    * ingest-gate next to [[srcQualityRules]] (value rules) and
+    * [[srcPkAudit]] (key uniqueness): child rows whose foreign key
+    * resolves to NO parent. The fixture's FKs are clean by construction,
+    * so the audited child is a PHYSICAL snapshot with planted corruption
+    * (every 97th order's o_custkey shifted past the customer key range —
+    * the src_schema_drift planted-defect discipline): the audit must
+    * find exactly those. Emits the 5 worst orphan keys (count DESC, key
+    * ASC) with the summary (orphan rows, distinct orphan keys, rate)
+    * cross-joined; the oracle recomputes the remap from the raw tables,
+    * so the physical round trip provably changes nothing.
+    *
+    * Scale shape: ONE left-anti join child→parent on the FK (key-
+    * partitioned; AQE broadcasts the parent when it is dim-sized), one
+    * key-grain agg over the ORPHANS only; the corpus is scanned once.
+    */
+  private val srcFkOrphans = Q(
+    "src_fk_orphans",
+    (s, d) => {
+      val outBase = new java.io.File(Llm.shardRoot,
+        s"graft_fk_${new java.io.File(d).getName}").getAbsolutePath
+      T.orders(s, d).select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"))
+        .write.mode("overwrite").parquet(s"$outBase/child")
+      val child = s.read.parquet(s"$outBase/child")
+      val nRows = child.agg(count(lit(1)).as("n_rows"))
+      val orphans = child.join(
+        T.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val byKey = orphans.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_rows_key"))
+      val summary = byKey.agg(
+        coalesce(sum("n_rows_key"), lit(0L)).as("n_orphans"),
+        count(lit(1)).as("n_orphan_keys"))
+        .crossJoin(broadcast(nRows))
+        .select(col("n_orphans"), col("n_orphan_keys"),
+          (col("n_orphans").cast("double") / col("n_rows"))
+            .as("orphan_rate"))
+      byKey.orderBy(col("n_rows_key").desc, col("o_custkey")).limit(5)
+        .crossJoin(broadcast(summary))
+        .select(col("o_custkey"), col("n_rows_key"), col("n_orphans"),
+          col("n_orphan_keys"), col("orphan_rate"))
+        .orderBy(col("n_rows_key").desc, col("o_custkey"))
+    },
+    Some("""WITH child AS (SELECT o_orderkey,
+    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+         ELSE o_custkey END AS o_custkey
+  FROM orders),
+o AS (SELECT o_custkey FROM child
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+bk AS (SELECT o_custkey, count(*) AS n_rows_key FROM o GROUP BY 1),
+s AS (SELECT CAST(coalesce(sum(n_rows_key), 0) AS BIGINT) AS n_orphans,
+    count(*) AS n_orphan_keys,
+    CAST(coalesce(sum(n_rows_key), 0) AS DOUBLE)
+      / (SELECT count(*) FROM child) AS orphan_rate
+  FROM bk),
+t AS (SELECT o_custkey, n_rows_key FROM bk
+  ORDER BY n_rows_key DESC, o_custkey LIMIT 5)
+SELECT o_custkey, n_rows_key, n_orphans, n_orphan_keys, orphan_rate
+FROM t, s ORDER BY n_rows_key DESC, o_custkey"""))
+
   val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
     aggDriftCusum, srcCompaction, srcZorderLayout, srcSchemaDrift,
-    srcFreshnessSla, srcPkAudit)
+    srcFreshnessSla, srcPkAudit, srcIncrementalWatermark, srcFkOrphans)
 }

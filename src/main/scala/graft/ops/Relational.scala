@@ -2143,6 +2143,73 @@ SELECT n_f, n_o, mean_f, mean_o, var_f, var_o,
       + (var_o / n_o) * (var_o / n_o) / (CAST(n_o AS DOUBLE) - 1.0)) AS dof
 FROM c"""))
 
+  /** Theil T inequality index with between/within decomposition (§2.4
+    * ext) — the additively DECOMPOSABLE concentration measure next to
+    * agg_hhi_gini: how unequal are order values, and how much of that
+    * inequality lives BETWEEN priority classes vs WITHIN them
+    * (T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ), s_g the value share). The
+    * decomposability is the analytic point — Gini does not decompose.
+    *
+    * Float discipline: group sums are [[H.dsum]]-exact; means and shares
+    * are identical IEEE divisions; every ln-bearing term (per-row
+    * (x/μ_g)·ln(x/μ_g), group-grain s_g·ln(μ_g/μ), s_g·T_g) quantizes at
+    * [[H.q6]] and sums as exact DECIMAL ([[H.dec6Sum]]) — the entropy-key
+    * libm discipline.
+    *
+    * Scale shape: one corpus pass for the group sufficient statistics;
+    * the 5-row group frame broadcasts back onto the rows for the within
+    * terms (one more corpus pass, map-side agg); between/total close at
+    * GROUP grain.
+    */
+  private val aggTheilIndex = Q(
+    "agg_theil_index",
+    (s, d) => {
+      val o = T.orders(s, d).select(col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("x"))
+      val g = o.groupBy("prio")
+        .agg(count(lit(1)).as("n_g"), dsum(col("x")).as("sx_g"))
+        .withColumn("mean_g", col("sx_g") / col("n_g"))
+      val tot = o.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"))
+        .withColumn("mean", col("sx") / col("n"))
+      val within = o.join(broadcast(g), "prio")
+        .select(col("prio"),
+          q6((col("x") / col("mean_g")) * log(col("x") / col("mean_g")))
+            .as("t"))
+        .groupBy("prio").agg(dec6Sum(col("t")).as("st"))
+      val gf = g.join(within, "prio").crossJoin(broadcast(tot))
+        .select(col("prio"), col("n_g"), col("mean_g"),
+          (col("sx_g") / col("sx")).as("share"),
+          (col("st") / col("n_g").cast("double")).as("t_within"))
+      val closing = gf.crossJoin(broadcast(tot.select(col("mean"))))
+        .agg(
+          dec6Sum(q6(col("share") * col("t_within"))).as("within_mix"),
+          dec6Sum(q6(col("share") * log(col("mean_g") / col("mean"))))
+            .as("between_groups"))
+        .select(col("within_mix"), col("between_groups"),
+          (col("within_mix") + col("between_groups")).as("theil_total"))
+      gf.crossJoin(broadcast(closing))
+        .select(col("prio"), col("n_g"), col("mean_g"), col("share"),
+          col("t_within"), col("between_groups"), col("theil_total"))
+        .orderBy("prio")
+    },
+    Some(s"""WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS x
+  FROM orders),
+g AS (SELECT prio, count(*) AS n_g, ${dsumSql("x")} AS sx_g FROM o GROUP BY 1),
+gm AS (SELECT prio, n_g, sx_g, sx_g / n_g AS mean_g FROM g),
+t AS (SELECT count(*) AS n, ${dsumSql("x")} AS sx FROM o),
+tm AS (SELECT n, sx, sx / n AS mean FROM t),
+w AS (SELECT prio, ${dec6SumSql(q6Sql("(x / mean_g) * ln(x / mean_g)"))} AS st
+  FROM o JOIN gm USING (prio) GROUP BY 1),
+gf AS (SELECT prio, n_g, mean_g, sx_g / sx AS share,
+    st / CAST(n_g AS DOUBLE) AS t_within
+  FROM gm JOIN w USING (prio), tm),
+c AS (SELECT ${dec6SumSql(q6Sql("share * t_within"))} AS within_mix,
+    ${dec6SumSql(q6Sql("share * ln(mean_g / mean)"))} AS between_groups
+  FROM gf, tm)
+SELECT prio, n_g, mean_g, share, t_within,
+  between_groups, within_mix + between_groups AS theil_total
+FROM gf, c ORDER BY prio"""))
+
   /** Benford first-digit conformance (§2.4 ext) — the forensic data-quality
     * screen: does o_totalprice's leading-digit distribution follow
     * log10(1 + 1/d)? Emits per-digit observed count/share vs expectation
@@ -2203,6 +2270,7 @@ FROM e2, m ORDER BY digit"""))
   val all: Seq[Q] = Seq(
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
     aggBootstrapCi, aggSpearman, aggMannWhitney, aggWelchTtest, aggBenford,
+    aggTheilIndex,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,

@@ -1335,6 +1335,85 @@ SELECT abc, count(*) AS n_parts,
   min(cum_share) AS min_share, max(cum_share) AS max_share
 FROM k GROUP BY abc ORDER BY abc"""))
 
+  /** Mann–Kendall trend test (§2.5 ext) — the nonparametric "is this
+    * series trending?" monitor next to agg_drift_cusum's change-point
+    * and agg_autocorr's periodicity: per event_type, S = Σ_{i<j}
+    * sign(c_j − c_i) over the DAILY count series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z with a ±1.96 trend verdict.
+    *
+    * Scale shape: the corpus collapses to CALENDAR grain first (one
+    * map-side (type, day) count); the i<j pair join runs on the
+    * days×types frame — bounded by the calendar span squared, constant
+    * in corpus size. Every sufficient statistic (S, tie sum, n) is an
+    * exact integer; z is identical IEEE → ALL RAW.
+    */
+  private val winMannKendall = Q(
+    "win_mann_kendall",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000")
+          .as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("c").as("c1"))
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+        col("c").as("c2"))
+      val sStat = a.join(b,
+          col("event_type") === col("et2") && col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"))
+      val ties = daily.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_sum"), sum(col("t")).as("n_days"))
+      val g = sStat.join(ties, "event_type")
+      val nD = col("n_days").cast("double")
+      val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+        col("tie_sum").cast("double")) / lit(18.0)
+      val sD = col("s_stat").cast("double")
+      val z = when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+        .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+        .otherwise(lit(0.0))
+      g.select(col("event_type"), col("n_days"), col("s_stat"),
+          varS.as("var_s"), z.as("z"),
+          when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+s AS (SELECT a.event_type,
+    CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+      AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1),
+t AS (SELECT event_type,
+    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+    CAST(sum(t) AS BIGINT) AS n_days
+  FROM (SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1),
+g AS (SELECT event_type, n_days, s_stat,
+    (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+      * (2.0 * CAST(n_days AS DOUBLE) + 5.0) - CAST(tie_sum AS DOUBLE))
+      / 18.0 AS var_s
+  FROM s JOIN t USING (event_type))
+SELECT event_type, n_days, s_stat, var_s,
+  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+       ELSE 0.0 END AS z,
+  CASE WHEN (CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END) > 1.96 THEN 'increasing'
+       WHEN (CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END) < -1.96 THEN 'decreasing'
+       ELSE 'none' END AS trend
+FROM g ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
@@ -1342,5 +1421,5 @@ FROM k GROUP BY abc ORDER BY abc"""))
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
     winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc,
-    winParetoAbc)
+    winParetoAbc, winMannKendall)
 }

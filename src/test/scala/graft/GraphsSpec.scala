@@ -295,6 +295,35 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("graph_degree_stats closes the handshake identity and refits the slope") {
+    val rows = q("graph_degree_stats").collect()
+    graft.api.Caches.sweep(spark)
+    val tri = q("graph_triangles").collect()(0)
+    graft.api.Caches.sweep(spark)
+    // Σ n_nodes = node count; Σ dg·n_nodes = 2·edges (handshake lemma)
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum ===
+      tri.getAs[Long]("n_nodes"))
+    assert(rows.map(r =>
+      r.getAs[Long]("dg") * r.getAs[Long]("n_nodes")).sum ===
+      2L * tri.getAs[Long]("n_edges"))
+    assert(rows.head.getAs[Long]("n_points") === rows.length.toLong)
+    // refit the log-log OLS from the emitted distribution
+    val xs = rows.map(r => math.log(r.getAs[Long]("dg").toDouble))
+    val ys = rows.map(r => math.log(r.getAs[Long]("n_nodes").toDouble))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val syy = ys.map(y => y * y).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(rows.head.getAs[Double]("slope") - slope) < 1e-3)
+    assert(math.abs(rows.head.getAs[Double]("r2") - r2) < 1e-3)
+    assert(rows.head.getAs[Double]("r2") >= 0.0 &&
+      rows.head.getAs[Double]("r2") <= 1.0)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

@@ -519,6 +519,65 @@ class LlmSpec extends SparkSpec {
       }
   }
 
+  test("llm_sentence_chunk packs 3 sentences per chunk, boundaries intact") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val re = java.util.regex.Pattern.compile("[^.!?]+[.!?]?")
+    val rows = q("llm_sentence_chunk").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.foreach { case (id, text) =>
+      val m = re.matcher(text)
+      val sents = Iterator.continually(m).takeWhile(_.find())
+        .map(_.group()).toArray
+      if (sents.nonEmpty) {
+        val chunks = rows(id).sortBy(_.getAs[Long]("chunk_id"))
+        // chunk ids are contiguous from 0; all full except possibly the last
+        assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq ===
+          (0L until chunks.length))
+        chunks.init.foreach(c => assert(c.getAs[Long]("n_sents") === 3L))
+        assert(chunks.last.getAs[Long]("n_sents") <= 3L)
+        assert(chunks.map(_.getAs[Long]("n_sents")).sum === sents.length)
+        assert(chunks.map(_.getAs[Long]("n_chars")).sum ===
+          sents.map(_.length.toLong).sum)
+      } else assert(!rows.contains(id))
+    }
+  }
+
+  test("llm_embed_kmeans cells partition the corpus; stats are bounded") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val total = emb.count()
+    val labels = emb.select($"label".cast("long")).as[Long].collect().toSet
+    val rows = q("llm_embed_kmeans").collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_cos") <= 1.0 + 1e-9)
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+      assert(labels.contains(r.getAs[Long]("dom_label")))
+      // purity of the dominant label can never fall below uniform share
+      assert(p >= 1.0 / labels.size - 1e-12)
+    }
+  }
+
+  test("llm_tfidf_cosine_pairs cosines are bounded, sorted, id-ordered") {
+    val rows = q("llm_tfidf_cosine_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cosines = rows.map(_.getAs[Double]("cos"))
+    // cosine of nonnegative-weight vectors: [0, 1] up to the q6 term
+    // quantization (dot and norms quantize independently, so an identical
+    // pair can exceed 1 by ~n_terms x 1e-6 relative)
+    cosines.foreach(c => assert(c >= 0.0 && c <= 1.0 + 1e-4))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+    // the count column covers at least the emitted >= 0.3 rows
+    val n = rows.head.getAs[Long]("n_sim_pairs")
+    assert(n >= cosines.count(_ >= 0.3).toLong)
+  }
+
   test("llm_lsh_band_tuning: more bands => higher recall AND higher fp rate") {
     val rows = q("llm_lsh_band_tuning").collect()
       .sortBy(_.getAs[Int]("bands"))

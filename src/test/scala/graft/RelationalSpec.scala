@@ -479,6 +479,79 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       === expectTop.toSeq)
   }
 
+  test("agg_theil_index decomposes: total = share-weighted within + between") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect()
+    val rows = q("agg_theil_index").collect()
+    val mean = o.map(_._2).sum / o.length
+    val theil = o.map { case (_, x) =>
+      (x / mean) * math.log(x / mean)
+    }.sum / o.length
+    val total = rows.head.getAs[Double]("theil_total")
+    // q6 quantization bounds the drift far under this tolerance
+    assert(math.abs(total - theil) < 1e-4, s"total $total vs direct $theil")
+    // decomposition identity from the emitted group rows
+    val mix = rows.map(r =>
+      r.getAs[Double]("share") * r.getAs[Double]("t_within")).sum
+    val between = rows.head.getAs[Double]("between_groups")
+    assert(math.abs(total - (mix + between)) < 1e-5)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val g = o.filter(_._1 == r.getAs[String]("prio")).map(_._2)
+      assert(r.getAs[Long]("n_g") === g.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_g") - g.sum / g.length)
+        < 1e-9 * (g.sum / g.length))
+    }
+  }
+
+  test("src_incremental_watermark batch equals the direct cut filter") {
+    import spark.implicits._
+    val ev = graft.ops.T.events(spark, sf)
+      .select($"event_type", unix_micros($"ts").as("e"))
+      .as[(String, Long)].collect()
+    val wm = ev.map(_._2).min + 24L * 86400000000L
+    val inc = ev.filter(_._2 > wm)
+    val rows = q("src_incremental_watermark").collect()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === inc.length.toLong)
+    assert(rows.head.getAs[Long]("new_wm") === inc.map(_._2).max)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val g = inc.filter(_._1 == et).map(_._2)
+      assert(r.getAs[Long]("n_new") === g.length.toLong)
+      assert(r.getAs[Long]("first_us") === g.min)
+      assert(r.getAs[Long]("last_us") === g.max)
+      assert(g.min > wm) // nothing at or before the bookmark leaks in
+    }
+  }
+
+  test("src_fk_orphans finds exactly the planted orphan rows") {
+    import spark.implicits._
+    val planted = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(($"o_custkey" + 10000000L).as[Long]).collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    val rows = q("src_fk_orphans").collect()
+    val head = rows.head
+    assert(head.getAs[Long]("n_orphans") === planted.length.toLong)
+    assert(head.getAs[Long]("n_orphan_keys") === planted.distinct.length.toLong)
+    assert(head.getAs[Double]("orphan_rate") ===
+      planted.length.toDouble / total)
+    // the sample is the deterministic worst cut, all from the planted set
+    val byKey = planted.groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_custkey")
+      assert(byKey.contains(k))
+      assert(r.getAs[Long]("n_rows_key") === byKey(k).toLong)
+    }
+    val expectTop = byKey.toSeq.sortBy { case (k, c) => (-c, k) }
+      .take(rows.length)
+    assert(rows.map(r => (r.getAs[Long]("o_custkey"),
+      r.getAs[Long]("n_rows_key"))).toSeq === expectTop.map { case (k, c) =>
+      (k, c.toLong) })
+  }
+
   test("src_schema_drift classifies every planted drift case") {
     val rows = q("src_schema_drift").collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

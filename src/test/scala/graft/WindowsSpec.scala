@@ -488,6 +488,37 @@ class WindowsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("win_mann_kendall equals a brute-force pair scan per type") {
+    import spark.implicits._
+    val daily = graft.ops.T.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val rows = q("win_mann_kendall").collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === daily.keySet)
+    rows.foreach { r =>
+      val cs = daily(r.getAs[String]("event_type"))
+      val n = cs.length
+      var sStat = 0L
+      for (i <- cs.indices; j <- (i + 1) until n)
+        sStat += java.lang.Long.signum(cs(j) - cs(i))
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      assert(r.getAs[Long]("s_stat") === sStat)
+      val tieSum = cs.groupBy(identity).values
+        .map(t => t.size.toLong * (t.size - 1) * (2L * t.size + 5)).sum
+      val varS = (n.toDouble * (n - 1) * (2.0 * n + 5) - tieSum) / 18.0
+      assert(math.abs(r.getAs[Double]("var_s") - varS) < 1e-6)
+      val z = if (sStat > 0) (sStat - 1.0) / math.sqrt(varS)
+        else if (sStat < 0) (sStat + 1.0) / math.sqrt(varS) else 0.0
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+      val trend = if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") === trend)
+    }
+  }
+
   test("win_pareto_abc classes partition parts and close at the full revenue") {
     val rows = q("win_pareto_abc").collect()
       .map(r => r.getAs[String]("abc") -> r).toMap
