@@ -406,7 +406,44 @@ CASE WHEN l_orderkey % 1000 = 0 AND l_orderkey > 0 THEN NULL
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_tax, l_quantity, l_discount"""))
 
+  /** Cryptographic digest functions (§2.8 ext) — the content-addressing
+    * surface every dedup/partition-routing pipeline leans on: md5 and
+    * sha-256 hex digests per row (over a composite of name and segment so
+    * multi-column keying is exercised), plus digest length invariants and
+    * the first md5 nibble (the repo's standard hash-bucketing device,
+    * here surfaced as an explicit column). Engine-portable by
+    * construction — both engines implement the identical RFC digests, so
+    * every output byte matches with NO float discipline at all.
+    *
+    * Scale shape: pure map work before the output sort; digests are
+    * codegen'd built-ins, not UDFs.
+    */
+  private val fnHash = Q(
+    "fn_hash",
+    (s, d) => T.customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("|"), col("c_mktsegment")).as("key"))
+      .select(col("c_custkey"),
+        md5(col("key")).as("md5_hex"),
+        sha2(col("key"), 256).as("sha256_hex"),
+        length(md5(col("key"))).as("md5_len"),
+        length(sha2(col("key"), 256)).as("sha256_len"),
+        expr("instr('0123456789abcdef', substring(md5(key), 1, 1)) - 1")
+          .cast("int").as("bucket16"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+md5(key) AS md5_hex, sha256(key) AS sha256_hex,
+CAST(length(md5(key)) AS INTEGER) AS md5_len,
+CAST(length(sha256(key)) AS INTEGER) AS sha256_len,
+CAST(strpos('0123456789abcdef', substring(md5(key), 1, 1)) - 1 AS INTEGER)
+  AS bucket16
+FROM (SELECT c_custkey, c_name || '|' || c_mktsegment AS key FROM customer
+      WHERE c_custkey <= 200)
+ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
+    fnHash,
     fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
     fnString2, fnUrl, fnVariant, fnTryArith)
 }

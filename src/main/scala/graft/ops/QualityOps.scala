@@ -771,7 +771,85 @@ t AS (SELECT o_custkey, n_rows_key FROM bk
 SELECT o_custkey, n_rows_key, n_orphans, n_orphan_keys, orphan_rate
 FROM t, s ORDER BY n_rows_key DESC, o_custkey"""))
 
+  /** Row-hash table diff (§2.1 ext) — the DATA twin of [[srcSchemaDrift]]
+    * (which compares column profiles): two PHYSICAL snapshots diffed at
+    * ROW grain by key, each row reduced to one md5 over its canonical
+    * string form, classified added / removed / changed / unchanged — the
+    * snapshot-reconciliation report a nightly replication check runs.
+    * Snapshot B plants all three change classes (every 101st key deleted,
+    * a shifted copy of every 103rd key inserted, every 107th price bumped
+    * by an EXACT 2-decimal constant — additive, because a multiplicative
+    * bump needs a scale-reducing decimal cast whose tie-rounding mode
+    * differs between engines); the oracle recomputes the same edits from
+    * the raw table, pinning the physical round trip.
+    *
+    * Engine portability: the row hash feeds md5 a '|'-joined CANONICAL
+    * string — money through DECIMAL(12,2) (identical decimal rendering
+    * in both engines; raw double→string formatting is NOT portable),
+    * keys as integers, status strings verbatim. md5 is the same RFC
+    * digest everywhere (the fn_hash contract), so hashes match byte-wise.
+    *
+    * Scale shape: each side is one scan producing (key, hash) — map
+    * work; the diff is ONE key-partitioned full-outer join; the report
+    * aggregates the join at status grain (4 rows).
+    */
+  private val srcRowHashDiff = Q(
+    "src_row_hash_diff",
+    (s, d) => {
+      val outBase = new java.io.File(Llm.shardRoot,
+        s"graft_rdiff_${new java.io.File(d).getName}").getAbsolutePath
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), m2(col("o_totalprice")).as("price"))
+      o.write.mode("overwrite").parquet(s"$outBase/a")
+      val deleted = o.filter(col("o_orderkey") % 101 =!= 0)
+      val updated = deleted.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 107 === 0,
+          (col("price") + lit(11.11).cast(
+            org.apache.spark.sql.types.DecimalType(4, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        ).otherwise(col("price")).as("price"))
+      val inserted = o.filter(col("o_orderkey") % 103 === 0)
+        .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price"))
+      updated.union(inserted)
+        .write.mode("overwrite").parquet(s"$outBase/b")
+      def hashed(df: DataFrame, tag: String) = df.select(
+        col("o_orderkey"),
+        md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+          col("price"))).as(s"h_$tag"))
+      val a = hashed(s.read.parquet(s"$outBase/a"), "a")
+      val b = hashed(s.read.parquet(s"$outBase/b"), "b")
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select(when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_keys"))
+        .orderBy("status")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+b0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN o_orderkey % 107 = 0
+      THEN CAST(price + CAST(11.11 AS DECIMAL(4,2)) AS DECIMAL(12,2))
+      ELSE price END AS price
+  FROM o WHERE o_orderkey % 101 != 0
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, price
+  FROM o WHERE o_orderkey % 103 = 0),
+ha AS (SELECT o_orderkey,
+    md5(concat_ws('|', o_custkey, o_orderstatus, price)) AS h_a FROM o),
+hb AS (SELECT o_orderkey,
+    md5(concat_ws('|', o_custkey, o_orderstatus, price)) AS h_b FROM b0),
+j AS (SELECT CASE WHEN h_a IS NULL THEN 'added'
+    WHEN h_b IS NULL THEN 'removed'
+    WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END AS status
+  FROM ha FULL OUTER JOIN hb USING (o_orderkey))
+SELECT status, count(*) AS n_keys FROM j GROUP BY 1 ORDER BY status"""))
+
   val all: Seq[Q] = Seq(srcQualityRules, srcQualityQuarantine, aggDriftPsi,
     aggDriftCusum, srcCompaction, srcZorderLayout, srcSchemaDrift,
-    srcFreshnessSla, srcPkAudit, srcIncrementalWatermark, srcFkOrphans)
+    srcFreshnessSla, srcPkAudit, srcIncrementalWatermark, srcFkOrphans,
+    srcRowHashDiff)
 }

@@ -277,6 +277,44 @@ FROM nation, LATERAL (
   ORDER BY c_acctbal DESC, c_name LIMIT 3)
 ORDER BY n_name, c_acctbal DESC, c_name"""))
 
+  /** Relational division (§2.3 ext) — the textbook FOR-ALL operator the
+    * plain join surface can't express directly: customers whose orders
+    * cover EVERY priority class present in the table. Implemented the
+    * scalable way — a per-customer distinct-priority count compared to
+    * the (1-row, broadcast) global class count — never the double-
+    * negation anti-join-of-anti-join form, whose inner cross product of
+    * customers × classes explodes at scale.
+    *
+    * Scale shape: one (custkey, priority)-grain distinct agg (map-side
+    * partial), one 1-row divisor broadcast, one customer-keyed join for
+    * the name. The divisor derives from the data (no hard-coded 5).
+    */
+  private val joinRelationalDivision = Q(
+    "join_relational_division",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val nPrio = o.agg(
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      val covered = o.groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderpriority")).as("np"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(nPrio))
+        .filter(col("np") === col("n_prio"))
+      covered.join(T.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH np AS (SELECT count(DISTINCT o_orderpriority) AS n_prio
+  FROM orders),
+cov AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd,
+    count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT c_custkey, c_name, n_orders
+FROM cov JOIN customer ON o_custkey = c_custkey, np
+WHERE nd = n_prio
+ORDER BY c_custkey"""))
+
   private val projDistinct = Q(
     "proj_distinct",
     (s, d) => T.customer(s, d).select("c_mktsegment").distinct()
@@ -2275,6 +2313,7 @@ FROM e2, m ORDER BY digit"""))
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
     filtSubqueryScalar, filtSubqueryExists, projDistinct, joinLateralTopn,
+    joinRelationalDivision,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBloomPrefilter,

@@ -1414,6 +1414,73 @@ SELECT event_type, n_days, s_stat, var_s,
        ELSE 'none' END AS trend
 FROM g ORDER BY event_type"""))
 
+  /** Weekly trend/seasonal/remainder decomposition (§2.5 ext) — the
+    * STL-shaped additive decomposition of the per-type daily count
+    * series: trend = centered 7-day moving average (emitted only where
+    * the frame is FULL — edge days stay NULL rather than biased),
+    * seasonal = mean detrended value per weekday, remainder = the rest.
+    * Closes the time-series triad with agg_seasonal_profile (weekday
+    * averages), agg_autocorr (periodicity), win_mann_kendall (trend
+    * test) — this one SEPARATES the components instead of summarizing
+    * one.
+    *
+    * Float discipline: counts are exact ints; trend is an exact-int
+    * window sum / 7.0 (identical IEEE); detrended values are identical
+    * doubles, and their weekday means quantize at [[H.q6]] + sum as
+    * exact DECIMAL; the remainder subtraction is identical IEEE → no
+    * rounding anywhere. The 7-row frame is ROWS-based on the day-ordered
+    * series (identical semantics in both engines; the fixture calendar
+    * is contiguous so rows == days).
+    *
+    * Scale shape: corpus collapses to CALENDAR grain first; the moving
+    * window, weekday-grain means, and the join-back all run on the
+    * days×types frame — constant-size at any corpus scale.
+    */
+  private val winStlDecompose = Q(
+    "win_stl_decompose",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("wsum", sum(col("c")).over(w))
+        .withColumn("wcnt", count(lit(1)).over(w))
+        .withColumn("trend",
+          when(col("wcnt") === 7, col("wsum").cast("double") / lit(7.0)))
+        .withColumn("dow", expr("day % 7"))
+      val seas = t.filter(col("trend").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg((dec6Sum(q6(col("c").cast("double") - col("trend"))) /
+          count(lit(1)).cast("double")).as("seasonal"))
+      t.join(seas, Seq("event_type", "dow"), "left_outer")
+        .select(col("event_type"), col("day"), col("c"), col("trend"),
+          col("seasonal"),
+          (col("c").cast("double") - col("trend") - col("seasonal"))
+            .as("remainder"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH daily AS (SELECT event_type,
+    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, day, c, day % 7 AS dow,
+    CASE WHEN count(*) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+      THEN CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+      END AS trend
+  FROM daily),
+seas AS (SELECT event_type, dow,
+    ${dec6SumSql(q6Sql("CAST(c AS DOUBLE) - trend"))}
+      / CAST(count(*) AS DOUBLE) AS seasonal
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+SELECT t.event_type, day, c, trend, seasonal,
+  CAST(c AS DOUBLE) - trend - seasonal AS remainder
+FROM t LEFT JOIN seas ON t.event_type = seas.event_type AND t.dow = seas.dow
+ORDER BY t.event_type, day"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
@@ -1421,5 +1488,5 @@ FROM g ORDER BY event_type"""))
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
     winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc,
-    winParetoAbc, winMannKendall)
+    winParetoAbc, winMannKendall, winStlDecompose)
 }

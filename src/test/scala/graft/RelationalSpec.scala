@@ -552,6 +552,60 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (k, c.toLong) })
   }
 
+  test("fn_hash digests recompute in the JVM and bucket correctly") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") <= 200)
+      .select($"c_custkey", concat($"c_name", lit("|"), $"c_mktsegment"))
+      .as[(Long, String)].collect().toMap
+    def hex(alg: String, in: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(in.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = q("fn_hash").collect()
+    assert(rows.length === keys.size)
+    rows.foreach { r =>
+      val in = keys(r.getAs[Long]("c_custkey"))
+      assert(r.getAs[String]("md5_hex") === hex("MD5", in))
+      assert(r.getAs[String]("sha256_hex") === hex("SHA-256", in))
+      assert(r.getAs[Int]("md5_len") === 32)
+      assert(r.getAs[Int]("sha256_len") === 64)
+      val b = r.getAs[Int]("bucket16")
+      assert(b >= 0 && b <= 15)
+      assert(b === Integer.parseInt(hex("MD5", in).substring(0, 1), 16))
+    }
+  }
+
+  test("join_relational_division returns exactly the all-priority customers") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderpriority").as[(Long, String)].collect()
+    val nPrio = o.map(_._2).distinct.length
+    val expect = o.groupBy(_._1).filter(_._2.map(_._2).distinct.length == nPrio)
+      .keys.toSeq.sorted
+    val rows = q("join_relational_division").collect()
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSeq === expect)
+    assert(rows.nonEmpty) // fixture has full-coverage customers
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("n_orders") === o.count(_._1 == k).toLong)
+    }
+  }
+
+  test("src_row_hash_diff counts match the planted edit classes") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey").as[Long].collect()
+    val rows = q("src_row_hash_diff").collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_keys")).toMap
+    assert(rows("added") === keys.count(k => k % 103 == 0).toLong)
+    assert(rows("removed") === keys.count(k => k % 101 == 0).toLong)
+    // changed = price-bumped keys that survived the delete
+    assert(rows("changed") ===
+      keys.count(k => k % 101 != 0 && k % 107 == 0).toLong)
+    assert(rows.values.sum ===
+      (keys.length + keys.count(_ % 103 == 0)).toLong)
+  }
+
   test("src_schema_drift classifies every planted drift case") {
     val rows = q("src_schema_drift").collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
       s"unknown-baseline feature must force drifted=true: $flagged")
   }
 
+  test("streaming freshness monitor: stream == batch, breach flags exact") {
+    import spark.implicits._
+    // fixed reference instant = max ts + 72h, so one type's lag depends on
+    // its own last event and every lag is deterministic
+    val rows = eventRows(400)
+    def us(t: Timestamp): Long = // getTime is ms-truncated; keep the micros
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val asOf = rows.map(e => us(e.ts)).max + 72L * 3600000000L
+    assertStreamEqualsBatch("freshness",
+      df => Streams.freshness(df, asOf, slaHours = 73L), "complete")
+    // direct check: per-type lag arithmetic against a driver fold
+    val out = Streams.freshness(spark.createDataFrame(rows), asOf, 73L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    out.foreach { case (et, n, last, lag, breach) =>
+      val g = rows.filter(_.event_type == et)
+      assert(n === g.length.toLong)
+      assert(last === g.map(e => us(e.ts)).max)
+      assert(lag === asOf - last)
+      assert(breach === (lag > 73L * 3600000000L))
+    }
+  }
+
   test("quarantine gate on a stream routes rows identically to batch") {
     // the ingest gate running ON the stream: Quality.violations is a
     // stateless one-projection tag, so the same builder serves batch

@@ -519,6 +519,31 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("win_stl_decompose components close additively; trend nulls only at edges") {
+    val rows = q("win_stl_decompose").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, g) =>
+      val byDay = g.sortBy(_.getAs[Long]("day"))
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val trend = Option(r.getAs[java.lang.Double]("trend")).map(_.toDouble)
+        // the centered 7-row frame is full exactly away from the 3 edge rows
+        val interior = i >= 3 && i < byDay.length - 3
+        assert(trend.isDefined === interior,
+          s"day idx $i of ${byDay.length}: trend=${trend}")
+        trend.foreach { t =>
+          val c = r.getAs[Long]("c").toDouble
+          val seas = r.getAs[Double]("seasonal")
+          val rem = r.getAs[Double]("remainder")
+          assert(math.abs(c - (t + seas + rem)) < 1e-9)
+          // trend is the exact 7-day mean of the neighborhood
+          val win = byDay.slice(i - 3, i + 4).map(_.getAs[Long]("c")).sum
+          assert(t === win / 7.0)
+        }
+      }
+    }
+  }
+
   test("win_pareto_abc classes partition parts and close at the full revenue") {
     val rows = q("win_pareto_abc").collect()
       .map(r => r.getAs[String]("abc") -> r).toMap
