@@ -315,6 +315,66 @@ FROM cov JOIN customer ON o_custkey = c_custkey, np
 WHERE nd = n_prio
 ORDER BY c_custkey"""))
 
+  /** Null-safe equality join (§2.3 ext) — the `<=>` / IS NOT DISTINCT
+    * FROM surface: joining on a NULLABLE key where NULL must match NULL
+    * (the standard equi-join silently drops those rows — the classic
+    * "my join lost rows" bug this key demonstrates the fix for). Both
+    * sides NULLIF the same nation id, so the NULL bucket flows through
+    * the join as a first-class group and every customer of that nation
+    * still reaches its (NULL-keyed) dimension row.
+    *
+    * Scale shape: a null-safe equi-join IS hash-partitionable (NULL is
+    * just one more key value — unlike a theta-join fallback), and the
+    * join side with NULLs is the UNIQUE-KEYED dimension, so output stays
+    * fact-proportional — the design point: a null-safe join against a
+    * non-unique NULL-heavy side degenerates into a NULL×NULL cartesian
+    * (measured 82 s at sf0.1 on a 5-value bucket key before this shape).
+    */
+  private val joinNullSafe = Q(
+    "join_null_safe",
+    (s, d) => {
+      val c = T.customer(s, d).select(col("c_acctbal"),
+        expr("nullif(c_nationkey, 3)").as("k"))
+      val n = T.nation(s, d).select(col("n_name"),
+        expr("nullif(n_nationkey, 3)").as("k2"))
+      c.join(broadcast(n), col("k") <=> col("k2"))
+        .groupBy(col("n_name"), col("k2").isNull.as("via_null_key"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("n_name")
+    },
+    Some(s"""WITH c AS (SELECT c_acctbal, nullif(c_nationkey, 3) AS k
+  FROM customer),
+n AS (SELECT n_name, nullif(n_nationkey, 3) AS k2 FROM nation)
+SELECT n_name, k2 IS NULL AS via_null_key, count(*) AS n_customers,
+  ${dsumSql("c_acctbal")} AS sum_bal
+FROM c JOIN n ON k IS NOT DISTINCT FROM k2
+GROUP BY 1, 2 ORDER BY n_name"""))
+
+  /** Boolean aggregate surface (§2.4 ext) — any / every / count_if, the
+    * predicate-rollup vocabulary (DuckDB: bool_or / bool_and / FILTER):
+    * per order status, does ANY order exceed 400k, do ALL exceed 1k, and
+    * how many sit in the mid band. All exact counts and boolean folds —
+    * no float discipline needed beyond the [[H.dsum]] total.
+    */
+  private val aggBool = Q(
+    "agg_bool",
+    (s, d) => T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("any(o_totalprice > 400000)").as("any_over_400k"),
+        expr("every(o_totalprice > 1000)").as("all_over_1k"),
+        expr("count_if(o_totalprice between 100000 and 200000)")
+          .as("n_mid_band"),
+        dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy("o_orderstatus"),
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+bool_or(o_totalprice > 400000) AS any_over_400k,
+bool_and(o_totalprice > 1000) AS all_over_1k,
+count(*) FILTER (WHERE o_totalprice BETWEEN 100000 AND 200000) AS n_mid_band,
+${dsumSql("o_totalprice")} AS sum_total
+FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
+
   private val projDistinct = Q(
     "proj_distinct",
     (s, d) => T.customer(s, d).select("c_mktsegment").distinct()
@@ -2313,7 +2373,7 @@ FROM e2, m ORDER BY digit"""))
     srcUnionPartitions,
     projSelectAlias, filtConjunctive, filtInBetweenLike, filtNullSemantics,
     filtSubqueryScalar, filtSubqueryExists, projDistinct, joinLateralTopn,
-    joinRelationalDivision,
+    joinRelationalDivision, joinNullSafe, aggBool,
     joinBroadcastInner, joinSortmergeInner, joinStarMultiway, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsof, joinSkewSalted, joinSkewSaltedGeneric, joinBloomPrefilter,

@@ -1481,6 +1481,54 @@ SELECT t.event_type, day, c, trend, seasonal,
 FROM t LEFT JOIN seas ON t.event_type = seas.event_type AND t.dow = seas.dow
 ORDER BY t.event_type, day"""))
 
+  /** Gap-fill by last observation carried forward (§2.5 ext) — the LOCF
+    * idiom `last_value(... IGNORE NULLS)` exists for, distinct from
+    * stream_interpolate's numeric blending: a daily series with planted
+    * NULL readings (every 5th day's sensor "missed") filled with the most
+    * recent non-NULL value, the fill flagged. Leading NULLs (before any
+    * observation) stay NULL — LOCF is honest about never-seen state.
+    *
+    * Float discipline: the daily reading is max(value) (exact fixture
+    * doubles, order-independent); the fill MOVES values, never computes
+    * with them → everything RAW.
+    *
+    * Scale shape: corpus collapses to calendar grain first; the LOCF
+    * window partitions BY TYPE over the days×types frame — bounded,
+    * never row-grain.
+    */
+  private val winGapFillLocf = Q(
+    "win_gap_fill_locf",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+        .groupBy("event_type", "day").agg(max("value").as("v"))
+        .withColumn("raw_value",
+          when(col("day") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("v")))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("raw_value"),
+          last(col("raw_value"), ignoreNulls = true).over(w)
+            .as("filled_value"))
+        .withColumn("was_filled",
+          col("raw_value").isNull && col("filled_value").isNotNull)
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+    epoch_us(ts) // 86400000000 AS day, max(value) AS v
+  FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, day,
+    CASE WHEN day % 5 = 0 THEN NULL ELSE v END AS raw_value
+  FROM daily),
+f AS (SELECT event_type, day, raw_value,
+    last_value(raw_value IGNORE NULLS) OVER (PARTITION BY event_type
+      ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_value
+  FROM p)
+SELECT event_type, day, raw_value, filled_value,
+  raw_value IS NULL AND filled_value IS NOT NULL AS was_filled
+FROM f ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
@@ -1488,5 +1536,5 @@ ORDER BY t.event_type, day"""))
     winRollingMedian, joinIntervalOverlap, winEwma, aggCohortRetention,
     aggSurvivalKm, joinAsofNearest, winAttribution, aggSeasonalProfile,
     winSkyline, winCumulativeDistinct, winGapsIslands, aggAutocorr, winOhlc,
-    winParetoAbc, winMannKendall, winStlDecompose)
+    winParetoAbc, winMannKendall, winStlDecompose, winGapFillLocf)
 }

@@ -606,6 +606,37 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (keys.length + keys.count(_ % 103 == 0)).toLong)
   }
 
+  test("join_null_safe keeps the NULL-keyed rows an inner join would drop") {
+    val rows = q("join_null_safe").collect()
+    val nullRows = rows.filter(_.getAs[Boolean]("via_null_key"))
+    assert(nullRows.length === 1, "exactly one nation rides the NULL key")
+    val n3 = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") === 3).count()
+    assert(n3 > 0) // the demonstration is non-vacuous
+    assert(nullRows.head.getAs[Long]("n_customers") === n3)
+    // every customer still reaches its dimension row: counts partition
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === total)
+  }
+
+  test("agg_bool folds match driver-side predicate scans") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderstatus", $"o_totalprice").as[(String, Double)]
+      .collect()
+    val rows = q("agg_bool").collect()
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet ===
+      o.map(_._1).toSet)
+    rows.foreach { r =>
+      val g = o.filter(_._1 == r.getAs[String]("o_orderstatus")).map(_._2)
+      assert(r.getAs[Long]("n") === g.length.toLong)
+      assert(r.getAs[Boolean]("any_over_400k") === g.exists(_ > 400000))
+      assert(r.getAs[Boolean]("all_over_1k") === g.forall(_ > 1000))
+      assert(r.getAs[Long]("n_mid_band") ===
+        g.count(v => v >= 100000 && v <= 200000).toLong)
+    }
+  }
+
   test("src_schema_drift classifies every planted drift case") {
     val rows = q("src_schema_drift").collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

@@ -544,6 +544,27 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("win_gap_fill_locf carries the last observation, leading nulls stay") {
+    val rows = q("win_gap_fill_locf").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { case (_, g) =>
+      val byDay = g.sortBy(_.getAs[Long]("day"))
+      var lastSeen: Option[Double] = None
+      byDay.foreach { r =>
+        val raw = Option(r.getAs[java.lang.Double]("raw_value")).map(_.toDouble)
+        val filled =
+          Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble)
+        assert(raw.isEmpty === (r.getAs[Long]("day") % 5 == 0))
+        raw.foreach(v => lastSeen = Some(v))
+        assert(filled === lastSeen) // LOCF: exactly the running last value
+        assert(r.getAs[Boolean]("was_filled") ===
+          (raw.isEmpty && filled.isDefined))
+      }
+      // the plant guarantees at least one filled row per type
+      assert(byDay.exists(_.getAs[Boolean]("was_filled")))
+    }
+  }
+
   test("win_pareto_abc classes partition parts and close at the full revenue") {
     val rows = q("win_pareto_abc").collect()
       .map(r => r.getAs[String]("abc") -> r).toMap
