@@ -37,6 +37,33 @@ object Graph {
   /** DuckDB twin of [[q6]] — splice around the same quotient expression. */
   def q6Sql(e: String): String = graft.ops.H.q6Sql(e)
 
+  /** The |V|-grain broadcast GUARD shared by every builder that hints a
+    * node-grain state/degree frame ([[bfsHops]], [[kcore]],
+    * [[jaccardSimilarity]], [[assortativity]]): an eager approx node-count
+    * probe over the edge list (±5 % default accuracy is plenty for a size
+    * guard; the partial-aggregated sketch never shuffles edge rows), and
+    * the hint only when the WHOLE node set — the ceiling any node-grain
+    * frame can reach — is broadcast-range. Beyond `broadcastMaxNodes` the
+    * hint is dropped and AQE picks broadcast vs shuffle per join from
+    * measured sizes, shuffling at most node-grain frames, never the edges.
+    * A forced `broadcast()` is obeyed regardless of measured size — on a
+    * node set beyond executor memory it OOMs by construction — so NO graph
+    * builder here hints unguarded (the r10 bfsHops discipline, applied
+    * uniformly in r11). The guard is a plan knob, never a semantics knob:
+    * either path produces the identical result (GraphsSpec pins hinted ==
+    * unhinted per builder by forcing `broadcastMaxNodes = 0`).
+    */
+  private[graft] def nodeHint(edges: DataFrame,
+      broadcastMaxNodes: Long): DataFrame => DataFrame = {
+    if (broadcastMaxNodes <= 0L) identity
+    else {
+      val nNodes = edges
+        .select(explode(array(col("src"), col("dst"))).as("n"))
+        .agg(approx_count_distinct(col("n")).as("c")).head().getLong(0)
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
+    }
+  }
+
   /** PageRank over a SYMMETRIC directed edge list `edges(src, dst)` —
     * damped (d = 0.85), `iters` fixed iterations from a uniform rank of 1.
     * Returns (node, rank). The caller guarantees symmetry (every node then
@@ -380,27 +407,20 @@ object Graph {
     * monotonically toward the node set (on a hub graph hop 2 is most of
     * it), so a forced broadcast hint would be the one plan shape that
     * degrades with scale by construction. The hint is therefore GUARDED by
-    * an eager node-count probe (the [[triangles]] precondition-probe
-    * discipline, one approx agg over the cached edges): only when the
-    * WHOLE node set — the ceiling either state frame can reach — is
-    * broadcast-range (`broadcastMaxNodes`) do the state sides carry the
-    * hint; beyond it the hints are dropped and AQE picks broadcast vs
-    * shuffle per round from measured sizes, shuffling at most the
-    * node-grain state, never the edge list. Either path produces the
-    * identical result (ApiSpec pins hinted == unhinted).
+    * [[nodeHint]]'s eager node-count probe: only when the WHOLE node set —
+    * the ceiling either state frame can reach — is broadcast-range
+    * (`broadcastMaxNodes`) do the state sides carry the hint; beyond it
+    * the hints are dropped and AQE picks broadcast vs shuffle per round
+    * from measured sizes, shuffling at most the node-grain state, never
+    * the edge list. Either path produces the identical result (GraphsSpec
+    * pins hinted == unhinted).
     */
   def bfsHops(edgesIn: DataFrame, source: Long, maxHops: Int,
       broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
     val spark = edgesIn.sparkSession
-    // bounded driver probe: ±5% default accuracy is plenty for a size
-    // guard, and the partial-aggregated sketch never shuffles edge rows
-    val nNodes = edges
-      .select(explode(array(col("src"), col("dst"))).as("n"))
-      .agg(approx_count_distinct(col("n")).as("c")).head().getLong(0)
-    val hinted: DataFrame => DataFrame =
-      if (nNodes <= broadcastMaxNodes) broadcast else identity
+    val hinted = nodeHint(edges, broadcastMaxNodes)
     var frontier = Caches.cache(
       spark.range(1).select(lit(source).as("node"), lit(0).as("hop")))
     var visited = frontier
@@ -425,36 +445,41 @@ object Graph {
     * min-degree peeling).
     *
     * Scale shape: per round, the edge list is restricted to surviving
-    * endpoints by TWO BROADCAST semi-join-shaped inner joins against the
-    * NODE-grain alive set (the [[jaccardSimilarity]] degree-frame caveat:
-    * 8 bytes/node fits an executor for any basket/co-occurrence graph;
-    * beyond broadcast range, drop the hints and AQE shuffles the node
-    * set, never the edges) and one map-side-combinable hash aggregate
-    * recomputes degrees — the edge list is read in place every round,
-    * never reshuffled. At the sf0.1 fixture the cost is dominated by the
-    * edge-list derivation, not the rounds; the hint's payoff is the
-    * per-round shuffle volume at scale (node-grain aggregates only). No
-    * edge mutation, no accumulating state beyond the shrinking alive set
-    * (cached per round via [[Caches]]; an open-ended peel would
-    * checkpoint like the CC builder).
+    * endpoints by TWO semi-join-shaped inner joins against the NODE-grain
+    * alive set and one map-side-combinable hash aggregate recomputes
+    * degrees — the edge list is read in place every round, never
+    * reshuffled. The alive-set hints are GUARDED by [[nodeHint]]'s eager
+    * node-count probe (8 bytes/node fits an executor for any
+    * basket/co-occurrence graph, and the alive set only SHRINKS from the
+    * probed ceiling — so the guard is conservative-correct per round);
+    * beyond `broadcastMaxNodes` the hints drop and AQE shuffles the
+    * node-grain alive set, never the edges. At the sf0.1 fixture the cost
+    * is dominated by the edge-list derivation, not the rounds; the hint's
+    * payoff is the per-round shuffle volume at scale (node-grain
+    * aggregates only). No edge mutation, no accumulating state beyond the
+    * shrinking alive set (cached per round via [[Caches]]; an open-ended
+    * peel would checkpoint like the CC builder). GraphsSpec pins hinted ==
+    * unhinted.
     */
-  def kcore(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(edgesIn: DataFrame, k: Int, rounds: Int,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val hinted = nodeHint(edges, broadcastMaxNodes)
     var alive = Caches.cache(edges.select(col("src").as("node")).distinct())
     for (_ <- 1 to rounds) {
       alive = Caches.cache(edges
-        .join(broadcast(alive.select(col("node").as("src"))), "src")
-        .join(broadcast(alive.select(col("node").as("dst"))), "dst")
+        .join(hinted(alive.select(col("node").as("src"))), "src")
+        .join(hinted(alive.select(col("node").as("dst"))), "dst")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k)
         .select("node"))
     }
     edges
-      .join(broadcast(alive.select(col("node").as("src"))), "src")
-      .join(broadcast(alive.select(col("node").as("dst"))), "dst")
+      .join(hinted(alive.select(col("node").as("src"))), "src")
+      .join(hinted(alive.select(col("node").as("dst"))), "dst")
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("coredeg"))
   }
@@ -485,7 +510,8 @@ object Graph {
     * no per-pair verify pass (the count IS the verify).
     */
   def jaccardSimilarity(edgesIn: DataFrame, cap: Int = 32,
-      minCn: Long = 2L, minJacc: Double = 0.15): DataFrame = {
+      minCn: Long = 2L, minJacc: Double = 0.15,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val adj = edgesIn.select(col("src"), col("dst"))
     val kept = Caches.cache(adj
@@ -494,29 +520,70 @@ object Graph {
           .orderBy(md5(col("dst").cast("string")), col("dst"))))
       .filter(col("rn") <= cap)
       .select("src", "dst"))
+    val hinted = nodeHint(kept, broadcastMaxNodes)
     val ind = kept.groupBy("dst").agg(count(lit(1)).as("deg"))
     // cn >= minCn filters INSIDE the aggregate (most wedge pairs have
     // cn = 1 — at sf0.1 the cut is 7.5M pairs → ~1.5M before any join),
     // and the node-grain degree frame broadcasts so the surviving pairs
     // never shuffle again (3× wall-clock at sf0.1). The broadcast is
-    // |V|-grain: right for any graph whose NODE table fits an executor
-    // (degrees are 16 bytes/node), which covers the basket/co-occurrence
-    // graphs this targets; for a node set beyond broadcast range, delete
-    // the hint and AQE falls back to a shuffled join keyed on the
-    // already-small filtered pairs.
+    // |V|-grain (degrees are 16 bytes/node — fits an executor for any
+    // basket/co-occurrence graph), so it is GUARDED by [[nodeHint]]'s
+    // eager node-count probe: beyond `broadcastMaxNodes` the hints drop
+    // and AQE falls back to a shuffled join keyed on the already-small
+    // filtered pairs. GraphsSpec pins hinted == unhinted.
     val wedges = kept.as("a").join(kept.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCn)
     wedges
-      .join(broadcast(ind.select(col("dst").as("u"), col("deg").as("du"))),
+      .join(hinted(ind.select(col("dst").as("u"), col("deg").as("du"))),
         "u")
-      .join(broadcast(ind.select(col("dst").as("v"), col("deg").as("dv"))),
+      .join(hinted(ind.select(col("dst").as("v"), col("deg").as("dv"))),
         "v")
       .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
         (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
           .as("jacc"))
       .filter(col("jacc") >= minJacc)
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the directed edge instances of a SYMMETRIC adjacency
+    * `adj(src, dst)`. Returns ONE row (n_edges_directed, mean_deg,
+    * assortativity). Sufficient statistics are exact decimal sums
+    * (per-row products cast each FACTOR to DECIMAL(19,0) first — the
+    * ops.Graphs float discipline) cast once to double; the closing
+    * Pearson chain is identical spelled-order IEEE in both engines.
+    *
+    * Scale shape: one node-grain degree aggregate, one node-keyed join
+    * per endpoint, one 5-sum map-side-combinable aggregate over the
+    * edges. The degree-frame joins are |V|-grain hints GUARDED by
+    * [[nodeHint]] (16 bytes/node; beyond `broadcastMaxNodes` the hints
+    * drop and AQE shuffles the node-grain degree frame, never the
+    * edges). Nothing quadratic anywhere. GraphsSpec pins hinted ==
+    * unhinted.
+    */
+  def assortativity(adj: DataFrame,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val dec19 = DecimalType(19, 0)
+    val hinted = nodeHint(adj, broadcastMaxNodes)
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("dg"))
+    val xy = adj
+      .join(hinted(deg.select(col("src"), col("dg").as("x"))), "src")
+      .join(hinted(deg.select(col("src").as("dst"), col("dg").as("y"))),
+        "dst")
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).cast("double").as("sx"),
+      sum(col("y").cast(dec38)).cast("double").as("sy"),
+      sum(col("x").cast(dec19) * col("x").cast(dec19)).cast("double").as("sxx"),
+      sum(col("y").cast(dec19) * col("y").cast(dec19)).cast("double").as("syy"),
+      sum(col("x").cast(dec19) * col("y").cast(dec19)).cast("double").as("sxy"))
+    m.select(col("n").as("n_edges_directed"),
+      (col("sx") / col("n")).as("mean_deg"),
+      ((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+          * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .as("assortativity"))
   }
 }

@@ -636,37 +636,21 @@ ORDER BY node"""
     * spelled-order IEEE (sqrt is correctly rounded) → RAW, the
     * agg_ab_test precedent for zero-crossing statistics.
     *
-    * Scale shape: one node-grain degree aggregate, one node-keyed join
-    * per endpoint (the degree frame broadcasts — |V|-grain, the
-    * jaccardSimilarity caveat), one 5-sum map-side-combinable aggregate
-    * over the edges. Nothing quadratic anywhere.
+    * Scale shape: delegated to [[graft.api.Graph.assortativity]] — one
+    * node-grain degree aggregate, one node-keyed join per endpoint (the
+    * degree-frame hints are GUARDED by the shared
+    * [[graft.api.Graph.nodeHint]] probe, r11), one 5-sum
+    * map-side-combinable aggregate over the edges. Nothing quadratic
+    * anywhere.
     */
   private val graphAssortativity = Q(
     "graph_assortativity",
     (s, d) => {
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val (e0raw, _) = coOrderEdges(s, d)
       val e0 = Caches.cache(e0raw)
       val adj = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      val deg = adj.groupBy("src").agg(count(lit(1)).as("dg"))
-      val xy = adj
-        .join(broadcast(deg.select(col("src"), col("dg").as("x"))), "src")
-        .join(broadcast(deg.select(col("src").as("dst"), col("dg").as("y"))),
-          "dst")
-      val m = xy.agg(count(lit(1)).as("n"),
-        sum(col("x").cast(dec38)).cast("double").as("sx"),
-        sum(col("y").cast(dec38)).cast("double").as("sy"),
-        sum(col("x").cast(dec19) * col("x").cast(dec19)).cast("double").as("sxx"),
-        sum(col("y").cast(dec19) * col("y").cast(dec19)).cast("double").as("syy"),
-        sum(col("x").cast(dec19) * col("y").cast(dec19)).cast("double").as("sxy"))
-      m.select(col("n").as("n_edges_directed"),
-        (col("sx") / col("n")).as("mean_deg"),
-        ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
-          .as("assortativity"))
+      graft.api.Graph.assortativity(adj)
     },
     Some(s"""WITH $coOrderSql,
 adj AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),

@@ -138,24 +138,6 @@ object Streams {
     * @param baseline per-feature 10 smoothed baseline shares (same
     *                 add-one convention), in bin order
     */
-  /** Streaming freshness / SLA monitor — the online twin of the batch
-    * `src_freshness_sla` key: per event_type, the last-seen event time,
-    * its lag behind a FIXED reference instant (`asOfUs` — the deployment
-    * shape: the scheduler passes the run timestamp, so the result is
-    * deterministic and stream == batch is exact; a moving wall-clock
-    * reference would make the twin untestable), and the SLA breach flag.
-    * One bounded aggregation (2 longs per event_type); complete mode.
-    */
-  def freshness(events: DataFrame, asOfUs: Long,
-      slaHours: Long = 48L): DataFrame =
-    events.groupBy(col("event_type"))
-      .agg(max(unix_micros(col("ts"))).as("last_us"),
-        count(lit(1)).as("n_events"))
-      .select(col("event_type"), col("n_events"), col("last_us"),
-        (lit(asOfUs) - col("last_us")).as("lag_us"),
-        (lit(asOfUs) - col("last_us") > lit(slaHours * 3600000000L))
-          .as("sla_breach"))
-
   def driftPsi(events: DataFrame, mn: Double, mx: Double,
       baseline: Map[String, Seq[Double]]): DataFrame = {
     val width = (mx - mn) / 10.0
@@ -186,6 +168,24 @@ object Streams {
       .withColumn("drifted",
         when(col("known_baseline"), col("psi") >= 0.2).otherwise(lit(true)))
   }
+
+  /** Streaming freshness / SLA monitor — the online twin of the batch
+    * `src_freshness_sla` key: per event_type, the last-seen event time,
+    * its lag behind a FIXED reference instant (`asOfUs` — the deployment
+    * shape: the scheduler passes the run timestamp, so the result is
+    * deterministic and stream == batch is exact; a moving wall-clock
+    * reference would make the twin untestable), and the SLA breach flag.
+    * One bounded aggregation (2 longs per event_type); complete mode.
+    */
+  def freshness(events: DataFrame, asOfUs: Long,
+      slaHours: Long = 48L): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        (lit(asOfUs) - col("last_us")).as("lag_us"),
+        (lit(asOfUs) - col("last_us") > lit(slaHours * 3600000000L))
+          .as("sla_breach"))
 
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame = events

@@ -98,6 +98,15 @@ class GraphsSpec extends SparkSpec {
     assert(got((10L, 11L)) === ((5L, 5.0 / 6.0)))
     assert(got.size === 10 + 5 + 1)
     graft.api.Caches.sweep(spark)
+    // broadcastMaxNodes = 0 forces the no-hint (AQE) path — identical rows
+    val unhinted = graft.api.Graph.jaccardSimilarity(edges, cap = 32,
+        minCn = 1L, minJacc = 0.0, broadcastMaxNodes = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("jacc"))).toMap
+    assert(unhinted === got,
+      "hinted and unhinted jaccardSimilarity must agree")
+    graft.api.Caches.sweep(spark)
   }
 
   test("graph_jaccard_sim rows satisfy the emitted identity and the filter") {
@@ -178,6 +187,15 @@ class GraphsSpec extends SparkSpec {
     // and every survivor's in-core degree is exactly 4
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
     assert(got.values.forall(_ == 4L))
+    graft.api.Caches.sweep(spark)
+    // broadcastMaxNodes = 0 forces the no-hint (AQE) path — the nodeHint
+    // guard is a plan knob, never a semantics knob (the bfsHops pin,
+    // propagated r11)
+    val unhinted = graft.api.Graph
+      .kcore(edges, k = 3, rounds = 3, broadcastMaxNodes = 0L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("coredeg")).toMap
+    assert(unhinted === got,
+      s"hinted and unhinted kcore must agree: $got vs $unhinted")
     graft.api.Caches.sweep(spark)
   }
 
@@ -272,6 +290,26 @@ class GraphsSpec extends SparkSpec {
     assert(got >= -1.0 && got <= 1.0)
     assert(math.abs(got - want) < 1e-9, s"$got vs $want")
     graft.api.Caches.sweep(spark)
+  }
+
+  test("assortativity builder: hinted == unhinted (nodeHint is a plan knob)") {
+    import spark.implicits._
+    // star on 1..6 plus a triangle 7-8-9: mixed degrees, r < 0
+    val und = (2 to 6).map(x => (1L, x.toLong)) ++
+      Seq((7L, 8L), (8L, 9L), (7L, 9L))
+    val adj = und.toDF("src", "dst")
+      .union(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    def run(maxNodes: Long) = {
+      val r = graft.api.Graph.assortativity(adj, maxNodes).collect()(0)
+      (r.getAs[Long]("n_edges_directed"), r.getAs[Double]("mean_deg"),
+        r.getAs[Double]("assortativity"))
+    }
+    val hinted = run(5000000L)
+    val unhinted = run(0L)
+    assert(hinted === unhinted,
+      s"hinted and unhinted assortativity must agree: $hinted vs $unhinted")
+    assert(hinted._1 === 2L * und.size)
+    assert(hinted._3 < 0.0) // star dominates: hubs attach to leaves
   }
 
   test("graph_clustering_coeff corner sums equal 3x the global triangle count") {
