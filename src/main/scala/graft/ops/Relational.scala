@@ -1897,50 +1897,71 @@ FROM lineitem"""))
     * linear model fitting: no iteration, no driver-side data, the model
     * IS the aggregate.
     *
-    * Float discipline: x (quantity) and y (price) are exactly-2-decimal
-    * fixtures, so every sufficient statistic is an exact DECIMAL sum
-    * (factor-cast products — the sum_charge precedent) cast once to
-    * double; the closed-form arithmetic after that is IDENTICAL IEEE ops
-    * on identical bits in both engines, so slope/intercept/r2 emit RAW
-    * (no rounding), spelled with the same expression tree in the oracle.
+    * Float discipline (r11, the ADVICE fix): x (quantity) and y (price)
+    * are exactly-2-decimal fixtures, so the sufficient statistics are
+    * computed ENTIRELY in integer arithmetic — both variables scale to
+    * exact BIGINT cents ([[H.cents]]; slope and r² are invariant under the
+    * common ×100, intercept divides back once at the end), the linear sums
+    * Σx, Σy are plain BIGINTs (< 2^53, exact double conversion in both
+    * engines), and the quadratic sums Σx², Σxy, Σy² — whose DECIMAL totals
+    * previously crossed 2^53 and hit the DECIMAL→DOUBLE double-rounding
+    * divergence ([[aggSpearman]]) — use the [[H.hiLoSums]] split-sum, whose
+    * close is the CORRECTLY ROUNDED double of the exact integer total in
+    * both engines. Budget: per-row p = yc² ≤ 1e14 < 2^63; Σp ≈ 6e19 at
+    * sf0.1 < 2^78; n per flag ≤ 2e5 < 2^28 — within every [[H.hiLoSums]]
+    * bound with ≥400× headroom. The closed-form arithmetic after the
+    * closes is IDENTICAL IEEE ops on identical bits in both engines, so
+    * slope/intercept/r2 emit RAW (no rounding), spelled with the same
+    * expression tree in the oracle.
     */
   private val aggOlsFit = Q(
     "agg_ols_fit",
     (s, d) => {
-      val g = T.lineitem(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).cast("double").as("n"),
-        dsum(col("l_quantity")).as("sx"),
-        dsum(col("l_extendedprice")).as("sy"),
-        sum(m2(col("l_quantity")) * m2(col("l_quantity")))
-          .cast("double").as("sxx"),
-        sum(m2(col("l_quantity")) * m2(col("l_extendedprice")))
-          .cast("double").as("sxy"),
-        sum(m2(col("l_extendedprice")) * m2(col("l_extendedprice")))
-          .cast("double").as("syy"))
+      val xc = cents(col("l_quantity"))
+      val yc = cents(col("l_extendedprice"))
+      val aggs = Seq(
+          sum(xc).cast("double").as("sx"),
+          sum(yc).cast("double").as("sy")) ++
+        hiLoSums(xc * xc, "xx") ++ hiLoSums(xc * yc, "xy") ++
+        hiLoSums(yc * yc, "yy")
+      val g = T.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+        .withColumn("sxx", hiLoClose("xx"))
+        .withColumn("sxy", hiLoClose("xy"))
+        .withColumn("syy", hiLoClose("yy"))
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
       val cxy = col("n") * col("sxy") - col("sx") * col("sy")
       g.select(col("l_returnflag"),
           col("n").cast("bigint").as("n_rows"),
           (cxy / vx).as("slope"),
-          ((col("sy") - cxy / vx * col("sx")) / col("n")).as("intercept"),
+          ((col("sy") - cxy / vx * col("sx")) / col("n") / lit(100.0))
+            .as("intercept"),
           (cxy * cxy / (vx * vy)).as("r2"))
         .orderBy("l_returnflag")
     },
-    Some(s"""WITH g AS (SELECT l_returnflag,
+    Some(s"""WITH c AS (SELECT l_returnflag,
+    ${centsSql("l_quantity")} AS xc, ${centsSql("l_extendedprice")} AS yc
+  FROM lineitem),
+g AS (SELECT l_returnflag,
     CAST(count(*) AS DOUBLE) AS n,
-    ${dsumSql("l_quantity")} AS sx,
-    ${dsumSql("l_extendedprice")} AS sy,
-    CAST(sum(${m2Sql("l_quantity")} * ${m2Sql("l_quantity")}) AS DOUBLE) AS sxx,
-    CAST(sum(${m2Sql("l_quantity")} * ${m2Sql("l_extendedprice")}) AS DOUBLE) AS sxy,
-    CAST(sum(${m2Sql("l_extendedprice")} * ${m2Sql("l_extendedprice")}) AS DOUBLE) AS syy
-  FROM lineitem GROUP BY l_returnflag)
+    CAST(sum(xc) AS DOUBLE) AS sx,
+    CAST(sum(yc) AS DOUBLE) AS sy,
+    ${hiLoSumsSql("xc * xc", "xx")},
+    ${hiLoSumsSql("xc * yc", "xy")},
+    ${hiLoSumsSql("yc * yc", "yy")}
+  FROM c GROUP BY l_returnflag),
+h AS (SELECT l_returnflag, n, sx, sy,
+    ${hiLoCloseSql("xx")} AS sxx,
+    ${hiLoCloseSql("xy")} AS sxy,
+    ${hiLoCloseSql("yy")} AS syy
+  FROM g)
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0 AS intercept,
 (n * sxy - sx * sy) * (n * sxy - sx * sy)
   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-FROM g ORDER BY l_returnflag"""))
+FROM h ORDER BY l_returnflag"""))
 
   /** PHYSICALLY persisted daily-sketch table (§2.4 ext) — the missing
     * storage half of [[aggHllMerge]], which sketches and merges within
@@ -2185,25 +2206,33 @@ FROM g"""))
     * as conditional aggregates (map-side combinable); everything after is
     * a 1-row select.
     *
-    * Float discipline: o_totalprice is an exact 2-decimal double, so Σx
-    * (DECIMAL(18,4)) and Σx² (factors cast to DECIMAL(12,2), product
-    * exact DECIMAL(24,4)) are exact order-independent sums; means,
-    * variances, t, and dof are then identical IEEE arithmetic on
-    * identical bits in both engines → ALL RAW, no rounding anywhere.
+    * Float discipline (r11, the ADVICE fix): o_totalprice is an exact
+    * 2-decimal double, so both sides' sufficient statistics are computed
+    * in INTEGER arithmetic over exact BIGINT cents ([[H.cents]]): Σx is a
+    * plain BIGINT sum (< 2^53, exact double conversion in both engines)
+    * and Σx² — whose DECIMAL total previously crossed 2^53 and risked the
+    * DECIMAL→DOUBLE double-rounding divergence ([[aggSpearman]]) — uses
+    * the [[H.hiLoSums]] split-sum, correctly-rounded close in both
+    * engines. Budget: per-row p = xc² ≤ 2.5e15 < 2^63; Σp ≈ 3.8e20 at
+    * sf0.1 < 2^78; n per status ≤ 1.5e5 < 2^28 — ≥700× headroom on every
+    * [[H.hiLoSums]] bound. t and dof are scale-invariant and close in
+    * cent units; means and variances divide back by 100 / 10⁴ once at the
+    * end (single IEEE ops, identically spelled) → ALL RAW, no rounding.
     */
   private val aggWelchTtest = Q(
     "agg_welch_ttest",
     (s, d) => {
-      val x = m2(col("o_totalprice"))
+      val xc = cents(col("o_totalprice"))
       def side(st: String, tag: String) = Seq(
-        sum(when(col("o_orderstatus") === st, 1L).otherwise(0L))
-          .as(s"n_$tag"),
-        sum(when(col("o_orderstatus") === st, x)).cast("double")
-          .as(s"sx_$tag"),
-        sum(when(col("o_orderstatus") === st, x * x)).cast("double")
-          .as(s"sxx_$tag"))
+          sum(when(col("o_orderstatus") === st, 1L).otherwise(0L))
+            .as(s"n_$tag"),
+          sum(when(col("o_orderstatus") === st, xc)).cast("double")
+            .as(s"sx_$tag")) ++
+        hiLoSums(when(col("o_orderstatus") === st, xc * xc), tag)
       val g = T.orders(s, d).agg(side("F", "f").head,
-        (side("F", "f").tail ++ side("O", "o")): _*)
+          (side("F", "f").tail ++ side("O", "o")): _*)
+        .withColumn("sxx_f", hiLoClose("f"))
+        .withColumn("sxx_o", hiLoClose("o"))
       def stats(tag: String) = {
         val n = col(s"n_$tag").cast("double")
         val m = col(s"sx_$tag") / n
@@ -2214,31 +2243,35 @@ FROM g"""))
       val (nf, mf, vf) = stats("f")
       val (no, mo, vo) = stats("o")
       val se2 = vf / nf + vo / no
-      g.select(col("n_f"), col("n_o"), mf.as("mean_f"), mo.as("mean_o"),
-        vf.as("var_f"), vo.as("var_o"),
+      g.select(col("n_f"), col("n_o"),
+        (mf / lit(100.0)).as("mean_f"), (mo / lit(100.0)).as("mean_o"),
+        (vf / lit(10000.0)).as("var_f"), (vo / lit(10000.0)).as("var_o"),
         ((mf - mo) / sqrt(se2)).as("t_welch"),
         (se2 * se2 / ((vf / nf) * (vf / nf) / (nf - lit(1.0))
           + (vo / no) * (vo / no) / (no - lit(1.0)))).as("dof"))
     },
-    Some(s"""WITH g AS (SELECT
+    Some(s"""WITH o AS (SELECT o_orderstatus,
+    ${centsSql("o_totalprice")} AS xc FROM orders),
+g AS (SELECT
     CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sx_f,
-    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${m2Sql("o_totalprice")} * ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sxx_f,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN xc END) AS DOUBLE) AS sx_f,
+    ${hiLoSumsSql("CASE WHEN o_orderstatus = 'F' THEN xc * xc END", "f")},
     CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sx_o,
-    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${m2Sql("o_totalprice")} * ${m2Sql("o_totalprice")} END) AS DOUBLE) AS sxx_o
-  FROM orders),
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN xc END) AS DOUBLE) AS sx_o,
+    ${hiLoSumsSql("CASE WHEN o_orderstatus = 'O' THEN xc * xc END", "o")}
+  FROM o),
 c AS (SELECT n_f, n_o,
-    sx_f / CAST(n_f AS DOUBLE) AS mean_f,
-    sx_o / CAST(n_o AS DOUBLE) AS mean_o,
-    (sxx_f - sx_f * sx_f / CAST(n_f AS DOUBLE)) / (CAST(n_f AS DOUBLE) - 1.0) AS var_f,
-    (sxx_o - sx_o * sx_o / CAST(n_o AS DOUBLE)) / (CAST(n_o AS DOUBLE) - 1.0) AS var_o
+    sx_f / CAST(n_f AS DOUBLE) AS mc_f,
+    sx_o / CAST(n_o AS DOUBLE) AS mc_o,
+    (${hiLoCloseSql("f")} - sx_f * sx_f / CAST(n_f AS DOUBLE)) / (CAST(n_f AS DOUBLE) - 1.0) AS vc_f,
+    (${hiLoCloseSql("o")} - sx_o * sx_o / CAST(n_o AS DOUBLE)) / (CAST(n_o AS DOUBLE) - 1.0) AS vc_o
   FROM g)
-SELECT n_f, n_o, mean_f, mean_o, var_f, var_o,
-  (mean_f - mean_o) / sqrt(var_f / n_f + var_o / n_o) AS t_welch,
-  (var_f / n_f + var_o / n_o) * (var_f / n_f + var_o / n_o)
-    / ((var_f / n_f) * (var_f / n_f) / (CAST(n_f AS DOUBLE) - 1.0)
-      + (var_o / n_o) * (var_o / n_o) / (CAST(n_o AS DOUBLE) - 1.0)) AS dof
+SELECT n_f, n_o, mc_f / 100.0 AS mean_f, mc_o / 100.0 AS mean_o,
+  vc_f / 10000.0 AS var_f, vc_o / 10000.0 AS var_o,
+  (mc_f - mc_o) / sqrt(vc_f / n_f + vc_o / n_o) AS t_welch,
+  (vc_f / n_f + vc_o / n_o) * (vc_f / n_f + vc_o / n_o)
+    / ((vc_f / n_f) * (vc_f / n_f) / (CAST(n_f AS DOUBLE) - 1.0)
+      + (vc_o / n_o) * (vc_o / n_o) / (CAST(n_o AS DOUBLE) - 1.0)) AS dof
 FROM c"""))
 
   /** Theil T inequality index with between/within decomposition (§2.4

@@ -162,6 +162,55 @@ object H {
   def dec6SumSql(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Exact integer CENTS of a ≤2-decimal money column — the integer-sum
+    * discipline's entry point (pair with [[centsSql]]): the decimal cast is
+    * exact (house rule above), ×100 stays integral, and the closing
+    * decimal→BIGINT cast is exact in both engines despite their different
+    * rounding modes (Spark truncates, DuckDB rounds — identical on an
+    * integral value).
+    */
+  def cents(c: Column): Column = (m2(c) * lit(100)).cast("long")
+
+  def centsSql(e: String): String = s"CAST(${m2Sql(e)} * 100 AS BIGINT)"
+
+  /** hi/lo SPLIT-SUM — the exact, ENGINE-PORTABLE, correctly-rounded double
+    * of a huge integer sum Σp (p a NON-NEGATIVE per-row BIGINT term, e.g. a
+    * cents product) whose TOTAL exceeds 2^53. Why not a DECIMAL(38,0) sum
+    * cast to double: past 2^53 the DECIMAL→DOUBLE conversion itself is the
+    * divergence (Spark's BigDecimal.doubleValue is correctly rounded;
+    * DuckDB converts the int128 through per-word doubles — double-rounding
+    * at straddling magnitudes; the [[graft.ops.Relational]] aggSpearman
+    * scaladoc documents the scaled-decimal flavor of the same trap).
+    *
+    * The split sidesteps every conversion: each p splits into machine words
+    * at 2^25 (`p >> 25`, `p & (2^25−1)` — exact integer ops in both
+    * engines), the two part-sums accumulate as plain BIGINTs, and the close
+    * `double(Σhi)·2^25 + double(Σlo)` is (exact conversion, exact exponent
+    * shift, ONE correctly-rounded IEEE add of two exact addends) — i.e. the
+    * correctly rounded double of the exact Σp, bit-identical in any engine
+    * with IEEE arithmetic, in any aggregation order.
+    *
+    * Budget (document at each call site): per-row p < 2^63 (BIGINT product
+    * legality — cap the factor domain); Σhi < 2^53 ⟺ Σp < 2^78 ≈ 3.0e23;
+    * Σlo ≤ n·2^25 < 2^53 ⟺ n < 2^28 ≈ 2.7e8 rows per group. Beyond either,
+    * split at a different shift or pre-aggregate to a coarser grain.
+    * [[hiLoSums]] emits the two part-sum agg columns; [[hiLoClose]] closes
+    * over them by tag (SQL twins [[hiLoSumsSql]]/[[hiLoCloseSql]]).
+    */
+  def hiLoSums(p: Column, tag: String): Seq[Column] = Seq(
+    sum(shiftright(p, 25)).as(s"hi_$tag"),
+    sum(p.bitwiseAND(lit((1L << 25) - 1))).as(s"lo_$tag"))
+
+  def hiLoClose(tag: String): Column =
+    col(s"hi_$tag").cast("double") * lit(33554432.0) +
+      col(s"lo_$tag").cast("double")
+
+  def hiLoSumsSql(e: String, tag: String): String =
+    s"sum(($e) >> 25) AS hi_$tag, sum(($e) & 33554431) AS lo_$tag"
+
+  def hiLoCloseSql(tag: String): String =
+    s"(CAST(hi_$tag AS DOUBLE) * 33554432.0 + CAST(lo_$tag AS DOUBLE))"
+
   /** Epoch microseconds of a timestamp column — the canonical way to surface
     * `events.ts` across BOTH fixture generations [[T.events]] adapts to
     * (ns-era TIMESTAMP(NANOS) rebuilt from a ns long by integer division;
