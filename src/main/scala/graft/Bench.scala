@@ -119,15 +119,35 @@ object Bench {
     // jump against the key's own committed history can. suspect_load is
     // DIAGNOSIS only — it never gates or reruns; persistent external load
     // needs a host-level fix, not a harness policy.
+    // real JSON parse restricted to the TOP-LEVEL map (r10 advisory: the
+    // previous regex harvested any "word": number pair anywhere in the
+    // file, and a malformed file silently degraded to an empty map) —
+    // Jackson ships with Spark, so no new dependency. Non-numeric
+    // top-level fields (future metadata) are skipped; a present-but-empty
+    // or unparseable baseline logs loudly instead of silently disabling
+    // the suspect_load detector.
     val baseline: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
         .orElse(Seq("bench_baseline.json", "/root/repo/bench_baseline.json")
           .find(p => new java.io.File(p).isFile))
       path.filter(p => new java.io.File(p).isFile).map { p =>
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(p))
+          val m = root.properties().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          if (m.isEmpty) System.err.println(
+            s"[bench] baseline $p parsed but has zero numeric top-level " +
+              "entries — suspect_load detection disabled this run")
+          m
+        } catch {
+          case ex: Exception =>
+            System.err.println(s"[bench] baseline $p unreadable " +
+              s"(${ex.getClass.getSimpleName}: ${ex.getMessage}) — " +
+              "suspect_load detection disabled this run")
+            Map.empty[String, Double]
+        }
       }.getOrElse(Map.empty)
     }
     val only: Option[Set[String]] =
@@ -263,7 +283,23 @@ object Bench {
       "so every run re-pays builder cache population (graph edge frames, " +
       "CC checkpoints, bucketed writes); amortized reuse is PlanSpec-pinned, " +
       "not priced here"
-    println(s"""{"metric":"detail","note":"$note","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"suspect_load":$suspects,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}""")
+    val detailLine = s"""{"metric":"detail","note":"$note","queries":$qs,"detail":$detail,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"failed":$fl,"suspect_load":$suspects,"runs_per_query":3,"sf":"$sfDir","unit":"sec","total_sec":$total,"total_med_sec":$total,"total_cold_sec":$totalCold}"""
+    println(detailLine)
+    // persist the FULL detail record to a file (r10 judge: the driver's
+    // tail capture truncates the detail stdout line, so per-key
+    // cross-round regression diffs depended on manual baseline refreshes).
+    // Full-suite runs only — a subset run would overwrite the round's
+    // record with a partial map (the STRESS.json caveat).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        (detailLine + "\n").getBytes("UTF-8"))
+      catch { case ex: Exception => System.err.println(
+        s"[bench] could not persist detail to $detailPath: ${ex.getMessage}") }
+    } else System.err.println(
+      s"[bench] subset run — $detailPath left untouched")
     val top5 = results.sortBy { case (_, v, _, _, _, _, _, _, _, _, _) => -math.abs(v) }
       .take(5).map { case (k, v, _, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
       .mkString("{", ",", "}")

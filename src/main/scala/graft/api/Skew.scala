@@ -59,26 +59,43 @@ object Skew {
     * over `salts` reducers: hot left rows take a deterministic row-hash
     * salt, hot right rows replicate once per salt, cold rows on both sides
     * ride salt 0 untouched.
+    *
+    * `rowIdCols`: when the left side carries a STABLE row identity (a
+    * primary key, an ingest offset — almost always true in a real
+    * pipeline), name it here and the salt is `xxhash64(key, rowIdCols…)` —
+    * fully DETERMINISTIC, so a fetch-failure partial recompute re-routes
+    * every row to the same salt and the plan needs no indeterminate-stage
+    * machinery. PREFER this path on a real cluster.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16, hotThreshold: Long = 100000L,
-      detectSample: Double = 1.0): DataFrame = {
+      detectSample: Double = 1.0, rowIdCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, s"saltedJoin requires salts > 0, got $salts")
     val hot = hotKeys(left, key, hotThreshold, detectSample)
       .withColumn("__hot", lit(true))
-    // the salt hash mixes a PHYSICAL disambiguator
+    // Without rowIdCols the salt hash mixes a PHYSICAL disambiguator
     // (monotonically_increasing_id: partition id << 33 | row index) into
     // the row-value hash: real logs carry fully duplicate rows, and a hot
     // key whose rows are value-identical would otherwise all hash to ONE
     // salt — re-concentrating on a single reducer, exactly the case
     // salting exists for. The salt only ROUTES rows (it is joined on and
-    // dropped), so a physical, run-varying input leaves the RESULT exactly
-    // the plain join either way.
+    // dropped), so the RESULT is exactly the plain join either way — but
+    // the physical input is RUN-VARYING: mid-stage fetch-failure recovery
+    // then relies on Spark's indeterminate-stage rollback (the expression
+    // is Catalyst-marked nondeterministic, so a lost shuffle partition
+    // rolls the whole stage back rather than partially recomputing rows
+    // onto different salts — SPARK-23207 machinery). Correct, but a full
+    // stage retry where the deterministic path retries one task: pass
+    // `rowIdCols` when a stable row id exists.
+    val disambiguator =
+      if (rowIdCols.nonEmpty) rowIdCols.map(col)
+      else Seq(monotonically_increasing_id())
     val l = left.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot").isNotNull,
-          pmod(xxhash64(left.columns.map(col) :+
-            monotonically_increasing_id(): _*), lit(salts.toLong)))
+          pmod(xxhash64((if (rowIdCols.nonEmpty) Seq(col(key))
+            else left.columns.map(col).toSeq) ++ disambiguator: _*),
+            lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("__hot")
     val r = right.join(broadcast(hot), Seq(key), "left")

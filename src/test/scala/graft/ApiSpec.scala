@@ -1292,6 +1292,38 @@ class ApiSpec extends SparkSpec {
       s"per-reducer bound violated on duplicate rows: $hotCounts")
   }
 
+  test("Skew.saltedJoin(rowIdCols) is deterministic and equals the plain join") {
+    import spark.implicits._
+    import graft.api.Skew
+    // v is a stable unique row id: the deterministic-salt path (no
+    // monotonically_increasing_id anywhere in the plan — a fetch-failure
+    // recompute re-derives identical salts from row VALUES)
+    val left = spark.range(5000)
+      .select(when(col("id") % 5 < 4, lit(1L))
+        .otherwise(col("id") % 20 + 2).as("k"), col("id").as("v"))
+    val right = spark.range(25)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8,
+      hotThreshold = 500L, rowIdCols = Seq("v"))
+    val plain = left.join(right, "k")
+    val cols = salted.columns.sorted.map(col)
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
+    // the plan carries no nondeterministic expression on this path
+    val planStr = salted.queryExecution.analyzed.toString
+    assert(!planStr.contains("monotonically_increasing_id"),
+      "rowIdCols path must not use a physical disambiguator")
+    // and the hot key still spreads: reproduce the builder's salt
+    val hot = Skew.hotKeys(left, "k", 500L).withColumn("__hot", lit(true))
+    val saltedLeft = left.join(broadcast(hot), Seq("k"), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(col("k"), col("v")), lit(8L))).otherwise(lit(0L)))
+    val hotCounts = saltedLeft.filter(col("k") === 1L)
+      .groupBy("__salt").count().as[(Long, Long)].collect().toMap
+    assert(hotCounts.size == 8, s"hot key not spread over all salts: $hotCounts")
+  }
+
   test("Skew.hotKeys(sample) detects a planted hot key from a row sample") {
     import spark.implicits._
     import graft.api.Skew
