@@ -296,6 +296,35 @@ object Stress {
           "vec_id", k = 10, probes = 2, salt = 8).count()
       }
       recs += StageRec("index_probe_100q", probeSec, probeRows)
+      // compaction lifecycle: 4 more daily-delta appends (fresh ids — a 5%
+      // slice shifted per batch, cells frozen under the stored codebook)
+      // accumulate small files per cell=, then ONE compactIndex collapses
+      // them; the before/after file totals are the stage sizes
+      val slice = nv.filter(col("vec_id") % 20 === 1)
+      val (_, appendsSec) = timed {
+        (1 to 4).foreach { j =>
+          graft.api.Vectors.appendToIndex(spark, dir.getAbsolutePath,
+            slice.select((col("vec_id") + lit(j.toLong * nVecs)).as("vec_id"),
+              col("vd"), col("nrm")),
+            "vec_id")
+        }
+      }
+      recs += StageRec("index_append_4x5pct", appendsSec, nRows / 20 * 4)
+      val filesBefore = graft.api.Vectors
+        .indexFilesPerCell(spark, dir.getAbsolutePath).values.sum.toLong
+      recs += StageRec("files_before_compact", 0.0, filesBefore)
+      val (_, compactSec) = timed(
+        graft.api.Vectors.compactIndex(spark, dir.getAbsolutePath, "vec_id"))
+      recs += StageRec("index_compact", compactSec, nRows + nRows / 20 * 4)
+      val filesAfter = graft.api.Vectors
+        .indexFilesPerCell(spark, dir.getAbsolutePath).values.sum.toLong
+      recs += StageRec("files_after_compact", 0.0, filesAfter)
+      val (probeRows2, probeSec2) = timed {
+        val queries = nv.filter(col("vec_id") < 100)
+        graft.api.Vectors.probeIndex(spark, dir.getAbsolutePath, queries,
+          "vec_id", k = 10, probes = 2, salt = 8).count()
+      }
+      recs += StageRec("index_probe_100q_compacted", probeSec2, probeRows2)
     } finally {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)

@@ -547,6 +547,30 @@ object Graph {
       .filter(col("jacc") >= minJacc)
   }
 
+  /** Persists a DERIVED edge list as a bucketed+sorted parquet table — the
+    * amortized production shape for the whole graph family: every graph key
+    * re-derives the co-order edge list per run (the documented
+    * standalone-cold bench policy), but a production deployment derives it
+    * ONCE, stores it bucketed by node, and runs every later analytic
+    * against the stored artifact. Bucketing by `u` (with within-bucket
+    * (u, v) sort) means any u-keyed aggregate or join over the read-back
+    * table is EXCHANGE-FREE — the bucketed-table discipline join_bucketed
+    * pins for facts, applied to the derived-graph artifact
+    * (llm_ann_index_persist's discipline for ANN, third instance).
+    *
+    * `saveAsTable` is what records bucket metadata in the catalog
+    * (a plain parquet path write loses it); `mode("overwrite")` makes
+    * re-derivation replace, never merge. Read back with [[readEdges]].
+    */
+  def writeEdges(edges: DataFrame, table: String, buckets: Int = 8): Unit =
+    edges.select(col("u"), col("v"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "u").sortBy("u", "v").saveAsTable(table)
+
+  /** The stored [[writeEdges]] artifact, bucket metadata intact. */
+  def readEdges(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = spark.table(table)
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the directed edge instances of a SYMMETRIC adjacency
     * `adj(src, dst)`. Returns ONE row (n_edges_directed, mean_deg,

@@ -376,6 +376,64 @@ object Vectors {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
   }
 
+  /** Compacts a [[writeIndex]]+[[appendToIndex]] layout's accumulated
+    * small files — the missing third of the index lifecycle (train →
+    * append deltas → COMPACT): every [[appendToIndex]] batch lands new
+    * files beside the old ones in each touched `cell=` directory, and
+    * after ~100 daily appends the probe-side scan pays file-open overhead
+    * per cell instead of one sequential read. This is
+    * [[graft.api.Tables.compactFiles]]'s bin-packing discipline applied
+    * WITHIN the partitioned layout: one shuffle keyed on `cell`
+    * re-gathers each cell's rows, `maxRecordsPerFile` splits only cells
+    * over the target, and the rewrite restores [[writeIndex]]'s
+    * deterministic within-cell order. The CODEBOOK is untouched — cell
+    * assignments are frozen, so compaction is a pure physical rewrite:
+    * [[probeIndex]] results before and after are identical (ApiSpec pins
+    * read-back probe equality; the `ann_index` stress path counts files
+    * per cell before/after N appends).
+    *
+    * The swap is write-to-temp + delete + rename on the index directory
+    * (the codebook path never changes): not atomic for concurrent
+    * readers — run it in the maintenance window that owns the index, the
+    * same contract as [[writeIndex]]'s overwrite retrain.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, targetRowsPerFile: Long = 1L << 20): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/index_compact_tmp")
+    val fs = indexPath.getFileSystem(hconf)
+    spark.read.parquet(indexPath.toString)
+      .repartition(col("cell"))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("cell")
+      .parquet(tmpPath.toString)
+    require(fs.delete(indexPath, true),
+      s"compactIndex could not remove the old index at $indexPath")
+    require(fs.rename(tmpPath, indexPath),
+      s"compactIndex could not move the compacted index into $indexPath")
+  }
+
+  /** Parquet data files per `cell=` partition directory of a
+    * [[writeIndex]] layout — the compaction observable ([[compactIndex]]
+    * scaladoc): appends grow these counts, compaction collapses them.
+    */
+  def indexFilesPerCell(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Int, Int] = {
+    val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(indexPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { cellDir =>
+        val cell = cellDir.getPath.getName.stripPrefix("cell=").toInt
+        val n = fs.listStatus(cellDir.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        cell -> n
+      }.toMap
+  }
+
   /** Probes a [[writeIndex]] layout: reads the stored codebook + index and
     * runs the exact [[ivfProbeWith]] plan against them — read-back equals
     * the direct in-memory probe (the `llm_shard_write` physical-round-trip

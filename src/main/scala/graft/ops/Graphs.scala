@@ -829,9 +829,58 @@ fit AS (SELECT CAST(np AS BIGINT) AS n_points,
 SELECT dg, n_nodes, n_points, slope, r2
 FROM dist, fit ORDER BY dg"""))
 
+  /** Persisted derived-graph artifact (§2.12 ext, r11) — the
+    * llm_ann_index_persist discipline applied to the co-order edge list:
+    * every other graph key re-derives the edges per run (the documented
+    * standalone-cold bench policy); a production deployment derives ONCE,
+    * stores the artifact bucketed by node
+    * ([[graft.api.Graph.writeEdges]]), and runs every later analytic
+    * against the read-back table. The probe here — the out-degree
+    * HISTOGRAM — aggregates on the bucket key, so the stored layout
+    * answers it with ZERO exchange before the u-grain partial aggregate
+    * (PlanSpec pins no shuffle under the first aggregate); the oracle
+    * reproduces the same histogram from the raw source, so read-back ==
+    * direct derivation is the gate.
+    *
+    * Bench split: the derive+write is EAGER (saveAsTable runs inside the
+    * build), so the detail record's build/exec split prices the stored
+    * artifact's probe separately from its one-time construction — the
+    * amortized number the standalone-cold graph rows deliberately hide.
+    * The table is rewritten every run (join_bucketed's cold==median
+    * policy; warehouse dirs of dead catalog entries cleared the same way).
+    */
+  private val graphEdgesPersist = Q(
+    "graph_edges_persist",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"graph_edges_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val dir = java.nio.file.Paths.get(wh, tbl)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      val (e0, _) = coOrderEdges(s, d)
+      graft.api.Graph.writeEdges(e0, tbl)
+      graft.api.Graph.readEdges(s, tbl)
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("n_nodes"))
+        .select(col("dg").as("out_degree"), col("n_nodes"))
+        .orderBy("out_degree")
+    },
+    Some(s"""WITH $coOrderSql,
+og AS (SELECT u, count(*) AS dg FROM e0 GROUP BY u)
+SELECT dg AS out_degree, count(*) AS n_nodes FROM og
+GROUP BY dg ORDER BY out_degree"""))
+
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
       graphAssocRules, graphBfsHops, graphKcore, graphAssortativity,
-      graphComponents, graphClusteringCoeff, graphDegreeStats)
+      graphComponents, graphClusteringCoeff, graphDegreeStats,
+      graphEdgesPersist)
 }

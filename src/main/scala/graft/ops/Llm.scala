@@ -1240,7 +1240,16 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
           col("rn"), col("n_cell").as("cell"))
         .orderBy("q_id", "rn")
     },
-    Some(s"""WITH e AS (SELECT vec_id,
+    Some(annBaseTrainOracleSql))
+
+  /** Shared oracle for the base-trained (codebook over the 90% base,
+    * union assigned from scratch) probe — gates BOTH llm_ann_index_append
+    * and llm_ann_index_compact: the appended and the append-then-compacted
+    * layouts must each equal this from-scratch assignment, physically
+    * round-tripped.
+    */
+  private lazy val annBaseTrainOracleSql =
+    s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
 n0 AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
 base AS (SELECT * FROM n0 WHERE vec_id % 10 != 0),
@@ -1263,7 +1272,42 @@ r AS (SELECT q_id, neighbor_id, cos, cell,
     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM cand)
 SELECT q_id, neighbor_id, ${H.r4zSql("cos")} AS cos, rn, cell
-FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  /** The compaction third of the index lifecycle (train → append deltas →
+    * COMPACT), under the verify gate: base-trained index, the 10% delta
+    * appended in TWO batches (each lands new small files beside the old
+    * ones per `cell=` directory), then [[graft.api.Vectors.compactIndex]]
+    * bin-packs every cell back to target-size files (codebook untouched,
+    * cells frozen), and the probe answers from the COMPACTED layout.
+    * Compaction is a pure physical rewrite, so the SAME from-scratch
+    * oracle as llm_ann_index_append gates it — a hash match proves
+    * probe-over-compacted == probe-over-appended == direct assignment.
+    * ApiSpec additionally pins the file counts (≥3 files/cell before,
+    * 1 after) and the `ann_index` stress path prices it at volume.
+    */
+  private val llmAnnIndexCompact = Q(
+    "llm_ann_index_compact",
+    (s, d) => {
+      val outBase = new java.io.File(shardRoot,
+        s"graft_annidx_compact_${new java.io.File(d).getName}").getAbsolutePath
+      val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
+      val base = nv.filter(col("vec_id") % 10 =!= 0)
+      val delta = nv.filter(col("vec_id") % 10 === 0)
+      Vectors.writeIndex(base, "vec_id", outBase, k = 8, iters = 2)
+      Vectors.appendToIndex(s, outBase, delta.filter(col("vec_id") % 20 === 0),
+        "vec_id")
+      Vectors.appendToIndex(s, outBase, delta.filter(col("vec_id") % 20 =!= 0),
+        "vec_id")
+      Vectors.compactIndex(s, outBase, "vec_id")
+      val q = nv.filter(col("vec_id") % 50 === 0)
+      Vectors.probeIndex(s, outBase, q, "vec_id", k = 5, probes = 2)
+        .select(col("q_id"), col("n_id").as("neighbor_id"),
+          H.r4z(col("cos")).as("cos"),
+          col("rn"), col("n_cell").as("cell"))
+        .orderBy("q_id", "rn")
+    },
+    Some(annBaseTrainOracleSql))
 
   // ----------------------------------------------------------- text analysis
 
@@ -3220,6 +3264,7 @@ FROM t, k ORDER BY cos DESC, a_id, b_id"""))
     llmCosineTopk,
     llmKnnLabel,
     llmEmbedNeardup, llmAnnIvf, llmAnnIndexPersist, llmAnnIndexAppend,
+    llmAnnIndexCompact,
     llmAnnRecall, llmAnnPqRecall, llmAnnIvfPq, llmSemdedup,
     llmTextStats, llmTfidf, llmPmiBigrams, llmHashSplit, llmScoreLinear,
     llmQualityFilter, llmRepetitionFilter, llmLangId,

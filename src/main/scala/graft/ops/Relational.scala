@@ -2398,7 +2398,36 @@ m AS (SELECT ${dec6SumSql(q6Sql("abs_dev"))} / 9.0 AS mad FROM e2)
 SELECT digit, n_obs, share, expected, abs_dev, mad
 FROM e2, m ORDER BY digit"""))
 
+  /** SQL-callable metric surface (§2.1 ext, r11) — the
+    * [[graft.api.Sql.registerFts]] temp-view catalog exercised THROUGH
+    * `spark.sql`, under the verify gate: the consumer writes plain SQL
+    * against `fts_success_rate` (a registered lazy view over the
+    * [[graft.api.Fts.successRate]] builder) with its own predicate and
+    * projection, and the oracle reproduces the whole thing from the raw
+    * events table — proving the view face returns exactly the builder
+    * semantics AND that Catalyst inlines the view (the consumer predicate
+    * pushes through to the scan; ApiSpec pins the pushed filter).
+    *
+    * Scale shape: identical to agg_success_rate's (the view stores a plan,
+    * not data) — one map-side-combinable hash agg over the filtered scan.
+    */
+  private val sqlViewSurface = Q(
+    "sql_view_surface",
+    (s, d) => {
+      graft.api.Sql.registerFts(s, T.events(s, d))
+      s.sql("""SELECT user_id, n_events, n_errors, error_rate, success_rate
+               FROM fts_success_rate WHERE user_id % 10 = 0
+               ORDER BY user_id""")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+count(*) FILTER (WHERE event_type = 'error') / count(*) AS error_rate,
+1 - count(*) FILTER (WHERE event_type = 'error') / count(*) AS success_rate
+FROM events WHERE user_id % 10 = 0
+GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
+    sqlViewSurface,
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
     aggBootstrapCi, aggSpearman, aggMannWhitney, aggWelchTtest, aggBenford,
     aggTheilIndex,

@@ -368,8 +368,54 @@ SELECT hour_s, (v IS NOT NULL) AS observed,
          (CAST(hour_s - tp AS DOUBLE) / (tn - tp)) END AS v_interp
 FROM f ORDER BY hour_s"""))
 
+  /** Streaming corpus exact-dedup, batch-declared (§2.10 ext) — the same
+    * [[graft.streaming.Streams.corpusDedup]] builder the true stream runs
+    * (`window()` and `withWatermark` are batch-compatible), over the
+    * documents corpus plus a DETERMINISTIC redelivery set (every 7th doc
+    * re-ingested 30 minutes later under a shifted ingest id — the ingest
+    * replay shape a continuous pipeline actually sees; the fixture corpus
+    * itself carries no exact duplicates). Per (1-day window, content) the
+    * survivor is min(doc_id) — the llm_exact_dedup rule, arrival-order
+    * independent — and redeliveries collapse onto their original unless
+    * the 30-minute shift crosses midnight, in which case the copy
+    * survives in the NEXT day's window: the horizon IS the dedup scope
+    * (documented in the builder's scaladoc; the golden pins both cases).
+    *
+    * Scale shape: one map-side hash of the text, payload dropped before
+    * the shuffle (the aggregate carries only window+hash+min+count), one
+    * stateful aggregation. The Spark side groups on the 8-byte content
+    * hash, the oracle on the normalized text — identical partitions
+    * barring an xxhash64 collision inside one day-window of the fixture
+    * (none; and at scale a collision only merges two dup-groups, the
+    * standard content-hash dedup contract).
+    */
+  private val streamCorpusDedup = Q(
+    "stream_corpus_dedup",
+    (s, d) => {
+      val epoch0 = 1704067200000000L // 2024-01-01T00:00:00Z
+      val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("ingest_ts",
+          timestamp_micros(lit(epoch0) + col("doc_id") * lit(600000000L)))
+      val redelivered = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"),
+          (col("ingest_ts") + expr("INTERVAL 30 MINUTES")).as("ingest_ts"))
+      graft.streaming.Streams.corpusDedup(base.union(redelivered))
+        .orderBy("day_start", "survivor_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+    make_timestamp(1704067200000000 + doc_id * 600000000) AS ingest_ts
+  FROM documents),
+redel AS (SELECT doc_id + 1000 AS doc_id, text,
+    ingest_ts + INTERVAL 30 MINUTE AS ingest_ts
+  FROM base WHERE doc_id % 7 = 0),
+a AS (SELECT * FROM base UNION ALL SELECT * FROM redel)
+SELECT epoch_us(date_trunc('day', ingest_ts)) // 1000000 AS day_start,
+  min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM a GROUP BY date_trunc('day', ingest_ts), lower(trim(text))
+ORDER BY day_start, survivor_id"""))
+
   val all: Seq[Q] = Seq(streamTumbling, streamSliding, streamSession,
     streamDedup, streamLateData, streamStaticJoin, streamStreamJoin,
     streamResampleFill, streamCdcApply, streamTopkWindowed,
-    streamInterpolate)
+    streamInterpolate, streamCorpusDedup)
 }

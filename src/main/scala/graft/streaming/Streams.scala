@@ -187,6 +187,34 @@ object Streams {
         (lit(asOfUs) - col("last_us") > lit(slaHours * 3600000000L))
           .as("sla_breach"))
 
+  /** Streaming corpus exact-dedup — the INGEST face of the batch
+    * `llm_exact_dedup` key (a production LLM pipeline ingests documents
+    * continuously; this is the first streaming operator its operator asks
+    * for). One stateful aggregation keyed by (1-day event-time window,
+    * `xxhash64(lower(trim(text)))`): per content within the horizon, the
+    * surviving doc (min doc_id — the SAME survivor rule as the batch key,
+    * NOT first-arriving, so the result is arrival-order independent and
+    * stream == batch holds EXACTLY over any out-of-order replay;
+    * StreamingSpec pins it) and the copy count.
+    *
+    * State bound: one (window, hash, min, count) row — ~40 bytes — per
+    * DISTINCT document in an open window; the TEXT never enters state
+    * (the hash is computed map-side and the payload is dropped before the
+    * shuffle). Closed windows evict at the watermark, so state is
+    * horizon-bounded at any stream length. The window IS the dedup scope:
+    * a document re-ingested in a later window survives again there —
+    * cross-horizon dedup is the batch `llm_exact_dedup` /
+    * `llm_decontaminate_bloom` job's role, not the online gate's.
+    */
+  def corpusDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), "1 day").as("w"),
+        xxhash64(lower(trim(col("text")))).as("content_hash"))
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(unix_timestamp(col("w.start")).as("day_start"),
+        col("survivor_id"), col("n_copies"))
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame = events
     .withWatermark("ts", "10 minutes")

@@ -917,6 +917,53 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex collapses append-accumulated files; probe results unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Seq(Array.fill(16)(5.0), Array.fill(16)(-5.0),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 30).map(i =>
+        (ci * 100L + i, c.map(x => x + rnd.nextGaussian() * 0.05)))
+    }
+    val nv = Vectors.normalized(data.toDF("id", "vec"), "vec")
+      .select(col("id"), col("vd"), col("nrm"))
+    val base = nv.filter(col("id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anncompact_spec_")
+      .toFile.getAbsolutePath
+    try {
+      Vectors.writeIndex(base, "id", dir, k = 3, iters = 2)
+      // 2 delta appends: each lands new files beside the old per cell
+      Vectors.appendToIndex(spark, dir, nv.filter(col("id") % 3 === 1), "id")
+      Vectors.appendToIndex(spark, dir, nv.filter(col("id") % 3 === 2), "id")
+      val qs = nv.filter(col("id").isin(0L, 100L, 200L))
+      val before = Vectors.probeIndex(spark, dir, qs, "id", k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      val filesBefore = Vectors.indexFilesPerCell(spark, dir)
+      assert(filesBefore.values.max >= 3,
+        s"appends should accumulate files per cell: $filesBefore")
+      Vectors.compactIndex(spark, dir, "id")
+      // physical rewrite only: every cell back to one file (rows << target),
+      // row multiset intact, probe results identical, codebook untouched
+      val filesAfter = Vectors.indexFilesPerCell(spark, dir)
+      assert(filesAfter.keySet == filesBefore.keySet,
+        s"compaction must preserve the cell set: $filesBefore vs $filesAfter")
+      assert(filesAfter.values.forall(_ == 1),
+        s"compacted cells should hold one file each: $filesAfter")
+      assert(spark.read.parquet(s"$dir/index").count() == nv.count())
+      val after = Vectors.probeIndex(spark, dir, qs, "id", k = 3, probes = 2)
+        .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect().sorted
+      assert(after.sameElements(before),
+        s"probe diverged across compaction:\nbefore=${before.mkString(",")}\nafter=${after.mkString(",")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("assignCellsJoin (broadcast-codebook path) equals the literal-codebook assignCells") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
@@ -1591,5 +1638,71 @@ class ApiSpec extends SparkSpec {
     assert(areas.max <= 64, s"a file's box covers ${areas.max} cells (> 4 tiles)")
     assert(areas.sum.toDouble / areas.size <= 32.0,
       s"mean box area ${areas.sum / 16.0} — z-clustering not localizing")
+  }
+
+  test("z-ordered layout SKIPS files a single-key sort must read (the read payoff)") {
+    import graft.api.Layout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the Layout scaladoc's claim, measured: a layout sorted on x alone
+    // answers `y = …` by reading EVERY file; the z-ordered copy of the
+    // same rows reads only the files whose (min_y, max_y) zone admits it.
+    // The observable is the scan's OWN numOutputRows metric — rows the
+    // parquet reader materialized after row-group min/max pruning of the
+    // pushed-down predicate — not the post-filter result size.
+    val root = java.nio.file.Files.createTempDirectory("graft_zskip_spec_")
+    val naiveDir = root.resolve("naive").toString
+    val zDir = root.resolve("zorder").toString
+    val df = spark.range(0, 4096)
+      .select((col("id") % 16).cast("int").as("x"),
+        ((col("id") / 16) % 16).cast("int").as("y"))
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(naiveDir)
+    Layout.zOrderWrite(spark,
+      df.withColumn("z", Layout.zValue(col("x"), col("y"), 4)), "z", 16, zDir)
+    def materialized(dir: String): (Long, Long) = {
+      val rd = spark.read.parquet(dir).filter(col("y") === 3)
+      val n = rd.count()
+      // count() re-plans; execute the frame itself to read its scan metric
+      rd.collect()
+      val scanRows = rd.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+      (n, scanRows)
+    }
+    val (nNaive, naiveScan) = materialized(naiveDir)
+    val (nZ, zScan) = materialized(zDir)
+    assert(nNaive == 256 && nZ == 256, "both layouts must return the 256 rows")
+    // x-sorted layout: every file spans all y → zero row groups skip
+    assert(naiveScan == 4096L,
+      s"x-sorted layout should materialize every row for a y predicate: $naiveScan")
+    // z-ordered layout: only files whose y-box admits y=3 are read
+    assert(zScan <= naiveScan / 2,
+      s"z-ordered scan should skip most files: scanned $zScan of $naiveScan")
+  }
+
+  test("Sql.registerFts exposes the FTS metrics to spark.sql; view == builder") {
+    val ev = graft.ops.T.events(spark, sf)
+    graft.api.Sql.registerFts(spark, ev, k = 3)
+    // the SQL face returns exactly what the Scala builder returns
+    val viaSql = spark.sql(
+      "SELECT user_id, n_events, n_errors, error_rate FROM fts_success_rate")
+    val direct = graft.api.Fts
+      .successRate(ev, Seq("user_id"), col("event_type") === "error")
+      .select("user_id", "n_events", "n_errors", "error_rate")
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0,
+      "fts_success_rate view must equal the Fts.successRate builder")
+    // views inline before optimization: a consumer predicate pushes THROUGH
+    // the view into the parquet scan (the SQL surface pays what Scala pays)
+    val p = spark.sql(
+      "SELECT * FROM fts_hourly WHERE event_type = 'error'")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(event_type,error)"),
+      s"consumer predicate must push through the view to the scan:\n$p")
+    // the top-k view honors k per group with the registered deterministic order
+    val topCounts = spark.sql(
+      "SELECT event_type, count(*) AS n FROM fts_top_events GROUP BY 1")
+      .collect().map(_.getAs[Long]("n"))
+    assert(topCounts.nonEmpty && topCounts.forall(_ <= 3L))
   }
 }

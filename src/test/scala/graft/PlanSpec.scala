@@ -86,6 +86,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed join must not shuffle its inputs:\n$p")
   }
 
+  test("graph_edges_persist reaches the u-grain aggregate with zero exchange (bucketed artifact)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("graph_edges_persist")
+    // the degree aggregate groups on the BUCKET key `u`: the stored layout
+    // must answer it straight off the scan — any shuffle below it means the
+    // bucket metadata was lost (path write instead of saveAsTable) and the
+    // artifact is just a parquet copy, not an index
+    val uAggs = collectWithSubqueries(p) {
+      case a: HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.startsWith("u#")) => a
+    }
+    assert(uAggs.nonEmpty, s"expected the u-grain degree aggregate:\n$p")
+    val shufflesUnder = uAggs.flatMap(a => collectWithSubqueries(a) {
+      case e: ShuffleExchangeExec => e
+    })
+    assert(shufflesUnder.isEmpty,
+      s"u-grain aggregate over the bucketed edge table must not shuffle:\n$p")
+  }
+
   test("near-dup candidate generation plans equi-joins, never a cartesian/BNLJ") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     Seq("llm_minhash_neardup", "llm_simhash_neardup", "llm_ngram_jaccard",
