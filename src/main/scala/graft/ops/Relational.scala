@@ -1734,6 +1734,78 @@ x AS (SELECT ${dec6SumSql(q6Sql("contrib"))} AS chi2,
 SELECT o_orderpriority, o_orderstatus, obs, expected, contrib, chi2, dof
 FROM e, x ORDER BY o_orderpriority, o_orderstatus"""))
 
+  /** Cramér's V effect size (§2.4 ext, r11) — the MAGNITUDE companion to
+    * [[aggChi2]]'s significance test: at corpus scale chi² rejects
+    * independence for trivially small effects (it grows linearly with n),
+    * so the monitoring question "does event mix actually DEPEND on
+    * customer segment" needs `V = sqrt(chi²/(n·min(r−1, c−1)))` ∈ [0, 1],
+    * which is n-invariant. Contingency here: event_type × c_mktsegment
+    * (events enriched by the customer dimension — the stream_static_join
+    * shape). One row: (n, r_levels, c_levels, dof, chi2, cramers_v).
+    *
+    * Float discipline: the per-cell contributions are identical IEEE
+    * chains but their SUM is order-dependent in double — quantize at 1e-6
+    * and sum as exact DECIMAL ([[H.q6]]/[[H.dec6Sum]], the aggChi2
+    * discipline); V then closes as one division + correctly-rounded sqrt
+    * on identical bits → RAW.
+    *
+    * Scale shape: the fact table collapses to CELL grain (types ×
+    * segments) in one map-side-combinable agg after a broadcast dim join;
+    * marginals, totals, and the V close all run on the bounded cell frame.
+    */
+  private val aggCramersV = Q(
+    "agg_cramers_v",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"))
+      val cust = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cells = ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("event_type").agg(sum("obs").as("rt"))
+      val ct = cells.groupBy("c_mktsegment").agg(sum("obs").as("ct"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("event_type").as("r_levels"),
+        countDistinct("c_mktsegment").as("c_levels"))
+      val obsD = col("obs").cast("double")
+      val expected = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val e = cells.join(rt, "event_type").join(ct, "c_mktsegment")
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          (obsD - expected) * (obsD - expected) / expected)
+      e.groupBy("n", "r_levels", "c_levels")
+        .agg(dec6Sum(q6(col("contrib"))).as("chi2"))
+        .select(col("n"), col("r_levels"), col("c_levels"),
+          ((col("r_levels") - 1L) * (col("c_levels") - 1L)).as("dof"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("r_levels") - 1L, col("c_levels") - 1L)
+              .cast("double"))).as("cramers_v"))
+    },
+    Some(s"""WITH ev AS (SELECT event_type, c_mktsegment
+  FROM events JOIN customer ON user_id = c_custkey),
+c AS (SELECT event_type, c_mktsegment, count(*) AS obs FROM ev GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+ct AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        count(DISTINCT event_type) AS r_levels,
+        count(DISTINCT c_mktsegment) AS c_levels FROM c),
+e AS (SELECT (CAST(obs AS DOUBLE)
+          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(obs AS DOUBLE)
+          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib,
+        n, r_levels, c_levels
+      FROM c JOIN rt USING (event_type) JOIN ct USING (c_mktsegment), t)
+SELECT n, r_levels, c_levels,
+  (r_levels - 1) * (c_levels - 1) AS dof,
+  ${dec6SumSql(q6Sql("contrib"))} AS chi2,
+  sqrt(${dec6SumSql(q6Sql("contrib"))}
+    / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))
+    AS cramers_v
+FROM e GROUP BY n, r_levels, c_levels"""))
+
   /** Two-sample Kolmogorov–Smirnov test (§2.4 ext) — the distributional
     * twin of [[aggAbTest]]'s proportion z-test: D = max |F̂₁(v) − F̂₂(v)|
     * between the order-value ECDFs of finished ('F') vs open ('O') orders,
@@ -1962,6 +2034,99 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
 (n * sxy - sx * sy) * (n * sxy - sx * sy)
   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 FROM h ORDER BY l_returnflag"""))
+
+  /** Two-regressor OLS via the 3×3 normal equations (§2.4 ext, r11) —
+    * [[aggOlsFit]]'s multivariate step: `price ~ quantity + discount` per
+    * return flag, solved in CLOSED FORM by Cramer's rule over the nine
+    * sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y,
+    * Σx₂y, plus Σy² for R²) — distributed multi-feature regression as ONE
+    * map-side-combinable aggregation pass and a 3-row scalar close: no
+    * iteration, no driver-side data, no linear-algebra library. Emits
+    * (flag, n_rows, b0, b_qty, b_disc, r2).
+    *
+    * Float discipline (the [[aggOlsFit]] r11 rule, one feature wider):
+    * x₁ = quantity cents, x₂ = discount basis points (both exact
+    * integers via [[H.cents]]), y = price cents; every sufficient
+    * statistic is an exact BIGINT sum — the only one whose total passes
+    * 2^53 is Σy² (≈6e19 at sf0.1), which takes the [[H.hiLoSums]]
+    * split-sum (per-row p = yc² ≤ 1e14 < 2^63; n per flag ≤ 2e5 < 2^28).
+    * The Cramer determinants and the R² close are identical spelled-order
+    * IEEE on identical bits in both engines → RAW. Coefficients are
+    * scale-invariant under the common ×100 except the intercept, which
+    * divides back once.
+    */
+  private val aggOlsMulti = Q(
+    "agg_ols_multi",
+    (s, d) => {
+      val x1 = cents(col("l_quantity"))
+      val x2 = cents(col("l_discount"))
+      val yc = cents(col("l_extendedprice"))
+      val aggs = Seq(
+          sum(x1).cast("double").as("s1"),
+          sum(x2).cast("double").as("s2"),
+          sum(yc).cast("double").as("sy"),
+          sum(x1 * x1).cast("double").as("s11"),
+          sum(x2 * x2).cast("double").as("s22"),
+          sum(x1 * x2).cast("double").as("s12"),
+          sum(x1 * yc).cast("double").as("s1y"),
+          sum(x2 * yc).cast("double").as("s2y")) ++
+        hiLoSums(yc * yc, "yy")
+      val g = T.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+        .withColumn("syy", hiLoClose("yy"))
+      import org.apache.spark.sql.Column
+      def det(a: Column, b: Column, c: Column, p: Column, q0: Column,
+          r: Column, x: Column, y: Column, z: Column): Column =
+        a * (q0 * z - r * y) - b * (p * z - r * x) + c * (p * y - q0 * x)
+      val (n, s1, s2, sy) = (col("n"), col("s1"), col("s2"), col("sy"))
+      val (s11, s22, s12) = (col("s11"), col("s22"), col("s12"))
+      val (s1y, s2y, syy) = (col("s1y"), col("s2y"), col("syy"))
+      val dA = det(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val d0 = det(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val d1 = det(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val d2 = det(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      val b0 = d0 / dA
+      val b1 = d1 / dA
+      val b2 = d2 / dA
+      val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+      val sst = syy - sy * sy / n
+      g.select(col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+          (b0 / lit(100.0)).as("b0"), b1.as("b_qty"), b2.as("b_disc"),
+          (lit(1.0) - sse / sst).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH c AS (SELECT l_returnflag,
+    ${centsSql("l_quantity")} AS x1, ${centsSql("l_discount")} AS x2,
+    ${centsSql("l_extendedprice")} AS yc
+  FROM lineitem),
+g AS (SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x1) AS DOUBLE) AS s1,
+    CAST(sum(x2) AS DOUBLE) AS s2,
+    CAST(sum(yc) AS DOUBLE) AS sy,
+    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+    CAST(sum(x1 * yc) AS DOUBLE) AS s1y,
+    CAST(sum(x2 * yc) AS DOUBLE) AS s2y,
+    ${hiLoSumsSql("yc * yc", "yy")}
+  FROM c GROUP BY l_returnflag),
+h AS (SELECT *, ${hiLoCloseSql("yy")} AS syy FROM g),
+k AS (SELECT l_returnflag, n, sy, s1y, s2y, syy,
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS dA,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS d1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS d2
+  FROM h)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+  d0 / dA / 100.0 AS b0, d1 / dA AS b_qty, d2 / dA AS b_disc,
+  1.0 - (syy - d0 / dA * sy - d1 / dA * s1y - d2 / dA * s2y)
+      / (syy - sy * sy / n) AS r2
+FROM k ORDER BY l_returnflag"""))
 
   /** PHYSICALLY persisted daily-sketch table (§2.4 ext) — the missing
     * storage half of [[aggHllMerge]], which sketches and merges within
@@ -2428,7 +2593,8 @@ GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(
     sqlViewSurface,
-    aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2, aggKsTest,
+    aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2,
+    aggCramersV, aggKsTest,
     aggBootstrapCi, aggSpearman, aggMannWhitney, aggWelchTtest, aggBenford,
     aggTheilIndex,
     srcParquetScan, srcCsvRoundtrip, srcOrcRoundtrip, srcJsonLines,
@@ -2444,7 +2610,7 @@ GROUP BY user_id ORDER BY user_id"""))
     aggGlobal, aggGroupbyHash, aggSuccessRate, aggAbTest, aggCountDistinct,
     aggApproxDistinct, aggHllMerge, aggHllMergeExact, aggHllIntersect,
     aggHllIntersectExact, aggHistQuantileMerge, aggHllSketchTable,
-    aggCorrMatrix, aggOlsFit,
+    aggCorrMatrix, aggOlsFit, aggOlsMulti,
     aggGroupingSets, aggRollup, aggCube, aggHaving,
     aggPercentiles, aggApproxPercentiles, aggMadOutliers, aggApproxTopk,
     aggWeightedPercentile, aggStats, aggCollectSorted,

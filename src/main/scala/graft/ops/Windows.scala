@@ -1529,7 +1529,79 @@ SELECT event_type, day, raw_value, filled_value,
   raw_value IS NULL AND filled_value IS NOT NULL AS was_filled
 FROM f ORDER BY event_type, day"""))
 
-  val all: Seq[Q] = Seq(winRankTopk, winNtile, winNtileScalable, winLagLead,
+  /** Rolling 7-day Pearson correlation between two daily series (§2.5 ext,
+    * r11) — the co-movement monitor next to [[aggAutocorr]]'s
+    * self-movement: per day, do click volume and error volume move
+    * together over the trailing week (a rising corr_7d is the "errors
+    * scale with load" signature; a falling one, an error source decoupled
+    * from traffic)? Emits (day, x, y, n_win, corr_7d) with corr NULL until
+    * the window fills (n_win < 7) or when either side's trailing variance
+    * is zero — surfaced honestly rather than emitting NaN.
+    *
+    * Float discipline: daily counts are exact BIGINTs, so every windowed
+    * sufficient statistic (Σx, Σy, Σx², Σy², Σxy over ROWS 6 PRECEDING)
+    * is an exact integer window sum — order-independent by construction,
+    * no decimal needed (well under 2⁵³: counts ≤ ~10⁴/day even at 1000×
+    * the fixture) — and the closing Pearson chain is identical
+    * spelled-order IEEE on identical bits → RAW.
+    *
+    * Scale shape: the corpus collapses to CALENDAR grain in one
+    * map-side-combinable conditional aggregate; the rolling window runs
+    * unpartitioned over the DAYS frame (the winNtile caveat — bounded by
+    * the calendar, not the corpus).
+    */
+  private val winRollingCorr = Q(
+    "win_rolling_corr",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      val r = daily.select(col("day"), col("x"), col("y"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = dbl("n_win")
+      val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      r.select(col("day"), col("x"), col("y"), col("n_win"),
+          when(col("n_win") === 7L && vx > 0.0 && vy > 0.0,
+            (nD * dbl("sxy") - dbl("sx") * dbl("sy")) / sqrt(vx * vy))
+            .as("corr_7d"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+r AS (SELECT day, x, y,
+    count(*) OVER w AS n_win,
+    CAST(sum(x) OVER w AS BIGINT) AS sx,
+    CAST(sum(y) OVER w AS BIGINT) AS sy,
+    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+c AS (SELECT day, x, y, n_win,
+    CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+    CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+    CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+  FROM r)
+SELECT day, x, y, n_win,
+  CASE WHEN n_win = 7 AND vx > 0.0 AND vy > 0.0
+       THEN cxy / sqrt(vx * vy) END AS corr_7d
+FROM c ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(winRollingCorr, winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,

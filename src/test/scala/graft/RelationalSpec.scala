@@ -238,6 +238,82 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("agg_ols_multi equals a driver-side Cramer solve; r2 >= single-feature r2") {
+    import spark.implicits._
+    val got = q("agg_ols_multi").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("b0"),
+          r.getAs[Double]("b_qty"), r.getAs[Double]("b_disc"),
+          r.getAs[Double]("r2"))).toMap
+    val rows = graft.ops.T.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .as[(String, Double, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val n = g.length.toDouble
+      val (x1, x2, y) = (g.map(_._2), g.map(_._3), g.map(_._4))
+      val (s1, s2, sy) = (x1.sum, x2.sum, y.sum)
+      val s11 = x1.map(v => v * v).sum
+      val s22 = x2.map(v => v * v).sum
+      val s12 = x1.zip(x2).map(p => p._1 * p._2).sum
+      val s1y = x1.zip(y).map(p => p._1 * p._2).sum
+      val s2y = x2.zip(y).map(p => p._1 * p._2).sum
+      val syy = y.map(v => v * v).sum
+      def det(m: Array[Double]) =
+        m(0) * (m(4) * m(8) - m(5) * m(7)) -
+          m(1) * (m(3) * m(8) - m(5) * m(6)) +
+          m(2) * (m(3) * m(7) - m(4) * m(6))
+      val dA = det(Array(n, s1, s2, s1, s11, s12, s2, s12, s22))
+      val b0 = det(Array(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)) / dA
+      val b1 = det(Array(n, sy, s2, s1, s1y, s12, s2, s2y, s22)) / dA
+      val b2 = det(Array(n, s1, sy, s1, s11, s1y, s2, s12, s2y)) / dA
+      val r2 = 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) /
+        (syy - sy * sy / n)
+      val (gn, gb0, gb1, gb2, gr2) = got(flag)
+      assert(gn === g.length.toLong)
+      // driver fold runs in original units/double sums — agree to ~1e-6 rel
+      assert(math.abs(gb0 - b0) <= 1e-6 * math.max(1.0, math.abs(b0)),
+        s"$flag b0: $gb0 vs $b0")
+      assert(math.abs(gb1 - b1) <= 1e-6 * math.abs(b1), s"$flag b1")
+      assert(math.abs(gb2 - b2) <= 1e-6 * math.abs(b2), s"$flag b2")
+      assert(math.abs(gr2 - r2) < 1e-9 && gr2 >= 0.0 && gr2 <= 1.0)
+    }
+    // adding a regressor can only improve the in-sample fit
+    val single = q("agg_ols_fit").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("r2")).toMap
+    got.foreach { case (flag, (_, _, _, _, r2m)) =>
+      assert(r2m >= single(flag) - 1e-12,
+        s"$flag: multi r2 $r2m below single-feature ${single(flag)}")
+    }
+  }
+
+  test("agg_cramers_v equals a driver-side recount and sits in [0, 1]") {
+    import spark.implicits._
+    val r0 = q("agg_cramers_v").collect().head
+    // recount the enriched contingency table driver-side
+    val obs = graft.ops.T.events(spark, sf)
+      .join(graft.ops.T.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy("event_type", "c_mktsegment").count()
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val rt = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = obs.values.sum.toDouble
+    var chi = 0.0
+    obs.foreach { case ((a, b), o) =>
+      val e = rt(a) * ct(b) / n
+      chi += (o - e) * (o - e) / e
+    }
+    val v = math.sqrt(chi / (n * math.min(rt.size - 1, ct.size - 1)))
+    assert(r0.getAs[Long]("n") === obs.values.sum)
+    assert(r0.getAs[Long]("dof") === (rt.size - 1L) * (ct.size - 1L))
+    assert(math.abs(r0.getAs[Double]("chi2") - chi) < 1e-3)
+    val got = r0.getAs[Double]("cramers_v")
+    assert(got >= 0.0 && got <= 1.0)
+    assert(math.abs(got - v) < 1e-4, s"V=$got vs recount $v")
+  }
+
   test("agg_ols_fit r2 is the squared Pearson correlation per group") {
     import spark.implicits._
     val fit = q("agg_ols_fit").select("l_returnflag", "r2")

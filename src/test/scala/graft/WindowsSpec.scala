@@ -451,6 +451,35 @@ class WindowsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("win_rolling_corr equals a driver-side windowed Pearson fold") {
+    import spark.implicits._
+    val rows = q("win_rolling_corr")
+      .select(col("day").cast("string"), col("x"), col("y"),
+        col("n_win"), col("corr_7d"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(rows.length == 30, "30 fixture days")
+    // warm-up rows: window not full -> NULL, n_win = row index + 1
+    rows.take(6).zipWithIndex.foreach { case ((_, _, _, nw, c), i) =>
+      assert(nw === i + 1L && c.isEmpty)
+    }
+    val xs = rows.map(_._2.toDouble)
+    val ys = rows.map(_._3.toDouble)
+    rows.zipWithIndex.drop(6).foreach { case ((_, _, _, nw, c), i) =>
+      assert(nw === 7L)
+      val (wx, wy) = (xs.slice(i - 6, i + 1), ys.slice(i - 6, i + 1))
+      val (sx, sy) = (wx.sum, wy.sum)
+      val vx = 7.0 * wx.map(v => v * v).sum - sx * sx
+      val vy = 7.0 * wy.map(v => v * v).sum - sy * sy
+      if (vx > 0 && vy > 0) {
+        val want = (7.0 * wx.zip(wy).map(p => p._1 * p._2).sum - sx * sy) /
+          math.sqrt(vx * vy)
+        assert(c.isDefined && math.abs(c.get - want) < 1e-9,
+          s"day $i: ${c} vs $want")
+        assert(math.abs(c.get) <= 1.0 + 1e-12)
+      } else assert(c.isEmpty, s"zero-variance window must emit NULL at $i")
+    }
+  }
+
   test("win_ohlc bars bound open/close by high/low and conserve totals") {
     import spark.implicits._
     val df = q("win_ohlc").cache()
