@@ -484,6 +484,68 @@ object Graph {
       .agg(count(lit(1)).as("coredeg"))
   }
 
+  /** Open-ended k-core peel — [[kcore]] run to FIXPOINT: synchronous
+    * deg≥k rounds until a round removes nothing, returning (survivors
+    * with their in-core degree, executed rounds). The converged result is
+    * the true k-core (every survivor's degree among survivors is ≥ k —
+    * GraphsSpec asserts it directly), where the bounded [[kcore]] unroll
+    * is a trajectory prefix.
+    *
+    * Scale shape: identical per-round plan to [[kcore]] (edges restricted
+    * by two [[nodeHint]]-guarded node-grain semi-joins + one
+    * map-side-combinable degree aggregate; the edge list is never
+    * reshuffled), but each round's alive set localCheckpoints — the
+    * [[pagerankUntil]]/CC discipline that keeps plan depth CONSTANT at
+    * unbounded round counts (a lazy unroll would nest the whole history
+    * into one plan and die in the optimizer long before the cluster
+    * notices) — and the previous round's blocks free as soon as the next
+    * lands. Convergence detection is one count per round, the same price
+    * [[pagerankUntil]] pays for its delta.
+    */
+  def kcoreUntil(edgesIn: DataFrame, k: Int, maxRounds: Int = 100,
+      broadcastMaxNodes: Long = 5000000L): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val out = df.localCheckpoint(true)
+      val rdd = out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None // unexpected plan shape: leak (bounded) over misfree
+      }
+      (out, rdd)
+    }
+    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val hinted = nodeHint(edges, broadcastMaxNodes)
+    var (alive, aliveRdd) = checkpointTracked(
+      edges.select(col("src").as("node")).distinct())
+    var n = alive.count()
+    var rounds = 0
+    var shrunk = true
+    while (rounds < maxRounds && shrunk) {
+      val (next, nextRdd) = checkpointTracked(edges
+        .join(hinted(alive.select(col("node").as("src"))), "src")
+        .join(hinted(alive.select(col("node").as("dst"))), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select("node"))
+      val m = next.count()
+      shrunk = m < n
+      aliveRdd.foreach(_.unpersist(blocking = false))
+      alive = next
+      aliveRdd = nextRdd
+      n = m
+      rounds += 1
+    }
+    val out = edges
+      .join(hinted(alive.select(col("node").as("src"))), "src")
+      .join(hinted(alive.select(col("node").as("dst"))), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("coredeg"))
+    (out, rounds)
+  }
+
   /** Neighborhood-Jaccard node similarity over a SYMMETRIC edge list
     * `edges(src, dst)` — "items whose co-occurrence neighborhoods overlap"
     * (the item-item similarity of market-basket analysis, and the graph

@@ -48,4 +48,33 @@ object Sql {
         Seq(col("value").desc, col("event_id").asc), k)
       .createOrReplaceTempView("fts_top_events")
   }
+
+  /** Registers the CORPUS-pipeline views over a documents frame (schema
+    * `doc_id, text, lang, source, n_chars, …`) — the LLM-data half of the
+    * SQL face. Views installed:
+    *
+    *  - `graft_documents`    — the source frame itself;
+    *  - `corpus_quality`     — per-doc quality flags
+    *    ([[Text.qualityFlags]]: char band, token floor, stopword-ratio
+    *    cap, the `kept` gate);
+    *  - `corpus_token_counts`— per-doc whitespace / regex / BPE-proxy
+    *    token counts ([[Text.tokenCounts]]);
+    *  - `corpus_exact_dups`  — every doc with its `dup_rank` within its
+    *    normalized-content group ([[Dedup.exactDupRank]] on
+    *    `lower(trim(text))`; `dup_rank = 1` is the surviving copy, so
+    *    `WHERE dup_rank > 1` is the SQL deletion list).
+    *
+    * Same inlining contract as [[registerFts]]: a view stores the
+    * analyzed plan, consumer predicates push through to the scan.
+    */
+  def registerCorpus(spark: SparkSession, docs: DataFrame,
+      stopwords: Seq[String] = Text.defaultStopwords): Unit = {
+    docs.createOrReplaceTempView("graft_documents")
+    Text.qualityFlags(docs, "text", "n_chars", stopwords)
+      .createOrReplaceTempView("corpus_quality")
+    Text.tokenCounts(docs, "text")
+      .createOrReplaceTempView("corpus_token_counts")
+    Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
+      .createOrReplaceTempView("corpus_exact_dups")
+  }
 }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Text {
 
+  /** The default English stopword set shared by every quality-filter
+    * surface (the fixture registry keys, [[Sql.registerCorpus]]'s views) —
+    * ONE definition so the Scala and SQL faces cannot drift. Callers with
+    * a domain-specific list pass their own.
+    */
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
   /** Adds `n_toks`, `n_stop`, `stop_ratio` and a `kept` quality flag
     * (char-length band + token floor + stopword-ratio cap). Pure per-row
     * projection — composes under any downstream filter or aggregate.

@@ -1481,7 +1481,7 @@ CAST(sum(n_toks) AS BIGINT) AS n_toks, CAST(sum(n_chars) AS BIGINT) AS n_chars,
 CAST(count(*) AS DOUBLE) / total AS doc_share
 FROM x, t GROUP BY split, total ORDER BY split"""))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopwords = Text.defaultStopwords
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** LINEAR MODEL SCORING — batch inference of a fixed interpretable

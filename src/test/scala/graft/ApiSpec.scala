@@ -1705,4 +1705,34 @@ class ApiSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n"))
     assert(topCounts.nonEmpty && topCounts.forall(_ <= 3L))
   }
+
+  test("Sql.registerCorpus exposes the corpus pipeline to spark.sql; view == builder") {
+    val docs = graft.ops.T.documents(spark, sf)
+    graft.api.Sql.registerCorpus(spark, docs)
+    // dedup view == builder row-for-row, and the SQL deletion-list idiom
+    // (WHERE dup_rank > 1) counts exactly the non-survivors
+    val viaSql = spark.sql(
+      "SELECT doc_id, dup_rank FROM corpus_exact_dups")
+    val direct = graft.api.Dedup
+      .exactDupRank(docs, "doc_id", lower(trim(col("text"))))
+      .select("doc_id", "dup_rank")
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0)
+    val nonSurvivors = spark.sql(
+      "SELECT count(*) FROM corpus_exact_dups WHERE dup_rank > 1")
+      .collect()(0).getLong(0)
+    assert(nonSurvivors == direct.filter(col("dup_rank") > 1).count())
+    assert(nonSurvivors ==
+      docs.count() - direct.filter(col("dup_rank") === 1).count())
+    // quality view: the kept gate agrees with the builder's counts
+    val keptSql = spark.sql(
+      "SELECT count(*) FROM corpus_quality WHERE kept").collect()(0).getLong(0)
+    val keptDirect = graft.api.Text.qualityFlags(docs, "text", "n_chars",
+        graft.api.Text.defaultStopwords)
+      .filter(col("kept")).count()
+    assert(keptSql == keptDirect && keptSql > 0)
+    // token-count view carries all three counters per doc
+    val tc = spark.sql("SELECT n_ws, n_re, n_bpe4 FROM corpus_token_counts")
+    assert(tc.count() == docs.count())
+  }
 }

@@ -199,6 +199,33 @@ class GraphsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("kcoreUntil converges to the true k-core and matches the bounded unroll") {
+    import spark.implicits._
+    // K5 on 1..5 plus a pendant tail 5-6-7: one peel round suffices, the
+    // second detects the fixpoint
+    val und = (for (a <- 1 to 5; b <- a + 1 to 5)
+      yield (a.toLong, b.toLong)) ++ Seq((5L, 6L), (6L, 7L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val (core, rounds) = graft.api.Graph.kcoreUntil(edges, k = 3)
+    val got = core.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("coredeg")).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L) && got.values.forall(_ == 4L))
+    assert(rounds === 2, s"peel + fixpoint detection: $rounds")
+    // converged result IS the k-core: every survivor's in-core degree >= k
+    assert(got.values.forall(_ >= 3L))
+    graft.api.Caches.sweep(spark)
+    // a 10-path has NO 2-core: the cascade peels from both ends to empty —
+    // exactly the case a bounded unroll under-peels
+    val path = (1L to 9L).map(i => (i, i + 1))
+    val pEdges = path.toDF("src", "dst")
+      .union(path.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val (empty, pr) = graft.api.Graph.kcoreUntil(pEdges, k = 2)
+    assert(empty.count() === 0L, "a path has no 2-core")
+    assert(pr >= 5 && pr <= 7, s"two-ended cascade takes ~5 rounds: $pr")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("graph_bfs_hops hop-1 frontier is exactly part 0's co-order neighborhood") {
     val rows = q("graph_bfs_hops").collect()
     val hops = rows.map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
