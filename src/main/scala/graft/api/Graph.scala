@@ -633,6 +633,24 @@ object Graph {
   def readEdges(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = spark.table(table)
 
+  /** Appends a delta edge batch to a [[writeEdges]] table — the
+    * incremental-maintenance shape between full re-derivations (the
+    * [[graft.api.Vectors.appendToIndex]] discipline applied to the graph
+    * artifact): new co-occurrence edges from the day's facts land in the
+    * EXISTING bucketed layout via `insertInto`, which routes rows through
+    * the table's recorded bucket spec — the appended files are themselves
+    * bucketed by `u`, so every u-keyed aggregate/join over the grown table
+    * stays exchange-free (ApiSpec pins append == full-rewrite results AND
+    * the exchange-free plan). Dedup across batches is the CALLER's
+    * contract (edges are facts here; a set-semantics artifact
+    * anti-joins the delta against [[readEdges]] first — one node-keyed
+    * semi-shuffle, never a rewrite).
+    */
+  def appendEdges(spark: org.apache.spark.sql.SparkSession, table: String,
+      edges: DataFrame): Unit =
+    edges.select(col("u"), col("v"))
+      .write.mode("append").insertInto(table)
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the directed edge instances of a SYMMETRIC adjacency
     * `adj(src, dst)`. Returns ONE row (n_edges_directed, mean_deg,

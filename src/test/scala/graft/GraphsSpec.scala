@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * differently-ordered algorithm, an exact ratio identity) rather than
   * re-running the production plan.
   */
-class GraphsSpec extends SparkSpec {
+class GraphsSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("graph_pagerank conserves total rank mass on the symmetric graph") {
     // Each iteration redistributes every node's full rank across its edges
@@ -197,6 +198,45 @@ class GraphsSpec extends SparkSpec {
     assert(unhinted === got,
       s"hinted and unhinted kcore must agree: $got vs $unhinted")
     graft.api.Caches.sweep(spark)
+  }
+
+  test("appendEdges grows the bucketed artifact; probe == full rewrite, still exchange-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val tbl = "graph_edges_append_spec"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Paths.get(wh, tbl)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val all = (for (u <- 1L to 40L; v <- u + 1 to u + 3) yield (u, v))
+      .toDF("u", "v")
+    val base = all.filter(col("u") % 2 === 0)
+    val delta = all.filter(col("u") % 2 =!= 0)
+    graft.api.Graph.writeEdges(base, tbl)
+    graft.api.Graph.appendEdges(spark, tbl, delta)
+    val grown = graft.api.Graph.readEdges(spark, tbl)
+    // content: exactly the union, row for row
+    assert(grown.exceptAll(all).count() == 0 && all.exceptAll(grown).count() == 0)
+    // the appended files honor the bucket spec: u-grain agg stays
+    // exchange-free over the grown table
+    val probe = grown.groupBy("u").count()
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan
+    val uAggs = collectWithSubqueries(plan) {
+      case a: HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.startsWith("u#")) => a
+    }
+    assert(uAggs.nonEmpty, s"no u-grain HashAggregate in:\n$plan")
+    assert(uAggs.flatMap(a => collectWithSubqueries(a) {
+      case e: ShuffleExchangeExec => e
+    }).isEmpty,
+      "u-grain aggregate over the appended bucketed table must not shuffle")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("kcoreUntil converges to the true k-core and matches the bounded unroll") {
