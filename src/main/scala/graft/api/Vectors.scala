@@ -514,7 +514,7 @@ object Vectors {
     }
     base
       .select(col(idCol).as("id") +: expr("vec_dot(vd, vd)").as("norm2") +:
-        projCols: _*)
+        projCols.toIndexedSeq: _*)
       .withColumn("pvd", array((0 until k).map(j => col(s"p$j")): _*))
       .withColumn("pnorm2", expr("vec_dot(pvd, pvd)"))
   }

@@ -205,6 +205,9 @@ object Streams {
     * a document re-ingested in a later window survives again there —
     * cross-horizon dedup is the batch `llm_exact_dedup` /
     * `llm_decontaminate_bloom` job's role, not the online gate's.
+    *
+    * Input contract: `docs(doc_id long, text string, ingest_ts timestamp)`
+    * — the ingest id and arrival event-time; extra columns are ignored.
     */
   def corpusDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
