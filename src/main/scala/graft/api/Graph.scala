@@ -644,7 +644,12 @@ object Graph {
     * the exchange-free plan). Dedup across batches is the CALLER's
     * contract (edges are facts here; a set-semantics artifact
     * anti-joins the delta against [[readEdges]] first — one node-keyed
-    * semi-shuffle, never a rewrite).
+    * semi-shuffle, never a rewrite). COMPACTION for this artifact is just
+    * `writeEdges(readEdges(spark, table), table)` — the overwrite re-sorts
+    * and re-packs every bucket under the same spec (no separate code path
+    * to drift; the partitioned-ANN layout needs
+    * [[graft.api.Vectors.compactIndex]] only because its cells are
+    * DIRECTORIES whose codebook must survive the swap).
     */
   def appendEdges(spark: org.apache.spark.sql.SparkSession, table: String,
       edges: DataFrame): Unit =

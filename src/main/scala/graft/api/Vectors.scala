@@ -416,6 +416,16 @@ object Vectors {
       s"compactIndex could not move the compacted index into $indexPath")
   }
 
+  /** Whether a [[writeIndex]] layout has accumulated enough append files
+    * to be worth a [[compactIndex]] pass — the maintenance-policy probe a
+    * scheduler calls before paying the rewrite: true when ANY `cell=`
+    * directory holds more than `maxFilesPerCell` data files. Pure
+    * file-listing (no data read), so it is safe to poll every append.
+    */
+  def needsCompaction(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxFilesPerCell: Int = 8): Boolean =
+    indexFilesPerCell(spark, dir).values.exists(_ > maxFilesPerCell)
+
   /** Parquet data files per `cell=` partition directory of a
     * [[writeIndex]] layout — the compaction observable ([[compactIndex]]
     * scaladoc): appends grow these counts, compaction collapses them.

@@ -942,7 +942,10 @@ class ApiSpec extends SparkSpec {
       val filesBefore = Vectors.indexFilesPerCell(spark, dir)
       assert(filesBefore.values.max >= 3,
         s"appends should accumulate files per cell: $filesBefore")
+      // the scheduler-facing policy probe flips across the compaction
+      assert(Vectors.needsCompaction(spark, dir, maxFilesPerCell = 2))
       Vectors.compactIndex(spark, dir, "id")
+      assert(!Vectors.needsCompaction(spark, dir, maxFilesPerCell = 2))
       // physical rewrite only: every cell back to one file (rows << target),
       // row multiset intact, probe results identical, codebook untouched
       val filesAfter = Vectors.indexFilesPerCell(spark, dir)
