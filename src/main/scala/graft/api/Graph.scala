@@ -610,28 +610,81 @@ object Graph {
   }
 
   /** Persists a DERIVED edge list as a bucketed+sorted parquet table — the
-    * amortized production shape for the whole graph family: every graph key
-    * re-derives the co-order edge list per run (the documented
-    * standalone-cold bench policy), but a production deployment derives it
-    * ONCE, stores it bucketed by node, and runs every later analytic
-    * against the stored artifact. Bucketing by `u` (with within-bucket
-    * (u, v) sort) means any u-keyed aggregate or join over the read-back
-    * table is EXCHANGE-FREE — the bucketed-table discipline join_bucketed
-    * pins for facts, applied to the derived-graph artifact
-    * (llm_ann_index_persist's discipline for ANN, third instance).
+    * amortized production shape for the whole graph family: a production
+    * deployment derives the edge list ONCE, stores it bucketed by node, and
+    * runs every later analytic against the stored artifact. Bucketing by
+    * `u` (with within-bucket (u, v) sort) means any u-keyed aggregate or
+    * join over the read-back table is EXCHANGE-FREE — the bucketed-table
+    * discipline join_bucketed pins for facts, applied to the derived-graph
+    * artifact (llm_ann_index_persist's discipline for ANN, third instance).
+    *
+    * `payload` names extra columns stored beside (u, v) — e.g. a
+    * co-occurrence weight `w` — so ONE artifact serves both the weighted
+    * and the (projected) unweighted consumers; the bucket spec stays keyed
+    * on `u` regardless.
     *
     * `saveAsTable` is what records bucket metadata in the catalog
     * (a plain parquet path write loses it); `mode("overwrite")` makes
     * re-derivation replace, never merge. Read back with [[readEdges]].
     */
-  def writeEdges(edges: DataFrame, table: String, buckets: Int = 8): Unit =
-    edges.select(col("u"), col("v"))
+  def writeEdges(edges: DataFrame, table: String, buckets: Int = 8,
+      payload: Seq[String] = Nil): Unit =
+    edges.select((Seq("u", "v") ++ payload).map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "u").sortBy("u", "v").saveAsTable(table)
 
   /** The stored [[writeEdges]] artifact, bucket metadata intact. */
   def readEdges(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = spark.table(table)
+
+  // one writer at a time through the read-or-derive gate: concurrent
+  // first-callers (parallel test suites, racing threads in one session)
+  // would otherwise both see tableExists = false and double-write
+  private val artifactLock = new Object
+
+  /** Read-or-derive accessor for a [[writeEdges]] artifact — the
+    * derive-fallback that lets every graph analytic run against the stored
+    * table when it exists and pay the derivation exactly once per session
+    * when it does not: if `table` is absent from the session catalog, the
+    * `derive` frame is computed, written via [[writeEdges]] (after clearing
+    * any warehouse directory orphaned by a previous JVM — the in-memory
+    * catalog forgets tables at JVM exit, but their files survive and would
+    * fail the CREATE), and the READ-BACK table is returned either way, so
+    * callers always consume the same bucketed artifact plan shape.
+    *
+    * CONTRACT: the table name must uniquely identify the derivation AND its
+    * source data (the `graft.ops` callers embed the fixture directory in
+    * the name) — the accessor trusts the catalog, it cannot detect a stale
+    * artifact whose source changed under the same name. Artifact lifetime
+    * is the session catalog's: a new JVM re-derives on first touch.
+    * GraphsSpec pins read-back == direct derivation row-for-row.
+    */
+  def edgesOrDerive(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 8, payload: Seq[String] = Nil)(derive: => DataFrame)
+      : DataFrame = artifactLock.synchronized {
+    if (!spark.catalog.tableExists(table)) {
+      clearDeadWarehouseDir(spark, table)
+      writeEdges(derive, table, buckets, payload)
+    }
+    readEdges(spark, table)
+  }
+
+  /** Deletes the warehouse directory of a table the CURRENT catalog does
+    * not know — the leftover of a previous JVM whose in-memory catalog died
+    * with it. Without this, a fresh session's `saveAsTable` CREATE fails on
+    * the non-empty location. No-op when the directory is absent; never call
+    * it for a table the catalog still tracks (drop that through SQL).
+    */
+  private[graft] def clearDeadWarehouseDir(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = java.nio.file.Paths.get(wh, table.toLowerCase)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   /** Appends a delta edge batch to a [[writeEdges]] table — the
     * incremental-maintenance shape between full re-derivations (the
@@ -652,8 +705,8 @@ object Graph {
     * DIRECTORIES whose codebook must survive the swap).
     */
   def appendEdges(spark: org.apache.spark.sql.SparkSession, table: String,
-      edges: DataFrame): Unit =
-    edges.select(col("u"), col("v"))
+      edges: DataFrame, payload: Seq[String] = Nil): Unit =
+    edges.select((Seq("u", "v") ++ payload).map(col): _*)
       .write.mode("append").insertInto(table)
 
   /** Degree assortativity — the Pearson correlation of endpoint degrees

@@ -24,6 +24,14 @@ import H.{dec6Sum, dec6SumSql, q6, q6Sql}
   * fixture edge lists, delegate, and pin the result under the oracle gate,
   * so the reusable builders and the gated keys cannot drift apart.
   *
+  * EDGE ARTIFACT (r12): the co-order family no longer re-derives its edge
+  * list per key — every consumer reads the session-persisted bucketed
+  * artifact via [[coOrderArtifact]] (derive-once-per-session through
+  * [[graft.api.Graph.edgesOrDerive]]), the amortized production shape the
+  * r11 `graph_edges_persist` key proved. The DuckDB oracles still re-derive
+  * from raw parquet, so artifact == derivation is gated end-to-end on every
+  * key, and `graph_edges_persist` keeps pricing the one-time construction.
+  *
   * Float discipline (core.scala H + api/Graph scaladoc): per-iteration
   * PageRank contributions quantize to a 1e-6 grain IN DOUBLE SPACE
   * (`floor(q·1e6+0.5)/1e6`, identical IEEE ops both engines — a direct
@@ -64,11 +72,10 @@ object Graphs {
   private val graphPagerank = Q(
     "graph_pagerank",
     (s, d) => {
-      val e0 = T.orders(s, d)
-        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + SUPP_OFF).as("dst"))
-        .distinct()
+      // artifact read (r12): the weighted transaction artifact's (u, v)
+      // projection IS the distinct trading-pair set this key used to derive
+      val e0 = txnArtifact(s, d)
+        .select(col("u").as("src"), col("v").as("dst"))
       val edges =
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerank(edges, iters = 5)
@@ -107,13 +114,10 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
   private val graphPagerankWeighted = Q(
     "graph_pagerank_weighted",
     (s, d) => {
-      // cache e0 before the symmetric union (same reasoning as the LPA
-      // key: don't pay the orders ⋈ lineitem aggregation once per branch)
-      val e0 = Caches.cache(T.orders(s, d)
-        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("src"),
-          (col("l_suppkey") + SUPP_OFF).as("dst"))
-        .agg(count(lit(1)).as("w")))
+      // artifact read (r12); still cached — both union branches and every
+      // solver round re-read the frame
+      val e0 = Caches.cache(txnArtifact(s, d)
+        .select(col("u").as("src"), col("v").as("dst"), col("w")))
       val edges = e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       Graph.pagerankUntil(edges, eps = 0.0, maxIters = 5)._1
@@ -193,6 +197,86 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct())
 
+  /** The PERSISTED co-order graph artifact (r12): the WEIGHTED capped
+    * co-order edge list `(u, v, w)` (`u < v`, `w` = number of distinct
+    * co-ordering baskets) as a [[graft.api.Graph.writeEdges]] bucketed
+    * table, derived ONCE per (session, fixture dir) through
+    * [[graft.api.Graph.edgesOrDerive]] and READ by every graph key —
+    * the amortization the r11 `graph_edges_persist` key proved out
+    * (0.4 s read-back probe vs the 2–3.4 s derivation embedded in every
+    * graph row), applied to the whole family. One artifact serves all
+    * consumers because the weighted list SUBSUMES the distinct one:
+    * `select(u, v)` IS [[coOrderEdges]]' e0 (the pair aggregate's group
+    * key), `w ≥ 3` is graph_components' support filter, and `(u, v, w)`
+    * is graph_label_prop_weighted's input — so read-back == direct
+    * derivation row-for-row on every path (GraphsSpec pins it) and the
+    * DuckDB oracles, which always re-derive from raw parquet, still gate
+    * every key end-to-end.
+    *
+    * The 1-row basket-truncation metric persists beside it (`..._meta`):
+    * graph_triangles surfaces `n_capped_orders` from the stored artifact
+    * rather than re-running the ranking window. Table names embed the
+    * fixture dir (the [[graft.api.Graph.edgesOrDerive]] identity
+    * contract); artifact lifetime is the session catalog's — a fresh JVM
+    * re-derives on first touch, so a regenerated fixture can never be
+    * read through a stale artifact.
+    */
+  private[graft] def coOrderArtifact(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val metaTbl = s"graft_coorder_meta_$tag"
+    val ew = graft.api.Graph.edgesOrDerive(s, s"graft_coorder_$tag",
+        payload = Seq("w")) {
+      val (kept, capStats) = cappedItems(T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      // the meta table writes EAGERLY inside the derive callback so both
+      // artifacts come from the SAME cappedItems pass and appear together
+      // (edgesOrDerive holds the artifact lock around this whole block)
+      graft.api.Graph.clearDeadWarehouseDir(s, metaTbl)
+      capStats.coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(metaTbl)
+      kept.as("a").join(kept.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+    }
+    // repair path: edges present but meta dropped out from under it (a
+    // manual DROP mid-session) — re-derive just the 1-row metric rather
+    // than failing the whole key on a missing side table
+    if (!s.catalog.tableExists(metaTbl)) {
+      graft.api.Graph.clearDeadWarehouseDir(s, metaTbl)
+      val (_, capStats) = cappedItems(T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      capStats.coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(metaTbl)
+    }
+    (ew, s.table(metaTbl))
+  }
+
+  /** The persisted customer↔supplier TRANSACTION graph artifact (r12) —
+    * the [[coOrderArtifact]] discipline applied to the PageRank family's
+    * edge list: one directed edge `(u = custkey, v = suppkey + SUPP_OFF)`
+    * per trading pair with `w` = transaction (lineitem) multiplicity, from
+    * ONE `orders ⋈ lineitem` aggregation per (session, fixture dir). The
+    * weighted list subsumes the unweighted one (`select(u, v)` is the
+    * distinct pair set — the group key), and the symmetric union both
+    * PageRank keys need stays with the consumer (storing one direction
+    * halves the artifact; the union is a projection, not a shuffle).
+    */
+  private[graft] def txnArtifact(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Graph.edgesOrDerive(s, s"graft_txn_$tag",
+        payload = Seq("w")) {
+      T.orders(s, d)
+        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"),
+          (col("l_suppkey") + SUPP_OFF).as("v"))
+        .agg(count(lit(1)).as("w"))
+    }
+  }
+
   /** Shared oracle CTE prefix for the capped co-order graph: li → ranked →
     * kept → e0, mirroring [[coOrderEdges]].
     */
@@ -227,8 +311,11 @@ e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM kept a JOIN kept b ON a.ok = b.
   private val graphTriangles = Q(
     "graph_triangles",
     (s, d) => {
-      val (e0, capStats) = coOrderEdges(s, d)
-      Graph.triangles(e0).crossJoin(capStats)
+      // reads the persisted co-order artifact (r12) — the weighted table's
+      // (u, v) projection IS coOrderEdges' distinct e0, and the stored meta
+      // row carries the truncation metric, so no ranking window re-runs here
+      val (ew, capStats) = coOrderArtifact(s, d)
+      Graph.triangles(ew.select("u", "v")).crossJoin(capStats)
     },
     Some(s"""WITH $coOrderSql,
 deg AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
@@ -260,12 +347,10 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM e0) AS n_edg
   private val graphLabelProp = Q(
     "graph_label_prop",
     (s, d) => {
-      // cache e0 BEFORE the symmetric union: both union branches would
-      // otherwise re-derive the window + pair self-join inside the edge
-      // cache's population (2x the heaviest stage; 4 parquet scans in the
-      // explain instead of 2)
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      // artifact read (r12): the cache still matters — both union branches
+      // and every LPA round re-read the edge frame, and one in-memory copy
+      // beats 2×(rounds+1) parquet scans even of the bucketed artifact
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val edges =
         e0.select(col("u").as("src"), col("v").as("dst"))
           .union(e0.select(col("v").as("src"), col("u").as("dst")))
@@ -304,14 +389,9 @@ SELECT node, label FROM l4 ORDER BY node"""
   private val graphLabelPropWeighted = Q(
     "graph_label_prop_weighted",
     (s, d) => {
-      val (kept, _) = cappedItems(T.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-      val e0 = Caches.cache(
-        kept.as("a").join(kept.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("w")))
+      // the artifact IS this key's exact input — (u, v, w) with w the
+      // distinct-basket co-order count (r12)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1)
       val edges = e0
         .select(col("u").as("src"), col("v").as("dst"), col("w"))
         .union(e0.select(col("v").as("src"), col("u").as("dst"), col("w")))
@@ -366,8 +446,7 @@ SELECT node, label FROM l4 ORDER BY node"""
   private val graphModularity = Q(
     "graph_modularity",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val edges =
         e0.select(col("u").as("src"), col("v").as("dst"))
           .union(e0.select(col("v").as("src"), col("u").as("dst")))
@@ -426,8 +505,7 @@ FROM perc"""
   private val graphJaccardSim = Q(
     "graph_jaccard_sim",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val adj = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
       val capped = adj
@@ -551,8 +629,7 @@ ORDER BY u, v"""))
   private val graphBfsHops = Q(
     "graph_bfs_hops",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val edges = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
       Graph.bfsHops(edges, source = 0L, maxHops = 3).orderBy("node")
@@ -591,8 +668,7 @@ SELECT node, hop FROM v3 ORDER BY node"""
   private val graphKcore = Q(
     "graph_kcore",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val edges = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
       Graph.kcore(edges, k = 70, rounds = 5).orderBy("node")
@@ -646,8 +722,7 @@ ORDER BY node"""
   private val graphAssortativity = Q(
     "graph_assortativity",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val adj = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
       graft.api.Graph.assortativity(adj)
@@ -690,15 +765,11 @@ FROM m"""))
   private val graphComponents = Q(
     "graph_components",
     (s, d) => {
-      val (kept, _) = cappedItems(T.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-      val pairs = kept.as("a").join(kept.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
-        .agg(count(lit(1)).as("w"))
+      // the artifact's w IS this key's support count — the ≥3 filter runs
+      // on the stored column (r12), pruning before the solver as before
+      val pairs = coOrderArtifact(s, d)._1
         .filter(col("w") >= 3)
-        .select("a_id", "b_id")
+        .select(col("u").as("a_id"), col("v").as("b_id"))
       graft.api.Dedup.connectedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).as("n_parts"), min(col("id")).as("rep_part"))
@@ -739,7 +810,7 @@ FROM cc GROUP BY component ORDER BY component"""))
   private val graphClusteringCoeff = Q(
     "graph_clustering_coeff",
     (s, d) => {
-      val (e0, _) = coOrderEdges(s, d)
+      val e0 = coOrderArtifact(s, d)._1.select("u", "v")
       // cache the node-grain result: it feeds BOTH the avg aggregate and
       // the final cross join — uncached, the whole wedge pipeline would
       // re-execute per consumer (the modularity lesson)
@@ -789,8 +860,7 @@ SELECT node, degree, tri_n, cc, avg_cc FROM cc, a ORDER BY node"""))
   private val graphDegreeStats = Q(
     "graph_degree_stats",
     (s, d) => {
-      val (e0raw, _) = coOrderEdges(s, d)
-      val e0 = Caches.cache(e0raw)
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val deg = e0.select(col("u").as("n"))
         .union(e0.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -854,16 +924,8 @@ FROM dist, fit ORDER BY dg"""))
     (s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = s"graph_edges_$tag"
-      if (!s.catalog.tableExists(tbl)) {
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val dir = java.nio.file.Paths.get(wh, tbl)
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.api.Graph.clearDeadWarehouseDir(s, tbl)
       val (e0, _) = coOrderEdges(s, d)
       graft.api.Graph.writeEdges(e0, tbl)
       graft.api.Graph.readEdges(s, tbl)

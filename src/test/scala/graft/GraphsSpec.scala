@@ -429,6 +429,64 @@ class GraphsSpec extends SparkSpec
       rows.head.getAs[Double]("r2") <= 1.0)
   }
 
+  test("co-order artifact read-back equals the direct derivation (r12)") {
+    // the contract every artifact-consuming graph key rests on: the stored
+    // bucketed (u, v, w) table IS the capped weighted co-order derivation,
+    // row for row — so select(u, v) is coOrderEdges' e0, w >= 3 is the
+    // components support filter, and the meta row is the truncation metric
+    val (ew, meta) = graft.ops.Graphs.coOrderArtifact(spark, sf)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val direct = graft.ops.Graphs.capBaskets(li)._1 // distinct (u, v)
+    val directW = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(keySet(ew.select("u", "v")) === keySet(direct))
+    assert(keySet(ew) === keySet(directW))
+    // second touch READS (derive-fallback not re-entered): catalog knows it
+    assert(spark.catalog.tableExists(
+      s"graft_coorder_${sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}"))
+    val (ew2, _) = graft.ops.Graphs.coOrderArtifact(spark, sf)
+    assert(keySet(ew2) === keySet(ew))
+    assert(meta.collect()(0).getAs[Long]("n_capped_orders") === 0L)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("txn artifact read-back equals the direct derivation (r12)") {
+    val ew = graft.ops.Graphs.txnArtifact(spark, sf)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("u"),
+        (col("l_suppkey") + 1000000000L).as("v"))
+      .agg(count(lit(1)).as("w"))
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(keySet(ew) === keySet(direct))
+  }
+
+  test("kcore over the artifact equals kcore over a fresh derivation (r12)") {
+    // end-to-end per-builder pin: the gated key (artifact path) against the
+    // same solver fed by an in-memory derivation — plan source must be a
+    // pure physical detail
+    val fresh = graft.ops.Graphs.capBaskets(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())._1
+    val edges = fresh.select(col("u").as("src"), col("v").as("dst"))
+      .union(fresh.select(col("v").as("src"), col("u").as("dst")))
+    val derived = graft.api.Graph.kcore(edges, k = 70, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArtifact = q("graph_kcore")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArtifact === derived)
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")
