@@ -539,46 +539,41 @@ object Dedup {
     * propagation needs ~1000 (each a full distributed job wave — the
     * difference between seconds and a blown iteration cap at scale).
     *
-    * Every round `localCheckpoint`s its label frame — an iterative loop must
+    * Every round checkpoints its label frame — an iterative loop must
     * TRUNCATE logical lineage (persist alone caches data but every round
     * still re-analyzes the whole history, so driver planning cost grows
     * superlinearly with iterations) — and unpersists the superseded round's
     * blocks, so at most one generation of labels is materialized at a time
     * (plus the edge frame, freed on exit; the FINAL label frame stays
-    * materialized because it backs the returned DataFrame).
+    * materialized because it backs the returned DataFrame). Checkpoints are
+    * executor-LOCAL by default; pass `checkpointDir` for RELIABLE per-round
+    * state that survives executor loss on a real cluster — the
+    * [[Checkpoints]] durability knob (r12), a physical choice only (ApiSpec
+    * pins reliable == local row-for-row).
     *
     * Convergence is a label-sum fixed point (labels only ever decrease, so
     * an unchanged sum means no label moved). The probe is a driver action,
     * so it runs every 2nd round — an unchanged sum across two rounds is
     * still exactly a fixed point, and the probe count halves.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, checkpointDir)._1
 
   /** [[connectedComponents]] plus the number of hook+jump rounds it ran —
     * the observable behind the O(log n) claim. `graft.Stress` records it
     * (rounds ≈ log₂(longest label chain) + the 2-round convergence probe
     * granularity) and ApiSpec asserts it on a 1000-chain.
     */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50)
-      : (DataFrame, Int) = {
-    // localCheckpoint blocks register in persistentRdds, not the SQL cache.
-    // The handle for freeing them is taken DIRECTLY off the returned plan
-    // (an eager localCheckpoint always yields a LogicalRDD wrapping the
-    // persisted RDD) — never by diffing sparkContext.getPersistentRDDs,
-    // which would misattribute (and later evict) RDDs another thread
-    // persisted concurrently in the same shared SparkContext.
-    def checkpointTracked(df: DataFrame)
-        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint(true)
-      val rdd = out.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None // unexpected plan shape: leak (bounded) over misfree
-      }
-      (out, rdd)
-    }
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    // per-round lineage truncation — local blocks by default, reliable
+    // files under checkpointDir when the caller needs rounds to survive
+    // executor loss (the durability trade is on the Checkpoints scaladoc)
+    def checkpointTracked(df: DataFrame) =
+      Checkpoints.tracked(df, checkpointDir)
     def free(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
-      r.foreach(_.unpersist(blocking = false))
+      Checkpoints.free(r)
 
     val (edges, edgeRdd) = checkpointTracked(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))

@@ -52,7 +52,21 @@ object Graph {
     * uniformly in r11). The guard is a plan knob, never a semantics knob:
     * either path produces the identical result (GraphsSpec pins hinted ==
     * unhinted per builder by forcing `broadcastMaxNodes = 0`).
+    *
+    * MARGIN (r12): the probe is an ESTIMATE (±~5 % at the default rsd) and
+    * the comparison protects against an OOM, so the estimate is derated by
+    * [[NodeHintMargin]] (0.8 — covers a 2-sigma estimator miss with room to
+    * spare) before the ceiling check: a set probing just under the ceiling
+    * must never slip a too-large relation through on estimator error.
+    * SIZING the ceiling: a broadcast hash relation costs far more than the
+    * 8-byte key — UnsafeRow + BytesToBytesMap overhead lands at ~50–100
+    * bytes per node-grain row — so the default `broadcastMaxNodes = 5e6`
+    * means a ~250–500 MB relation, sized for the 8–16 GB-executor floor of
+    * a production cluster, not for the 8 bytes/node naive arithmetic.
+    * Callers on smaller executors pass a lower ceiling.
     */
+  private[graft] val NodeHintMargin = 0.8
+
   private[graft] def nodeHint(edges: DataFrame,
       broadcastMaxNodes: Long): DataFrame => DataFrame = {
     if (broadcastMaxNodes <= 0L) identity
@@ -60,7 +74,8 @@ object Graph {
       val nNodes = edges
         .select(explode(array(col("src"), col("dst"))).as("n"))
         .agg(approx_count_distinct(col("n")).as("c")).head().getLong(0)
-      if (nNodes <= broadcastMaxNodes) broadcast else identity
+      if (nNodes <= (broadcastMaxNodes * NodeHintMargin).toLong) broadcast
+      else identity
     }
   }
 
@@ -108,25 +123,21 @@ object Graph {
     * follows trade volume, not mere adjacency.
     *
     * Scale shape: per round ONE src-keyed equi-join + ONE dst-keyed hash
-    * aggregate (the [[pagerank]] step), then an eager `localCheckpoint` to
-    * truncate lineage (an open-ended loop would otherwise grow the plan
-    * superlinearly — the CC builder's discipline, Dedup.scala) and a
-    * node-grain driver probe for `max |Δ|`. At most one superseded rank
-    * generation stays materialized; the edge/out-mass frames persist via
-    * [[Caches]].
+    * aggregate (the [[pagerank]] step), then an eager per-round checkpoint
+    * to truncate lineage (an open-ended loop would otherwise grow the plan
+    * superlinearly — the CC builder's discipline, Dedup.scala): executor-
+    * local by default, RELIABLE into `checkpointDir` when rounds must
+    * survive executor loss (the [[Checkpoints]] durability knob, r12) —
+    * and a node-grain driver probe for `max |Δ|`. At most one superseded
+    * rank generation stays materialized; the edge/out-mass frames persist
+    * via [[Caches]].
     */
   def pagerankUntil(edgesIn: DataFrame, eps: Double = 1e-6,
-      maxIters: Int = 40): (DataFrame, Int) = {
+      maxIters: Int = 40,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
-    def checkpointTracked(df: DataFrame)
-        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint(true)
-      val rdd = out.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None // unexpected plan shape: leak (bounded) over misfree
-      }
-      (out, rdd)
-    }
+    def checkpointTracked(df: DataFrame) =
+      Checkpoints.tracked(df, checkpointDir)
     val base =
       if (edgesIn.columns.contains("w"))
         edgesIn.select(col("src"), col("dst"), col("w").cast("double").as("w"))
@@ -503,18 +514,12 @@ object Graph {
     * [[pagerankUntil]] pays for its delta.
     */
   def kcoreUntil(edgesIn: DataFrame, k: Int, maxRounds: Int = 100,
-      broadcastMaxNodes: Long = 5000000L): (DataFrame, Int) = {
+      broadcastMaxNodes: Long = 5000000L,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    def checkpointTracked(df: DataFrame)
-        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint(true)
-      val rdd = out.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None // unexpected plan shape: leak (bounded) over misfree
-      }
-      (out, rdd)
-    }
+    def checkpointTracked(df: DataFrame) =
+      Checkpoints.tracked(df, checkpointDir)
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
     val hinted = nodeHint(edges, broadcastMaxNodes)
     var (alive, aliveRdd) = checkpointTracked(

@@ -423,16 +423,23 @@ object Vectors {
     * read-back probe equality; the `ann_index` stress path counts files
     * per cell before/after N appends).
     *
-    * The swap is write-to-temp + delete + rename on the index directory
-    * (the codebook path never changes): not atomic for concurrent
-    * readers — run it in the maintenance window that owns the index, the
-    * same contract as [[writeIndex]]'s overwrite retrain.
+    * The swap is CRASH-SAFE but not reader-atomic (r12 hardening — the
+    * previous delete-then-rename had a window where a crash left NO full
+    * index on disk): write the compacted copy to `index_compact_tmp`,
+    * rename the live index aside to `index_old`, rename tmp into place,
+    * then drop `index_old` — every intermediate state keeps at least one
+    * complete index copy, so recovery after a crash is "rename whichever
+    * full copy survives back to `index`" rather than data loss. Concurrent
+    * READERS can still observe the rename gap — run compaction in the
+    * maintenance window that owns the index, the same contract as
+    * [[writeIndex]]'s overwrite retrain.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, targetRowsPerFile: Long = 1L << 20): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/index_compact_tmp")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$dir/index_old")
     val fs = indexPath.getFileSystem(hconf)
     spark.read.parquet(indexPath.toString)
       .repartition(col("cell"))
@@ -441,10 +448,18 @@ object Vectors {
       .option("maxRecordsPerFile", targetRowsPerFile)
       .partitionBy("cell")
       .parquet(tmpPath.toString)
-    require(fs.delete(indexPath, true),
-      s"compactIndex could not remove the old index at $indexPath")
+    // leftover of a previous crashed compaction: the live index is intact
+    // (the rename chain below never ran to completion), so the stale
+    // holdover is safe to clear before taking its name
+    if (fs.exists(oldPath)) require(fs.delete(oldPath, true),
+      s"compactIndex could not clear a stale $oldPath")
+    require(fs.rename(indexPath, oldPath),
+      s"compactIndex could not set aside the live index as $oldPath")
     require(fs.rename(tmpPath, indexPath),
-      s"compactIndex could not move the compacted index into $indexPath")
+      s"compactIndex could not move the compacted index into $indexPath" +
+        s" — recover by renaming $oldPath back to $indexPath")
+    require(fs.delete(oldPath, true),
+      s"compactIndex swapped successfully but could not drop $oldPath")
   }
 
   /** Whether a [[writeIndex]] layout has accumulated enough append files

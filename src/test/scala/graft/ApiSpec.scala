@@ -946,6 +946,10 @@ class ApiSpec extends SparkSpec {
       assert(Vectors.needsCompaction(spark, dir, maxFilesPerCell = 2))
       Vectors.compactIndex(spark, dir, "id")
       assert(!Vectors.needsCompaction(spark, dir, maxFilesPerCell = 2))
+      // crash-safe swap leaves no intermediate directories behind (r12):
+      // a surviving index_old/tmp would shadow the next compaction's swap
+      assert(!new java.io.File(s"$dir/index_old").exists())
+      assert(!new java.io.File(s"$dir/index_compact_tmp").exists())
       // physical rewrite only: every cell back to one file (rows << target),
       // row multiset intact, probe results identical, codebook untouched
       val filesAfter = Vectors.indexFilesPerCell(spark, dir)
@@ -1737,5 +1741,54 @@ class ApiSpec extends SparkSpec {
     // token-count view carries all three counters per doc
     val tc = spark.sql("SELECT n_ws, n_re, n_bpe4 FROM corpus_token_counts")
     assert(tc.count() == docs.count())
+  }
+
+  test("connectedComponents reliable-checkpoint path equals the local default (r12)") {
+    import spark.implicits._
+    // durability is a physical knob: per-round state written to a shared
+    // directory (survives executor loss on a cluster) must produce the
+    // same components as the default executor-local blocks
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((200L, 201L), (201L, 202L))).toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec_")
+      .toFile.getAbsolutePath
+    try {
+      val local = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val reliable = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      assert(local.values.toSet === Set(0L, 200L)) // min-id components
+      // the reliable path actually wrote round state into the directory
+      def anyFile(f: java.io.File): Boolean = {
+        val kids = f.listFiles()
+        kids != null && kids.exists(k => k.isFile || anyFile(k))
+      }
+      assert(anyFile(new java.io.File(dir)),
+        "reliable checkpoint must write files under checkpointDir")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("nodeHint derates the approx node-count probe by the safety margin (r12)") {
+    import spark.implicits._
+    // ~100 distinct nodes; approx_count_distinct lands within a few % of
+    // 100. At ceiling 110 the derated bound is 88 < estimate -> NO hint
+    // (the estimator-error guard); at ceiling 1000 the bound is 800 ->
+    // hint. identity returns the SAME reference; broadcast wraps it.
+    val edges = (0L until 50L).map(i => (2 * i, 2 * i + 1)).toDF("src", "dst")
+    val probeFrame = Seq((1L, 2L)).toDF("node", "x")
+    val tight = graft.api.Graph.nodeHint(edges, broadcastMaxNodes = 110L)
+    val roomy = graft.api.Graph.nodeHint(edges, broadcastMaxNodes = 1000L)
+    assert(tight(probeFrame) eq probeFrame,
+      "a ceiling inside the estimator margin must drop the hint")
+    assert(!(roomy(probeFrame) eq probeFrame),
+      "a ceiling clear of the margin must keep the hint")
   }
 }
