@@ -2047,13 +2047,23 @@ FROM h ORDER BY l_returnflag"""))
     * Float discipline (the [[aggOlsFit]] r11 rule, one feature wider):
     * x₁ = quantity cents, x₂ = discount basis points (both exact
     * integers via [[H.cents]]), y = price cents; every sufficient
-    * statistic is an exact BIGINT sum — the only one whose total passes
-    * 2^53 is Σy² (≈6e19 at sf0.1), which takes the [[H.hiLoSums]]
-    * split-sum (per-row p = yc² ≤ 1e14 < 2^63; n per flag ≤ 2e5 < 2^28).
-    * The Cramer determinants and the R² close are identical spelled-order
-    * IEEE on identical bits in both engines → RAW. Coefficients are
-    * scale-invariant under the common ×100 except the intercept, which
-    * divides back once.
+    * statistic is an exact integer sum. THREE totals can pass 2^53 within
+    * the group-size budget and take the [[H.hiLoSums]] split-sum: Σy²
+    * (≈6e19 already at sf0.1; per-row p = yc² ≤ 1.3e14), Σx₁y (≈2.3e15 at
+    * sf0.1, past 2^53 ≈ 9e15 near sf0.4; p = x₁·yc ≤ 5.5e10) and Σx₂y
+    * (≈9e13 at sf0.1, past 2^53 near sf40; p = x₂·yc ≤ 1.1e8) — r12,
+    * fixing the r11 doc that claimed only Σy² crossed. (Values are
+    * UNCHANGED at every scale where the old BIGINT sums were legal:
+    * BIGINT→DOUBLE is correctly rounded in both engines, exactly what
+    * hiLoClose computes — the split just keeps the sums exact past 2^63.)
+    * The remaining totals stay under 2^53 for any group under the 2^28-row
+    * hiLo budget: Σx₁² ≤ 2.5e7·n, Σy ≤ 1.1e7·n, Σx₁x₂ ≤ 5e4·n, Σx₂² ≤
+    * 100·n — all < 9e15 at n < 2^28. The Cramer determinants and the R²
+    * close are identical spelled-order IEEE on identical bits in both
+    * engines → RAW. Coefficients are scale-invariant under the common
+    * ×100 except the intercept, which divides back once. PropSpec proves
+    * the hiLo path against BigInt-exact sums on a planted frame whose
+    * Σx₁y crosses 2^53.
     */
   private val aggOlsMulti = Q(
     "agg_ols_multi",
@@ -2067,12 +2077,13 @@ FROM h ORDER BY l_returnflag"""))
           sum(yc).cast("double").as("sy"),
           sum(x1 * x1).cast("double").as("s11"),
           sum(x2 * x2).cast("double").as("s22"),
-          sum(x1 * x2).cast("double").as("s12"),
-          sum(x1 * yc).cast("double").as("s1y"),
-          sum(x2 * yc).cast("double").as("s2y")) ++
+          sum(x1 * x2).cast("double").as("s12")) ++
+        hiLoSums(x1 * yc, "1y") ++ hiLoSums(x2 * yc, "2y") ++
         hiLoSums(yc * yc, "yy")
       val g = T.lineitem(s, d).groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+        .withColumn("s1y", hiLoClose("1y"))
+        .withColumn("s2y", hiLoClose("2y"))
         .withColumn("syy", hiLoClose("yy"))
       import org.apache.spark.sql.Column
       def det(a: Column, b: Column, c: Column, p: Column, q0: Column,
@@ -2107,11 +2118,12 @@ g AS (SELECT l_returnflag,
     CAST(sum(x1 * x1) AS DOUBLE) AS s11,
     CAST(sum(x2 * x2) AS DOUBLE) AS s22,
     CAST(sum(x1 * x2) AS DOUBLE) AS s12,
-    CAST(sum(x1 * yc) AS DOUBLE) AS s1y,
-    CAST(sum(x2 * yc) AS DOUBLE) AS s2y,
+    ${hiLoSumsSql("x1 * yc", "1y")},
+    ${hiLoSumsSql("x2 * yc", "2y")},
     ${hiLoSumsSql("yc * yc", "yy")}
   FROM c GROUP BY l_returnflag),
-h AS (SELECT *, ${hiLoCloseSql("yy")} AS syy FROM g),
+h AS (SELECT *, ${hiLoCloseSql("1y")} AS s1y, ${hiLoCloseSql("2y")} AS s2y,
+    ${hiLoCloseSql("yy")} AS syy FROM g),
 k AS (SELECT l_returnflag, n, sy, s1y, s2y, syy,
     n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
       + s2 * (s1 * s12 - s11 * s2) AS dA,

@@ -392,4 +392,31 @@ class PropSpec extends SparkSpec {
       assert(got == expected, s"corpus $ci: got=$got expected=$expected")
     }
   }
+
+  test("hiLo split-sum is the correctly rounded double of a >2^53 product sum (r12)") {
+    import spark.implicits._
+    // the agg_ols_multi budget case: per-row p = x1*yc <= 5.5e10 with
+    // enough rows that the TOTAL crosses 2^53 — the exact-integer sum no
+    // longer fits a double, so the BIGINT path and the hiLo path are only
+    // equal because both correctly round the exact sum; prove the hiLo
+    // close against BigInt arithmetic, which a plain double fold cannot
+    // reproduce (it accumulates rounding error per addend)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 800000).map { _ =>
+      val x1 = 1L + rnd.nextInt(5000)        // quantity cents domain
+      val yc = 1L + rnd.nextInt(11000000)    // price cents domain
+      x1 * yc
+    }
+    val exact = rows.map(BigInt(_)).sum
+    assert(exact > BigInt(1L << 53),
+      s"fixture must cross 2^53 to exercise the split, got $exact")
+    val sums = graft.ops.H.hiLoSums(
+      org.apache.spark.sql.functions.col("p"), "t")
+    val got = rows.toDF("p")
+      .agg(sums.head, sums.tail: _*)
+      .select(graft.ops.H.hiLoClose("t").as("s"))
+      .as[Double].collect()(0)
+    assert(got == exact.toDouble, // BigInt.toDouble is correctly rounded
+      s"hiLo close $got != correctly rounded ${exact.toDouble}")
+  }
 }
