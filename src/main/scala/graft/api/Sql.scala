@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SQL-callable surface over the [[Fts]] builders — the one audience the
@@ -37,8 +37,14 @@ object Sql {
     *    ([[Fts.timeBucket]]);
     *  - `fts_top_events`     — top-`k` events per type by value
     *    ([[Fts.topKPerGroup]], deterministic value-then-id order).
+    *
+    * Views land in EACH FRAME'S OWN session (`createOrReplaceTempView`
+    * resolves through `df.sparkSession`) — all register* methods here take
+    * only the frames, so the signature cannot suggest otherwise (r11
+    * ADVICE: the old unused `spark` parameter implied the views landed in
+    * the passed session).
     */
-  def registerFts(spark: SparkSession, events: DataFrame, k: Int = 3): Unit = {
+  def registerFts(events: DataFrame, k: Int = 3): Unit = {
     events.createOrReplaceTempView("graft_events")
     Fts.successRate(events, Seq("user_id"), col("event_type") === "error")
       .createOrReplaceTempView("fts_success_rate")
@@ -67,7 +73,7 @@ object Sql {
     * Same inlining contract as [[registerFts]]: a view stores the
     * analyzed plan, consumer predicates push through to the scan.
     */
-  def registerCorpus(spark: SparkSession, docs: DataFrame,
+  def registerCorpus(docs: DataFrame,
       stopwords: Seq[String] = Text.defaultStopwords): Unit = {
     docs.createOrReplaceTempView("graft_documents")
     Text.qualityFlags(docs, "text", "n_chars", stopwords)
@@ -76,5 +82,62 @@ object Sql {
       .createOrReplaceTempView("corpus_token_counts")
     Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
       .createOrReplaceTempView("corpus_exact_dups")
+  }
+
+  /** Registers the VECTOR-search views over an embeddings frame (r12 —
+    * the ANN third of the SQL face). Views installed:
+    *
+    *  - `graft_embeddings` — the source frame itself;
+    *  - `vec_norms`        — (idCol, vd, nrm): the [[Vectors.normalized]]
+    *    frame, the common input of every scoring expression, so a SQL
+    *    user can `vec_dot(a.vd, b.vd) / (a.nrm * b.nrm)` ad hoc (the
+    *    scalar functions are already registered via GraftExtensions /
+    *    [[graft.functions.VectorFunctions]]);
+    *  - `ann_neighbors`    — (q_id, n_id, cos, rn): brute-force cosine
+    *    top-`k` of the `idCol % queryMod = 0` query sample against the
+    *    corpus ([[Vectors.cosineTopK]]'s broadcast-query plan — the
+    *    corpus never shuffles; the IVF-indexed probe stays a Scala call
+    *    because it reads a trained artifact, not a lazy plan).
+    *
+    * Same inlining contract as [[registerFts]]: each view stores the
+    * analyzed plan only; a consumer's `WHERE q_id = 7` prunes through it.
+    */
+  def registerVectors(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 5, queryMod: Long = 50L): Unit = {
+    emb.createOrReplaceTempView("graft_embeddings")
+    val nv = Vectors.normalized(emb, vecCol)
+      .select(col(idCol), col("vd"), col("nrm"))
+    nv.createOrReplaceTempView("vec_norms")
+    Vectors.cosineTopK(nv, nv.filter(col(idCol) % queryMod === 0), idCol, k)
+      .createOrReplaceTempView("ann_neighbors")
+  }
+
+  /** Registers the GRAPH-metric views over a SYMMETRIC edge list
+    * `edges(src, dst)` (r12 — the graph quarter of the SQL face). Views
+    * installed:
+    *
+    *  - `graft_edges`         — the source frame itself;
+    *  - `graph_degrees`       — (node, degree): out-degree over the
+    *    symmetric list = the undirected degree;
+    *  - `graph_degree_dist`   — (degree, n_nodes): the histogram, the
+    *    first plot anyone makes of a new graph;
+    *  - `graph_assortativity` — the 1-row [[Graph.assortativity]] metric.
+    *
+    * All four are pure lazy plans: the assortativity builder's broadcast
+    * guard is DISABLED here (`broadcastMaxNodes = 0`) because its eager
+    * node-count probe would run a job at registration time, breaking the
+    * metadata-only contract — AQE picks broadcast vs shuffle from measured
+    * sizes instead, and either path is result-identical by the
+    * [[Graph.nodeHint]] contract.
+    */
+  def registerGraph(edges: DataFrame): Unit = {
+    edges.createOrReplaceTempView("graft_edges")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+    deg.createOrReplaceTempView("graph_degrees")
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .createOrReplaceTempView("graph_degree_dist")
+    Graph.assortativity(edges, broadcastMaxNodes = 0L)
+      .createOrReplaceTempView("graph_assortativity")
   }
 }

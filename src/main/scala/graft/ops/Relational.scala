@@ -2591,7 +2591,7 @@ FROM e2, m ORDER BY digit"""))
   private val sqlViewSurface = Q(
     "sql_view_surface",
     (s, d) => {
-      graft.api.Sql.registerFts(s, T.events(s, d))
+      graft.api.Sql.registerFts(T.events(s, d))
       s.sql("""SELECT user_id, n_events, n_errors, error_rate, success_rate
                FROM fts_success_rate WHERE user_id % 10 = 0
                ORDER BY user_id""")

@@ -1689,7 +1689,7 @@ class ApiSpec extends SparkSpec {
 
   test("Sql.registerFts exposes the FTS metrics to spark.sql; view == builder") {
     val ev = graft.ops.T.events(spark, sf)
-    graft.api.Sql.registerFts(spark, ev, k = 3)
+    graft.api.Sql.registerFts(ev, k = 3)
     // the SQL face returns exactly what the Scala builder returns
     val viaSql = spark.sql(
       "SELECT user_id, n_events, n_errors, error_rate FROM fts_success_rate")
@@ -1715,7 +1715,7 @@ class ApiSpec extends SparkSpec {
 
   test("Sql.registerCorpus exposes the corpus pipeline to spark.sql; view == builder") {
     val docs = graft.ops.T.documents(spark, sf)
-    graft.api.Sql.registerCorpus(spark, docs)
+    graft.api.Sql.registerCorpus(docs)
     // dedup view == builder row-for-row, and the SQL deletion-list idiom
     // (WHERE dup_rank > 1) counts exactly the non-survivors
     val viaSql = spark.sql(
@@ -1741,6 +1741,51 @@ class ApiSpec extends SparkSpec {
     // token-count view carries all three counters per doc
     val tc = spark.sql("SELECT n_ws, n_re, n_bpe4 FROM corpus_token_counts")
     assert(tc.count() == docs.count())
+  }
+
+  test("Sql.registerVectors exposes ANN top-k to spark.sql; view == builder (r12)") {
+    val emb = graft.ops.T.embeddings(spark, sf)
+    graft.api.Sql.registerVectors(emb, k = 5, queryMod = 50L)
+    val viaSql = spark.sql("SELECT q_id, n_id, rn FROM ann_neighbors")
+    val nv = graft.api.Vectors.normalized(emb, "embedding")
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val direct = graft.api.Vectors
+      .cosineTopK(nv, nv.filter(col("vec_id") % 50 === 0), "vec_id", 5)
+      .select("q_id", "n_id", "rn")
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0,
+      "ann_neighbors view must equal the cosineTopK builder")
+    // vec_norms makes ad-hoc SQL scoring possible via the registered
+    // scalar functions; a self-cosine is 1 on every non-degenerate vector
+    graft.functions.VectorFunctions.register(spark)
+    val selfCos = spark.sql(
+      """SELECT vec_dot(vd, vd) / (nrm * nrm) AS c FROM vec_norms
+         WHERE nrm > 0""").collect().map(_.getDouble(0))
+    assert(selfCos.nonEmpty && selfCos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("Sql.registerGraph exposes degree metrics to spark.sql; view == builder (r12)") {
+    import spark.implicits._
+    // two cliques of 4 and 3, symmetric directed list
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    graft.api.Sql.registerGraph(edges)
+    val degs = spark.sql("SELECT node, degree FROM graph_degrees")
+      .as[(Long, Long)].collect().toMap
+    assert(degs(1L) == 3L && degs(10L) == 2L && degs.size == 7)
+    val dist = spark.sql(
+      "SELECT degree, n_nodes FROM graph_degree_dist ORDER BY degree")
+      .as[(Long, Long)].collect().toSeq
+    assert(dist == Seq((2L, 3L), (3L, 4L)))
+    // the assortativity view equals the builder (guard disabled = plan
+    // knob only)
+    val viaSql = spark.sql("SELECT * FROM graph_assortativity").collect()(0)
+    val direct = graft.api.Graph.assortativity(edges).collect()(0)
+    assert(viaSql.getAs[Long]("n_edges_directed") ===
+      direct.getAs[Long]("n_edges_directed"))
+    assert(viaSql.getAs[Double]("assortativity") ===
+      direct.getAs[Double]("assortativity"))
   }
 
   test("connectedComponents reliable-checkpoint path equals the local default (r12)") {
