@@ -2603,7 +2603,106 @@ count(*) FILTER (WHERE event_type = 'error') / count(*) AS error_rate,
 FROM events WHERE user_id % 10 = 0
 GROUP BY user_id ORDER BY user_id"""))
 
+  /** PARAMETERIZED SQL table function (§2.13 ext, r12) — the second half
+    * of the SQL face [[sqlViewSurface]] leaves open: temp views bind their
+    * parameters at REGISTRATION, but a SQL-resident consumer (dashboard
+    * templates, JDBC tooling) wants per-call parameters. Spark 4's SQL
+    * table functions (`CREATE TEMPORARY FUNCTION … RETURNS TABLE … RETURN
+    * SELECT`) close that gap natively — the function body is a plan
+    * template Catalyst inlines AT THE CALL SITE with the argument
+    * substituted, so a `WHERE price >= param` lands in the parquet scan's
+    * pushed filters exactly like a hand-written literal (PlanSpec pins the
+    * pushed filter; no UDF boundary, no driver round-trip). The key
+    * registers an order-stats TVF over the orders view and calls it with a
+    * price floor; the oracle reproduces the call-site-inlined query from
+    * the raw table.
+    *
+    * Float discipline: the filter compares the raw parquet DOUBLE to a
+    * double literal (bit-identical reads both engines); the revenue sum
+    * accumulates exact via [[H.m2]]-cast DECIMAL and converts to double
+    * once (correct rounding both engines).
+    */
+  private val sqlTvfParams = Q(
+    "sql_tvf_params",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("graft_orders_tvf")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_order_stats(
+                 min_price DOUBLE)
+               RETURNS TABLE (o_orderstatus STRING, n_orders BIGINT,
+                 sum_price DOUBLE)
+               RETURN SELECT o_orderstatus, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+               FROM graft_orders_tvf
+               WHERE o_totalprice >= min_price
+               GROUP BY o_orderstatus""")
+      s.sql("""SELECT * FROM graft_order_stats(150000.0D)
+               ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_totalprice >= 150000.0
+GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Rank-trimmed (10 %) mean — the robust location estimate that, unlike
+    * the winsorized/percentile forms, needs NO interpolated quantile (the
+    * engine-divergent path [[aggMadOutliers]] documents): per return flag,
+    * rank rows by price, drop the lowest and highest ⌊n/10⌋ ranks, and
+    * average the exact-cents remainder. Rows tied at a cut boundary are
+    * VALUE-identical, so whichever physical rows the two engines' ranks
+    * keep, the kept multiset — and the exact integer sum — is the same:
+    * fully deterministic with zero float rounding until the one closing
+    * division. Emits (flag, n_rows, n_kept, mean_all, mean_trimmed) — the
+    * all-rows mean beside it shows how far the tails drag.
+    *
+    * Scale shape: ONE window rank per group partition (the same
+    * sort-shuffle the exact-percentile key pays — a 100 TB deployment
+    * swaps in the approx-percentile threshold form and accepts the
+    * interpolation discipline) + one map-side-combinable aggregate.
+    */
+  private val aggTrimmedMean = Q(
+    "agg_trimmed_mean",
+    (s, d) => {
+      val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("yc"))
+      val rk = c.withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy("yc")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      val cut = floor(col("n") / 10)
+      rk.groupBy(col("flag").as("l_returnflag"))
+        .agg(
+          max(col("n")).as("n_rows"),
+          sum(when(col("rn") > cut && col("rn") <= col("n") - cut, 1L)
+            .otherwise(0L)).as("n_kept"),
+          (sum(col("yc")).cast("double") / max(col("n")) / lit(100.0))
+            .as("mean_all"),
+          (sum(when(col("rn") > cut && col("rn") <= col("n") - cut,
+              col("yc")).otherwise(0L)).cast("double")
+            / sum(when(col("rn") > cut && col("rn") <= col("n") - cut, 1L)
+              .otherwise(0L))
+            / lit(100.0)).as("mean_trimmed"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH c AS (SELECT l_returnflag AS flag,
+    ${centsSql("l_extendedprice")} AS yc FROM lineitem),
+rk AS (SELECT flag, yc,
+    row_number() OVER (PARTITION BY flag ORDER BY yc) AS rn,
+    count(*) OVER (PARTITION BY flag) AS n FROM c),
+g AS (SELECT flag, max(n) AS n_rows,
+    sum(CASE WHEN rn > floor(n / 10) AND rn <= n - floor(n / 10)
+        THEN 1 ELSE 0 END) AS n_kept,
+    CAST(sum(yc) AS DOUBLE) / max(n) / 100.0 AS mean_all,
+    CAST(sum(CASE WHEN rn > floor(n / 10) AND rn <= n - floor(n / 10)
+        THEN yc ELSE 0 END) AS DOUBLE)
+      / sum(CASE WHEN rn > floor(n / 10) AND rn <= n - floor(n / 10)
+        THEN 1 ELSE 0 END) / 100.0 AS mean_trimmed
+  FROM rk GROUP BY flag)
+SELECT flag AS l_returnflag, n_rows, CAST(n_kept AS BIGINT) AS n_kept,
+  mean_all, mean_trimmed
+FROM g ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
+    sqlTvfParams, aggTrimmedMean,
     sqlViewSurface,
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2,
     aggCramersV, aggKsTest,

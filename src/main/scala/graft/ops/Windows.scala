@@ -1601,7 +1601,127 @@ SELECT day, x, y, n_win,
        THEN cxy / sqrt(vx * vy) END AS corr_7d
 FROM c ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(winRollingCorr, winRankTopk, winNtile, winNtileScalable, winLagLead,
+  /** Bollinger bands (§2.5 ext, r12) — the rolling mean ± 2σ envelope over
+    * the DAILY AVERAGE order value, the standard volatility channel of
+    * monitoring dashboards ([[winRollingCorr]]'s co-movement monitor, here
+    * applied to a single series' own dispersion): a day whose average
+    * breaks its trailing-week band is the "order mix changed" signal.
+    * Emits (day, avg_price_c, n_win, mid, upper, lower) in cents, bands
+    * NULL until the 7-day window fills.
+    *
+    * Float discipline: the daily average is one IEEE division of exact
+    * integers (Σcents / n — identical bits both engines), then the series
+    * rounds to WHOLE CENTS (`floor(avc + 0.5)` — identical IEEE; a finer
+    * [[H.q6]] grain would put x² ≈ 6e14 beyond the 1e-6 grid a double can
+    * hold, the decimal-cast divergence the Graph scaladoc documents), so
+    * every windowed sufficient statistic (Σx, Σx² over ROWS 6 PRECEDING)
+    * is an exact BIGINT window sum — order-independent, and
+    * scale-INVARIANT magnitudes (an average does not grow with the
+    * corpus: x ≈ 2.4e7 cents, Σx² ≈ 4e15 < 2⁵³ at any SF, so the close
+    * converts exactly). The closing mean/σ/band chain is identical
+    * spelled-order IEEE → RAW.
+    *
+    * Scale shape: the corpus collapses to CALENDAR grain in one
+    * map-side-combinable aggregate; the window runs unpartitioned over the
+    * bounded days frame (the [[winRollingCorr]] caveat).
+    */
+  private val winBollinger = Q(
+    "win_bollinger",
+    (s, d) => {
+      val daily = T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double")
+          / count(lit(1))).as("avc"))
+        .select(col("day"),
+          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      val r = daily.select(col("day"), col("x"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("x")).over(w).cast("double").as("sx"),
+        sum(col("x") * col("x")).over(w).cast("double").as("sxx"))
+      val nD = col("n_win").cast("double")
+      val m = col("sx") / nD
+      val sd = sqrt(greatest(col("sxx") / nD - m * m, lit(0.0)))
+      r.select(col("day"), col("x").as("avg_price_c"), col("n_win"),
+          when(col("n_win") === 7L, m).as("mid"),
+          when(col("n_win") === 7L, m + lit(2.0) * sd).as("upper"),
+          when(col("n_win") === 7L, m - lit(2.0) * sd).as("lower"))
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) AS avc
+  FROM orders GROUP BY 1),
+q AS (SELECT day, CAST(floor(avc + 0.5) AS BIGINT) AS x FROM daily),
+r AS (SELECT day, x,
+    count(*) OVER w AS n_win,
+    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx
+  FROM q
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT day, x AS avg_price_c, n_win,
+  CASE WHEN n_win = 7 THEN sx / n_win END AS mid,
+  CASE WHEN n_win = 7 THEN sx / n_win
+    + 2.0 * sqrt(greatest(sxx / n_win - (sx / n_win) * (sx / n_win), 0.0)) END AS upper,
+  CASE WHEN n_win = 7 THEN sx / n_win
+    - 2.0 * sqrt(greatest(sxx / n_win - (sx / n_win) * (sx / n_win), 0.0)) END AS lower
+FROM r ORDER BY day"""))
+
+  /** Peak-to-current DRAWDOWN over the daily-average-order-value series
+    * (§2.5 ext, r12) — the running-maximum retracement metric (finance's
+    * standard risk readout, and operationally "how far below its
+    * historical best is this KPI right now"): per day, the all-time-high
+    * of the series so far, the fractional drop from it, and the global
+    * maximum drawdown constant-joined onto every row. The pure
+    * window-composition complement to [[winBollinger]]'s dispersion bands
+    * — a running MAX + one division, no statistics.
+    *
+    * Float discipline: the series is the same whole-cent exact grain as
+    * the bands key; running max is pure comparison (order-independent, no
+    * accumulation), and the drawdown quotient + global max are identical
+    * IEEE on identical bits → RAW.
+    *
+    * Scale shape: calendar-grain input (one map-side-combinable daily
+    * aggregate over the corpus); both windows run over the bounded days
+    * frame.
+    */
+  private val winDrawdown = Q(
+    "win_drawdown",
+    (s, d) => {
+      val daily = T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double")
+          / count(lit(1))).as("avc"))
+        .select(col("day"),
+          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = daily
+        .withColumn("peak", max(col("x")).over(wRun))
+        .withColumn("drawdown",
+          (col("peak") - col("x")).cast("double")
+            / col("peak").cast("double"))
+      r.withColumn("max_drawdown",
+          max(col("drawdown")).over(Window.partitionBy()))
+        .select(col("day"), col("x").as("avg_price_c"), col("peak"),
+          col("drawdown"), col("max_drawdown"))
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) AS avc
+  FROM orders GROUP BY 1),
+q AS (SELECT day, CAST(floor(avc + 0.5) AS BIGINT) AS x FROM daily),
+r AS (SELECT day, x,
+    max(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS peak
+  FROM q),
+dd AS (SELECT day, x, peak,
+  CAST(peak - x AS DOUBLE) / CAST(peak AS DOUBLE) AS drawdown FROM r)
+SELECT day, x AS avg_price_c, peak, drawdown,
+  max(drawdown) OVER () AS max_drawdown
+FROM dd ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(winBollinger, winDrawdown,
+    winRollingCorr, winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,
     winIntervalSweep, winZscoreAnomaly, joinPointInInterval,

@@ -732,4 +732,39 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows("o_totalprice").getAs[Double]("max_b") >
       rows("o_totalprice").getAs[Double]("max_a"))
   }
+
+  test("agg_trimmed_mean drops exactly 2*floor(n/10) rows and shrinks toward the center (r12)") {
+    val rows = q("agg_trimmed_mean").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept === n - 2 * (n / 10))
+      // trimming a right-skewed price distribution must move the mean,
+      // and the trimmed mean stays inside the all-rows envelope
+      val all = r.getAs[Double]("mean_all")
+      val tr = r.getAs[Double]("mean_trimmed")
+      assert(tr > 0.0 && all > 0.0 && tr != all)
+    }
+  }
+
+  test("sql_tvf_params inlines the parameter into the scan's pushed filter (r12)") {
+    val df = q("sql_tvf_params")
+    graft.api.Caches.sweep(spark)
+    // the TVF body's WHERE price >= param must reach the parquet scan as a
+    // pushed filter once the call site substitutes the literal
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice,150000.0)"),
+      s"parameter must push into the scan:\n$plan")
+    // and the rows equal the directly-written query
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") >= 150000.0)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaTvf = df.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_orders")).toMap
+    assert(viaTvf === direct)
+  }
 }

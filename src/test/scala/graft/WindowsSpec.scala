@@ -619,4 +619,44 @@ class WindowsSpec extends SparkSpec {
       assert(math.abs(c.getAs[Double]("max_share") - 1.0) < 1e-12)
     }
   }
+
+  test("win_bollinger bands equal a driver-side recount of the 7-day stats (r12)") {
+    val rows = q("win_bollinger").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.length > 10)
+    val xs = rows.map(_.getAs[Long]("avg_price_c").toDouble)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_win") === math.min(i + 1, 7).toLong)
+      if (i >= 6) {
+        val w = xs.slice(i - 6, i + 1)
+        val m = w.sum / 7.0
+        val sd = math.sqrt(math.max(w.map(v => v * v).sum / 7.0 - m * m, 0.0))
+        assert(math.abs(r.getAs[Double]("mid") - m) < 1e-6 * math.abs(m))
+        assert(math.abs(r.getAs[Double]("upper") - (m + 2 * sd)) <
+          1e-6 * math.abs(m))
+        assert(math.abs(r.getAs[Double]("lower") - (m - 2 * sd)) <
+          1e-6 * math.abs(m))
+        assert(r.getAs[Double]("upper") >= r.getAs[Double]("mid") &&
+          r.getAs[Double]("mid") >= r.getAs[Double]("lower"))
+      } else assert(r.isNullAt(r.fieldIndex("mid")))
+    }
+  }
+
+  test("win_drawdown peak is the running max and the quotient closes (r12)") {
+    val rows = q("win_drawdown").collect()
+    graft.api.Caches.sweep(spark)
+    var peak = Long.MinValue
+    var maxDd = 0.0
+    rows.foreach { r =>
+      val x = r.getAs[Long]("avg_price_c")
+      peak = math.max(peak, x)
+      assert(r.getAs[Long]("peak") === peak)
+      val dd = (peak - x).toDouble / peak.toDouble
+      assert(r.getAs[Double]("drawdown") === dd)
+      maxDd = math.max(maxDd, dd)
+    }
+    // the global constant equals the running maximum of the per-day values
+    assert(rows.forall(_.getAs[Double]("max_drawdown") === maxDd))
+    assert(maxDd > 0.0, "a fluctuating daily average must draw down somewhere")
+  }
 }
