@@ -767,4 +767,33 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .map(r => r.getString(0) -> r.getAs[Long]("n_orders")).toMap
     assert(viaTvf === direct)
   }
+
+  test("agg_bitmap_distinct equals countDistinct and splits segments at 32768 (r12)") {
+    import spark.implicits._
+    // fixture ids fit one segment — prove the MULTI-segment path on ids
+    // straddling the 32768 bucket boundary, plus duplicates
+    val ids = Seq(1L, 5L, 5L, 32767L, 32768L, 32769L, 100000L, 100000L)
+    val df = ids.map(("t", _)).toDF("g", "id")
+      .withColumn("uid1", org.apache.spark.sql.functions.col("id") + 1)
+    val seg = df.groupBy(org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.expr("bitmap_bucket_number(uid1)").as("bkt"))
+      .agg(org.apache.spark.sql.functions
+        .expr("bitmap_construct_agg(bitmap_bit_position(uid1))").as("bm"))
+    val out = seg.groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr("bitmap_count(bm)")).as("n"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("segs"))
+      .collect()(0)
+    assert(out.getAs[Long]("n") === ids.distinct.size.toLong)
+    // uid1 domain: 2..100001 -> buckets {1, 2, 4} (32768 ids per bucket)
+    assert(out.getAs[Long]("segs") === 3L)
+    // and the fixture key agrees with the expand-distinct plan
+    val viaBitmap = q("agg_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val viaExpand = q("agg_count_distinct").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    graft.api.Caches.sweep(spark)
+    assert(viaBitmap === viaExpand)
+  }
 }
