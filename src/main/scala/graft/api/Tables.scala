@@ -5,6 +5,34 @@ import org.apache.spark.sql.DataFrame
 /** Table-maintenance primitives for snapshot-style datalake tables. */
 object Tables {
 
+  // one writer at a time through the read-or-derive gate (the
+  // Graph.edgesOrDerive discipline for plain tables)
+  private val artifactLock = new Object
+
+  /** Read-or-derive accessor for a SESSION-persisted plain parquet table —
+    * the unbucketed sibling of [[Graph.edgesOrDerive]] for derived frames
+    * several analytics consume (e.g. the default-parameter n-gram Jaccard
+    * pair set six LLM keys share): if `table` is absent from the session
+    * catalog, `derive` is computed and written (`saveAsTable`, overwrite —
+    * after clearing any warehouse directory a previous JVM's dead catalog
+    * orphaned), and the READ-BACK table is returned either way.
+    *
+    * Same identity contract as `edgesOrDerive`: the table name must
+    * uniquely determine the derivation AND its source data (callers embed
+    * the fixture directory); artifact lifetime is the session catalog's —
+    * a fresh JVM re-derives on first touch, so regenerated source data can
+    * never be read through a stale artifact. LlmSpec pins read-back ==
+    * direct derivation.
+    */
+  def tableOrDerive(spark: org.apache.spark.sql.SparkSession, table: String)
+      (derive: => DataFrame): DataFrame = artifactLock.synchronized {
+    if (!spark.catalog.tableExists(table)) {
+      Graph.clearDeadWarehouseDir(spark, table)
+      derive.write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
   /** Keyed upsert (MERGE): rows of `updates` replace same-keyed rows of
     * `base`; unmatched update rows insert. Both frames must share a schema;
     * `keys` are the merge columns. One left-anti shuffle join plus a union —

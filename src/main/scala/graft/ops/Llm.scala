@@ -155,9 +155,31 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
     AND a.doc_id < b.doc_id)"""
 
+  /** SESSION-persisted artifact of the DEFAULT-parameter n-gram Jaccard
+    * pair set (word-3-grams, df > 50 cap, 0.6 threshold) over the fixture
+    * corpus — the [[graft.ops.Graphs.coOrderArtifact]] discipline applied
+    * to the dedup family's shared ground truth: SIX keys consume exactly
+    * this frame (llm_ngram_jaccard, the three blocking-recall metrics'
+    * truth side, llm_pipeline_e2e_ngram, llm_dedup_clusters_ngram), and
+    * each used to re-derive the inverted-index pair join per run. Derived
+    * once per (session, fixture dir) via
+    * [[graft.api.Tables.tableOrDerive]]; every DuckDB oracle still
+    * re-derives from raw parquet, so artifact == derivation stays gated
+    * end-to-end on all six keys (and LlmSpec pins read-back == direct).
+    * Parameter-divergent callers (df-cap sweeps, the threshold-0.0 band
+    * tuning superset) deliberately stay on the direct builder.
+    */
+  private def ngramPairsArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_$tag") {
+      Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+    }
+  }
+
   private val llmNgramJaccard = Q(
     "llm_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+    (s, d) => ngramPairsArtifact(s, d)
       .orderBy("a_id", "b_id"),
     Some(s"""WITH $ngramPairCtes
 SELECT a_id, b_id, common,
@@ -182,7 +204,7 @@ ORDER BY a_id, b_id"""))
     "llm_minhash_recall",
     (s, d) => {
       val docs = T.documents(s, d)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val truth = ngramPairsArtifact(s, d)
         .select("a_id", "b_id")
       val cand = Dedup.md5MinhashCandidates(docs, "doc_id", "text")
       truth.withColumn("t", lit(1))
@@ -347,7 +369,7 @@ FROM m"""
     "llm_simhash_recall",
     (s, d) => {
       val docs = T.documents(s, d)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val truth = ngramPairsArtifact(s, d)
         .select("a_id", "b_id")
       val cand = Dedup.md5SimhashCandidates(docs, "doc_id", "text")
       truth.withColumn("t", lit(1))
@@ -453,7 +475,7 @@ FROM m"""))
     "llm_winnow_recall",
     (s, d) => {
       val docs = T.documents(s, d)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val truth = ngramPairsArtifact(s, d)
         .select("a_id", "b_id")
       val cand = Dedup.winnowCandidates(docs, "doc_id", "text")
       truth.withColumn("t", lit(1))
@@ -2315,7 +2337,7 @@ GROUP BY lang ORDER BY lang"""))
         .filter(col("kept"))
       val exact = Dedup.exactDupRank(docs, "doc_id", lower(trim(col("text"))))
         .filter(col("dup_rank") === 1).drop("dup_rank")
-      val pairs = Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+      val pairs = ngramPairsArtifact(s, d)
         .select(col("b_id").as("doc_id"))
       val surviving = exact.join(pairs, Seq("doc_id"), "left_anti")
       surviving.groupBy("lang")
@@ -2466,7 +2488,7 @@ FROM documents GROUP BY 1 ORDER BY shard"""))
   private val llmDedupClustersNgram = Q(
     "llm_dedup_clusters_ngram",
     (s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+      val pairs = ngramPairsArtifact(s, d)
         .select("a_id", "b_id")
       Dedup.connectedComponents(pairs)
         .groupBy("component")

@@ -599,4 +599,23 @@ class LlmSpec extends SparkSpec {
     assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toSeq)
     assert(fps.zip(fps.tail).forall { case (a, b) => a <= b }, fps.toSeq)
   }
+
+  test("ngram-pairs artifact read-back equals the direct derivation (r12)") {
+    import org.apache.spark.sql.functions.col
+    val direct = graft.api.Dedup.ngramJaccardPairs(
+        graft.ops.T.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    graft.api.Caches.sweep(spark)
+    val viaArtifact = graft.api.Tables.tableOrDerive(spark,
+        s"graft_ngrampairs_${sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}") {
+      graft.api.Dedup.ngramJaccardPairs(
+        graft.ops.T.documents(spark, sf), "doc_id", "text")
+    }.select(col("a_id"), col("b_id"), col("common"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    graft.api.Caches.sweep(spark)
+    assert(viaArtifact === direct)
+    assert(direct.nonEmpty)
+  }
 }
