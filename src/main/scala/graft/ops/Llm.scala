@@ -2509,6 +2509,130 @@ cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
 SELECT component, count(*) AS n_members, min(id) AS survivor_id
 FROM cc GROUP BY component ORDER BY component"""))
 
+  /** SURVIVORSHIP + deletion list (§2.9 ext, r12) — the final stage of the
+    * dedup pipeline the cluster keys stop short of: given the near-dup
+    * clusters, pick each cluster's SURVIVOR by a QUALITY rule (longest
+    * document wins, ties to the lowest doc_id — not the arbitrary min-id
+    * the cluster keys report as a label) and emit the member-grain
+    * decision record (doc_id, component, n_members, survivor_id, kept) —
+    * the frame a pipeline anti-joins against the corpus to actually
+    * delete. `kept = false` rows ARE the deletion list; every cluster
+    * keeps exactly one row (LlmSpec pins it).
+    *
+    * Rides the shared [[ngramPairsArtifact]] ground truth and the same
+    * pointer-doubling CC solver as llm_dedup_clusters_ngram; the oracle
+    * recomputes the clusters with a recursive-CTE closure and the
+    * survivor with a window rank — different algorithms end to end, same
+    * answer. Determinism: `max(struct(n_chars, −doc_id))` is a total
+    * order (exact ints), so the survivor cannot tie-split across engines.
+    *
+    * Scale shape: CC is O(log n) doubling rounds; the survivor argmax is
+    * one map-side-combinable aggregate at CLUSTER grain + one member-
+    * keyed join back — nothing pairwise beyond the artifact's own bound.
+    */
+  private val llmDedupSurvivorship = Q(
+    "llm_dedup_survivorship",
+    (s, d) => {
+      val pairs = ngramPairsArtifact(s, d).select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(pairs)
+      val m = graft.api.Caches.cache(cc.join(
+        T.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id")))
+      val surv = m.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd")))
+            .as("w"))
+        .select(col("component").as("c2"), col("n_members"),
+          (-col("w.nd")).as("survivor_id"))
+      m.join(surv, col("component") === col("c2"))
+        .select(col("doc_id"), col("component"), col("n_members"),
+          col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+$ngramPairCtes,
+p2 AS (SELECT a_id, b_id FROM p WHERE $ngramSimFilter),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+m AS (SELECT cc.id AS doc_id, component, n_chars
+      FROM cc JOIN documents ON cc.id = documents.doc_id),
+surv AS (SELECT component, n_members, doc_id AS survivor_id FROM (
+    SELECT component, doc_id,
+      count(*) OVER (PARTITION BY component) AS n_members,
+      row_number() OVER (PARTITION BY component
+        ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM m) WHERE rn = 1)
+SELECT m.doc_id, m.component, surv.n_members, surv.survivor_id,
+  m.doc_id = surv.survivor_id AS kept
+FROM m JOIN surv ON m.component = surv.component
+ORDER BY m.doc_id"""))
+
+  /** Quality-threshold SWEEP (§2.9 ext, r12) — the tuning table behind
+    * [[llmQualityFilter]]'s fixed gate, the [[llmLshBandTuning]]
+    * discipline applied to the quality family: for each candidate
+    * token-floor threshold, how many documents and how many TOKENS
+    * survive (the data-budget curve a pipeline owner reads before
+    * committing a filter — docs kept tells selectivity, tokens kept tells
+    * what the model actually loses). ONE corpus pass: per-doc token
+    * counts once, every threshold as a pair of conditional aggregates in
+    * the same map-side-combinable fold, unpivoted with `stack` — a
+    * 20-threshold sweep still costs one scan.
+    *
+    * All-integer outputs + two exact-long IEEE ratios → RAW.
+    */
+  private val llmQualitySweep = Q(
+    "llm_quality_sweep",
+    (s, d) => {
+      val floors = Seq(5, 20, 50, 100)
+      val base = T.documents(s, d)
+        .select(size(split(col("text"), " ")).as("n_toks"))
+      val aggs = floors.flatMap { f =>
+        Seq(
+          sum(when(col("n_toks") >= f, 1L).otherwise(0L)).as(s"d_$f"),
+          sum(when(col("n_toks") >= f, col("n_toks")).otherwise(0L))
+            .as(s"t_$f"))
+      }
+      val g = base.agg(count(lit(1)).as("n_docs"),
+        (Seq(sum(col("n_toks")).as("n_toks_total")) ++ aggs): _*)
+      val stacked = floors.map(f => s"$f, d_$f, t_$f").mkString(", ")
+      g.select(col("n_docs"), col("n_toks_total"),
+          expr(s"stack(${floors.size}, $stacked) AS " +
+            "(token_floor, docs_kept, tokens_kept)"))
+        .select(col("token_floor"), col("n_docs"), col("docs_kept"),
+          col("n_toks_total"), col("tokens_kept"),
+          (col("docs_kept").cast("double") / col("n_docs"))
+            .as("doc_keep_rate"),
+          (col("tokens_kept").cast("double") / col("n_toks_total"))
+            .as("token_keep_rate"))
+        .orderBy("token_floor")
+    },
+    Some {
+      val floors = Seq(5, 20, 50, 100)
+      val arms = floors.map { f =>
+        s"""SELECT $f AS token_floor, n_docs,
+  d_$f AS docs_kept, n_toks_total, t_$f AS tokens_kept,
+  CAST(d_$f AS DOUBLE) / n_docs AS doc_keep_rate,
+  CAST(t_$f AS DOUBLE) / n_toks_total AS token_keep_rate FROM g"""
+      }.mkString("\nUNION ALL\n")
+      val sums = floors.map { f =>
+        s"""CAST(sum(CASE WHEN n_toks >= $f THEN 1 ELSE 0 END) AS BIGINT) AS d_$f,
+    CAST(sum(CASE WHEN n_toks >= $f THEN n_toks ELSE 0 END) AS BIGINT) AS t_$f"""
+      }.mkString(",\n    ")
+      s"""WITH c AS (SELECT len(string_split(text, ' ')) AS n_toks FROM documents),
+g AS (SELECT count(*) AS n_docs,
+    CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
+    $sums
+  FROM c)
+SELECT * FROM ($arms) ORDER BY token_floor"""
+    })
+
   /** Deterministic hash-stratified sampling — the reproducible corpus-subset
     * primitive a training pipeline runs before expensive stages. The sample
     * key is the first md5 hex nibble of the doc id (engine-portable, no
@@ -3302,5 +3426,6 @@ FROM t, k ORDER BY cos DESC, a_id, b_id"""))
     llmFingerprint, llmWinnowFingerprint, llmRandomProjection,
     llmPipelineE2e, llmPipelineE2eNgram, llmStratifiedSample,
     llmContextPack, llmPiiScrub, llmDedupClusters, llmDedupClustersNgram,
+    llmDedupSurvivorship, llmQualitySweep,
     llmDecontaminate, llmDecontaminateBloom, llmShardWrite)
 }

@@ -618,4 +618,49 @@ class LlmSpec extends SparkSpec {
     assert(viaArtifact === direct)
     assert(direct.nonEmpty)
   }
+
+  test("llm_dedup_survivorship keeps exactly one longest doc per cluster (r12)") {
+    val rows = q("llm_dedup_survivorship").collect()
+    val clusters = q("llm_dedup_clusters_ngram").collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_members")).toMap
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    // member-grain record covers every cluster member exactly once
+    assert(rows.length.toLong === clusters.values.sum)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    assert(byComp.keySet === clusters.keySet)
+    val lens = graft.ops.T.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byComp.foreach { case (c, ms) =>
+      assert(ms.length.toLong === clusters(c))
+      val kept = ms.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length === 1, s"cluster $c must keep exactly one")
+      val sid = kept.head.getAs[Long]("survivor_id")
+      // the survivor is the (longest, lowest-id) member
+      val best = ms.map(_.getAs[Long]("doc_id"))
+        .maxBy(id => (lens(id), -id))
+      assert(sid === best)
+      assert(ms.forall(_.getAs[Long]("survivor_id") === sid))
+    }
+  }
+
+  test("llm_quality_sweep curves are monotone and close against text_stats totals (r12)") {
+    val rows = q("llm_quality_sweep").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.map(_.getAs[Int]("token_floor")).toSeq == Seq(5, 20, 50, 100))
+    // raising the floor can only drop docs and tokens
+    val dk = rows.map(_.getAs[Long]("docs_kept")).toSeq
+    val tk = rows.map(_.getAs[Long]("tokens_kept")).toSeq
+    assert(dk == dk.sorted.reverse && tk == tk.sorted.reverse)
+    // rates close exactly against the emitted exact counts
+    rows.foreach { r =>
+      assert(r.getAs[Double]("doc_keep_rate") ===
+        r.getAs[Long]("docs_kept").toDouble / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("token_keep_rate") ===
+        r.getAs[Long]("tokens_kept").toDouble / r.getAs[Long]("n_toks_total"))
+    }
+    // the floor-5 arm on this corpus keeps nearly everything; floor-100 cuts
+    assert(dk.head > dk.last)
+  }
 }
