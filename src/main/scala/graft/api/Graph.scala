@@ -312,8 +312,23 @@ object Graph {
     * bounded driver aggregate over the (cached) degree frame and REFUSES
     * out-of-range inputs instead of miscounting. The probe's cost is one
     * scan of the already-cached edge list.
+    *
+    * EDGE-GRAIN BROADCAST GUARD (r12): the wedge frame is the one stage
+    * that dwarfs everything (Σ outdeg² rows — 41M at the sf0.1 fixture's
+    * 1.2M edges), and the default plan SHUFFLES it twice: once into the
+    * wedge self-join, once into the closing-edge probe. When the ORIENTED
+    * edge list itself is broadcast-range (`broadcastMaxEdges`, probed
+    * with one exact count over the cached frame — edges are NOT node-grain,
+    * so this needs its own ceiling, not [[nodeHint]]'s), both joins hint
+    * the edge side instead: wedges are then GENERATED and CLOSED map-side
+    * in a single pass over the oriented scan, and the only shuffle left is
+    * the 1-row count aggregate. Beyond the ceiling (a 100 TB graph's edge
+    * list is nothing like broadcastable) the hint drops and the original
+    * shuffled equi-joins stand. Either path is result-identical
+    * (GraphsSpec pins hinted == unhinted) — a plan knob, never semantics.
     */
-  def triangles(e0In: DataFrame): DataFrame = {
+  def triangles(e0In: DataFrame,
+      broadcastMaxEdges: Long = 5000000L): DataFrame = {
     val e0 = Caches.cache(e0In.select(col("u"), col("v")))
     val deg = e0.select(col("u").as("n"))
       .union(e0.select(col("v").as("n")))
@@ -333,15 +348,33 @@ object Graph {
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
       when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
-    val wedges = oriented.as("x").join(oriented.as("y"),
+    val hinted = edgeHint(oriented, broadcastMaxEdges)
+    val wedges = oriented.as("x").join(hinted(oriented.as("y")),
         col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
       .select(col("x.hi").as("wu"), col("y.hi").as("wv"))
     val tri = wedges.join(
-      oriented.select(col("lo").as("wu"), col("hi").as("wv")), Seq("wu", "wv"))
+      hinted(oriented.select(col("lo").as("wu"), col("hi").as("wv"))),
+      Seq("wu", "wv"))
       .agg(count(lit(1)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
+  }
+
+  /** |E|-grain broadcast guard for the triangle family's wedge joins —
+    * the [[nodeHint]] discipline with an EDGE ceiling: one exact count of
+    * the (cached) oriented edge frame, the hint only when the whole edge
+    * list is broadcast-range. Default 5e6 edges ≈ 120 MB as a hash
+    * relation (24 bytes/row payload, ~2× map overhead) — executor-safe at
+    * the 8–16 GB floor; callers on smaller executors lower it, and a
+    * corpus-scale graph always exceeds it, falling back to the shuffled
+    * equi-joins.
+    */
+  private[graft] def edgeHint(oriented: DataFrame,
+      broadcastMaxEdges: Long): DataFrame => DataFrame = {
+    if (broadcastMaxEdges <= 0L) identity
+    else if (oriented.count() <= broadcastMaxEdges) broadcast
+    else identity
   }
 
   /** Per-node local clustering coefficient over the same id-ordered
@@ -355,9 +388,13 @@ object Graph {
     *
     * Returns node-grain rows (node, degree, tri_n, cc). Float discipline:
     * cc is one double division of exact integers — identical IEEE in any
-    * engine → RAW.
+    * engine → RAW. The wedge joins ride the same [[edgeHint]]-guarded
+    * broadcast as [[triangles]] (r12) — map-side wedge generation + close
+    * while the oriented list is broadcast-range, shuffled equi-joins
+    * beyond it.
     */
-  def localClustering(e0In: DataFrame): DataFrame = {
+  def localClustering(e0In: DataFrame,
+      broadcastMaxEdges: Long = 5000000L): DataFrame = {
     val e0 = Caches.cache(e0In.select(col("u"), col("v")))
     val deg = Caches.cache(e0.select(col("u").as("n"))
       .union(e0.select(col("v").as("n")))
@@ -377,12 +414,14 @@ object Graph {
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
       when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
-    val wedges = oriented.as("x").join(oriented.as("y"),
+    val hinted = edgeHint(oriented, broadcastMaxEdges)
+    val wedges = oriented.as("x").join(hinted(oriented.as("y")),
         col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
       .select(col("x.lo").as("ctr"), col("x.hi").as("wu"),
         col("y.hi").as("wv"))
     val closed = wedges.join(
-      oriented.select(col("lo").as("wu"), col("hi").as("wv")), Seq("wu", "wv"))
+      hinted(oriented.select(col("lo").as("wu"), col("hi").as("wv"))),
+      Seq("wu", "wv"))
     // ONE pass over the closed wedges: a 3-branch union would re-execute
     // the wedge join per corner (the graph_modularity multi-consumer
     // lesson) — explode emits the three corners from a single traversal

@@ -487,6 +487,24 @@ class GraphsSpec extends SparkSpec
     graft.api.Caches.sweep(spark)
   }
 
+  test("triangles/localClustering: edge-broadcast hint is a plan knob (r12)") {
+    // hinted (default ceiling, fixture edges well under it) == unhinted
+    // (ceiling 0 forces the shuffled equi-joins) — bit-for-bit
+    val e0 = graft.ops.Graphs.capBaskets(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())._1
+    val tH = graft.api.Graph.triangles(e0).collect()(0)
+    val tU = graft.api.Graph.triangles(e0, broadcastMaxEdges = 0L).collect()(0)
+    assert(tH.toSeq === tU.toSeq)
+    val cH = graft.api.Graph.localClustering(e0)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    val cU = graft.api.Graph.localClustering(e0, broadcastMaxEdges = 0L)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    assert(cH === cU)
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")
