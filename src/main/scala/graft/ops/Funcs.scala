@@ -442,8 +442,46 @@ FROM (SELECT c_custkey, c_name || '|' || c_mktsegment AS key FROM customer
       WHERE c_custkey <= 200)
 ORDER BY c_custkey"""))
 
+  /** COLLATION-aware string semantics (§2.8 ext, r12) — Spark 4's
+    * first-class collations: a deterministically case-MIXED brand column
+    * (even part keys upper-cased, odd lower-cased — the dirty-ingest
+    * shape) grouped under `UTF8_LCASE`, so 'BRAND#13' and 'brand#13' land
+    * in ONE group with no normalizing projection in the plan; the group
+    * emits its case-variant count as evidence the collation (not a
+    * pre-lower) did the merging. The collated group KEY's surfaced binary
+    * form is whichever variant the engine met first — nondeterministic by
+    * the collation contract — so the emitted key is `lower(...)` cast
+    * back to a plain (binary-collation) string, and the DuckDB oracle
+    * reproduces the identical relation with an explicit lower() grouping
+    * (ASCII fixture strings: UTF8_LCASE equality == lower() equality).
+    *
+    * Scale shape: one map-side-combinable hash aggregate; collation-aware
+    * grouping hashes the collation key codegen-side — no UDF, no extra
+    * pass.
+    */
+  private val fnCollation = Q(
+    "fn_collation",
+    (s, d) => T.part(s, d)
+      .withColumn("bm",
+        when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+          .otherwise(lower(col("p_brand"))))
+      .groupBy(collate(col("bm"), "UTF8_LCASE").as("b"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("bm")).as("n_case_variants"),
+        min(col("p_partkey")).as("min_partkey"))
+      .select(lower(col("b")).cast("string").as("brand_lc"),
+        col("n_parts"), col("n_case_variants"), col("min_partkey"))
+      .orderBy("brand_lc"),
+    Some("""WITH m AS (SELECT p_partkey,
+    CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE lower(p_brand) END AS bm
+  FROM part)
+SELECT lower(bm) AS brand_lc, count(*) AS n_parts,
+  count(DISTINCT bm) AS n_case_variants,
+  min(p_partkey) AS min_partkey
+FROM m GROUP BY lower(bm) ORDER BY brand_lc"""))
+
   val all: Seq[Q] = Seq(fnString, fnRegex, fnLevenshtein, fnDatetime, fnMath,
-    fnHash,
+    fnHash, fnCollation,
     fnConditional, fnCastDecimal, fnArray, fnExplode, fnMapJson, fnBitwise,
     fnString2, fnUrl, fnVariant, fnTryArith)
 }

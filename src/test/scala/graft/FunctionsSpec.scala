@@ -195,4 +195,22 @@ class FunctionsSpec extends SparkSpec {
         "a missing variant path must read as NULL, not error")
     }
   }
+
+  test("fn_collation merges case variants through UTF8_LCASE grouping (r12)") {
+    val rows = q("fn_collation").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    // every brand has parts of both parities at this scale, so the
+    // collation must have merged exactly two binary variants per group -
+    // proof the COLLATION did the merging, not a normalizing projection
+    assert(rows.forall(_.getAs[Long]("n_case_variants") === 2L))
+    // keys are emitted normalized
+    assert(rows.forall(r => r.getAs[String]("brand_lc") ==
+      r.getAs[String]("brand_lc").toLowerCase))
+    // group count equals the distinct lower-cased brand count
+    val nBrands = spark.read.parquet(s"$sf/part.parquet")
+      .select(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.col("p_brand"))).distinct().count()
+    assert(rows.length.toLong === nBrands)
+  }
 }
