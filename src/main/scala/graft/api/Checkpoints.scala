@@ -49,14 +49,23 @@ private[api] object Checkpoints {
       // setCheckpointDir mints a fresh UUID SUBDIR under the given path on
       // every call, so "already set?" cannot be read back off the context —
       // remember the last request instead (re-pointing per round would
-      // scatter one loop's rounds over as many subdirs)
+      // scatter one loop's rounds over as many subdirs). The lock covers
+      // the CHECKPOINT WRITE too, not just the dir switch: the context dir
+      // is a single process-wide slot, so two concurrent loops with
+      // DIFFERENT dirs could otherwise interleave set-then-write and land
+      // one loop's round files under the other caller's directory — whose
+      // owner may delete it mid-run per the "caller owns the directory"
+      // contract. Serializing reliable-checkpoint writes is the price of
+      // correctness here (they are per-ROUND, node-grain, and rare);
+      // concurrent loops that want parallel checkpoint I/O must share one
+      // checkpointDir.
       synchronized {
         if (!lastDir.contains(path) || sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(path)
           lastDir = Some(path)
         }
+        (df.checkpoint(true), None)
       }
-      (df.checkpoint(true), None)
     case None =>
       val out = df.localCheckpoint(true)
       val rdd = out.queryExecution.analyzed match {

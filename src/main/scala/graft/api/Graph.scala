@@ -686,6 +686,15 @@ object Graph {
   // would otherwise both see tableExists = false and double-write
   private val artifactLock = new Object
 
+  /** Runs `f` holding the read-or-derive artifact lock — for callers that
+    * maintain SIDE tables beside an [[edgesOrDerive]] artifact (e.g. the
+    * co-order meta row) and need their exists-check + repair write to be
+    * atomic against racing first-callers. The lock is reentrant, so `f`
+    * may itself call [[edgesOrDerive]], which re-acquires it.
+    */
+  private[graft] def withArtifactLock[T](f: => T): T =
+    artifactLock.synchronized(f)
+
   /** Read-or-derive accessor for a [[writeEdges]] artifact — the
     * derive-fallback that lets every graph analytic run against the stored
     * table when it exists and pay the derivation exactly once per session

@@ -441,6 +441,12 @@ object Vectors {
     val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/index_compact_tmp")
     val oldPath = new org.apache.hadoop.fs.Path(s"$dir/index_old")
     val fs = indexPath.getFileSystem(hconf)
+    // leftover of a run that crashed AFTER writing tmp but BEFORE the
+    // rename chain: the live index is intact (renames never started), so
+    // the stale tmp is safe to clear — mirrored by the oldPath handling
+    // below, and belt-and-braces with the overwrite mode on the write
+    if (fs.exists(tmpPath)) require(fs.delete(tmpPath, true),
+      s"compactIndex could not clear a stale $tmpPath")
     spark.read.parquet(indexPath.toString)
       .repartition(col("cell"))
       .sortWithinPartitions(idCol)

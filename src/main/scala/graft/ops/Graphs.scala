@@ -222,7 +222,11 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     * read through a stale artifact.
     */
   private[graft] def coOrderArtifact(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      // the WHOLE body holds the artifact lock (reentrant under
+      // edgesOrDerive's own acquire), so the meta-table repair path's
+      // exists-check + overwrite below cannot race a concurrent caller
+      // that also observed the meta table missing
+      : (DataFrame, DataFrame) = graft.api.Graph.withArtifactLock {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val metaTbl = s"graft_coorder_meta_$tag"
     val ew = graft.api.Graph.edgesOrDerive(s, s"graft_coorder_$tag",

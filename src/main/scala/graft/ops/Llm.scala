@@ -91,7 +91,10 @@ GROUP BY source ORDER BY source"""))
     */
   private val llmMinhashNeardup = Q(
     "llm_minhash_neardup",
-    (s, d) => Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+    // reads the persisted MinHash pair artifact (r13) — same rows as the
+    // direct Dedup.minhashPairs derivation (LlmSpec pins it), derived once
+    // per (session, fixture dir)
+    (s, d) => minhashPairsArtifact(s, d)
       .orderBy("a_id", "b_id"),
     None)
 
@@ -166,14 +169,76 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     * [[graft.api.Tables.tableOrDerive]]; every DuckDB oracle still
     * re-derives from raw parquet, so artifact == derivation stays gated
     * end-to-end on all six keys (and LlmSpec pins read-back == direct).
-    * Parameter-divergent callers (df-cap sweeps, the threshold-0.0 band
-    * tuning superset) deliberately stay on the direct builder.
+    * Parameter-divergent consumers get parameter-NAMED sibling artifacts
+    * ([[ngramPairsUncappedArtifact]], [[ngramPairsT0Artifact]], r13) —
+    * never a read-through of this one.
     */
   private def ngramPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_$tag") {
       Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
+    }
+  }
+
+  /** SESSION-persisted artifact of the DEFAULT-parameter MinHash near-dup
+    * pair set (5-char shingles, 32 permutations, 4 bands × 8 rows, salt 16,
+    * exact-Jaccard verify at 0.8) over the fixture corpus — the
+    * [[ngramPairsArtifact]] discipline applied to the MinHash family (r13):
+    * `llm_minhash_neardup` emits this frame and `llm_dedup_clusters` feeds
+    * it to the CC solver, and each used to re-pay the shingle + signature +
+    * banded-pair derivation (~6.5 s/sample at sf0.1) per run. The table
+    * name embeds the fixture dir AND the signature/band/verify parameters
+    * (the [[graft.api.Tables.tableOrDerive]] identity contract — a
+    * parameter-divergent future caller gets its own table, never a stale
+    * read-through). Both consumers are declared-only (LSH internals), so
+    * the gate is LlmSpec's read-back == direct-derivation pin plus the
+    * sf0.001 golden fingerprints, which the artifact cannot change: same
+    * rows, same schema, one indirection through the catalog.
+    */
+  private def minhashPairsArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Tables.tableOrDerive(s, s"graft_minhashpairs_p32b4r8t080_$tag") {
+      Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+    }
+  }
+
+  /** SESSION-persisted artifact of the UNCAPPED exact n-gram-Jaccard pair
+    * set (maxDf = ∞, threshold 0.6) — [[llmNgramDfcapRecall]]'s truth side,
+    * a fixed pure function of the fixture that was recomputed per sample
+    * (the single most expensive recomputation in the r12 bench, 6.9 s).
+    * FIXTURE-BOUNDED like its consumer: the uncapped inverted index is
+    * exactly the quadratic hot-shingle blowup the df cap exists to prevent,
+    * so this artifact only ever materializes over a bounded diagnostic
+    * sample — the table is the memo of a diagnostic, not a production path.
+    * The DuckDB oracle still re-derives from raw parquet, so artifact ==
+    * derivation stays gated end-to-end.
+    */
+  private def ngramPairsUncappedArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_nodfcap_$tag") {
+      Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+        maxDf = Long.MaxValue)
+    }
+  }
+
+  /** SESSION-persisted artifact of the THRESHOLD-0 df-capped pair frame —
+    * every co-shingling pair with its exact Jaccard, the corpus
+    * similarity-distribution input [[llmLshBandTuning]] sweeps band
+    * configurations against (recomputed per sample at 6.8 s in r12). The
+    * 0.0 threshold is in the name: this SUPERSET frame deliberately does
+    * not replace [[ngramPairsArtifact]] (whose 0.6-filtered rows the six
+    * dedup keys consume) — the tuning diagnostic needs the non-dup mass
+    * that frame drops. Oracle re-derives from raw parquet as always.
+    */
+  private def ngramPairsT0Artifact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_t00_$tag") {
+      Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+        threshold = 0.0)
     }
   }
 
@@ -414,8 +479,9 @@ FROM m"""
     "llm_ngram_dfcap_recall",
     (s, d) => {
       val docs = T.documents(s, d)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        maxDf = Long.MaxValue).select("a_id", "b_id")
+      // truth side reads the persisted uncapped pair artifact (r13) — a
+      // fixed pure function of the fixture, previously re-derived per run
+      val truth = ngramPairsUncappedArtifact(s, d).select("a_id", "b_id")
       val kept = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDf = 3)
         .select("a_id", "b_id")
       val hot = Dedup.wordGrams(docs, "doc_id", "text", 3)
@@ -2378,7 +2444,10 @@ GROUP BY lang ORDER BY lang"""))
   private val llmDedupClusters = Q(
     "llm_dedup_clusters",
     (s, d) => {
-      val pairs = Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
+      // the CC solver itself is artifact-grade (~0.1 s exec); the 6.5 s
+      // was the per-run signature + band-pair re-derivation, now paid once
+      // per session through the shared MinHash pair artifact (r13)
+      val pairs = minhashPairsArtifact(s, d)
       Dedup.connectedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
@@ -3164,8 +3233,10 @@ FROM c, t ORDER BY decile"""))
     "llm_lsh_band_tuning",
     (s, d) => {
       val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8)) // (bands, rows)
-      val pairs = graft.api.Dedup.ngramJaccardPairs(
-        T.documents(s, d), "doc_id", "text", threshold = 0.0)
+      // the threshold-0 pair frame is a fixed pure function of the
+      // fixture — read the persisted artifact (r13); the config sweep on
+      // top stays one map-side pass
+      val pairs = ngramPairsT0Artifact(s, d)
       def pcap(b: Int, r: Int): org.apache.spark.sql.Column = {
         val sr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
         val q = lit(1.0) - sr

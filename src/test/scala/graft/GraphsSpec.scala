@@ -439,7 +439,13 @@ class GraphsSpec extends SparkSpec
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val direct = graft.ops.Graphs.capBaskets(li)._1 // distinct (u, v)
-    val directW = li.as("a").join(li.as("b"),
+    // the weighted reference must come from the CAPPED kept frame — the
+    // artifact's actual derivation — not the raw pairs: on this fixture
+    // the two coincide (n_capped_orders == 0, asserted below), but a
+    // fixture that ever engaged MAXBASKET would otherwise compare the
+    // artifact against the wrong reference instead of catching divergence
+    val kept = graft.ops.Graphs.cappedItems(li)._1
+    val directW = kept.as("a").join(kept.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))

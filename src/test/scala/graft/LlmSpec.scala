@@ -619,6 +619,43 @@ class LlmSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("minhash/uncapped/t0 pair artifacts read back the direct derivations (r13)") {
+    import org.apache.spark.sql.functions.col
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    def docs = graft.ops.T.documents(spark, sf)
+    // (table name, direct builder, projected columns) per r13 artifact —
+    // the names must match the private Llm accessors byte-for-byte, or the
+    // pin would gate a different table than the keys read
+    val cases = Seq(
+      (s"graft_minhashpairs_p32b4r8t080_$tag",
+        () => graft.api.Dedup.minhashPairs(docs, "doc_id", "text"),
+        Seq("a_id", "b_id", "jaccard")),
+      (s"graft_ngrampairs_nodfcap_$tag",
+        () => graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          maxDf = Long.MaxValue),
+        Seq("a_id", "b_id", "common", "jaccard")),
+      (s"graft_ngrampairs_t00_$tag",
+        () => graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.0),
+        Seq("a_id", "b_id", "common", "jaccard")))
+    for ((tbl, direct, cols) <- cases) {
+      val want = direct().select(cols.map(col): _*)
+        .collect().map(_.toSeq.mkString("|")).toSet
+      graft.api.Caches.sweep(spark)
+      val got = graft.api.Tables.tableOrDerive(spark, tbl)(direct())
+        .select(cols.map(col): _*)
+        .collect().map(_.toSeq.mkString("|")).toSet
+      graft.api.Caches.sweep(spark)
+      assert(got === want, tbl)
+      assert(want.nonEmpty, tbl)
+      // second touch READS (catalog knows it) and returns the same rows
+      assert(spark.catalog.tableExists(tbl))
+      val again = spark.table(tbl).select(cols.map(col): _*)
+        .collect().map(_.toSeq.mkString("|")).toSet
+      assert(again === want, tbl)
+    }
+  }
+
   test("llm_dedup_survivorship keeps exactly one longest doc per cluster (r12)") {
     val rows = q("llm_dedup_survivorship").collect()
     val clusters = q("llm_dedup_clusters_ngram").collect()
