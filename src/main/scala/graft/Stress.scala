@@ -652,6 +652,20 @@ object Stress {
       Seq("n_capped_orders" -> nCapped.toString,
         "max_order_pairs" -> maxOrderPairs.toString,
         "uncapped_mega_pairs" -> "499500"))
+    // r13: surface the EXACT wedge count BEFORE the generation job — the
+    // one superlinear stage this run measures. The probe is the same
+    // aggregate Graph.triangles runs as its wedge-budget guard, recorded
+    // standalone so the STRESS record shows the number the guard sees
+    // (and how far under Graph.WEDGE_BUDGET the largest planted run sits).
+    val ((nWedges, probeEdges), probeSec) = timed {
+      val (e0, _) = graft.ops.Graphs.capBaskets(items)
+      val (_, oriented) = graft.api.Graph.orient(e0)
+      val (ne, nw) = graft.api.Graph.wedgeProbe(oriented)
+      (nw, ne)
+    }
+    recs += StageRec("wedge_probe", probeSec, nWedges,
+      Seq("n_edges" -> probeEdges.toString,
+        "wedge_budget" -> graft.api.Graph.WEDGE_BUDGET.toString))
     val (nTri, triSec) = timed {
       val (e0, _) = graft.ops.Graphs.capBaskets(items)
       graft.api.Graph.triangles(e0).head().getAs[Long]("n_triangles")

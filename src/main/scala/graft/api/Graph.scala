@@ -292,6 +292,104 @@ object Graph {
     */
   val MAXDEG = 9200000L
 
+  /** Default [[triangles]]/[[localClustering]] wedge budget: the largest
+    * wedge-frame row count the family will generate without an explicit
+    * caller override. 4e9 wedges ≈ 64 GB as a 16-byte-row shuffle — the
+    * point past which one wedge stage stops being "a big job" and becomes
+    * unbounded spill on any realistic executor fleet. A 100 TB operator
+    * should refuse predictably with the number, not discover it in a
+    * dying shuffle: [[wedgeProbe]] surfaces the EXACT count first (for
+    * scale, the sf0.1 co-order graph generates 41M wedges; the STRESS
+    * 300k-basket run 5.5e8 — the measured superlinear worst case, still
+    * 7× inside the budget).
+    */
+  val WEDGE_BUDGET = 4000000000L
+
+  /** Degree-ordered compact-forward orientation of an id-ordered
+    * UNDIRECTED edge list `e0(u, v)`, `u < v` — the derivation shared by
+    * [[triangles]] and [[localClustering]], exposed (r13) so the oriented
+    * frame can be PERSISTED once per (session, source) and every later
+    * triangle-family run can start from the stored table
+    * ([[trianglesOriented]] / [[localClusteringOriented]]).
+    *
+    * Returns `(deg, oriented)`: node-grain degrees `deg(n, dg)` and
+    * edge-grain `oriented(lo, hi, khi)` — one row per input edge, each
+    * pointing from its lower (degree, id) endpoint to the higher, with
+    * `khi = deg(hi)·KMUL + hi` riding along so downstream wedge ordering
+    * never re-joins degrees.
+    *
+    * DERIVATION ONLY, fully lazy: the caller owns caching/persistence and
+    * the consuming builders own the eager probes
+    * ([[validateOrientation]], [[wedgeProbe]]).
+    */
+  def orient(e0: DataFrame): (DataFrame, DataFrame) = {
+    val deg = e0.select(col("u").as("n"))
+      .union(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val ek = e0
+      .join(deg.select(col("n").as("u"),
+        (col("dg") * KMUL + col("n")).as("ku")), "u")
+      .join(deg.select(col("n").as("v"),
+        (col("dg") * KMUL + col("n")).as("kv")), "v")
+    val oriented = ek.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
+      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi"))
+    (deg, oriented)
+  }
+
+  /** EAGER PRECONDITION PROBE shared by the triangle family: the
+    * single-long orientation key silently mis-orders once `id ≥ KMUL` or
+    * `deg > MAXDEG`, so consumers run one bounded driver aggregate over
+    * the node-grain degree frame and REFUSE out-of-range inputs instead
+    * of miscounting. Cost: one scan of a cached or stored node-grain
+    * frame.
+    */
+  private[graft] def validateOrientation(deg: DataFrame, who: String)
+      : Unit = {
+    val bounds = deg.agg(coalesce(max(col("n")), lit(0L)).as("mxid"),
+      coalesce(max(col("dg")), lit(0L)).as("mxdg")).head()
+    require(bounds.getLong(0) < KMUL && bounds.getLong(1) <= MAXDEG,
+      s"$who: orientation key needs ids < $KMUL and degrees <= " +
+        s"$MAXDEG, got max id ${bounds.getLong(0)}, max degree " +
+        s"${bounds.getLong(1)}")
+  }
+
+  /** EAGER WEDGE-BUDGET PROBE (r13): ONE aggregate over the oriented edge
+    * list returning `(|E|, Σ_lo C(outdeg(lo), 2))` — the second number is
+    * the EXACT row count of the wedge frame the triangle family is about
+    * to generate, surfaced BEFORE the generation job runs (the
+    * `n_capped_orders` discipline applied to the one superlinear stage the
+    * STRESS suite found). The same job yields `|E| = Σ outdeg` for free,
+    * so the [[edgeHint]] broadcast guard no longer pays its own count.
+    * Over a [[writeEdges]]-persisted oriented artifact (bucketed by the
+    * low endpoint) the `groupBy(lo)` is exchange-free.
+    *
+    * Exact while `Σ outdeg·(outdeg−1) < 2⁶³` — with outdeg ≤ [[MAXDEG]]
+    * that holds until ~10¹⁸ total wedges, far past any budget worth
+    * setting.
+    */
+  private[graft] def wedgeProbe(oriented: DataFrame): (Long, Long) = {
+    val r = oriented.groupBy("lo").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(col("od")), lit(0L)).as("ne"),
+        coalesce(sum(col("od") * (col("od") - lit(1L))), lit(0L)).as("nw2"))
+      .head()
+    (r.getLong(0), r.getLong(1) / 2)
+  }
+
+  /** Refuses a wedge generation whose exact row count (from
+    * [[wedgeProbe]]) exceeds the budget — fail fast WITH the number, the
+    * predictable-refusal contract a 100 TB operator owes its caller.
+    */
+  private def requireWedgeBudget(who: String, nWedges: Long,
+      wedgeBudget: Long): Unit =
+    require(wedgeBudget <= 0L || nWedges <= wedgeBudget,
+      s"$who: the wedge frame would be $nWedges rows (exact Σ C(outdeg, 2)" +
+        s" over the oriented edge list), over the wedgeBudget $wedgeBudget" +
+        ". A frame this size spills unboundedly instead of finishing: " +
+        "lower the ingestion basket/adjacency cap, sample the edge list, " +
+        "or re-run with an explicit higher wedgeBudget (<= 0 disables).")
+
   /** Triangle count over an UNDIRECTED edge list given as distinct
     * id-ordered pairs `e0(u, v)` with `u < v` — compact-forward
     * degree-ordered orientation: every edge points from its lower
@@ -307,19 +405,19 @@ object Graph {
     * degrees, orientation, wedges, and the closing probe) —
     * `Caches.sweep` when done.
     *
-    * EAGER PRECONDITION PROBE: the single-long orientation key silently
-    * mis-orders once `id ≥ KMUL` or `deg > MAXDEG`, so the builder runs one
-    * bounded driver aggregate over the (cached) degree frame and REFUSES
-    * out-of-range inputs instead of miscounting. The probe's cost is one
-    * scan of the already-cached edge list.
+    * EAGER PROBES: [[validateOrientation]] (refuse `id ≥ KMUL` /
+    * `deg > MAXDEG` instead of miscounting) then [[wedgeProbe]] — one
+    * aggregate over the oriented list that yields the EXACT wedge-frame
+    * row count (refused above `wedgeBudget` with the number — see
+    * [[WEDGE_BUDGET]]) and `|E|` for the broadcast guard in the same job.
     *
     * EDGE-GRAIN BROADCAST GUARD (r12): the wedge frame is the one stage
     * that dwarfs everything (Σ outdeg² rows — 41M at the sf0.1 fixture's
     * 1.2M edges), and the default plan SHUFFLES it twice: once into the
     * wedge self-join, once into the closing-edge probe. When the ORIENTED
-    * edge list itself is broadcast-range (`broadcastMaxEdges`, probed
-    * with one exact count over the cached frame — edges are NOT node-grain,
-    * so this needs its own ceiling, not [[nodeHint]]'s), both joins hint
+    * edge list itself is broadcast-range (`broadcastMaxEdges`, fed by
+    * [[wedgeProbe]]'s exact `|E|` — edges are NOT node-grain, so this
+    * needs its own ceiling, not [[nodeHint]]'s), both joins hint
     * the edge side instead: wedges are then GENERATED and CLOSED map-side
     * in a single pass over the oriented scan, and the only shuffle left is
     * the 1-row count aggregate. Beyond the ceiling (a 100 TB graph's edge
@@ -328,27 +426,32 @@ object Graph {
     * (GraphsSpec pins hinted == unhinted) — a plan knob, never semantics.
     */
   def triangles(e0In: DataFrame,
-      broadcastMaxEdges: Long = 5000000L): DataFrame = {
+      broadcastMaxEdges: Long = 5000000L,
+      wedgeBudget: Long = WEDGE_BUDGET): DataFrame = {
     val e0 = Caches.cache(e0In.select(col("u"), col("v")))
-    val deg = e0.select(col("u").as("n"))
-      .union(e0.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg"))
-    val bounds = deg.agg(coalesce(max(col("n")), lit(0L)).as("mxid"),
-      coalesce(max(col("dg")), lit(0L)).as("mxdg")).head()
-    require(bounds.getLong(0) < KMUL && bounds.getLong(1) <= MAXDEG,
-      s"triangles: orientation key needs ids < $KMUL and degrees <= " +
-        s"$MAXDEG, got max id ${bounds.getLong(0)}, max degree " +
-        s"${bounds.getLong(1)}")
-    val ek = e0
-      .join(deg.select(col("n").as("u"),
-        (col("dg") * KMUL + col("n")).as("ku")), "u")
-      .join(deg.select(col("n").as("v"),
-        (col("dg") * KMUL + col("n")).as("kv")), "v")
-    val oriented = Caches.cache(ek.select(
-      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
-      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
-      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
-    val hinted = edgeHint(oriented, broadcastMaxEdges)
+    val (deg, orientedRaw) = orient(e0)
+    trianglesOriented(Caches.cache(deg), Caches.cache(orientedRaw),
+      broadcastMaxEdges, wedgeBudget)
+  }
+
+  /** [[triangles]] from a PRE-ORIENTED edge list — the consumer half of
+    * the [[orient]] split, for callers that persisted the oriented frame
+    * (+ node-grain degrees) as a session artifact and amortize the
+    * orientation join across runs. `deg(n, dg)` and `oriented(lo, hi,
+    * khi)` must come from [[orient]] over the same edge list (or its
+    * stored read-back — GraphsSpec pins artifact == derived). Both eager
+    * probes still run here — over the stored tables they cost two tiny
+    * aggregates (the `groupBy(lo)` is exchange-free on a bucketed-by-lo
+    * artifact), so a stale or hand-built input is refused exactly like a
+    * fresh derivation would be.
+    */
+  def trianglesOriented(deg: DataFrame, oriented: DataFrame,
+      broadcastMaxEdges: Long = 5000000L,
+      wedgeBudget: Long = WEDGE_BUDGET): DataFrame = {
+    validateOrientation(deg, "triangles")
+    val (nEdges, nWedges) = wedgeProbe(oriented)
+    requireWedgeBudget("triangles", nWedges, wedgeBudget)
+    val hinted = edgeHint(nEdges, broadcastMaxEdges)
     val wedges = oriented.as("x").join(hinted(oriented.as("y")),
         col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
       .select(col("x.hi").as("wu"), col("y.hi").as("wv"))
@@ -357,34 +460,33 @@ object Graph {
       Seq("wu", "wv"))
       .agg(count(lit(1)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+      .withColumn("n_edges", lit(nEdges))
       .crossJoin(tri)
   }
 
   /** |E|-grain broadcast guard for the triangle family's wedge joins —
-    * the [[nodeHint]] discipline with an EDGE ceiling: one exact count of
-    * the (cached) oriented edge frame, the hint only when the whole edge
-    * list is broadcast-range. Default 5e6 edges ≈ 120 MB as a hash
-    * relation (24 bytes/row payload, ~2× map overhead) — executor-safe at
+    * the [[nodeHint]] discipline with an EDGE ceiling, fed the exact edge
+    * count [[wedgeProbe]] already paid for (r13 — previously its own
+    * count job): the hint only when the whole edge list is
+    * broadcast-range. Default 5e6 edges ≈ 120 MB as a hash relation
+    * (24 bytes/row payload, ~2× map overhead) — executor-safe at
     * the 8–16 GB floor; callers on smaller executors lower it, and a
     * corpus-scale graph always exceeds it, falling back to the shuffled
     * equi-joins.
     */
-  private[graft] def edgeHint(oriented: DataFrame,
-      broadcastMaxEdges: Long): DataFrame => DataFrame = {
-    if (broadcastMaxEdges <= 0L) identity
-    else if (oriented.count() <= broadcastMaxEdges) broadcast
+  private[graft] def edgeHint(nEdges: Long,
+      broadcastMaxEdges: Long): DataFrame => DataFrame =
+    if (broadcastMaxEdges > 0L && nEdges <= broadcastMaxEdges) broadcast
     else identity
-  }
 
   /** Per-node local clustering coefficient over the same id-ordered
     * undirected edge list `e0(u, v)`, `u < v`, as [[triangles]]: for each
     * node, `cc = 2·t / (deg·(deg−1))` where `t` is the number of triangles
     * through it (0 for degree-<2 nodes). Same compact-forward orientation
-    * and eager precondition probe as [[triangles]] — the only difference
-    * is that each closed wedge is attributed to its THREE corners (the
-    * wedge center `lo` plus both endpoints) instead of globally counted,
-    * one extra node-grain hash agg.
+    * and eager probes (bounds + wedge budget) as [[triangles]] — the only
+    * difference is that each closed wedge is attributed to its THREE
+    * corners (the wedge center `lo` plus both endpoints) instead of
+    * globally counted, one extra node-grain hash agg.
     *
     * Returns node-grain rows (node, degree, tri_n, cc). Float discipline:
     * cc is one double division of exact integers — identical IEEE in any
@@ -394,27 +496,27 @@ object Graph {
     * beyond it.
     */
   def localClustering(e0In: DataFrame,
-      broadcastMaxEdges: Long = 5000000L): DataFrame = {
+      broadcastMaxEdges: Long = 5000000L,
+      wedgeBudget: Long = WEDGE_BUDGET): DataFrame = {
     val e0 = Caches.cache(e0In.select(col("u"), col("v")))
-    val deg = Caches.cache(e0.select(col("u").as("n"))
-      .union(e0.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg")))
-    val bounds = deg.agg(coalesce(max(col("n")), lit(0L)).as("mxid"),
-      coalesce(max(col("dg")), lit(0L)).as("mxdg")).head()
-    require(bounds.getLong(0) < KMUL && bounds.getLong(1) <= MAXDEG,
-      s"localClustering: orientation key needs ids < $KMUL and degrees <= " +
-        s"$MAXDEG, got max id ${bounds.getLong(0)}, max degree " +
-        s"${bounds.getLong(1)}")
-    val ek = e0
-      .join(deg.select(col("n").as("u"),
-        (col("dg") * KMUL + col("n")).as("ku")), "u")
-      .join(deg.select(col("n").as("v"),
-        (col("dg") * KMUL + col("n")).as("kv")), "v")
-    val oriented = Caches.cache(ek.select(
-      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
-      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
-      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi")))
-    val hinted = edgeHint(oriented, broadcastMaxEdges)
+    val (deg, orientedRaw) = orient(e0)
+    localClusteringOriented(Caches.cache(deg), Caches.cache(orientedRaw),
+      broadcastMaxEdges, wedgeBudget)
+  }
+
+  /** [[localClustering]] from a PRE-ORIENTED edge list — the
+    * [[trianglesOriented]] twin: same `(deg, oriented)` contract from
+    * [[orient]] (or its persisted read-back), same eager probes, node-
+    * grain result unchanged. The closing `deg` join rides whatever
+    * physical layout the caller stored the degree frame in.
+    */
+  def localClusteringOriented(deg: DataFrame, oriented: DataFrame,
+      broadcastMaxEdges: Long = 5000000L,
+      wedgeBudget: Long = WEDGE_BUDGET): DataFrame = {
+    validateOrientation(deg, "localClustering")
+    val (nEdges, nWedges) = wedgeProbe(oriented)
+    requireWedgeBudget("localClustering", nWedges, wedgeBudget)
+    val hinted = edgeHint(nEdges, broadcastMaxEdges)
     val wedges = oriented.as("x").join(hinted(oriented.as("y")),
         col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
       .select(col("x.lo").as("ctr"), col("x.hi").as("wu"),

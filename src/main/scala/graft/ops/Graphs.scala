@@ -259,6 +259,56 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     (ew, s.table(metaTbl))
   }
 
+  /** The persisted ORIENTED co-order graph artifact (r13) — the
+    * [[coOrderArtifact]] discipline extended one derivation deeper for the
+    * triangle family: `graph_triangles` and `graph_clustering_coeff` used
+    * to re-run the degree aggregate + two orientation joins over the edge
+    * artifact EVERY run (~1.3 s each at sf0.1); a production deployment
+    * orients once and stores it. Two tables per (session, fixture dir):
+    * the degree-ordered oriented edge list `(lo, hi, khi)` as a
+    * [[graft.api.Graph.writeEdges]] table BUCKETED BY `lo` (so the wedge
+    * self-join's both sides and the [[graft.api.Graph.wedgeProbe]]
+    * `groupBy(lo)` read co-partitioned buckets — exchange-free below the
+    * broadcast ceiling too), and the node-grain degree frame `(n, dg)`
+    * as a plain side table (written eagerly inside the same derive
+    * callback, the `coOrderArtifact` meta discipline, so both always come
+    * from ONE [[graft.api.Graph.orient]] pass).
+    *
+    * Read-back == direct derivation row-for-row (GraphsSpec pins it), and
+    * the DuckDB oracles still re-derive orientation from raw parquet, so
+    * both consumer keys stay gated end-to-end. The consuming builders
+    * re-run the bounds + wedge-budget probes over the stored tables —
+    * two tiny aggregates — so a hand-edited artifact is refused the same
+    * way a bad fresh derivation is.
+    */
+  private[graft] def coOrderOriented(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = graft.api.Graph.withArtifactLock {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val degTbl = s"graft_coorder_deg_$tag"
+    def writeDeg(deg: DataFrame): Unit = {
+      graft.api.Graph.clearDeadWarehouseDir(s, degTbl)
+      deg.write.mode("overwrite").format("parquet").saveAsTable(degTbl)
+    }
+    val ori = graft.api.Graph.edgesOrDerive(s, s"graft_coorder_oriented_$tag",
+        payload = Seq("khi")) {
+      val e0 = coOrderArtifact(s, d)._1.select("u", "v")
+      val (deg, oriented) = graft.api.Graph.orient(e0)
+      // refuse BEFORE persisting: a stored artifact must never carry a
+      // mis-ordered orientation the probes would have rejected live
+      graft.api.Graph.validateOrientation(deg, "coOrderOriented")
+      writeDeg(deg)
+      oriented.select(col("lo").as("u"), col("hi").as("v"), col("khi"))
+    }
+    // repair path (inside the lock): oriented table present but the degree
+    // side table dropped out from under it — re-derive just the node-grain
+    // frame rather than failing both consumer keys on a missing side table
+    if (!s.catalog.tableExists(degTbl))
+      writeDeg(graft.api.Graph.orient(
+        coOrderArtifact(s, d)._1.select("u", "v"))._1)
+    (s.table(degTbl),
+      ori.select(col("u").as("lo"), col("v").as("hi"), col("khi")))
+  }
+
   /** The persisted customer↔supplier TRANSACTION graph artifact (r12) —
     * the [[coOrderArtifact]] discipline applied to the PageRank family's
     * edge list: one directed edge `(u = custkey, v = suppkey + SUPP_OFF)`
@@ -315,11 +365,13 @@ e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM kept a JOIN kept b ON a.ok = b.
   private val graphTriangles = Q(
     "graph_triangles",
     (s, d) => {
-      // reads the persisted co-order artifact (r12) — the weighted table's
-      // (u, v) projection IS coOrderEdges' distinct e0, and the stored meta
-      // row carries the truncation metric, so no ranking window re-runs here
-      val (ew, capStats) = coOrderArtifact(s, d)
-      Graph.triangles(ew.select("u", "v")).crossJoin(capStats)
+      // reads the persisted ORIENTED artifact (r13) — degrees + the
+      // degree-ordered edge list stored once per session, so this run
+      // pays only the probes and the wedge joins; the stored meta row
+      // carries the truncation metric, so no ranking window re-runs here
+      val capStats = coOrderArtifact(s, d)._2
+      val (deg, oriented) = coOrderOriented(s, d)
+      Graph.trianglesOriented(deg, oriented).crossJoin(capStats)
     },
     Some(s"""WITH $coOrderSql,
 deg AS (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY 1),
@@ -814,11 +866,12 @@ FROM cc GROUP BY component ORDER BY component"""))
   private val graphClusteringCoeff = Q(
     "graph_clustering_coeff",
     (s, d) => {
-      val e0 = coOrderArtifact(s, d)._1.select("u", "v")
+      // oriented artifact read (r13): same stored tables as graph_triangles
+      val (deg, oriented) = coOrderOriented(s, d)
       // cache the node-grain result: it feeds BOTH the avg aggregate and
       // the final cross join — uncached, the whole wedge pipeline would
       // re-execute per consumer (the modularity lesson)
-      val nodes = Caches.cache(Graph.localClustering(e0))
+      val nodes = Caches.cache(Graph.localClusteringOriented(deg, oriented))
       val avg = nodes.agg(
         (dec6Sum(q6(col("cc"))) / count(lit(1))).as("avg_cc"))
       nodes.crossJoin(broadcast(avg)).orderBy("node")
@@ -928,10 +981,21 @@ FROM dist, fit ORDER BY dg"""))
     (s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = s"graph_edges_$tag"
-      if (!s.catalog.tableExists(tbl))
-        graft.api.Graph.clearDeadWarehouseDir(s, tbl)
+      val oriTbl = s"graph_edges_oriented_$tag"
+      Seq(tbl, oriTbl).foreach(t =>
+        if (!s.catalog.tableExists(t))
+          graft.api.Graph.clearDeadWarehouseDir(s, t))
       val (e0, _) = coOrderEdges(s, d)
       graft.api.Graph.writeEdges(e0, tbl)
+      // r13: price the ORIENTED artifact's build too — the derive+write
+      // the triangle family amortizes through coOrderOriented runs eagerly
+      // here every sample, so the bench's build split carries the full
+      // cost of maintaining BOTH stored layouts (edge list + orientation)
+      val (_, oriented) = graft.api.Graph.orient(
+        graft.api.Graph.readEdges(s, tbl))
+      graft.api.Graph.writeEdges(
+        oriented.select(col("lo").as("u"), col("hi").as("v"), col("khi")),
+        oriTbl, payload = Seq("khi"))
       graft.api.Graph.readEdges(s, tbl)
         .groupBy("u").agg(count(lit(1)).as("dg"))
         .groupBy("dg").agg(count(lit(1)).as("n_nodes"))

@@ -1821,6 +1821,60 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpoints survive a restart over the same dir (r13)") {
+    // the lifecycle the durable knob exists for: a convergence loop dies
+    // mid-session (preemption, driver restart) and a NEW session re-runs
+    // the solver over the SAME checkpoint directory. The restart must
+    // (a) complete with identical components, (b) write its own round
+    // state, and (c) leave the prior session's round files untouched —
+    // setCheckpointDir mints a fresh UUID subdir per context, so restarts
+    // accumulate beside, never clobber (the caller owns deletion).
+    import spark.implicits._
+    val edges = (0L until 64L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_restart_")
+      .toFile.getAbsolutePath
+    def files(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.filter(_.isFile).toSeq ++ kids.filter(_.isDirectory).flatMap(files)
+    }
+    try {
+      val first = Dedup.connectedComponents(
+          edges.toDF("a_id", "b_id"), checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      val afterFirst = files(new java.io.File(dir))
+        .map(f => f.getAbsolutePath -> f.length).toMap
+      assert(afterFirst.nonEmpty, "first run must leave round state behind")
+      // simulated session drop: a fresh SparkSession (new session state
+      // over the shared local context — the closest one JVM gets to a
+      // driver restart) re-runs the solver against the same directory
+      val s2 = spark.newSession()
+      val second = {
+        import s2.implicits._
+        Dedup.connectedComponents(
+            edges.toDF("a_id", "b_id"), checkpointDir = Some(dir))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(second === first)
+      assert(first.values.toSet === Set(0L, 200L))
+      val afterSecond = files(new java.io.File(dir))
+        .map(f => f.getAbsolutePath -> f.length).toMap
+      // prior round state re-readable: same files, same bytes
+      afterFirst.foreach { case (p, len) =>
+        assert(afterSecond.get(p).contains(len),
+          s"restart disturbed prior session's checkpoint file $p")
+      }
+      assert((afterSecond.keySet -- afterFirst.keySet).nonEmpty,
+        "the restarted solver must write its own round state")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("nodeHint derates the approx node-count probe by the safety margin (r12)") {
     import spark.implicits._
     // ~100 distinct nodes; approx_count_distinct lands within a few % of

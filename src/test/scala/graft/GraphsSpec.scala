@@ -511,6 +511,56 @@ class GraphsSpec extends SparkSpec
     graft.api.Caches.sweep(spark)
   }
 
+  test("oriented artifact read-back equals the direct orientation (r13)") {
+    // the contract the triangle family's amortization rests on: the stored
+    // (lo, hi, khi) table + degree side table ARE Graph.orient over the
+    // co-order e0, row for row — and the consumer produces the identical
+    // result from either source
+    val (deg, ori) = graft.ops.Graphs.coOrderOriented(spark, sf)
+    val e0 = graft.ops.Graphs.coOrderArtifact(spark, sf)._1.select("u", "v")
+    val (degD, oriD) = graft.api.Graph.orient(e0)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(keySet(deg) === keySet(degD))
+    assert(keySet(ori) === keySet(oriD))
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    assert(spark.catalog.tableExists(s"graft_coorder_oriented_$tag"))
+    assert(spark.catalog.tableExists(s"graft_coorder_deg_$tag"))
+    // second touch READS (derive-fallback not re-entered)
+    val (_, ori2) = graft.ops.Graphs.coOrderOriented(spark, sf)
+    assert(keySet(ori2) === keySet(ori))
+    // consumer equality: the artifact path == a fresh end-to-end derivation
+    val a = graft.api.Graph.trianglesOriented(deg, ori).collect()(0)
+    val f = graft.api.Graph.triangles(e0).collect()(0)
+    assert(a.toSeq === f.toSeq)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("wedge budget: a planted mega-basket is refused with the exact count (r13)") {
+    import spark.implicits._
+    // the STRESS shape: one 1000-item mega-basket, capped at MAXBASKET=64
+    // items by ingestion -> a K64 clique. Σ C(outdeg, 2) over its
+    // degree-ordered orientation is C(64, 3) = 41664 — the EXACT wedge
+    // count the probe must surface in the refusal
+    val items = (1 to 1000).map(pk => (0L, pk.toLong)).toDF("ok", "pk")
+    val (e0, capStats) = graft.ops.Graphs.capBaskets(items)
+    assert(capStats.head().getLong(0) === 1L) // the truncation is surfaced
+    val ex = intercept[IllegalArgumentException](
+      graft.api.Graph.triangles(e0, wedgeBudget = 10000L))
+    assert(ex.getMessage.contains("41664 rows"), ex.getMessage)
+    assert(ex.getMessage.contains("wedgeBudget 10000"), ex.getMessage)
+    val exCc = intercept[IllegalArgumentException](
+      graft.api.Graph.localClustering(e0, wedgeBudget = 10000L))
+    assert(exCc.getMessage.contains("41664 rows"), exCc.getMessage)
+    // under the default budget the same frame runs — and in a clique every
+    // wedge closes, so n_triangles equals the probed wedge count exactly
+    val r = graft.api.Graph.triangles(e0).collect()(0)
+    assert(r.getAs[Long]("n_triangles") === 41664L)
+    assert(r.getAs[Long]("n_edges") === 2016L) // C(64, 2)
+    assert(r.getAs[Long]("n_nodes") === 64L)
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")
