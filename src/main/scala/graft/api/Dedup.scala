@@ -394,6 +394,44 @@ object Dedup {
       .select("a_id", "b_id", "common", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the subset-duplicate detector
+    * Jaccard structurally misses: a short document fully quoted inside a
+    * long one has `J = |A|/|B|` (arbitrarily small) but containment
+    * `C = |A∩B| / min(|A|, |B|) = 1`. Same exact inverted-index shape as
+    * [[ngramJaccardPairs]] (word-`n`-grams, df-capped stop-shingles,
+    * gram-keyed pair aggregate — never doc×doc) with two deliberate
+    * differences: NO length-compatibility prune (asymmetry is the point —
+    * any size pair can reach containment 1), and both set sizes emitted so
+    * a consumer can tell which side is the contained one
+    * (`common == min(a_n, b_n)` ⇒ the smaller doc is a strict gram-subset).
+    * Returns (a_id, b_id, a_n, b_n, common, containment) for pairs at or
+    * above `threshold` (round-4, the Jaccard builder's float discipline —
+    * strictly positive, no signed-zero exposure).
+    *
+    * Scale shape: the df cap is the only fan-out bound (each surviving
+    * gram contributes ≤ C(maxDf, 2) pairs); without the length prune the
+    * pair aggregate carries every co-gram pair, so corpus-scale callers
+    * tighten `maxDf` or pre-block — the same knob the Jaccard path
+    * documents.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Long = 50): DataFrame = {
+    val tri = Caches.cache(wordGrams(docs, idCol, textCol, n))
+    val sh = tri.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inv = tri.join(sh, "id").select(col("id"), col("n_sh"), col("g"))
+    val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+    val cold = inv.join(hot, Seq("g"), "left_anti")
+    val a = cold.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
+    val b = cold.select(col("g").as("g2"), col("id").as("b_id"), col("n_sh").as("b_n"))
+    a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        round(col("common").cast("double") / least(col("a_n"), col("b_n")), 4))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "a_n", "b_n", "common", "containment")
+  }
+
   /** Per-document duplicated-SPAN fraction: of a document's word-`n`-gram
     * POSITIONS (sliding, duplicates kept — spans, not the distinct shingle
     * set), the fraction whose gram also appears in at least one OTHER

@@ -252,6 +252,41 @@ round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) AS jaccard
 FROM p WHERE $ngramSimFilter
 ORDER BY a_id, b_id"""))
 
+  /** Asymmetric n-gram CONTAINMENT pairs (§2.9 ext, r13) — the
+    * subset-duplicate detector the Jaccard key structurally misses: a
+    * short document fully quoted inside a long one scores
+    * `J = |A|/|B|` (arbitrarily small) but containment
+    * `C = common/min(|A|,|B|) = 1` — the near-dup class behind mirrored
+    * excerpts, quote-heavy pages and doc-in-doc wrappers, which a
+    * training-corpus dedup pass must see ([[graft.api.Dedup.ngramContainmentPairs]];
+    * threshold 0.8 over the default word-3-gram space). Both set sizes are
+    * emitted so the consumer can tell WHICH side is contained
+    * (`common == min(a_n, b_n)` ⇒ strict gram-subset).
+    *
+    * Rides its own parameter-named session artifact
+    * (`graft_ngramcontain_…`, the r13 [[graft.api.Tables.tableOrDerive]]
+    * discipline) — the frame is a fixed pure function of the fixture, and
+    * the containment pair aggregate carries every co-gram pair (no
+    * length-compatibility prune CAN apply: asymmetry is the point), so
+    * re-paying it per run would repeat the band-tuning mistake this round
+    * fixed. The DuckDB oracle re-derives from raw parquet — artifact ==
+    * derivation gated end-to-end. Scale shape: df-capped inverted index,
+    * gram-keyed pair aggregate, never doc×doc.
+    */
+  private val llmNgramContainment = Q(
+    "llm_ngram_containment",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      graft.api.Tables.tableOrDerive(s, s"graft_ngramcontain_n3t080_$tag") {
+        Dedup.ngramContainmentPairs(T.documents(s, d), "doc_id", "text")
+      }.orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $ngramPairCtes
+SELECT a_id, b_id, a_n, b_n, common,
+round(CAST(common AS DOUBLE) / least(a_n, b_n), 4) AS containment
+FROM p WHERE round(CAST(common AS DOUBLE) / least(a_n, b_n), 4) >= 0.8
+ORDER BY a_id, b_id"""))
+
   /** LSH-recall acceptance metric for the MinHash near-dup path — the twin
     * of [[llmAnnRecall]] for the dedup stack: how much of the EXACT n-gram
     * Jaccard truth set (>= 0.6, the oracled [[llmNgramJaccard]] semantics)
@@ -2900,6 +2935,59 @@ SELECT s1, s2, common, n1.n_g AS n1, n2.n_g AS n2,
 FROM p JOIN n n1 ON s1 = n1.source JOIN n n2 ON s2 = n2.source
 ORDER BY s1, s2"""))
 
+  /** Distinct-n lexical diversity per source (§2.9 ext, r13) — the
+    * distinct-1 / distinct-2 metrics of Li et al. 2016 ("A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models") read as a CORPUS-mixture audit: per source, unique
+    * unigrams/bigrams over total gram INSTANCES (positions, duplicates
+    * kept — the denominator is volume, not vocabulary). A source whose
+    * distinct-2 collapses is template spam or boilerplate mirrors —
+    * the degenerate-text signal quality filters miss because every
+    * individual doc looks fine. Complements [[llmVocabGrowth]] (cumulative
+    * vocabulary over ingestion order) and [[llmSourceOverlap]] (pairwise
+    * leakage): this is the per-source repetition-rate readout.
+    *
+    * Float discipline: both ratios are one IEEE division of exact longs →
+    * RAW. Scale shape: two gram streams (token explode + one
+    * codegen'd transform for bigrams), each collapsed by ONE source-grain
+    * aggregate; `count(DISTINCT g)` shuffles gram-keyed — at 100 TB swap
+    * in approx_count_distinct or the HLL sketch keys, same shape.
+    */
+  private val llmDistinctNgrams = Q(
+    "llm_distinct_ngrams",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("t"))
+      val uni = toks.select(col("source"), explode(col("t")).as("g"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> concat_ws(' ', t[i], t[i+1]))")).as("g"))
+      val m1 = uni.groupBy("source").agg(count(lit(1)).as("total_1"),
+        countDistinct(col("g")).as("uniq_1"))
+      val m2 = bi.groupBy("source").agg(count(lit(1)).as("total_2"),
+        countDistinct(col("g")).as("uniq_2"))
+      m1.join(m2, "source")
+        .select(col("source"), col("total_1"), col("uniq_1"),
+          (col("uniq_1").cast("double") / col("total_1")).as("distinct_1"),
+          col("total_2"), col("uniq_2"),
+          (col("uniq_2").cast("double") / col("total_2")).as("distinct_2"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT source, u.g AS g FROM toks, UNNEST(t) AS u(g)),
+bi AS (SELECT source, t[i] || ' ' || t[i+1] AS g
+       FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+m1 AS (SELECT source, count(*) AS total_1, count(DISTINCT g) AS uniq_1
+       FROM uni GROUP BY 1),
+m2 AS (SELECT source, count(*) AS total_2, count(DISTINCT g) AS uniq_2
+       FROM bi GROUP BY 1)
+SELECT m1.source AS source, total_1, uniq_1,
+  CAST(uniq_1 AS DOUBLE) / total_1 AS distinct_1,
+  total_2, uniq_2, CAST(uniq_2 AS DOUBLE) / total_2 AS distinct_2
+FROM m1 JOIN m2 ON m1.source = m2.source ORDER BY source"""))
+
   /** Per-document n-gram novelty — the fraction of a doc's distinct
     * word-3-grams whose FIRST corpus occurrence (minimum doc_id) is this
     * doc: the dataset-diversity curve (late documents repeating early
@@ -3479,7 +3567,8 @@ FROM t, k ORDER BY cos DESC, a_id, b_id"""))
     llmLshBandTuning, llmSentenceChunk, llmEmbedKmeans, llmTfidfCosinePairs,
     llmReadability, llmVocabGrowth, llmDocOutlier, llmAucRoc, llmLiftGains,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
+    llmNgramJaccard, llmNgramContainment, llmDistinctNgrams,
+    llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
     llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,
     llmCosineTopk,

@@ -2747,8 +2747,69 @@ SELECT flag AS l_returnflag, n_rows, CAST(n_kept AS BIGINT) AS n_kept,
   mean_all, mean_trimmed
 FROM g ORDER BY l_returnflag"""))
 
+  /** Winsorized mean per return flag (§2.4 ext, r13) — [[aggTrimmedMean]]'s
+    * clamping sibling: instead of DROPPING the 10 % rank tails, every value
+    * outside the [p10, p90] rank boundaries is CLAMPED to the boundary
+    * VALUE (the estimator that keeps n constant — the robust mean used when
+    * row weights must be preserved). Boundary values are rank-selected
+    * (`rn = floor(n/10)+1` and `rn = n−floor(n/10)`), so they are
+    * value-deterministic under boundary ties (tied rows are
+    * value-identical) and involve ZERO quantile interpolation — the
+    * engine-divergent path both robust-mean keys deliberately avoid.
+    * Emits the boundary cents beside both means so the gate pins the
+    * clamp inputs, not just the close.
+    *
+    * Float discipline: values are exact cents; the clamp is pure
+    * comparison; both means are one double division of exact ints → RAW.
+    * Scale shape: one window rank per group + a group-grain boundary
+    * aggregate broadcast back + one map-side-combinable clamped sum —
+    * at 100 TB the rank window swaps in approx-percentile boundaries,
+    * same clamp close.
+    */
+  private val aggWinsorizedMean = Q(
+    "agg_winsorized_mean",
+    (s, d) => {
+      val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("yc"))
+      val rk = c.withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy("yc")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      val bounds = rk.groupBy("flag")
+        .agg(max(col("n")).as("n_rows"),
+          max(when(col("rn") === floor(col("n") / 10) + 1, col("yc")))
+            .as("lo_c"),
+          max(when(col("rn") === col("n") - floor(col("n") / 10), col("yc")))
+            .as("hi_c"))
+      c.join(broadcast(bounds), "flag")
+        .groupBy(col("flag").as("l_returnflag"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          max(col("lo_c")).as("lo_c"),
+          max(col("hi_c")).as("hi_c"),
+          (sum(col("yc")).cast("double") / max(col("n_rows")) / lit(100.0))
+            .as("mean_all"),
+          (sum(least(greatest(col("yc"), col("lo_c")), col("hi_c")))
+            .cast("double") / max(col("n_rows")) / lit(100.0))
+            .as("mean_winsor"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH c AS (SELECT l_returnflag AS flag,
+    ${centsSql("l_extendedprice")} AS yc FROM lineitem),
+rk AS (SELECT flag, yc,
+    row_number() OVER (PARTITION BY flag ORDER BY yc) AS rn,
+    count(*) OVER (PARTITION BY flag) AS n FROM c),
+b AS (SELECT flag, max(n) AS n_rows,
+    max(CASE WHEN rn = floor(n / 10) + 1 THEN yc END) AS lo_c,
+    max(CASE WHEN rn = n - floor(n / 10) THEN yc END) AS hi_c
+  FROM rk GROUP BY flag)
+SELECT c.flag AS l_returnflag, max(n_rows) AS n_rows,
+  max(lo_c) AS lo_c, max(hi_c) AS hi_c,
+  CAST(sum(yc) AS DOUBLE) / max(n_rows) / 100.0 AS mean_all,
+  CAST(sum(least(greatest(yc, lo_c), hi_c)) AS DOUBLE) / max(n_rows) / 100.0
+    AS mean_winsor
+FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
-    sqlTvfParams, aggTrimmedMean,
+    sqlTvfParams, aggTrimmedMean, aggWinsorizedMean,
     sqlViewSurface,
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2,
     aggCramersV, aggKsTest,

@@ -73,6 +73,36 @@ ORDER BY nationkey"""))
 EXCEPT SELECT s_nationkey AS nationkey FROM supplier
 ORDER BY nationkey"""))
 
+  /** Symmetric difference with side attribution (§2.7 ext, r13) — the
+    * two-way snapshot-drift readout [[setExcept]] gives only one direction
+    * of: keys present in exactly ONE of the two relations, each tagged
+    * with the side it came from (the "what changed between these two
+    * feeds" diff both directions at once). Composed from the same
+    * set-semantics EXCEPT primitive run both ways + a tagged union — set
+    * algebra, not a row-diff (src_row_hash_diff covers value drift at
+    * row grain).
+    *
+    * Scale shape: two hash-distinct anti-join shuffles on the key (AQE
+    * can reuse the exchange across the mirrored pair) + a union; nothing
+    * driver-side.
+    */
+  private val setSymmetricDiff = Q(
+    "set_symmetric_diff",
+    (s, d) => {
+      val c = T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val p = T.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.except(p).withColumn("side", lit("customer_only"))
+        .unionByName(p.except(c).withColumn("side", lit("supplier_only")))
+        .orderBy("nationkey", "side")
+    },
+    Some("""WITH co AS (SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier),
+so AS (SELECT s_nationkey AS nationkey FROM supplier
+  EXCEPT SELECT c_nationkey FROM customer)
+SELECT nationkey, 'customer_only' AS side FROM co
+UNION ALL SELECT nationkey, 'supplier_only' AS side FROM so
+ORDER BY nationkey, side"""))
+
   /** Schema-evolution union: a newer partition carries an extra column; the
     * old rows surface it as NULL (`unionByName(allowMissingColumns)`) — the
     * datalake schema-drift case.
@@ -137,6 +167,6 @@ count(DISTINCT o_orderkey) AS n_keys
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   val all: Seq[Q] = Seq(sortMulticol, sortNullsOrder, limitTopk,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept, setUnionEvolve,
-    setUpsert)
+    setUnionAll, setUnionDistinct, setIntersect, setExcept, setSymmetricDiff,
+    setUnionEvolve, setUpsert)
 }

@@ -1720,7 +1720,148 @@ SELECT day, x AS avg_price_c, peak, drawdown,
   max(drawdown) OVER () AS max_drawdown
 FROM dd ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(winBollinger, winDrawdown,
+  /** 14-day RSI (relative strength index, Cutler's SMA variant) over the
+    * daily-average-order-value series (§2.5 ext, r13) — the bounded
+    * momentum oscillator read beside [[winBollinger]]'s dispersion bands
+    * and [[winDrawdown]]'s retracement: per day, the 14-day window sums of
+    * up-moves vs down-moves in the series, closed as
+    * `rsi = 100·gain/(gain+loss)`. Cutler's SMA form deliberately replaces
+    * Wilder's recursive smoothing: the window sums stay EXACT whole-cent
+    * integers (BIGINT in both engines) where the recursion would compound
+    * float error and engine-order sensitivity. NULL until 14 diffs fill
+    * the window (the bands-key convention) and on a flat window
+    * (gain+loss = 0 — RSI undefined).
+    *
+    * Float discipline: day-over-day diffs, the up/down split and both
+    * window sums are exact cents; rsi is ONE IEEE close over exact ints →
+    * RAW. Scale shape: calendar-grain input (one map-side-combinable
+    * daily aggregate over the corpus); both windows run over the bounded
+    * days frame.
+    */
+  private val winRsi = Q(
+    "win_rsi",
+    (s, d) => {
+      val daily = T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double")
+          / count(lit(1))).as("avc"))
+        .select(col("day"),
+          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val wLag = Window.orderBy("day")
+      val w14 = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+      val dd = daily
+        .withColumn("diff", col("x") - lag(col("x"), 1).over(wLag))
+      val r = dd.select(col("day"), col("x"),
+        count(col("diff")).over(w14).as("n_diff"),
+        sum(when(col("diff") > 0, col("diff")).otherwise(lit(0L)))
+          .over(w14).as("gain_c"),
+        sum(when(col("diff") < 0, -col("diff")).otherwise(lit(0L)))
+          .over(w14).as("loss_c"))
+      r.select(col("day"), col("x").as("avg_price_c"), col("n_diff"),
+          col("gain_c"), col("loss_c"),
+          when(col("n_diff") === 14L && col("gain_c") + col("loss_c") > 0L,
+            (lit(100.0) * col("gain_c")) / (col("gain_c") + col("loss_c")))
+            .as("rsi"))
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) AS avc
+  FROM orders GROUP BY 1),
+q AS (SELECT day, CAST(floor(avc + 0.5) AS BIGINT) AS x FROM daily),
+dd AS (SELECT day, x, x - lag(x, 1) OVER (ORDER BY day) AS diff FROM q),
+r AS (SELECT day, x,
+    count(diff) OVER w AS n_diff,
+    sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS gain_c,
+    sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS loss_c
+  FROM dd
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT day, x AS avg_price_c, n_diff,
+  CAST(gain_c AS BIGINT) AS gain_c, CAST(loss_c AS BIGINT) AS loss_c,
+  CASE WHEN n_diff = 14 AND gain_c + loss_c > 0
+    THEN (100.0 * gain_c) / (gain_c + loss_c) END AS rsi
+FROM r ORDER BY day"""))
+
+  /** MACD momentum divergence over the daily series (§2.5 ext, r13) — the
+    * fast-vs-slow exponential-mean spread (spans 12 and 26), each EMA
+    * computed with the [[winEwma]] TRUNCATED-KERNEL discipline: the
+    * exponential kernel cuts at 20 lags and renormalizes by the weight
+    * mass actually present, so every day's EMA is a FINITE dot product of
+    * double literals — window-expressible, no recursion, and the oracle
+    * carries the IDENTICAL literals (each weight emitted as its
+    * shortest-round-trip decimal string, which every correctly-rounded
+    * parser reads back to the same double). Truncation is a documented
+    * semantic: at span 12 the cut tail holds (11/13)²⁰ ≈ 4 % of the
+    * kernel mass; at span 26 ≈ 45 % — the slow line leans on the
+    * renormalization by design (a 20-day exponential-profile mean).
+    *
+    * Float discipline: the weight literals are bit-identical by
+    * construction; the num/den folds and the closing subtraction mirror
+    * the oracle's spelled order term for term → RAW (the winEwma
+    * precedent). Scale shape: calendar-grain; one window pass.
+    */
+  private val winMacd = Q(
+    "win_macd",
+    (s, d) => {
+      val daily = T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double")
+          / count(lit(1))).as("avc"))
+        .select(col("day"),
+          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val w = Window.orderBy("day")
+      // each TERM (one identical-IEEE multiply) quantizes at q6 and the
+      // 20-term horizontal sum runs in exact DECIMAL(18,6) — the
+      // dec6Sum(q6(...)) discipline applied to a per-row fold: a raw
+      // double fold is order/fusion-sensitive at the last ulp across
+      // engines (measured: 1-ulp ema divergence at sf0.01), and an
+      // output-side quantization merely moves the divergence to the
+      // grain boundaries. DECIMAL(18,6), not (28,6): DuckDB widens
+      // addition by one digit per term and refuses past width 38
+      val D186 = org.apache.spark.sql.types.DecimalType(18, 6)
+      def ema(span: Int) = {
+        val a = 2.0 / (span + 1)
+        val wg = (0 until 20).map(k => a * math.pow(1.0 - a, k))
+        val num = (0 until 20).map(k =>
+          q6(coalesce(lag(col("x"), k).over(w), lit(0.0)) * lit(wg(k)))
+            .cast(D186))
+          .reduce(_ + _).cast("double")
+        val den = (0 until 20).map(k =>
+          q6(when(lag(col("x"), k).over(w).isNotNull, lit(wg(k)))
+            .otherwise(lit(0.0))).cast(D186))
+          .reduce(_ + _).cast("double")
+        num / den
+      }
+      daily.select(col("day"), col("x").as("avg_price_c"),
+          ema(12).as("ema12"), ema(26).as("ema26"))
+        .withColumn("macd", col("ema12") - col("ema26"))
+        .orderBy("day")
+    },
+    Some {
+      def emaSql(span: Int): String = {
+        val a = 2.0 / (span + 1)
+        val wg = (0 until 20).map { k =>
+          val v = a * math.pow(1.0 - a, k)
+          s"CAST(${java.math.BigDecimal.valueOf(v).toPlainString} AS DOUBLE)"
+        }
+        val num = (0 until 20)
+          .map(k => s"CAST(${q6Sql(s"coalesce(lag(x, $k) OVER w, 0.0) * ${wg(k)}")} AS DECIMAL(18,6))")
+          .mkString(" + ")
+        val den = (0 until 20)
+          .map(k => s"CAST(${q6Sql(s"CASE WHEN lag(x, $k) OVER w IS NOT NULL THEN ${wg(k)} ELSE 0.0 END")} AS DECIMAL(18,6))")
+          .mkString(" + ")
+        s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)"
+      }
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) AS avc
+  FROM orders GROUP BY 1),
+q AS (SELECT day, CAST(floor(avc + 0.5) AS BIGINT) AS x FROM daily),
+r AS (SELECT day, x, ${emaSql(12)} AS ema12, ${emaSql(26)} AS ema26
+  FROM q WINDOW w AS (ORDER BY day))
+SELECT day, x AS avg_price_c, ema12, ema26, ema12 - ema26 AS macd
+FROM r ORDER BY day"""
+    })
+
+  val all: Seq[Q] = Seq(winBollinger, winDrawdown, winRsi, winMacd,
     winRollingCorr, winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,

@@ -700,4 +700,66 @@ class LlmSpec extends SparkSpec {
     // the floor-5 arm on this corpus keeps nearly everything; floor-100 cuts
     assert(dk.head > dk.last)
   }
+
+  test("ngramContainmentPairs flags a strict subset doc that Jaccard misses (r13)") {
+    import spark.implicits._
+    // doc 2 is a verbatim prefix excerpt of doc 1: all 8 of its trigrams
+    // are inside doc 1's 38 -> containment 1.0, while J = 8/38 = 0.21
+    // sits far below the Jaccard builder's 0.6 threshold
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other))
+      .toDF("doc_id", "text")
+    val cont = graft.api.Dedup.ngramContainmentPairs(docs, "doc_id", "text")
+      .collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getAs[Long]("a_id") === 1L && r.getAs[Long]("b_id") === 2L)
+    assert(r.getAs[Long]("a_n") === 38L && r.getAs[Long]("b_n") === 8L)
+    assert(r.getAs[Long]("common") === 8L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().isEmpty)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("llm_ngram_containment pairs respect the metric's bounds on the fixture (r13)") {
+    val rows = q("llm_ngram_containment").collect()
+    graft.api.Caches.sweep(spark)
+    rows.foreach { r =>
+      val cn = r.getAs[Long]("common")
+      val mn = math.min(r.getAs[Long]("a_n"), r.getAs[Long]("b_n"))
+      assert(cn <= mn, "a pair can never share more grams than its smaller set")
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0)
+      assert(c === math.rint(cn.toDouble / mn * 1e4) / 1e4 ||
+        math.abs(c - cn.toDouble / mn) < 1e-4)
+    }
+  }
+
+  test("llm_distinct_ngrams totals equal an independent token recount (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("llm_distinct_ngrams").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    // independent totals: per-doc token counts aggregated WITHOUT the
+    // explode the key pays — a different plan for the same numbers
+    val totals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("t1"),
+        sum(greatest(size(split(col("text"), " ")) - 1, lit(0))).as("t2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (t1, t2) = totals(r.getAs[String]("source"))
+      assert(r.getAs[Long]("total_1") === t1)
+      assert(r.getAs[Long]("total_2") === t2)
+      assert(r.getAs[Long]("uniq_1") <= t1 && r.getAs[Long]("uniq_2") <= t2)
+      assert(r.getAs[Double]("distinct_1") > 0.0 &&
+        r.getAs[Double]("distinct_1") <= 1.0)
+      assert(r.getAs[Double]("distinct_2") > 0.0 &&
+        r.getAs[Double]("distinct_2") <= 1.0)
+    }
+  }
 }

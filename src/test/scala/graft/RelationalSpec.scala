@@ -55,6 +55,39 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(inter + exc == distinctC)
   }
 
+  test("set_symmetric_diff partitions the union of one-sided keys (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("set_symmetric_diff").collect()
+    // conservation: |A\B| + |B\A| rows, each key exactly once per side
+    val exc = q("set_except").count() // customer_only, the same derivation
+    assert(rows.count(_.getAs[String]("side") == "customer_only") === exc)
+    // a symmetric-diff key can never be in BOTH relations
+    val inter = q("set_intersect").collect()
+      .map(_.getAs[Int]("nationkey")).toSet
+    assert(rows.forall(r => !inter.contains(r.getAs[Int]("nationkey"))))
+    // and sides are disjoint key sets by construction
+    def keys(side: String) = rows.filter(_.getAs[String]("side") == side)
+      .map(_.getAs[Int]("nationkey")).toSet
+    assert((keys("customer_only") intersect keys("supplier_only")).isEmpty)
+  }
+
+  test("agg_winsorized_mean clamps to the rank-boundary values (r13)") {
+    val rows = q("agg_winsorized_mean").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("lo_c")
+      val hi = r.getAs[Long]("hi_c")
+      assert(lo <= hi)
+      val all = r.getAs[Double]("mean_all")
+      val wz = r.getAs[Double]("mean_winsor")
+      // the clamped mean lies inside the clamp bounds (in dollars), and
+      // clamping a skewed price distribution must move the mean
+      assert(wz >= lo / 100.0 - 1e-9 && wz <= hi / 100.0 + 1e-9)
+      assert(all > 0.0 && wz != all)
+    }
+  }
+
   test("theta range join pairs are strictly ordered and within 10 min") {
     import org.apache.spark.sql.functions._
     val df = q("join_theta_range")

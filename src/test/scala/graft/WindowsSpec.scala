@@ -642,6 +642,57 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("win_rsi equals a driver recount of the 14-day gain/loss sums (r13)") {
+    val rows = q("win_rsi").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.length > 14)
+    val xs = rows.map(_.getAs[Long]("avg_price_c"))
+    val diffs = xs.indices.map(i =>
+      if (i == 0) None else Some(xs(i) - xs(i - 1)))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val w = diffs.slice(math.max(0, i - 13), i + 1).flatten
+      assert(r.getAs[Long]("n_diff") === w.length.toLong)
+      val sg = w.filter(_ > 0).sum
+      val sl = -w.filter(_ < 0).sum
+      assert(r.getAs[Long]("gain_c") === sg)
+      assert(r.getAs[Long]("loss_c") === sl)
+      if (w.length == 14 && sg + sl > 0) {
+        val rsi = r.getAs[Double]("rsi")
+        assert(rsi === (100.0 * sg) / (sg + sl))
+        assert(rsi >= 0.0 && rsi <= 100.0)
+      } else assert(r.isNullAt(r.fieldIndex("rsi")))
+    }
+  }
+
+  test("win_macd equals a driver recount of the truncated-kernel EMAs (r13)") {
+    val rows = q("win_macd").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.length > 20)
+    val xs = rows.map(_.getAs[Long]("avg_price_c").toDouble)
+    // mirror the key's per-term q6 quantization; plain double sums here
+    // (vs the key's exact DECIMAL) differ by ~20 ulp, inside the tolerance
+    def q6d(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def ema(span: Int, i: Int): Double = {
+      val a = 2.0 / (span + 1)
+      val ks = (0 until 20).filter(_ <= i)
+      val num = ks.map(k => q6d(xs(i - k) * (a * math.pow(1 - a, k)))).sum
+      val den = ks.map(k => q6d(a * math.pow(1 - a, k))).sum
+      num / den
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val e12 = ema(12, i)
+      val e26 = ema(26, i)
+      assert(math.abs(r.getAs[Double]("ema12") - e12) < 1e-9 * math.abs(e12))
+      assert(math.abs(r.getAs[Double]("ema26") - e26) < 1e-9 * math.abs(e26))
+      assert(r.getAs[Double]("macd") ===
+        r.getAs[Double]("ema12") - r.getAs[Double]("ema26"))
+    }
+    // fast minus slow line must actually cross somewhere on a
+    // fluctuating series — both signs observed
+    val signs = rows.map(r => math.signum(r.getAs[Double]("macd"))).toSet
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+  }
+
   test("win_drawdown peak is the running max and the quotient closes (r12)") {
     val rows = q("win_drawdown").collect()
     graft.api.Caches.sweep(spark)
