@@ -587,6 +587,42 @@ object Graph {
     visited.select(col("node"), col("hop"))
   }
 
+  /** Multi-source BFS hop counts — [[bfsHops]] generalized to a bounded
+    * PROBE SET of sources in ONE pass: state is (bsrc, node, hop) at
+    * (source × node) grain, every source's frontier expanding
+    * independently under the same per-round plan (one edges ⋈ frontier
+    * equi-join, one distinct, one anti-join against the visited set — all
+    * keyed (bsrc, node)). For k sources this is ONE solver run with k×
+    * state instead of k solver runs with k× plan/scan overhead — the
+    * shape sampled centrality estimators need (BFS from a handful of
+    * probes, never all-pairs). State stays node-grain × k; the broadcast
+    * hints ride [[nodeHint]]'s |V| probe, so a caller with a large probe
+    * set lowers `broadcastMaxNodes` to keep k·|V| broadcast-safe.
+    */
+  def multiBfsHops(edgesIn: DataFrame, sources: Seq[Long], maxHops: Int,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(sources.nonEmpty, "multiBfsHops needs at least one source")
+    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val spark = edgesIn.sparkSession
+    val hinted = nodeHint(edges, broadcastMaxNodes)
+    import spark.implicits._
+    var frontier = Caches.cache(sources.toDF("bsrc")
+      .select(col("bsrc"), col("bsrc").as("node"), lit(0).as("hop")))
+    var visited = frontier
+    for (h <- 1 to maxHops) {
+      frontier = Caches.cache(edges
+        .join(hinted(frontier.select(col("bsrc"), col("node").as("src"))),
+          "src")
+        .select(col("bsrc"), col("dst").as("node")).distinct()
+        .join(hinted(visited.select("bsrc", "node")),
+          Seq("bsrc", "node"), "left_anti")
+        .withColumn("hop", lit(h)))
+      visited = Caches.cache(visited.union(frontier))
+    }
+    visited.select(col("bsrc").as("source"), col("node"), col("hop"))
+  }
+
   /** k-core peel over a SYMMETRIC edge list `edges(src, dst)` — `rounds`
     * synchronous peel iterations (each removes every node whose degree in
     * the surviving subgraph is < k), returning (node, coredeg) for the

@@ -706,6 +706,68 @@ $rounds
 SELECT node, hop FROM v3 ORDER BY node"""
     })
 
+  /** Sampled-source harmonic centrality (§2.12 ext, r13) — the
+    * probe-based estimator behind every at-scale closeness/harmonic
+    * ranking: exact all-pairs harmonic centrality is Θ(|V|·BFS), so
+    * production estimators run BFS from a SMALL probe set and sum
+    * 1/distance per reached node (Eppstein–Wang style). Here: the 4
+    * lowest part ids (deterministic + oracle-trivial; a production run
+    * swaps in a seeded random sample — the ESTIMATOR shape is what this
+    * key pins), 3 hops, all sources in ONE
+    * [[graft.api.Graph.multiBfsHops]] pass. Emits per reached node the
+    * probe count and `Σ 1/hop`, the harmonic estimate.
+    *
+    * Float discipline: with hops ∈ {1,2,3}, `Σ 6/hop` is an EXACT integer
+    * (6, 3, 2 per term — emitted as `h6_sum`); `harmonic = h6_sum / 6.0`
+    * is one IEEE division of exact ints → RAW. The oracle closes the same
+    * 3-hop reach with unrolled DISTINCT walk levels + a min-hop aggregate
+    * (a length-k walk exists for every distance-k node, and min over walk
+    * lengths is the BFS distance) — a different algorithm than the
+    * frontier/anti-join solver, same rows.
+    *
+    * Scale shape: state is (4 × node)-grain; per round one edges⋈frontier
+    * equi-join + distinct + anti-join, the edge list read in place under
+    * the nodeHint guard. The probe-set collect is 4 rows (bounded driver
+    * probe, the codebook discipline).
+    */
+  private val graphHarmonicSampled = Q(
+    "graph_harmonic_sampled",
+    (s, d) => {
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val srcs = e0.select(col("u").as("n"))
+        .union(e0.select(col("v").as("n")))
+        .distinct().orderBy("n").limit(4)
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      val hops = Graph.multiBfsHops(edges, srcs, maxHops = 3)
+      hops.filter(col("hop") > 0)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(when(col("hop") === 1, 6L).when(col("hop") === 2, 3L)
+            .otherwise(2L)).as("h6_sum"))
+        .select(col("node"), col("n_reached"), col("h6_sum"),
+          (col("h6_sum").cast("double") / lit(6.0)).as("harmonic"))
+        .orderBy("node")
+    },
+    Some(s"""WITH $coOrderSql,
+sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+sp AS (SELECT DISTINCT src AS n FROM sym ORDER BY n LIMIT 4),
+l0 AS (SELECT n AS bsrc, n AS node FROM sp),
+l1 AS (SELECT DISTINCT l0.bsrc, e.dst AS node FROM l0 JOIN sym e ON e.src = l0.node),
+l2 AS (SELECT DISTINCT l1.bsrc, e.dst AS node FROM l1 JOIN sym e ON e.src = l1.node),
+l3 AS (SELECT DISTINCT l2.bsrc, e.dst AS node FROM l2 JOIN sym e ON e.src = l2.node),
+hops AS (SELECT bsrc, node, 0 AS hop FROM l0
+  UNION ALL SELECT bsrc, node, 1 FROM l1
+  UNION ALL SELECT bsrc, node, 2 FROM l2
+  UNION ALL SELECT bsrc, node, 3 FROM l3),
+m AS (SELECT bsrc, node, min(hop) AS hop FROM hops GROUP BY 1, 2)
+SELECT node, count(*) AS n_reached,
+  CAST(sum(CASE hop WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) AS h6_sum,
+  CAST(sum(CASE hop WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS DOUBLE) / 6.0 AS harmonic
+FROM m WHERE hop > 0
+GROUP BY node ORDER BY node"""))
+
   /** k-core peel (k = 70, 5 synchronous rounds) on the part co-order graph
     * — the cohesive-subgraph extractor of §2.12: parts surviving all five
     * peels co-occur with ≥ 70 other surviving parts, the "always bought in
@@ -1010,7 +1072,8 @@ GROUP BY dg ORDER BY out_degree"""))
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
-      graphAssocRules, graphBfsHops, graphKcore, graphAssortativity,
+      graphAssocRules, graphBfsHops, graphHarmonicSampled, graphKcore,
+      graphAssortativity,
       graphComponents, graphClusteringCoeff, graphDegreeStats,
       graphEdgesPersist)
 }

@@ -273,19 +273,65 @@ ORDER BY a_id, b_id"""))
     * derivation gated end-to-end. Scale shape: df-capped inverted index,
     * gram-keyed pair aggregate, never doc×doc.
     */
+  /** SESSION-persisted artifact of the default-parameter containment pair
+    * set (word-3-grams, df > 50 cap, threshold 0.8) — shared by
+    * [[llmNgramContainment]] and [[llmDedupClustersContainment]]; same
+    * identity contract as the other pair artifacts (name embeds params +
+    * fixture dir, session-catalog lifetime, oracles re-derive from raw).
+    */
+  private def containmentPairsArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    graft.api.Tables.tableOrDerive(s, s"graft_ngramcontain_n3t080_$tag") {
+      Dedup.ngramContainmentPairs(T.documents(s, d), "doc_id", "text")
+    }
+  }
+
   private val llmNgramContainment = Q(
     "llm_ngram_containment",
-    (s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      graft.api.Tables.tableOrDerive(s, s"graft_ngramcontain_n3t080_$tag") {
-        Dedup.ngramContainmentPairs(T.documents(s, d), "doc_id", "text")
-      }.orderBy("a_id", "b_id")
-    },
+    (s, d) => containmentPairsArtifact(s, d).orderBy("a_id", "b_id"),
     Some(s"""WITH $ngramPairCtes
 SELECT a_id, b_id, a_n, b_n, common,
 round(CAST(common AS DOUBLE) / least(a_n, b_n), 4) AS containment
 FROM p WHERE round(CAST(common AS DOUBLE) / least(a_n, b_n), 4) >= 0.8
 ORDER BY a_id, b_id"""))
+
+  /** Containment-based dedup clusters (§2.9 ext, r13) — the
+    * [[llmDedupClustersNgram]] pipeline run over the CONTAINMENT pair set
+    * instead of the Jaccard one: transitive closure of the ≥0.8
+    * subset-duplicate relation via the same pointer-doubling CC solver,
+    * one row per cluster (component = min doc_id label, member count,
+    * min-id survivor label). This is the cluster table a quote/excerpt
+    * dedup pass feeds survivorship — Jaccard clusters miss the doc-in-doc
+    * family entirely (LlmSpec plants one). Reads the shared containment
+    * artifact, so the pair derivation is paid once per session across
+    * both consumers; the DuckDB oracle re-derives pairs from raw parquet
+    * and closes them with a recursive CTE — different algorithms end to
+    * end, same rows.
+    */
+  private val llmDedupClustersContainment = Q(
+    "llm_dedup_clusters_containment",
+    (s, d) => {
+      val pairs = containmentPairsArtifact(s, d).select("a_id", "b_id")
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE
+$ngramPairCtes,
+p2 AS (SELECT a_id, b_id FROM p
+       WHERE round(CAST(common AS DOUBLE) / least(a_n, b_n), 4) >= 0.8),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members, min(id) AS survivor_id
+FROM cc GROUP BY component ORDER BY component"""))
 
   /** LSH-recall acceptance metric for the MinHash near-dup path — the twin
     * of [[llmAnnRecall]] for the dedup stack: how much of the EXACT n-gram
@@ -3567,7 +3613,8 @@ FROM t, k ORDER BY cos DESC, a_id, b_id"""))
     llmLshBandTuning, llmSentenceChunk, llmEmbedKmeans, llmTfidfCosinePairs,
     llmReadability, llmVocabGrowth, llmDocOutlier, llmAucRoc, llmLiftGains,
     llmExactDedup, llmMinhashNeardup, llmSimhashNeardup,
-    llmNgramJaccard, llmNgramContainment, llmDistinctNgrams,
+    llmNgramJaccard, llmNgramContainment, llmDedupClustersContainment,
+    llmDistinctNgrams,
     llmMinhashRecall, llmMinhashEstErr, llmSimhashRecall,
     llmNgramDfcapRecall,
     llmWinnowRecall, llmSubstringDedup,

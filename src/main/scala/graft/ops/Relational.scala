@@ -2808,8 +2808,64 @@ SELECT c.flag AS l_returnflag, max(n_rows) AS n_rows,
     AS mean_winsor
 FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
 
+  /** Quantile normalization across groups (§2.4 ext, r13) — the
+    * feature-preprocessing standard (microarray lineage, now ML feature
+    * pipelines): every value maps to the GLOBAL distribution's value at
+    * its own within-group quantile position, making the per-group
+    * marginal distributions identical while preserving within-group
+    * order. Mapping is pure integer rank arithmetic — target global rank
+    * `ceil(rn·N / n_g)` — over exact cent values: NO floats anywhere in
+    * the output (the one engine-safe way to express quantile mapping;
+    * interpolating normalizers are the cross-engine divergence this key
+    * avoids). Emits the (group, value, normalized value) rows.
+    *
+    * Tie determinism: row_number over equal values assigns arbitrary rank
+    * ORDER, but the emitted MULTISET is tie-invariant (tied rows swap
+    * identical (flag, yc) prefixes over the same normalized-value set),
+    * and rank→value lookup on the global side lands inside a tied run of
+    * identical values — so the sorted output is engine-deterministic with
+    * no tiebreak columns.
+    *
+    * Scale shape: one rank window per group + one global rank window (the
+    * global sort is the scale cost — a 100 TB deployment swaps both ranks
+    * for approx-quantile grids, same join) + one rank-keyed equi-join.
+    */
+  private val aggQuantileNormalize = Q(
+    "agg_quantile_normalize",
+    (s, d) => {
+      val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("yc"))
+      val g = c
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy("yc")))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("flag")))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      val gv = c.select(col("yc").as("norm_c"))
+        .withColumn("gr", row_number().over(Window.orderBy("norm_c")))
+      // rn·nn ≤ 2^53 keeps the double quotient exact-or-safely-off-integer
+      // (integer quotients are exact; non-integer ones sit ≥ 1/ng from an
+      // integer, far past one ulp), so ceil agrees across engines
+      val t = g.select(col("flag"), col("yc"),
+        ceil((col("rn") * col("nn")) / col("ng")).cast("long").as("gr"))
+      t.join(gv, "gr")
+        .select(col("flag").as("l_returnflag"), col("yc").as("yc_c"),
+          col("norm_c"))
+        .orderBy("l_returnflag", "yc_c", "norm_c")
+    },
+    Some(s"""WITH c AS (SELECT l_returnflag AS flag,
+    ${centsSql("l_extendedprice")} AS yc FROM lineitem),
+g AS (SELECT flag, yc,
+    row_number() OVER (PARTITION BY flag ORDER BY yc) AS rn,
+    count(*) OVER (PARTITION BY flag) AS ng,
+    count(*) OVER () AS nn FROM c),
+gv AS (SELECT yc AS norm_c, row_number() OVER (ORDER BY yc) AS gr FROM c),
+t AS (SELECT flag, yc, CAST(ceil((rn * nn) / ng) AS BIGINT) AS gr FROM g)
+SELECT flag AS l_returnflag, t.yc AS yc_c, norm_c
+FROM t JOIN gv ON t.gr = gv.gr
+ORDER BY l_returnflag, yc_c, norm_c"""))
+
   val all: Seq[Q] = Seq(
-    sqlTvfParams, aggTrimmedMean, aggWinsorizedMean,
+    sqlTvfParams, aggTrimmedMean, aggWinsorizedMean, aggQuantileNormalize,
     sqlViewSurface,
     aggProblemLinks, aggEntropy, aggHhiGini, aggRankMovers, aggChi2,
     aggCramersV, aggKsTest,

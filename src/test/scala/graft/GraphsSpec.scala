@@ -561,6 +561,37 @@ class GraphsSpec extends SparkSpec
     graft.api.Caches.sweep(spark)
   }
 
+  test("multiBfsHops equals the per-source bfsHops union on a literal graph (r13)") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a branch 2-10; sources 1 and 10
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L))
+    val edges = (edges0 ++ edges0.map(e => (e._2, e._1)))
+      .toDF("src", "dst")
+    val multi = graft.api.Graph.multiBfsHops(edges, Seq(1L, 10L), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perSrc = Seq(1L, 10L).flatMap(sr =>
+      graft.api.Graph.bfsHops(edges, sr, 3)
+        .collect().map(r => (sr, r.getLong(0), r.getInt(1)))).toSet
+    assert(multi === perSrc)
+    // spot-pin the distances: from 1, node 4 is 3 hops; from 10, node 3 is 2
+    assert(multi.contains((1L, 4L, 3)) && multi.contains((10L, 3L, 2)))
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("graph_harmonic_sampled closes exactly over the probe hop counts (r13)") {
+    val rows = q("graph_harmonic_sampled").collect()
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nr = r.getAs[Long]("n_reached")
+      val h6 = r.getAs[Long]("h6_sum")
+      assert(nr >= 1L && nr <= 4L) // at most the 4 probes
+      // each probe contributes 6 (hop 1), 3 (hop 2) or 2 (hop 3)
+      assert(h6 >= 2L * nr && h6 <= 6L * nr)
+      assert(r.getAs[Double]("harmonic") === h6.toDouble / 6.0)
+    }
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")

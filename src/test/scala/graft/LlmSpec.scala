@@ -738,6 +738,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_dedup_clusters_containment clusters close over the pair set (r13)") {
+    val pairs = q("llm_ngram_containment").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val rows = q("llm_dedup_clusters_containment").collect()
+    graft.api.Caches.sweep(spark)
+    // every cluster holds >= 2 members, its label is the min member id
+    // (so the min-id survivor label coincides with it), and membership
+    // count closes over the pair set's node count
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("survivor_id") === r.getAs[Long]("component"))
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nodes.size.toLong)
+    // transitive closure can only merge pairs, never split: cluster count
+    // is at most the pair count and at most half the node count
+    assert(rows.length <= pairs.length && rows.length * 2 <= nodes.size)
+  }
+
   test("llm_distinct_ngrams totals equal an independent token recount (r13)") {
     import org.apache.spark.sql.functions._
     val rows = q("llm_distinct_ngrams").collect()

@@ -88,6 +88,26 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("agg_quantile_normalize maps group extremes to global extremes (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("agg_quantile_normalize").collect()
+    graft.api.Caches.sweep(spark)
+    val n = graft.ops.T.lineitem(spark, sf).count()
+    assert(rows.length.toLong === n, "normalization must preserve row count")
+    val globalMax = rows.map(_.getAs[Long]("norm_c")).max
+    val ycMax = rows.map(_.getAs[Long]("yc_c")).max
+    // rn = ng maps to gr = N: every group's largest value normalizes to
+    // the global maximum, which is the raw global maximum itself
+    assert(globalMax === ycMax)
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("norm_c")).max === globalMax)
+      // the mapping is monotone: sorting by raw value sorts by normalized
+      val sorted = g.sortBy(r => (r.getAs[Long]("yc_c"), r.getAs[Long]("norm_c")))
+      assert(sorted.map(_.getAs[Long]("norm_c")).toSeq ===
+        sorted.map(_.getAs[Long]("norm_c")).sortBy(identity).toSeq)
+    }
+  }
+
   test("theta range join pairs are strictly ordered and within 10 min") {
     import org.apache.spark.sql.functions._
     val df = q("join_theta_range")
