@@ -138,6 +138,53 @@ object Fts {
     * does) must either feed integer weights (all oracled consumers here do)
     * or round the cw-derived output columns before comparing.
     */
+  /** TWO-WEIGHT integer sibling of [[cumulativeWeights]] (r14) — the
+    * two-stage bucketed prefix sum over EXACT LONG weight expressions `w1`
+    * and `w2`, for the rank/ECDF family (KS's two per-side cumulative
+    * counts, Mann–Whitney's rank sum, quantile normalization's positional
+    * ranks): one row per (key, DISTINCT value) carrying both per-value
+    * sums (`c1`, `c2`) and both INCLUSIVE cumulative sums (`cum1`, `cum2`
+    * — Σ over values ≤ this one within the key). A single-partition
+    * `Window.orderBy(value)` computes the same numbers by moving the whole
+    * frame through one reducer; here the only window partitions on
+    * (key, bucket), so reducer input is |distinct values|/buckets.
+    *
+    * All arithmetic stays in LONG (weights must be integer-valued and
+    * totals < 2⁶³): per-bucket partials, the triangular-offset join over
+    * the tiny (keys × buckets) frame, and the within-bucket running sums
+    * are exact in any association order — `cum1`/`cum2` are bit-identical
+    * to a single-pass ordered prefix sum, so consumers keep their oracle
+    * hashes when they swap in this form. Both running sums share ONE
+    * window spec (one WindowExec, one sort).
+    */
+  def cumulativeCounts2(df: DataFrame, keyCol: String, valueCol: String,
+      w1: Column, w2: Column, buckets: Int = 32): DataFrame = {
+    val pre = df.groupBy(col(keyCol), col(valueCol))
+      .agg(sum(w1).as("c1"), sum(w2).as("c2"))
+    val stats = pre.groupBy(keyCol)
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val bucketed = pre.join(broadcast(stats), Seq(keyCol))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col(valueCol) - col("lo"))
+            / (col("hi") - col("lo")) * buckets), lit(buckets - 1L))))
+    val bw = bucketed.groupBy(keyCol, "bucket")
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+    val prior = bw.select(col(keyCol).as("k2"), col("bucket").as("bk2"),
+      col("b1").as("p1"), col("b2").as("p2"))
+    val offsets = bw.join(prior,
+        col(keyCol) === col("k2") && col("bk2") < col("bucket"), "left")
+      .groupBy(keyCol, "bucket")
+      .agg(coalesce(sum(col("p1")), lit(0L)).as("off1"),
+        coalesce(sum(col("p2")), lit(0L)).as("off2"))
+    val w = Window.partitionBy(col(keyCol), col("bucket")).orderBy(valueCol)
+    bucketed.join(broadcast(offsets), Seq(keyCol, "bucket"))
+      .withColumn("cum1", col("off1") + sum(col("c1")).over(w))
+      .withColumn("cum2", col("off2") + sum(col("c2")).over(w))
+      .select(col(keyCol), col(valueCol), col("c1"), col("c2"),
+        col("cum1"), col("cum2"))
+  }
+
   def cumulativeWeights(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, buckets: Int = 32): DataFrame = {
     val pre = df.groupBy(col(keyCol), col(valueCol))

@@ -365,16 +365,27 @@ object Graph {
     * Over a [[writeEdges]]-persisted oriented artifact (bucketed by the
     * low endpoint) the `groupBy(lo)` is exchange-free.
     *
-    * Exact while `Σ outdeg·(outdeg−1) < 2⁶³` — with outdeg ≤ [[MAXDEG]]
-    * that holds until ~10¹⁸ total wedges, far past any budget worth
-    * setting.
+    * OVERFLOW-SAFE (r14 ADVICE): the Σ od·(od−1) accumulator runs in
+    * DECIMAL(38,0) — each factor cast to DECIMAL(19,0) first, the
+    * assortativity product rule, exact to 10³⁸ — because a plain long sum
+    * wraps silently in non-ANSI mode, and a guard that wraps to a small
+    * value in exactly its target regime (≥ ~10¹⁸ wedges) self-defeats. A
+    * total past Long range is refused here with the decimal count: it is
+    * over ANY representable budget by construction.
     */
   private[graft] def wedgeProbe(oriented: DataFrame): (Long, Long) = {
+    val dec19 = DecimalType(19, 0)
     val r = oriented.groupBy("lo").agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(col("od")), lit(0L)).as("ne"),
-        coalesce(sum(col("od") * (col("od") - lit(1L))), lit(0L)).as("nw2"))
+        coalesce(sum(col("od").cast(dec19) * (col("od") - lit(1L)).cast(dec19)),
+          lit(0L).cast(DecimalType(38, 0))).as("nw2"))
       .head()
-    (r.getLong(0), r.getLong(1) / 2)
+    val nw2 = r.getDecimal(1)
+    require(nw2.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+      s"wedgeProbe: the wedge frame would be ${nw2.toBigInteger}/2 rows — " +
+        "beyond Long range and over any representable wedgeBudget; cap or " +
+        "sample the edge list before the triangle family touches it.")
+    (r.getLong(0), nw2.longValueExact() / 2)
   }
 
   /** Refuses a wedge generation whose exact row count (from
@@ -607,7 +618,9 @@ object Graph {
     val spark = edgesIn.sparkSession
     val hinted = nodeHint(edges, broadcastMaxNodes)
     import spark.implicits._
-    var frontier = Caches.cache(sources.toDF("bsrc")
+    // a repeated source would duplicate its whole (source, node, hop) slice
+    // (hop-0 outright, later rounds by union) — state is per DISTINCT source
+    var frontier = Caches.cache(sources.distinct.toDF("bsrc")
       .select(col("bsrc"), col("bsrc").as("node"), lit(0).as("hop")))
     var visited = frontier
     for (h <- 1 to maxHops) {

@@ -1043,21 +1043,23 @@ FROM dist, fit ORDER BY dg"""))
     (s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = s"graph_edges_$tag"
-      val oriTbl = s"graph_edges_oriented_$tag"
-      Seq(tbl, oriTbl).foreach(t =>
-        if (!s.catalog.tableExists(t))
-          graft.api.Graph.clearDeadWarehouseDir(s, t))
+      if (!s.catalog.tableExists(tbl))
+        graft.api.Graph.clearDeadWarehouseDir(s, tbl)
       val (e0, _) = coOrderEdges(s, d)
       graft.api.Graph.writeEdges(e0, tbl)
-      // r13: price the ORIENTED artifact's build too — the derive+write
-      // the triangle family amortizes through coOrderOriented runs eagerly
-      // here every sample, so the bench's build split carries the full
-      // cost of maintaining BOTH stored layouts (edge list + orientation)
-      val (_, oriented) = graft.api.Graph.orient(
-        graft.api.Graph.readEdges(s, tbl))
-      graft.api.Graph.writeEdges(
-        oriented.select(col("lo").as("u"), col("hi").as("v"), col("khi")),
-        oriTbl, payload = Seq("khi"))
+      // r14 (ADVICE): price the oriented artifact the triangle family
+      // ACTUALLY consumes — drop the coOrderOriented pair of tables and
+      // re-derive them eagerly, so the build split carries the real cost of
+      // maintaining both stored layouts and no never-read sibling is written
+      // (r13 wrote a parallel graph_edges_oriented_* nothing consumed).
+      // Holding the artifact lock makes drop + re-derive atomic against a
+      // racing first-caller.
+      graft.api.Graph.withArtifactLock {
+        val ltag = tag.toLowerCase
+        s.sql(s"DROP TABLE IF EXISTS graft_coorder_oriented_$ltag")
+        s.sql(s"DROP TABLE IF EXISTS graft_coorder_deg_$ltag")
+        coOrderOriented(s, d)
+      }
       graft.api.Graph.readEdges(s, tbl)
         .groupBy("u").agg(count(lit(1)).as("dg"))
         .groupBy("dg").agg(count(lit(1)).as("n_nodes"))

@@ -252,27 +252,6 @@ round(CAST(common AS DOUBLE) / (a_n + b_n - common), 4) AS jaccard
 FROM p WHERE $ngramSimFilter
 ORDER BY a_id, b_id"""))
 
-  /** Asymmetric n-gram CONTAINMENT pairs (§2.9 ext, r13) — the
-    * subset-duplicate detector the Jaccard key structurally misses: a
-    * short document fully quoted inside a long one scores
-    * `J = |A|/|B|` (arbitrarily small) but containment
-    * `C = common/min(|A|,|B|) = 1` — the near-dup class behind mirrored
-    * excerpts, quote-heavy pages and doc-in-doc wrappers, which a
-    * training-corpus dedup pass must see ([[graft.api.Dedup.ngramContainmentPairs]];
-    * threshold 0.8 over the default word-3-gram space). Both set sizes are
-    * emitted so the consumer can tell WHICH side is contained
-    * (`common == min(a_n, b_n)` ⇒ strict gram-subset).
-    *
-    * Rides its own parameter-named session artifact
-    * (`graft_ngramcontain_…`, the r13 [[graft.api.Tables.tableOrDerive]]
-    * discipline) — the frame is a fixed pure function of the fixture, and
-    * the containment pair aggregate carries every co-gram pair (no
-    * length-compatibility prune CAN apply: asymmetry is the point), so
-    * re-paying it per run would repeat the band-tuning mistake this round
-    * fixed. The DuckDB oracle re-derives from raw parquet — artifact ==
-    * derivation gated end-to-end. Scale shape: df-capped inverted index,
-    * gram-keyed pair aggregate, never doc×doc.
-    */
   /** SESSION-persisted artifact of the default-parameter containment pair
     * set (word-3-grams, df > 50 cap, threshold 0.8) — shared by
     * [[llmNgramContainment]] and [[llmDedupClustersContainment]]; same
@@ -287,6 +266,28 @@ ORDER BY a_id, b_id"""))
     }
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs (§2.9 ext, r13) — the
+    * subset-duplicate detector the Jaccard key structurally misses: a
+    * short document fully quoted inside a long one scores
+    * `J = |A|/|B|` (arbitrarily small) but containment
+    * `C = common/min(|A|,|B|) = 1` — the near-dup class behind mirrored
+    * excerpts, quote-heavy pages and doc-in-doc wrappers, which a
+    * training-corpus dedup pass must see ([[graft.api.Dedup.ngramContainmentPairs]];
+    * threshold 0.8 over the default word-3-gram space). Both set sizes are
+    * emitted so the consumer can tell WHICH side is contained
+    * (`common == min(a_n, b_n)` ⇒ strict gram-subset).
+    *
+    * Rides its own parameter-named session artifact
+    * (`graft_ngramcontain_…`, the r13 [[containmentPairsArtifact]] via
+    * [[graft.api.Tables.tableOrDerive]]) — the frame is a fixed pure
+    * function of the fixture, and the containment pair aggregate carries
+    * every co-gram pair (no length-compatibility prune CAN apply:
+    * asymmetry is the point), so re-paying it per run would repeat the
+    * band-tuning mistake this round fixed. The DuckDB oracle re-derives
+    * from raw parquet — artifact == derivation gated end-to-end. Scale
+    * shape: df-capped inverted index, gram-keyed pair aggregate, never
+    * doc×doc.
+    */
   private val llmNgramContainment = Q(
     "llm_ngram_containment",
     (s, d) => containmentPairsArtifact(s, d).orderBy("a_id", "b_id"),

@@ -316,6 +316,43 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"every window must partition on (flag, bucket), not the flag alone:\n$p")
   }
 
+  test("agg_quantile_normalize windows only on (key, bucket) — no fact-grain sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r13 form ran count().over(Window.partitionBy()) + a GLOBAL
+    // row_number over raw lineitem rows — the repo's last single-reducer
+    // fact-grain window; the two-stage cumulativeCounts2 rewrite must leave
+    // only (key, bucket)-partitioned within-bucket running sums
+    // a CONSTANT grouping key (the global side's gk literal) is
+    // constant-folded out of the spec, so the invariant is "every window
+    // partitions on the bucket column", not a spec arity
+    val p = plan("agg_quantile_normalize")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket cumulative windows:\n$p")
+    val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+    assert(bad.isEmpty,
+      s"every window must partition on the bucket column — found a coarser one:\n$p")
+  }
+
+  test("agg_ks_test windows only on (key, bucket) — no unpartitioned ECDF sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("agg_ks_test")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket cumulative window:\n$p")
+    val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+    assert(bad.isEmpty,
+      s"every window must partition on the bucket column:\n$p")
+  }
+
+  test("agg_mann_whitney windows only on (key, bucket) — no unpartitioned rank sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("agg_mann_whitney")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket cumulative window:\n$p")
+    val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+    assert(bad.isEmpty,
+      s"every window must partition on the bucket column:\n$p")
+  }
+
   test("win_ntile_scalable has no global (single-reducer) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the whole point of the scalable twin: quartiles WITHOUT an
