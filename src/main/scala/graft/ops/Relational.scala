@@ -2855,11 +2855,14 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
       val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
         cents(col("l_extendedprice")).as("yc"))
       // per-group: one row per (flag, DISTINCT yc) with its multiplicity and
-      // inclusive cumulative count — rank range (cum-cnt+1 … cum]
-      val pg = graft.api.Fts.cumulativeCounts2(c, "flag", "yc",
-          lit(1L), lit(0L))
-        .select(col("flag"), col("yc"), col("c1").as("cnt"),
-          col("cum1").as("cum"))
+      // inclusive cumulative count — rank range (cum-cnt+1 … cum]. Cached:
+      // three consumers (group totals, the rank explode, and the global
+      // side, which re-aggregates THIS value-grain frame instead of paying
+      // a second fact-table scan + fact-grain pre-aggregate).
+      val pg = graft.api.Caches.cache(
+        graft.api.Fts.cumulativeCounts2(c, "flag", "yc", lit(1L), lit(0L))
+          .select(col("flag"), col("yc"), col("c1").as("cnt"),
+            col("cum1").as("cum")))
       val ngs = pg.groupBy("flag").agg(max(col("cum")).as("ng"))
       val tot = ngs.agg(sum(col("ng")).as("nn"))
       // rn·nn ≤ 2^53 keeps the double quotient exact-or-safely-off-integer
@@ -2872,10 +2875,11 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
         .select(col("flag"), col("yc"),
           ceil((col("rn") * col("nn")) / col("ng")).cast("long").as("gr"))
       // global: same two-stage ranks over the whole value column (constant
-      // key), per-rank values regenerated the same way
+      // key), per-rank values regenerated the same way; the global per-value
+      // multiplicity is Σ over flags of the cached per-group counts
       val gv = graft.api.Fts.cumulativeCounts2(
-          c.select(col("yc")).withColumn("gk", lit(0)), "gk", "yc",
-          lit(1L), lit(0L))
+          pg.select(col("yc"), col("cnt")).withColumn("gk", lit(0)), "gk",
+          "yc", col("cnt"), lit(0L))
         .select(col("yc").as("norm_c"),
           explode(sequence(col("cum1") - col("c1") + lit(1L), col("cum1")))
             .as("gr"))
