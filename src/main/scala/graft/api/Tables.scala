@@ -33,6 +33,63 @@ object Tables {
     spark.table(table)
   }
 
+  /** Canonical fixture-dir tag every artifact name embeds — ONE definition
+    * of the identity contract's dir component, so the read-or-derive
+    * callers and the GC surface below cannot disagree about which tables
+    * belong to which source directory.
+    */
+  def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  /** Session-artifact name prefixes the engine derives through the
+    * read-or-derive gates: `graft_*` ([[tableOrDerive]] /
+    * [[Graph.edgesOrDerive]] callers — pair frames, graph edges/orientation,
+    * trained side tables) and `graph_edges_*` (the bench-priced persist
+    * key's full-rewrite table).
+    */
+  private val ArtifactPrefixes = Seq("graft_", "graph_edges_")
+
+  /** Enumerates the session catalog's derived artifacts — every table whose
+    * name carries an engine artifact prefix, optionally restricted to one
+    * fixture directory's tag ([[dirTag]]). This is the admin view a
+    * long-lived session uses to audit artifact growth: a PARAMETER change
+    * derives a fresh table under a new parameter-embedding name (the
+    * identity contract), so the superseded sibling stays in the catalog
+    * until swept — enumerable here, dropped by [[dropArtifacts]]. Sorted
+    * for stable output.
+    */
+  def listArtifacts(spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String] = None): Seq[String] =
+    artifactLock.synchronized {
+      val tagSuffix = dir.map(dirTag)
+      spark.catalog.listTables().collect().toSeq
+        .map(_.name)
+        .filter(n => ArtifactPrefixes.exists(n.startsWith))
+        .filter(n => tagSuffix.forall(n.endsWith))
+        .sorted
+    }
+
+  /** Drops every [[listArtifacts]] table (optionally dir-scoped) from the
+    * session catalog AND storage, returning the dropped names — the GC half
+    * of the artifact lifecycle: safe because every artifact is a derived
+    * cache (the next consumer's read-or-derive gate re-derives on first
+    * touch), so the only cost of an over-eager sweep is re-derivation.
+    * Holds the artifact lock so a concurrent read-or-derive first-caller
+    * cannot interleave with the drops.
+    */
+  def dropArtifacts(spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String] = None): Seq[String] =
+    // both read-or-derive gates exist (Tables' own and Graph's); hold both
+    // locks — always in this order, nothing acquires them Graph-first-then-
+    // Tables — so no first-caller can interleave with the drops
+    artifactLock.synchronized {
+      Graph.withArtifactLock {
+        val doomed = listArtifacts(spark, dir)
+        doomed.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+        doomed
+      }
+    }
+
   /** Keyed upsert (MERGE): rows of `updates` replace same-keyed rows of
     * `base`; unmatched update rows insert. Both frames must share a schema;
     * `keys` are the merge columns. One left-anti shuffle join plus a union —

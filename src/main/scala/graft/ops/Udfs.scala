@@ -109,25 +109,72 @@ ORDER BY doc_id, pos"""))
     * over ASCII payloads, so DuckDB rebuilds the same image and re-parses
     * it bit-for-bit.
     */
+  /** The P6 media fixture shared by the multimodal family: one binary
+    * payload row per document (w, h derived from the doc, pixel bytes = the
+    * text tiled to exactly 3·w·h octets) plus the typed metadata struct —
+    * the ENCODE half of llm_multimodal_decode, factored out (r14) so the
+    * dedup keys run over the identical payload column. Everything is
+    * engine-side codegen string/byte arithmetic; the DuckDB oracles rebuild
+    * the same ASCII image with the `enc` CTE ([[p6EncSql]]).
+    */
+  private[graft] def p6Media(s: SparkSession, d: String): DataFrame =
+    p6MediaOf(T.documents(s, d))
+
+  /** [[p6Media]] over ANY conforming (doc_id, text, n_chars) frame — the
+    * parameterized encode LlmSpec's planted-payload pins feed directly.
+    */
+  private[graft] def p6MediaOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", (col("n_chars") % 13 + 4).cast("int"))
+      .withColumn("h", (col("n_chars") % 11 + 3).cast("int"))
+      .withColumn("need", col("w") * col("h") * 3)
+      .withColumn("psrc", coalesce(nullif(col("text"), lit("")), lit("x")))
+      .withColumn("reps",
+        ceil(col("need").cast("double") / length(col("psrc"))).cast("int"))
+      .select(
+        col("doc_id"),
+        expr("""cast(concat('P6\n', cast(w as string), ' ',
+                 cast(h as string), '\n255\n',
+                 substring(repeat(psrc, reps), 1, need)) as binary)""")
+          .as("payload"),
+        struct(lit("image/x-portable-pixmap").as("mime")).as("meta"))
+
+  /** The dedup keys' corpus: [[p6Media]] plus a RE-INGESTED BATCH — the
+    * first 50 payloads landing a second time under fresh ids (+10⁶), the
+    * canonical production dup source (re-crawls, replayed ingestion,
+    * multi-source mirrors). Deterministic, derived from the fixture itself,
+    * and reproduced by the oracle's `corpus` CTE ([[p6CorpusSql]]) — the
+    * planted-signal discipline the fixtures use everywhere (the corpus has
+    * no natural exact dups: 500 distinct texts at sf0.01).
+    */
+  private[graft] def p6Corpus(s: SparkSession, d: String): DataFrame = {
+    val m = p6Media(s, d)
+    m.unionByName(m.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** DuckDB twin of [[p6Corpus]] — splice after [[p6EncSql]]. */
+  private def p6CorpusSql: String = """corpus AS (
+  SELECT doc_id, img FROM enc
+  UNION ALL
+  SELECT doc_id + 1000000, img FROM enc WHERE doc_id < 50)"""
+
+  /** DuckDB twin of [[p6Media]] — the `enc(doc_id, img)` CTE body. */
+  private def p6EncSql: String = """enc AS (
+  SELECT doc_id,
+    'P6' || chr(10) || (n_chars % 13 + 4) || ' ' || (n_chars % 11 + 3) ||
+      chr(10) || '255' || chr(10) ||
+      substring(repeat(coalesce(nullif(text, ''), 'x'),
+          CAST(ceil(((n_chars % 13 + 4) * (n_chars % 11 + 3) * 3)
+            / len(coalesce(nullif(text, ''), 'x'))) AS INTEGER)),
+        1, (n_chars % 13 + 4) * (n_chars % 11 + 3) * 3) AS img
+  FROM documents)"""
+
   private val llmMultimodalDecode = Q(
     "llm_multimodal_decode",
     (s, d) => {
-      // -------- encode: build the P6 payload (w,h derived from the doc,
-      // pixel bytes = the text tiled to exactly 3·w·h octets)
-      val media = T.documents(s, d)
-        .withColumn("w", (col("n_chars") % 13 + 4).cast("int"))
-        .withColumn("h", (col("n_chars") % 11 + 3).cast("int"))
-        .withColumn("need", col("w") * col("h") * 3)
-        .withColumn("psrc", coalesce(nullif(col("text"), lit("")), lit("x")))
-        .withColumn("reps",
-          ceil(col("need").cast("double") / length(col("psrc"))).cast("int"))
-        .select(
-          col("doc_id"),
-          expr("""cast(concat('P6\n', cast(w as string), ' ',
-                   cast(h as string), '\n255\n',
-                   substring(repeat(psrc, reps), 1, need)) as binary)""")
-            .as("payload"),
-          struct(lit("image/x-portable-pixmap").as("mime")).as("meta"))
+      // -------- encode: the shared P6 payload fixture
+      val media = p6Media(s, d)
       // -------- decode: everything below reads ONLY (payload, meta)
       val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
       val decoded = media
@@ -167,15 +214,9 @@ ORDER BY doc_id, pos"""))
     // DuckDB rebuilds the identical ASCII image string and re-parses it:
     // ord == ascii on ASCII bytes, int division/ceil agree, and the
     // position-weighted sums are exact integer arithmetic in both engines
-    Some("""WITH enc AS (
-  SELECT doc_id,
-    'P6' || chr(10) || (n_chars % 13 + 4) || ' ' || (n_chars % 11 + 3) ||
-      chr(10) || '255' || chr(10) ||
-      substring(repeat(coalesce(nullif(text, ''), 'x'),
-          CAST(ceil(((n_chars % 13 + 4) * (n_chars % 11 + 3) * 3)
-            / len(coalesce(nullif(text, ''), 'x'))) AS INTEGER)),
-        1, (n_chars % 13 + 4) * (n_chars % 11 + 3) * 3) AS img
-  FROM documents),
+    // plain concatenation, NOT an s-interpolator: the interpolator would
+    // process the \n/\d escapes inside the regex literals below
+    Some("WITH " + p6EncSql + """,
 dec AS (
   SELECT doc_id, img,
     CAST(regexp_extract(substring(img, 1, 32), '^P6\n(\d+) (\d+)\n(\d+)\n', 1) AS INTEGER) AS width,
@@ -393,7 +434,80 @@ FROM (
   FROM documents WHERE doc_id < 200)
 ORDER BY doc_id"""))
 
+  /** EXACT multimodal dedup (§2.9 ext, r14) — the `llm_exact_dedup`
+    * discipline applied to the BINARY payload column: duplicate media
+    * detection at payload grain via a content-hash aggregate (md5 here —
+    * the engine-portable digest the binaryFile key already gates; a
+    * production run swaps sha2(256), same plan). Runs over [[p6Corpus]] —
+    * the fixture media plus its deterministic re-ingested batch, so the
+    * dup population is planted, not hoped for. One row per duplicate
+    * group: (payload_md5, n_copies, rep_doc = min doc id). This is the
+    * ORACLED EXACT TWIN of [[llmMultimodalNeardup]] (the
+    * declared-signature / oracled-exact pairing every near-dup family
+    * here follows).
+    *
+    * Scale shape: ONE hash aggregate keyed on the digest — map-side
+    * combinable, no pairwise work, no byte comparison beyond the hash;
+    * identical at 10⁶ or 10¹² payloads.
+    */
+  private val llmMultimodalExactDedup = Q(
+    "llm_multimodal_exact_dedup",
+    (s, d) => p6Corpus(s, d)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("payload_md5"),
+    Some("WITH " + p6EncSql + ",\n" + p6CorpusSql + """
+SELECT md5(img) AS payload_md5, count(*) AS n_copies,
+  min(doc_id) AS rep_doc
+FROM corpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
+
+  /** Perceptual-style multimodal NEAR-DUP pairs (§2.9 ext, r14) — the
+    * llm_simhash_neardup discipline on the BINARY payload: each P6
+    * payload's PIXEL region signs with the 16-window byte-profile simhash
+    * ([[graft.api.Media.windowProfileSignature]] — window mean vs region
+    * mean, exact cross-multiplied integers), the signature composes with
+    * the parsed (width, height) into one band bucket (same-dimension
+    * same-profile ⇒ candidate, the coarse-luma-grid shape of a real
+    * perceptual hash), and candidates pair through the two-sided
+    * GRID-salted band join ([[graft.api.Dedup.saltedBandPairs]] — a hot
+    * bucket of k payloads spreads ~k²/salt per task, never all-pairs).
+    * Emits (a_id, b_id), a < b. Exact duplicates pair by construction;
+    * single-byte perturbations keep their window profile and pair;
+    * structurally different content splits (LlmSpec plants all three).
+    *
+    * Declared-only BY DESIGN: signature internals (window quantization,
+    * band composition) are engine-specific; the oracled exact twin is
+    * [[llmMultimodalExactDedup]] and the planted-pin spec covers the
+    * near-dup semantics — the llm_minhash_neardup contract.
+    */
+  private val llmMultimodalNeardup = Q(
+    "llm_multimodal_neardup",
+    (s, d) => {
+      val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+      // parse ONLY the payload (the decode-stage contract); cached — the
+      // signature explode and the dimension fold both consume it
+      val parsed = graft.api.Caches.cache(p6Corpus(s, d)
+        .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
+        .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
+        .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
+        .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
+        .select(col("doc_id"), col("payload"), col("width"), col("height"),
+          col("hdr_len")))
+      val sig = graft.api.Media.windowProfileSignature(
+        parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
+      val banded = sig
+        .join(parsed.select(col("doc_id").as("id"), col("width"),
+          col("height")), "id")
+        .select(col("id"), lit(0).as("band"),
+          (col("sig") + shiftleft(col("width"), 20)
+            + shiftleft(col("height"), 28)).as("bsig"))
+      graft.api.Dedup.saltedBandPairs(banded).orderBy("a_id", "b_id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
     llmMultimodalDecode, llmMultimodalFrames, llmMultimodalResize,
-    llmMultimodalAudio, srcBinaryFiles)
+    llmMultimodalAudio, srcBinaryFiles,
+    llmMultimodalExactDedup, llmMultimodalNeardup)
 }

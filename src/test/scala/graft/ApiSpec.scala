@@ -1890,4 +1890,66 @@ class ApiSpec extends SparkSpec {
     assert(!(roomy(probeFrame) eq probeFrame),
       "a ceiling clear of the margin must keep the hint")
   }
+
+  test("cumulativeCounts2 matches a single-pass ordered prefix sum exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties, negative values, two groups, both weights — the two-stage
+    // bucketed form must be BIT-identical to the window it replaces
+    val rows = Seq(
+      ("a", -3L, 1L), ("a", -3L, 0L), ("a", 0L, 1L), ("a", 7L, 0L),
+      ("a", 7L, 1L), ("a", 7L, 1L), ("b", 5L, 0L), ("b", 5L, 1L),
+      ("b", 9L, 1L)).toDF("k", "v", "m")
+    val got = Fts.cumulativeCounts2(rows, "k", "v", lit(1L), col("m"),
+        buckets = 4)
+      .orderBy("k", "v")
+      .select("k", "v", "c1", "c2", "cum1", "cum2")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val w = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.groupBy("k", "v")
+      .agg(sum(lit(1L)).as("c1"), sum(col("m")).as("c2"))
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .orderBy("k", "v")
+      .select("k", "v", "c1", "c2", "cum1", "cum2")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("artifact GC: a parameter change leaves an enumerable stale sibling; dropArtifacts sweeps it") {
+    import spark.implicits._
+    val dirA = "/tmp/graft_gc_fixture_a"
+    val tag = graft.api.Tables.dirTag(dirA)
+    // two "parameter generations" of the same artifact family — the
+    // identity contract puts the parameter in the name, so the v2 derive
+    // creates a NEW table and the v1 sibling goes stale-but-enumerable
+    val t1 = s"graft_gcprobe_p1_$tag"
+    val t2 = s"graft_gcprobe_p2_$tag"
+    val other = "graft_gcprobe_p1_" + graft.api.Tables.dirTag("/tmp/graft_gc_fixture_b")
+    try {
+      graft.api.Tables.tableOrDerive(spark, t1)(Seq((1L, "x")).toDF("id", "s"))
+      graft.api.Tables.tableOrDerive(spark, t2)(Seq((2L, "y")).toDF("id", "s"))
+      graft.api.Tables.tableOrDerive(spark, other)(Seq((3L, "z")).toDF("id", "s"))
+      val listed = graft.api.Tables.listArtifacts(spark, Some(dirA))
+      assert(listed.contains(t1) && listed.contains(t2),
+        s"both parameter generations must be enumerable, got $listed")
+      assert(!listed.contains(other),
+        "dir-scoped listing must exclude other fixture dirs' artifacts")
+      val dropped = graft.api.Tables.dropArtifacts(spark, Some(dirA))
+      assert(dropped.contains(t1) && dropped.contains(t2) &&
+        !dropped.contains(other))
+      assert(!spark.catalog.tableExists(t1) && !spark.catalog.tableExists(t2),
+        "dropped artifacts must leave the catalog")
+      assert(spark.catalog.tableExists(other),
+        "a drop scoped to one dir must not touch another dir's artifacts")
+      // lifecycle closes: the read-or-derive gate re-derives on next touch
+      val again = graft.api.Tables.tableOrDerive(spark, t1)(
+        Seq((9L, "r")).toDF("id", "s"))
+      assert(again.select("id").as[Long].collect().toSeq == Seq(9L))
+    } finally {
+      Seq(t1, t2, other).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }

@@ -781,4 +781,54 @@ class LlmSpec extends SparkSpec {
         r.getAs[Double]("distinct_2") <= 1.0)
     }
   }
+
+  test("multimodal near-dup pairs exact copies AND a 1-byte perturbation; splits different content") {
+    import spark.implicits._
+    // planted payload corpus: A/B identical, C = A with one 'a'->'c' (the
+    // margins are engineered: the A profile's weakest window sits >3 mean
+    // units from the region mean, a single +2 byte cannot flip any bit),
+    // D structurally different content at the SAME (w, h) so only the
+    // SIGNATURE can split it from A/B/C
+    val tA = "a" * 100 + "z" * 100
+    val tC = "c" + "a" * 99 + "z" * 100
+    val tD = "z" * 200
+    val docs = Seq((1L, tA), (2L, tA), (3L, tC), (4L, tD))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val media = graft.ops.Udfs.p6MediaOf(docs)
+    val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+    val parsed = media
+      .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
+      .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
+      .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
+      .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
+    val sig = graft.api.Media.windowProfileSignature(
+      parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
+    val banded = sig
+      .join(parsed.select(col("doc_id").as("id"), col("width"),
+        col("height")), "id")
+      .select(col("id"), lit(0).as("band"),
+        (col("sig") + shiftleft(col("width"), 20)
+          + shiftleft(col("height"), 28)).as("bsig"))
+    val pairs = graft.api.Dedup.saltedBandPairs(banded)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the A/B/C clique and no D pair, got $pairs")
+  }
+
+  test("windowProfileSignature: exact bits on a ramp payload; all-ones on an empty region") {
+    import spark.implicits._
+    // 'a'*64 + 'z'*64 at 16 windows of 8 bytes: windows 0-7 mean 97 below
+    // the region mean 109.5, windows 8-15 mean 122 above -> sig 0xFF00;
+    // a payload no longer than its header signs all-ones
+    val rows = Seq(
+      (1L, ("a" * 64 + "z" * 64).getBytes("UTF-8"), 0),
+      (2L, "hdr".getBytes("UTF-8"), 3))
+      .toDF("doc_id", "payload", "skip")
+    val got = graft.api.Media.windowProfileSignature(
+        rows, "doc_id", "payload", col("skip"), windows = 16)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0xFF00L), (2L, 0xFFFFL)))
+  }
 }
