@@ -768,6 +768,91 @@ SELECT node, count(*) AS n_reached,
 FROM m WHERE hop > 0
 GROUP BY node ORDER BY node"""))
 
+  /** Sampled betweenness centrality (§2.12 ext, r14) — the Brandes-sampled
+    * estimator behind at-scale betweenness rankings (exact Brandes is
+    * Θ(|V|·BFS); production estimators run the forward-σ/backward-δ pass
+    * from a probe set — the [[graphHarmonicSampled]] discipline extended
+    * to dependency accumulation): BFS from the 4 lowest part ids
+    * (deterministic + oracle-trivial; a production run swaps a seeded
+    * random sample — the ESTIMATOR shape is what this key pins), 3 hops,
+    * via [[graft.api.Graph.betweennessSampled]]. Emits per reached node
+    * the probe count and the summed dependency `bc` — the sampled
+    * betweenness estimate (which co-purchased parts BROKER the most
+    * shortest co-order paths).
+    *
+    * Float discipline: σ are exact longs; each δ term σv/σw·(1+δw) is
+    * identical spelled-order IEEE quantized at 1e-6 and summed as exact
+    * DECIMAL(28,6) (the PageRank rule), per level and again across
+    * sources → bc emits RAW. The oracle rebuilds hops from unrolled
+    * DISTINCT walk levels + min (the harmonic oracle's different-
+    * algorithm gate), then the same σ/δ chain.
+    *
+    * Scale shape: one multi-source BFS (k×|V| state), the per-source DAG
+    * as two node-keyed joins (≤ k×|E| rows, cached), one hash aggregate
+    * per σ/δ level, maxHops-bounded unroll. No windows, nothing
+    * quadratic.
+    */
+  private val graphBetweennessSampled = Q(
+    "graph_betweenness_sampled",
+    (s, d) => {
+      val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val srcs = e0.select(col("u").as("n"))
+        .union(e0.select(col("v").as("n")))
+        .distinct().orderBy("n").limit(4)
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      Graph.betweennessSampled(edges, srcs, maxHops = 3)
+        .orderBy("node")
+    },
+    Some(s"""WITH $coOrderSql,
+sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+sp AS (SELECT DISTINCT src AS n FROM sym ORDER BY n LIMIT 4),
+l0 AS (SELECT n AS bsrc, n AS node FROM sp),
+l1 AS (SELECT DISTINCT l0.bsrc, e.dst AS node FROM l0 JOIN sym e ON e.src = l0.node),
+l2 AS (SELECT DISTINCT l1.bsrc, e.dst AS node FROM l1 JOIN sym e ON e.src = l1.node),
+l3 AS (SELECT DISTINCT l2.bsrc, e.dst AS node FROM l2 JOIN sym e ON e.src = l2.node),
+walks AS (SELECT bsrc, node, 0 AS hop FROM l0
+  UNION ALL SELECT bsrc, node, 1 FROM l1
+  UNION ALL SELECT bsrc, node, 2 FROM l2
+  UNION ALL SELECT bsrc, node, 3 FROM l3),
+m AS (SELECT bsrc AS source, node, min(hop) AS hop FROM walks GROUP BY 1, 2),
+dag AS (SELECT h1.source, e.src, e.dst, h1.hop AS hu
+  FROM sym e
+  JOIN m h1 ON h1.node = e.src
+  JOIN m h2 ON h2.source = h1.source AND h2.node = e.dst
+  WHERE h2.hop = h1.hop + 1),
+s0 AS (SELECT source, node, CAST(1 AS BIGINT) AS sigma FROM m WHERE hop = 0),
+s1 AS (SELECT d.source, d.dst AS node, CAST(sum(su.sigma) AS BIGINT) AS sigma
+  FROM dag d JOIN s0 su ON su.source = d.source AND su.node = d.src
+  WHERE d.hu = 0 GROUP BY 1, 2),
+s2 AS (SELECT d.source, d.dst AS node, CAST(sum(su.sigma) AS BIGINT) AS sigma
+  FROM dag d JOIN s1 su ON su.source = d.source AND su.node = d.src
+  WHERE d.hu = 1 GROUP BY 1, 2),
+s3 AS (SELECT d.source, d.dst AS node, CAST(sum(su.sigma) AS BIGINT) AS sigma
+  FROM dag d JOIN s2 su ON su.source = d.source AND su.node = d.src
+  WHERE d.hu = 2 GROUP BY 1, 2),
+d2 AS (SELECT d.source, d.src AS node,
+    ${dec6SumSql(q6Sql("CAST(su.sigma AS DOUBLE) / CAST(sv.sigma AS DOUBLE) * (1.0 + 0.0)"))} AS delta
+  FROM dag d
+  JOIN s2 su ON su.source = d.source AND su.node = d.src
+  JOIN s3 sv ON sv.source = d.source AND sv.node = d.dst
+  WHERE d.hu = 2 GROUP BY 1, 2),
+d1 AS (SELECT d.source, d.src AS node,
+    ${dec6SumSql(q6Sql("CAST(su.sigma AS DOUBLE) / CAST(sv.sigma AS DOUBLE) * (1.0 + coalesce(dd.delta, 0.0))"))} AS delta
+  FROM dag d
+  JOIN s1 su ON su.source = d.source AND su.node = d.src
+  JOIN s2 sv ON sv.source = d.source AND sv.node = d.dst
+  LEFT JOIN d2 dd ON dd.source = d.source AND dd.node = d.dst
+  WHERE d.hu = 1 GROUP BY 1, 2),
+all_d AS (SELECT source, node, delta FROM d1
+  UNION ALL SELECT source, node, delta FROM d2)
+SELECT m.node, count(*) AS n_sources,
+  ${dec6SumSql(q6Sql("coalesce(ad.delta, 0.0)"))} AS bc
+FROM m LEFT JOIN all_d ad ON ad.source = m.source AND ad.node = m.node
+WHERE m.hop > 0
+GROUP BY m.node ORDER BY m.node"""))
+
   /** k-core peel (k = 70, 5 synchronous rounds) on the part co-order graph
     * — the cohesive-subgraph extractor of §2.12: parts surviving all five
     * peels co-occur with ≥ 70 other surviving parts, the "always bought in
@@ -1074,7 +1159,8 @@ GROUP BY dg ORDER BY out_degree"""))
   val all: Seq[Q] =
     Seq(graphPagerank, graphPagerankWeighted, graphTriangles, graphLabelProp,
       graphLabelPropWeighted, graphModularity, graphJaccardSim,
-      graphAssocRules, graphBfsHops, graphHarmonicSampled, graphKcore,
+      graphAssocRules, graphBfsHops, graphHarmonicSampled,
+      graphBetweennessSampled, graphKcore,
       graphAssortativity,
       graphComponents, graphClusteringCoeff, graphDegreeStats,
       graphEdgesPersist)

@@ -592,6 +592,35 @@ class GraphsSpec extends SparkSpec
     }
   }
 
+  test("betweennessSampled: exact Brandes dependencies on planted path and diamond graphs") {
+    import spark.implicits._
+    // path 0-1-2-3-4, source {0}: σ = 1 everywhere, δ(4)=0, δ(3)=1,
+    // δ(2)=2, δ(1)=3 — bc equals the interior shortest-path counts
+    val path = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val gotPath = graft.api.Graph.betweennessSampled(path, Seq(0L), maxHops = 4)
+      .orderBy("node")
+      .select("node", "n_sources", "bc")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotPath == Seq((1L, 1L, 3.0), (2L, 1L, 2.0), (3L, 1L, 1.0),
+      (4L, 1L, 0.0)))
+    // diamond 0-{1,2}-3, source {0}: σ(3) = 2, δ(1) = δ(2) = 1/2·(1+0)
+    val diamond = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L),
+      (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val gotDia = graft.api.Graph.betweennessSampled(diamond, Seq(0L), maxHops = 3)
+      .orderBy("node")
+      .select("node", "bc").as[(Long, Double)].collect().toSeq
+    assert(gotDia == Seq((1L, 0.5), (2L, 0.5), (3L, 0.0)))
+    // two sources, one repeated (multiBfsHops dedupes): bc sums per source
+    val gotTwo = graft.api.Graph.betweennessSampled(path, Seq(0L, 4L, 4L),
+        maxHops = 4)
+      .orderBy("node").select("node", "bc").as[(Long, Double)].collect().toSeq
+    // from 0: δ(1..4) = 3,2,1,0; from 4: δ(3..0) = 3,2,1,0 → summed
+    assert(gotTwo == Seq((0L, 0.0), (1L, 3.0 + 1.0), (2L, 2.0 + 2.0),
+      (3L, 1.0 + 3.0), (4L, 0.0)))
+    graft.api.Caches.sweep(spark)
+  }
+
   test("win_funnel stages are monotone and ratios are the exact counts") {
     val r = q("win_funnel").collect()(0)
     val nv = r.getAs[Long]("n_view")
