@@ -698,6 +698,100 @@ object Stress {
     recs.toSeq
   }
 
+  /** r14 path: the two-stage bucketed prefix sum (`Fts.cumulativeCounts2`)
+    * at fact scale — the form that replaced the repo's last single-reducer
+    * rank windows (agg_quantile_normalize / agg_ks_test / agg_mann_whitney).
+    * The generated frame is the KS shape: near-unique continuous values,
+    * two sides split by a hash bit, one constant grouping key — i.e. the
+    * worst case for the old plan (a single task sorts EVERY row) and the
+    * representative case for the new one (distinct-value grain ≈ row
+    * count; the only window partitions on (key, bucket) — 32 reducers).
+    * Stages: the full cumulative frame (counted), then the closing KS
+    * statistic off it (1-row). Growth across sizes should track the row
+    * count ~linearly in wall AND shuffle.
+    */
+  private def rankPrefixRun(spark: SparkSession, nRows: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((src, nGen), genSec) = timed {
+      val d = spark.range(0L, nRows)
+        .select(
+          // near-unique continuous value in [0, 1e9)
+          (h01(col("id")) * 1e9).as("v"),
+          pmod(xxhash64(col("id"), lit(7)), lit(2)).cast("long").as("isa"))
+        .persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_rows", genSec, nGen)
+    val (nVals, ccSec) = timed {
+      graft.api.Fts.cumulativeCounts2(src.withColumn("gk", lit(0)), "gk",
+        "v", col("isa"), lit(1L) - col("isa")).count()
+    }
+    recs += StageRec("cumulative_counts", ccSec, nVals)
+    val (ksD6, ksSec) = timed {
+      val n = src.agg(sum("isa").as("n1"),
+        (count(lit(1)) - sum(col("isa"))).as("n2"))
+      val d = graft.api.Fts.cumulativeCounts2(src.withColumn("gk", lit(0)),
+          "gk", "v", col("isa"), lit(1L) - col("isa"))
+        .select(col("cum1").as("k1"), col("cum2").as("k2"))
+        .crossJoin(broadcast(n))
+        .agg(max(abs(col("k1").cast("double") / col("n1")
+          - col("k2").cast("double") / col("n2"))).as("ks_d"))
+        .head().getDouble(0)
+      math.rint(d * 1e6).toLong // stage rows field carries ks_d·1e6
+    }
+    recs += StageRec("ks_statistic_e2e", ksSec, ksD6)
+    unpersistQuietly(src)
+    recs.toSeq
+  }
+
+  /** r14 path: sampled betweenness (forward-σ/backward-δ Brandes from a
+    * 4-probe set, 3 hops) on the same capped co-order graph as the
+    * triangles path — the DAG is ≤ 4×|E| rows and every σ/δ level is one
+    * hash aggregate, so wall and shuffle should track the edge count
+    * ~linearly; the checkpoint-per-stage plan keeps optimizer time flat
+    * (the lazy unroll is exponential in hops — PLANS.md r14).
+    */
+  private def betweennessRun(spark: SparkSession, nOrders: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val nParts = math.max(100L, nOrders / 4)
+    val ((items, nItems), genSec) = timed {
+      val d = spark.range(0L, nOrders).select(col("id").as("ok"))
+        .withColumn("bsz", when(col("ok") === 0, lit(1000))
+          .otherwise((lit(1) + floor(lit(20.0) * pow(h01(col("ok")), 3.0)))
+            .cast("int")))
+        .select(col("ok"), explode(sequence(lit(1), col("bsz"))).as("pos"))
+        .select(col("ok"),
+          pmod(xxhash64(col("ok"), col("pos")), lit(nParts)).as("pk"))
+        .distinct().persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_baskets", genSec, nItems)
+    val ((edges, nEdges), edgeSec) = timed {
+      val (e0, _) = graft.ops.Graphs.capBaskets(items)
+      val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+        .persist()
+      (adj, adj.count())
+    }
+    recs += StageRec("edges_sym", edgeSec, nEdges)
+    val ((nReached, bcSum6), bcSec) = timed {
+      val bc = graft.api.Graph.betweennessSampled(edges,
+        sources = Seq(1L, 2L, 3L, 5L), maxHops = 3)
+      val r = bc.agg(count(lit(1)).as("n"),
+        sum(col("bc").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("s")).head()
+      (r.getLong(0), math.rint(r.getDouble(1)).toLong)
+    }
+    recs += StageRec("betweenness_4src_3hop", bcSec, nReached,
+      Seq("bc_sum_rounded" -> bcSum6.toString))
+    graft.api.Caches.sweep(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    unpersistQuietly(edges)
+    unpersistQuietly(items)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -741,6 +835,16 @@ object Stress {
     // path runs at the ivf sizes' lower two rungs
     val pqSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PQS", "100000,300000")
       .split(",").map(_.trim.toLong).toSeq
+    // the rank-prefix rows are 2 longs each and the path is agg/window-only
+    // (no pair joins), so it runs well above the doc paths' row counts —
+    // the point is distinct-value-grain volume through the 32 bucket
+    // reducers, where the replaced plan single-partitioned everything
+    val rankSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_RANKS",
+      "2000000,8000000,32000000").split(",").map(_.trim.toLong).toSeq
+    // betweenness rides the triangles path's basket graph (edge volume
+    // ~3.3/order + the capped mega-basket), DAG ≤ 4×|E|
+    val btwSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_BTWS",
+      "50000,150000,300000").split(",").map(_.trim.toLong).toSeq
     // the index lifecycle adds parquet write I/O on top of the kmeans_ivf
     // work, so it runs at the ivf sizes' lower two rungs as well
     val annIdxSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_ANNIDX", "100000,300000")
@@ -785,6 +889,8 @@ object Stress {
     if (enabled("triangles")) trianglesRun(spark, 3000)
     if (enabled("pq_codes")) pqRun(spark, 2000)
     if (enabled("ann_index")) annIndexRun(spark, 2000)
+    if (enabled("rank_prefix")) rankPrefixRun(spark, 50000)
+    if (enabled("betweenness")) betweennessRun(spark, 3000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -865,6 +971,10 @@ object Stress {
       pqSizes.foreach(n => runs += measured("pq_codes", n, pqRun(spark, n)))
     if (enabled("ann_index"))
       annIdxSizes.foreach(n => runs += measured("ann_index", n, annIndexRun(spark, n)))
+    if (enabled("rank_prefix"))
+      rankSizes.foreach(n => runs += measured("rank_prefix", n, rankPrefixRun(spark, n)))
+    if (enabled("betweenness"))
+      btwSizes.foreach(n => runs += measured("betweenness", n, betweennessRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     if (enabled("kmeans_joinpath"))
       runs += measured("kmeans_joinpath", semSizes(1),
