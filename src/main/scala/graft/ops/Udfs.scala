@@ -506,8 +506,82 @@ FROM corpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
     },
     None)
 
+  /** Multimodal dedup SURVIVORSHIP (§2.9 ext, r14) — the deletion-list
+    * stage that closes the multimodal pipeline the way
+    * `llm_dedup_survivorship` closes the text one: every member of an
+    * exact-duplicate payload group (md5 grain over [[p6Corpus]]) is
+    * emitted with its group's survivor (min doc id — deterministic), the
+    * copy count, and the keep/delete flag; rows NOT in any dup group are
+    * not deletion candidates and stay out of the list.
+    *
+    * Scale shape: one digest-keyed hash aggregate (map-side combinable)
+    * for the survivor/copy-count table, one digest-keyed equi-join back
+    * to members — the survivorship discipline at payload grain, nothing
+    * pairwise.
+    */
+  private val llmMultimodalDedupSurvivors = Q(
+    "llm_multimodal_dedup_survivors",
+    (s, d) => {
+      val m = graft.api.Caches.cache(p6Corpus(s, d)
+        .select(col("doc_id"), md5(col("payload")).as("h")))
+      val groups = m.groupBy("h")
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+      m.join(groups, "h")
+        .select(col("doc_id"), col("survivor_id"), col("n_copies"),
+          (col("doc_id") === col("survivor_id")).as("is_survivor"))
+        .orderBy("survivor_id", "doc_id")
+    },
+    Some("WITH " + p6EncSql + ",\n" + p6CorpusSql + """,
+m AS (SELECT doc_id, md5(img) AS h FROM corpus),
+g AS (SELECT h, min(doc_id) AS survivor_id, count(*) AS n_copies
+  FROM m GROUP BY 1 HAVING count(*) >= 2)
+SELECT doc_id, survivor_id, n_copies, doc_id = survivor_id AS is_survivor
+FROM m JOIN g USING (h)
+ORDER BY survivor_id, doc_id"""))
+
+  /** Multimodal near-dup CLUSTERS (§2.9 ext, r14) — transitive closure of
+    * the [[llmMultimodalNeardup]] signature-pair relation via the shared
+    * pointer-doubling CC solver ([[graft.api.Dedup.connectedComponents]]):
+    * one row per cluster (component = min member id, member count,
+    * min-id survivor) — the multimodal twin of `llm_dedup_clusters`.
+    * Declared-only like its pair input (signature internals are
+    * engine-specific); the oracled exact chain is
+    * [[llmMultimodalExactDedup]] → [[llmMultimodalDedupSurvivors]], and
+    * LlmSpec's planted corpus pins the A/B/C clique closing into ONE
+    * cluster with the different-content payload excluded.
+    */
+  private val llmMultimodalDedupClusters = Q(
+    "llm_multimodal_dedup_clusters",
+    (s, d) => {
+      val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+      val parsed = graft.api.Caches.cache(p6Corpus(s, d)
+        .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
+        .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
+        .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
+        .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
+        .select(col("doc_id"), col("payload"), col("width"), col("height"),
+          col("hdr_len")))
+      val sig = graft.api.Media.windowProfileSignature(
+        parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
+      val banded = sig
+        .join(parsed.select(col("doc_id").as("id"), col("width"),
+          col("height")), "id")
+        .select(col("id"), lit(0).as("band"),
+          (col("sig") + shiftleft(col("width"), 20)
+            + shiftleft(col("height"), 28)).as("bsig"))
+      val pairs = graft.api.Dedup.saltedBandPairs(banded)
+      graft.api.Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+        .orderBy("component")
+    },
+    None)
+
   val all: Seq[Q] = Seq(udfScalar, udafAggregator, udtfGenerator,
     llmMultimodalDecode, llmMultimodalFrames, llmMultimodalResize,
     llmMultimodalAudio, srcBinaryFiles,
-    llmMultimodalExactDedup, llmMultimodalNeardup)
+    llmMultimodalExactDedup, llmMultimodalNeardup,
+    llmMultimodalDedupSurvivors, llmMultimodalDedupClusters)
 }

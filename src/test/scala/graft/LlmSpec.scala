@@ -815,6 +815,18 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
       s"expected the A/B/C clique and no D pair, got $pairs")
+    // the clusters stage closes the clique into ONE component labeled by
+    // its min member, D excluded (no pair ever reached the solver)
+    val clusters = graft.api.Dedup.connectedComponents(
+        graft.api.Dedup.saltedBandPairs(banded))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("surv"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(clusters == Seq((1L, 3L, 1L)),
+      s"expected one 3-member cluster labeled 1, got $clusters")
+    graft.api.Caches.sweep(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("windowProfileSignature: exact bits on a ramp payload; all-ones on an empty region") {
