@@ -300,10 +300,17 @@ object Bench {
           sweepAll()
           Some(r)
         } catch { case _: Throwable => sweepAll(); None }
+      // the WHOLE round — wait AND samples — charges the shared budget
+      // (r14 review: a change that legitimately regresses many keys >2x
+      // would otherwise multiply quiet-host bench time without bound,
+      // since an idle host makes the wait free and the samples were
+      // uncharged; the r9 motivating key ran 35.9 s PER SAMPLE)
       while (ok && resampleRounds < 2 && requiesceBudgetNs > 0 &&
           baseline.get(name).exists(b => med > 2 * b && med - b > 0.1)) {
-        requiesce(90L * 1000000000L)
+        requiesce(90L * 1000000000L) // deducts its own wait internally
+        val sampleStart = System.nanoTime()
         val fresh = (1 to 3).flatMap(_ => runQuietly())
+        requiesceBudgetNs -= (System.nanoTime() - sampleStart)
         if (fresh.nonEmpty && medOf(fresh) < med) {
           med = medOf(fresh)
           samples = fresh

@@ -678,12 +678,25 @@ object Graph {
       maxHops: Int, broadcastMaxNodes: Long = 5000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // handles for the stage checkpoints whose blocks this function can
+    // free ITSELF once the backward pass has materialized everything the
+    // returned frame still reads (the pagerankUntil discipline): the DAG
+    // (the big one, ≤ k×|E|) and the interior σ levels. hops, σ(maxHops)
+    // (δ(maxHops) is a lazy select over it) and the δ levels stay — the
+    // returned frame reads them lazily.
+    val freeable =
+      scala.collection.mutable.ListBuffer.empty[Option[org.apache.spark.rdd.RDD[_]]]
     def cp(df: DataFrame): DataFrame =
       Checkpoints.tracked(df, checkpointDir)._1
+    def cpFreeable(df: DataFrame): DataFrame = {
+      val (out, h) = Checkpoints.tracked(df, checkpointDir)
+      freeable += h
+      out
+    }
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
     val hops = cp(multiBfsHops(edges, sources, maxHops, broadcastMaxNodes))
     // per-source shortest-path DAG: the edges that advance one hop level
-    val dagE = cp(edges
+    val dagE = cpFreeable(edges
       .join(hops.select(col("source"), col("node").as("src"),
         col("hop").as("hu")), "src")
       .join(hops.select(col("source"), col("node").as("dst"),
@@ -692,10 +705,11 @@ object Graph {
       .select(col("source"), col("src"), col("dst"), col("hu")))
     // forward: σ per level (σ(level 0) = 1 at each source)
     val sigma = new Array[DataFrame](maxHops + 1)
-    sigma(0) = cp(hops.filter(col("hop") === 0)
+    sigma(0) = cpFreeable(hops.filter(col("hop") === 0)
       .select(col("source"), col("node"), lit(1L).as("sigma")))
     for (h <- 1 to maxHops)
-      sigma(h) = cp(dagE.filter(col("hu") === h - 1)
+      sigma(h) = (if (h == maxHops) cp _ else cpFreeable _)(
+        dagE.filter(col("hu") === h - 1)
         .join(sigma(h - 1).select(col("source"), col("node").as("src"),
           col("sigma").as("su")), Seq("source", "src"))
         .groupBy(col("source"), col("dst").as("node"))
@@ -719,15 +733,16 @@ object Graph {
           q6(col("su").cast("double") / col("sv").cast("double")
             * (lit(1.0) + col("dv"))).as("term"))
         .groupBy(col("source"), col("node"))
-        .agg(sum(col("term").cast(DecimalType(28, 6))).cast("double")
-          .as("delta")))
+        .agg(graft.ops.H.dec6Sum(col("term")).as("delta")))
+    // every δ level is materialized: the DAG and interior σ blocks are no
+    // longer reachable from anything the returned frame reads — free them
+    freeable.foreach(Checkpoints.free)
     val deltas = (1 to maxHops).map(delta(_)).reduce(_ unionByName _)
     hops.filter(col("hop") > 0)
       .join(deltas, Seq("source", "node"), "left")
       .groupBy("node")
       .agg(count(lit(1)).as("n_sources"),
-        sum(q6(coalesce(col("delta"), lit(0.0)))
-          .cast(DecimalType(28, 6))).cast("double").as("bc"))
+        graft.ops.H.dec6Sum(q6(coalesce(col("delta"), lit(0.0)))).as("bc"))
   }
 
   /** k-core peel over a SYMMETRIC edge list `edges(src, dst)` — `rounds`

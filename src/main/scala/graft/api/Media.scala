@@ -56,9 +56,15 @@ object Media {
       .agg(sum(col("b")).as("ws"), count(lit(1)).as("wn"))
     val totals = wsums.groupBy("id")
       .agg(sum(col("ws")).as("ts"), sum(col("wn")).as("tn"))
+    // the mean comparison cross-multiplies in DECIMAL(19,0) factors
+    // (DECIMAL(38,0) products — the assortativity overflow rule): ws·tn
+    // ~ 16·plen² wraps a BIGINT past ~760 MB payload regions, and a
+    // perceptual signature over multi-GB media must not flip bits on
+    // silent overflow
     val sig = wsums.join(totals, "id")
       .groupBy("id")
-      .agg(sum(expr("CASE WHEN ws * tn >= ts * wn THEN " +
+      .agg(sum(expr("CASE WHEN CAST(ws AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0)) " +
+        ">= CAST(ts AS DECIMAL(19,0)) * CAST(wn AS DECIMAL(19,0)) THEN " +
         "CAST(shiftleft(1, w) AS BIGINT) ELSE 0L END")).as("sig"))
     sig.unionByName(base.filter(col("plen") <= 0)
       .select(col("id"), lit((1L << windows) - 1).as("sig")))

@@ -37,6 +37,18 @@ object Tables {
     * of the identity contract's dir component, so the read-or-derive
     * callers and the GC surface below cannot disagree about which tables
     * belong to which source directory.
+    *
+    * BOUNDARY CAVEAT (r14 review): '/' and '_' both normalize to '_', so
+    * the tag cannot mark where the path started — a dir whose tag is a
+    * suffix of another's ("/data/sf1" vs "data/sf1", or "/testdata/sf1"
+    * vs "/root/testdata/sf1") scopes TOGETHER in [[listArtifacts]] /
+    * [[dropArtifacts]]'s suffix match. Callers must pass the SAME
+    * canonical absolute dir strings the derivations used (the
+    * edgesOrDerive identity contract, which every `graft.ops` caller
+    * follows); SIBLING dirs under one root — the fixture layout — never
+    * suffix-collide, and the worst case of an over-scoped drop is a
+    * re-derivation on next touch, never wrong data (artifacts are
+    * derived caches by contract).
     */
   def dirTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase

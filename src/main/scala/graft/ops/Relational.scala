@@ -2865,24 +2865,43 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
             col("cum1").as("cum")))
       val ngs = pg.groupBy("flag").agg(max(col("cum")).as("ng"))
       val tot = ngs.agg(sum(col("ng")).as("nn"))
+      // rank-range regeneration is CHUNKED (r14 review): a naive
+      // explode(sequence(lo, hi)) materializes a tie run as ONE in-memory
+      // array — a billion-row tied value would allocate gigabytes in a
+      // single row (and sequence() hard-errors past 2^31 elements). The
+      // outer explode fans a run into ≤64k-element chunks first, so
+      // per-row allocation is bounded regardless of tie-run size.
+      def rankExplode(lo: org.apache.spark.sql.Column,
+          cnt: org.apache.spark.sql.Column)
+          : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+        val ch = 65536L
+        // floor of an exact-long double quotient: exact for cnt < 2^53
+        (explode(sequence(lit(0L),
+          floor((cnt - 1) / lit(ch)).cast("long"))).as("chunk"),
+          explode(sequence(lo + col("chunk") * lit(ch),
+            least(lo + (col("chunk") + 1) * lit(ch) - 1, lo + cnt - 1)))
+            .as("rn"))
+      }
       // rn·nn ≤ 2^53 keeps the double quotient exact-or-safely-off-integer
       // (integer quotients are exact; non-integer ones sit ≥ 1/ng from an
       // integer, far past one ulp), so ceil agrees across engines
+      val (tChunk, tRn) = rankExplode(col("cum") - col("cnt") + 1, col("cnt"))
       val t = pg.join(broadcast(ngs), "flag").crossJoin(broadcast(tot))
-        .select(col("flag"), col("yc"), col("ng"), col("nn"),
-          explode(sequence(col("cum") - col("cnt") + lit(1L), col("cum")))
-            .as("rn"))
+        .select(col("flag"), col("yc"), col("ng"), col("nn"), col("cum"),
+          col("cnt"), tChunk)
+        .select(col("flag"), col("yc"), col("ng"), col("nn"), tRn)
         .select(col("flag"), col("yc"),
           ceil((col("rn") * col("nn")) / col("ng")).cast("long").as("gr"))
       // global: same two-stage ranks over the whole value column (constant
       // key), per-rank values regenerated the same way; the global per-value
       // multiplicity is Σ over flags of the cached per-group counts
+      val (gChunk, gRn) = rankExplode(col("cum1") - col("c1") + 1, col("c1"))
       val gv = graft.api.Fts.cumulativeCounts2(
           pg.select(col("yc"), col("cnt")).withColumn("gk", lit(0)), "gk",
           "yc", col("cnt"), lit(0L))
-        .select(col("yc").as("norm_c"),
-          explode(sequence(col("cum1") - col("c1") + lit(1L), col("cum1")))
-            .as("gr"))
+        .select(col("yc").as("norm_c"), col("cum1"), col("c1"), gChunk)
+        .select(col("norm_c"), gRn)
+        .select(col("norm_c"), col("rn").as("gr"))
       t.join(gv, "gr")
         .select(col("flag").as("l_returnflag"), col("yc").as("yc_c"),
           col("norm_c"))

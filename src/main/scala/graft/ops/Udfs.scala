@@ -481,29 +481,41 @@ FROM corpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
     * [[llmMultimodalExactDedup]] and the planted-pin spec covers the
     * near-dup semantics — the llm_minhash_neardup contract.
     */
+  /** The ONE definition of "parse the P6 payload and band its profile
+    * signature" shared by [[llmMultimodalNeardup]],
+    * [[llmMultimodalDedupClusters]] and LlmSpec's planted pins (r14
+    * review: three verbatim copies meant a window-count or band-shift
+    * tune could silently diverge the pair relation from its cluster
+    * closure). Input: any (doc_id, payload) media frame. Output: the
+    * (id, band, bsig) frame [[graft.api.Dedup.saltedBandPairs]] expects —
+    * 16-window byte-profile signature over the pixel region composed
+    * with the parsed (width, height). Parses ONLY the payload (the
+    * decode-stage contract); the parsed frame is cached — the signature
+    * explode and the dimension fold both consume it.
+    */
+  private[graft] def p6BandedSignatures(media: DataFrame): DataFrame = {
+    val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+    val parsed = graft.api.Caches.cache(media
+      .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
+      .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
+      .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
+      .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
+      .select(col("doc_id"), col("payload"), col("width"), col("height"),
+        col("hdr_len")))
+    val sig = graft.api.Media.windowProfileSignature(
+      parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
+    sig
+      .join(parsed.select(col("doc_id").as("id"), col("width"),
+        col("height")), "id")
+      .select(col("id"), lit(0).as("band"),
+        (col("sig") + shiftleft(col("width"), 20)
+          + shiftleft(col("height"), 28)).as("bsig"))
+  }
+
   private val llmMultimodalNeardup = Q(
     "llm_multimodal_neardup",
-    (s, d) => {
-      val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
-      // parse ONLY the payload (the decode-stage contract); cached — the
-      // signature explode and the dimension fold both consume it
-      val parsed = graft.api.Caches.cache(p6Corpus(s, d)
-        .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
-        .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
-        .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
-        .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
-        .select(col("doc_id"), col("payload"), col("width"), col("height"),
-          col("hdr_len")))
-      val sig = graft.api.Media.windowProfileSignature(
-        parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
-      val banded = sig
-        .join(parsed.select(col("doc_id").as("id"), col("width"),
-          col("height")), "id")
-        .select(col("id"), lit(0).as("band"),
-          (col("sig") + shiftleft(col("width"), 20)
-            + shiftleft(col("height"), 28)).as("bsig"))
-      graft.api.Dedup.saltedBandPairs(banded).orderBy("a_id", "b_id")
-    },
+    (s, d) => graft.api.Dedup.saltedBandPairs(
+      p6BandedSignatures(p6Corpus(s, d))).orderBy("a_id", "b_id"),
     None)
 
   /** Multimodal dedup SURVIVORSHIP (§2.9 ext, r14) — the deletion-list
@@ -555,23 +567,8 @@ ORDER BY survivor_id, doc_id"""))
   private val llmMultimodalDedupClusters = Q(
     "llm_multimodal_dedup_clusters",
     (s, d) => {
-      val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
-      val parsed = graft.api.Caches.cache(p6Corpus(s, d)
-        .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
-        .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
-        .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
-        .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
-        .select(col("doc_id"), col("payload"), col("width"), col("height"),
-          col("hdr_len")))
-      val sig = graft.api.Media.windowProfileSignature(
-        parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
-      val banded = sig
-        .join(parsed.select(col("doc_id").as("id"), col("width"),
-          col("height")), "id")
-        .select(col("id"), lit(0).as("band"),
-          (col("sig") + shiftleft(col("width"), 20)
-            + shiftleft(col("height"), 28)).as("bsig"))
-      val pairs = graft.api.Dedup.saltedBandPairs(banded)
+      val pairs = graft.api.Dedup.saltedBandPairs(
+        p6BandedSignatures(p6Corpus(s, d)))
       graft.api.Dedup.connectedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))

@@ -795,21 +795,10 @@ class LlmSpec extends SparkSpec {
     val docs = Seq((1L, tA), (2L, tA), (3L, tC), (4L, tD))
       .toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val media = graft.ops.Udfs.p6MediaOf(docs)
-    val hdrPat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
-    val parsed = media
-      .withColumn("hdr", expr("cast(substring(payload, 1, 32) as string)"))
-      .withColumn("width", regexp_extract(col("hdr"), hdrPat, 1).cast("long"))
-      .withColumn("height", regexp_extract(col("hdr"), hdrPat, 2).cast("long"))
-      .withColumn("hdr_len", length(regexp_extract(col("hdr"), hdrPat, 0)))
-    val sig = graft.api.Media.windowProfileSignature(
-      parsed, "doc_id", "payload", col("hdr_len"), windows = 16)
-    val banded = sig
-      .join(parsed.select(col("doc_id").as("id"), col("width"),
-        col("height")), "id")
-      .select(col("id"), lit(0).as("band"),
-        (col("sig") + shiftleft(col("width"), 20)
-          + shiftleft(col("height"), 28)).as("bsig"))
+    // the SAME parse/signature/band composition the registered keys use —
+    // one definition, so the pin and the keys cannot drift
+    val banded = graft.ops.Udfs.p6BandedSignatures(
+      graft.ops.Udfs.p6MediaOf(docs))
     val pairs = graft.api.Dedup.saltedBandPairs(banded)
       .orderBy("a_id", "b_id")
       .as[(Long, Long)].collect().toSeq
