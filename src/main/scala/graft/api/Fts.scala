@@ -138,6 +138,57 @@ object Fts {
     * does) must either feed integer weights (all oracled consumers here do)
     * or round the cw-derived output columns before comparing.
     */
+  /** Holt linear-trend exponential smoothing (r14) with α = β = 1/2 —
+    * the forecasting primitive one step past [[graft.ops.Windows]]'
+    * level-only EWMA: per key, over the day-ordered series `y`,
+    * `l_t = ½·y_t + ½·(l_{t−1} + b_{t−1})`,
+    * `b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}`, initialized l₁ = y₁, b₁ = 0.
+    * Returns one row per input point: (key, day, y, level, trend).
+    *
+    * A sequential recurrence cannot ride a window frame, so each key's
+    * BOUNDED series (the caller's contract — calendar-day × key grain,
+    * the STL/seasonal discipline, NOT raw fact rows) collects into one
+    * sorted array and folds through a single `aggregate()` with a
+    * (level, trend, rows) struct accumulator — per-key work is
+    * O(series²) in array appends at calendar grain (≤ a few hundred
+    * points), and keys distribute freely.
+    *
+    * Float discipline: the halving constants are POWERS OF TWO, so with
+    * integer-valued y every l/b is a dyadic rational whose fraction
+    * grows one bit per step — EXACT double arithmetic while
+    * integer-bits + steps ≤ 52 (any calendar-bounded series qualifies),
+    * and identical spelled-order IEEE beyond that. The DuckDB twin is a
+    * recursive CTE stepping the same formulas (its 0.5 literals CAST to
+    * DOUBLE — a bare decimal literal flips DuckDB to decimal arithmetic,
+    * the win_ewma lesson), so both engines produce the same bits.
+    */
+  def holtSmooth(series: DataFrame, keyCol: String, dayCol: String,
+      yCol: String): DataFrame = {
+    val s = series.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("day"),
+        col(yCol).cast("double").as("y")))).as("s"))
+    val lvl = "0.5D * x.y + 0.5D * (acc.lvl + acc.tr)"
+    s.select(col(keyCol), explode(expr(
+        s"""aggregate(
+          slice(s, 2, greatest(size(s) - 1, 0)),
+          named_struct(
+            'lvl', element_at(s, 1).y,
+            'tr', cast(0.0 as double),
+            'rows', array(named_struct(
+              'day', element_at(s, 1).day, 'y', element_at(s, 1).y,
+              'level', element_at(s, 1).y, 'trend', cast(0.0 as double)))),
+          (acc, x) -> named_struct(
+            'lvl', $lvl,
+            'tr', 0.5D * (($lvl) - acc.lvl) + 0.5D * acc.tr,
+            'rows', array_append(acc.rows, named_struct(
+              'day', x.day, 'y', x.y,
+              'level', $lvl,
+              'trend', 0.5D * (($lvl) - acc.lvl) + 0.5D * acc.tr))),
+          acc -> acc.rows)""")).as("r"))
+      .select(col(keyCol), col("r.day").as(dayCol), col("r.y").as("y"),
+        col("r.level").as("level"), col("r.trend").as("trend"))
+  }
+
   /** TWO-WEIGHT integer sibling of [[cumulativeWeights]] (r14) — the
     * two-stage bucketed prefix sum over EXACT LONG weight expressions `w1`
     * and `w2`, for the rank/ECDF family (KS's two per-side cumulative

@@ -1861,7 +1861,61 @@ SELECT day, x AS avg_price_c, ema12, ema26, ema12 - ema26 AS macd
 FROM r ORDER BY day"""
     })
 
-  val all: Seq[Q] = Seq(winBollinger, winDrawdown, winRsi, winMacd,
+  /** Holt linear-trend smoothing (§2.5 ext, r14) — the forecasting
+    * primitive one rung above [[winEwma]]'s level-only smoother: per
+    * event type, the daily event-count series runs the two-state Holt
+    * recurrence (α = β = ½) via [[graft.api.Fts.holtSmooth]], emitting
+    * (event_type, day, y, level, trend, forecast_1 = level + trend) —
+    * the one-step-ahead forecast a capacity monitor alerts on.
+    *
+    * A sequential recurrence cannot ride a window frame (each state
+    * depends on the PREVIOUS output, not on input rows), so this is the
+    * third recurrence idiom in the engine after win_ewma's truncated
+    * expansion (level-only — a trend state does not linearize into a
+    * short lag chain) and pagerankUntil's per-round jobs (overkill for a
+    * calendar-bounded series): a bounded-series fold. The corpus
+    * collapses to CALENDAR × type grain first (the STL discipline), so
+    * the collected arrays are ~30 elements at any corpus scale.
+    *
+    * Float discipline: ½ is a power of two and daily counts are exact
+    * integers, so every level/trend is a dyadic rational gaining one
+    * fraction bit per step — EXACT double arithmetic at this span
+    * (integer bits + steps ≪ 52), identical spelled-order IEEE beyond;
+    * the DuckDB twin steps the same formulas in a recursive CTE with its
+    * 0.5 literals CAST to DOUBLE (the win_ewma decimal-literal lesson).
+    * Emitted RAW.
+    */
+  private val winHoltTrend = Q(
+    "win_holt_trend",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      graft.api.Fts.holtSmooth(daily, "event_type", "day", "y")
+        .withColumn("forecast_1", col("level") + col("trend"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH RECURSIVE
+g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, day, y,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t FROM g),
+h(event_type, day, y, t, level, trend) AS (
+  SELECT event_type, day, y, t, y AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM r WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.day, r.y, r.t,
+    CAST(0.5 AS DOUBLE) * r.y + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+    CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * r.y
+        + CAST(0.5 AS DOUBLE) * (h.level + h.trend)) - h.level)
+      + CAST(0.5 AS DOUBLE) * h.trend
+  FROM h JOIN r ON r.event_type = h.event_type AND r.t = h.t + 1)
+SELECT event_type, day, y, level, trend, level + trend AS forecast_1
+FROM h ORDER BY event_type, day"""))
+
+  val all: Seq[Q] = Seq(winHoltTrend, winBollinger, winDrawdown, winRsi, winMacd,
     winRollingCorr, winRankTopk, winNtile, winNtileScalable, winLagLead,
     winTransitionMatrix, winSessionize, winScd2Intervals, winRunningSum,
     winSlidingAvg, winRangeFrame, winFirstLastPctrank, winFunnel,

@@ -710,4 +710,20 @@ class WindowsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("max_drawdown") === maxDd))
     assert(maxDd > 0.0, "a fluctuating daily average must draw down somewhere")
   }
+
+  test("holtSmooth: exact two-state recurrence on a literal series") {
+    import spark.implicits._
+    // y = [4, 8, 2] with alpha = beta = 1/2 (dyadic-exact by hand):
+    // l1=4 b1=0; l2=.5*8+.5*(4+0)=6, b2=.5*(6-4)+.5*0=1;
+    // l3=.5*2+.5*(6+1)=4.5, b3=.5*(4.5-6)+.5*1=-0.25
+    val series = Seq(("a", 10L, 4L), ("a", 11L, 8L), ("a", 12L, 2L),
+      ("b", 10L, 7L)).toDF("k", "day", "y")
+    val got = graft.api.Fts.holtSmooth(series, "k", "day", "y")
+      .orderBy("k", "day")
+      .select("k", "day", "level", "trend")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 4.0, 0.0), ("a", 11L, 6.0, 1.0), ("a", 12L, 4.5, -0.25),
+      ("b", 10L, 7.0, 0.0)))
+  }
 }
