@@ -600,6 +600,45 @@ class LlmSpec extends SparkSpec {
     assert(fps.zip(fps.tail).forall { case (a, b) => a <= b }, fps.toSeq)
   }
 
+  test("band tuning's histogram-weighted DECIMAL sum is bit-identical to " +
+      "the pairwise form (r15)") {
+    // the r15 rewrite's load-bearing equality: Σ_pairs q6(pcap(s)) as
+    // DECIMAL(28,6)  ==  Σ_(s,cnt) cnt · q6(pcap(s)) as DECIMAL(20,6) —
+    // exact because every pair in a group shares the rounded s (hence the
+    // q6 term) and DECIMAL arithmetic is exact at these widths. Pinned
+    // over the REAL fixture pair frame for all 8 (bands, rows) terms.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = graft.api.Dedup.ngramJaccardPairs(
+      graft.ops.T.documents(spark, sf), "doc_id", "text", threshold = 0.0)
+    val hist = pairs.groupBy("jaccard").agg(count(lit(1)).as("cnt"))
+    def pcap(b: Int, r: Int) = {
+      val sr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
+      val q = lit(1.0) - sr
+      lit(1.0) - (1 to b).map(_ => q).reduce(_ * _)
+    }
+    val q6 = graft.ops.H.q6 _
+    for ((b, r) <- Seq((16, 1), (8, 2), (4, 4), (2, 8))) {
+      val pairwise = pairs.agg(
+          graft.ops.H.dec6Sum(q6(when(col("jaccard") >= 0.6, pcap(b, r))))
+            .as("d"),
+          graft.ops.H.dec6Sum(q6(when(col("jaccard") < 0.6, pcap(b, r))))
+            .as("n"))
+        .collect().head
+      val grouped = hist.agg(
+          sum(when(col("jaccard") >= 0.6, q6(pcap(b, r))
+              .cast(DecimalType(7, 6)) * col("cnt").cast(DecimalType(12, 0))))
+            .cast("double").as("d"),
+          sum(when(col("jaccard") < 0.6, q6(pcap(b, r))
+              .cast(DecimalType(7, 6)) * col("cnt").cast(DecimalType(12, 0))))
+            .cast("double").as("n"))
+        .collect().head
+      assert(pairwise.getDouble(0) === grouped.getDouble(0), s"dup b=$b r=$r")
+      assert(pairwise.getDouble(1) === grouped.getDouble(1), s"non b=$b r=$r")
+    }
+    graft.api.Caches.sweep(spark)
+  }
+
   test("ngram-pairs artifact read-back equals the direct derivation (r12)") {
     import org.apache.spark.sql.functions.col
     val direct = graft.api.Dedup.ngramJaccardPairs(
@@ -619,7 +658,7 @@ class LlmSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
-  test("minhash/uncapped/t0 pair artifacts read back the direct derivations (r13)") {
+  test("minhash/uncapped pair + t0-histogram artifacts read back the direct derivations (r13/r15)") {
     import org.apache.spark.sql.functions.col
     val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     def docs = graft.ops.T.documents(spark, sf)
@@ -634,10 +673,13 @@ class LlmSpec extends SparkSpec {
         () => graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           maxDf = Long.MaxValue),
         Seq("a_id", "b_id", "common", "jaccard")),
-      (s"graft_ngrampairs_t00_$tag",
+      (s"graft_ngramjacchist_t00_$tag",
         () => graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.0),
-        Seq("a_id", "b_id", "common", "jaccard")))
+            threshold = 0.0)
+          .groupBy("jaccard")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt")),
+        Seq("jaccard", "cnt")))
     for ((tbl, direct, cols) <- cases) {
       val want = direct().select(cols.map(col): _*)
         .collect().map(_.toSeq.mkString("|")).toSet
