@@ -208,17 +208,43 @@ object Fts {
     * hashes when they swap in this form. Both running sums share ONE
     * window spec (one WindowExec, one sort).
     */
+  /** EQUI-DEPTH bucket assignment over the (key, DISTINCT value) frame —
+    * the two-stage prefix sums' distribution step (r15, the r14 verdict's
+    * equi-width-skew ask): per key, `buckets−1` approx-percentile cut
+    * points over the distinct values broadcast back, and a row's bucket is
+    * the count of cuts strictly below its value. The r13–r14 form
+    * range-split (lo, hi) LINEARLY, so a heavy-tailed domain (prices,
+    * scores — exactly the columns these sums run over) could land nearly
+    * every distinct value in one bucket and degenerate the within-bucket
+    * window back toward one reducer; percentile cuts bound every bucket at
+    * ~|distinct|/buckets regardless of the value distribution (PropSpec
+    * pins a power-law domain). RESULT-NEUTRAL by construction: bucketing
+    * only needs monotonicity (v < v' ⇒ bucket(v) ≤ bucket(v'), which
+    * count-of-cuts-below gives for any cut multiset) — the offsets algebra
+    * on top is exact LONG/decimal either way, so every rider keeps its
+    * oracle hash. The double cast is for bucketing only (a collision maps
+    * two values to one bucket — still monotone); cuts are ≤31 doubles per
+    * key, the `aggregate` fold is codegen-friendly and constant-width.
+    */
+  private[graft] def equiDepthBucketed(pre: DataFrame, keyCol: String,
+      valueCol: String, buckets: Int): DataFrame = {
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = pre.groupBy(col(keyCol))
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        typedLit(fracs), lit(10000)).as("cuts"))
+    pre.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc +
+            when(col(valueCol).cast("double") > c, 1L).otherwise(0L)))
+      .drop("cuts")
+  }
+
   def cumulativeCounts2(df: DataFrame, keyCol: String, valueCol: String,
       w1: Column, w2: Column, buckets: Int = 32): DataFrame = {
     val pre = df.groupBy(col(keyCol), col(valueCol))
       .agg(sum(w1).as("c1"), sum(w2).as("c2"))
-    val stats = pre.groupBy(keyCol)
-      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
-    val bucketed = pre.join(broadcast(stats), Seq(keyCol))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((col(valueCol) - col("lo"))
-            / (col("hi") - col("lo")) * buckets), lit(buckets - 1L))))
+    val bucketed = equiDepthBucketed(pre, keyCol, valueCol, buckets)
     val bw = bucketed.groupBy(keyCol, "bucket")
       .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
     val prior = bw.select(col(keyCol).as("k2"), col("bucket").as("bk2"),
@@ -240,14 +266,9 @@ object Fts {
       weightCol: String, buckets: Int = 32): DataFrame = {
     val pre = df.groupBy(col(keyCol), col(valueCol))
       .agg(sum(col(weightCol)).as("w"))
-    val stats = pre.groupBy(keyCol)
-      .agg(sum(col("w")).as("tw"),
-        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
-    val bucketed = pre.join(broadcast(stats), Seq(keyCol))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((col(valueCol) - col("lo"))
-            / (col("hi") - col("lo")) * buckets), lit(buckets - 1L))))
+    val stats = pre.groupBy(keyCol).agg(sum(col("w")).as("tw"))
+    val bucketed = equiDepthBucketed(pre, keyCol, valueCol, buckets)
+      .join(broadcast(stats), Seq(keyCol))
     val bw = bucketed.groupBy(keyCol, "bucket").agg(sum(col("w")).as("bw"))
     val bw2 = bw.select(col(keyCol).as("k2"), col("bucket").as("b2"),
       col("bw").as("w2"))

@@ -38,20 +38,24 @@ object Tables {
     * callers and the GC surface below cannot disagree about which tables
     * belong to which source directory.
     *
-    * BOUNDARY CAVEAT (r14 review): '/' and '_' both normalize to '_', so
-    * the tag cannot mark where the path started — a dir whose tag is a
+    * r15 (r14 ADVICE): the tag is HASH-QUALIFIED — sanitized dir + "_h" +
+    * first 8 hex of SHA-256 over the RAW dir string. Sanitization alone
+    * collapsed '/' and '_' to '_', so a dir whose sanitized form was a
     * suffix of another's ("/data/sf1" vs "data/sf1", or "/testdata/sf1"
-    * vs "/root/testdata/sf1") scopes TOGETHER in [[listArtifacts]] /
-    * [[dropArtifacts]]'s suffix match. Callers must pass the SAME
-    * canonical absolute dir strings the derivations used (the
-    * edgesOrDerive identity contract, which every `graft.ops` caller
-    * follows); SIBLING dirs under one root — the fixture layout — never
-    * suffix-collide, and the worst case of an over-scoped drop is a
-    * re-derivation on next touch, never wrong data (artifacts are
-    * derived caches by contract).
+    * vs "/root/testdata/sf1") scoped TOGETHER in [[listArtifacts]] /
+    * [[dropArtifacts]]'s suffix match. The hash is injective on the raw
+    * string, so two distinct dir strings can no longer share a tag
+    * suffix; the sanitized prefix stays for human-readable catalog
+    * listings. Callers must still pass the SAME canonical dir strings the
+    * derivations used (the edgesOrDerive identity contract — "/x" and
+    * "/x/" hash apart, deliberately: distinct strings, distinct artifact
+    * families, worst case one redundant re-derivation, never wrong data).
     */
-  def dirTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+  def dirTag(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_h" + h
+  }
 
   /** Session-artifact name prefixes the engine derives through the
     * read-or-derive gates: `graft_*` ([[tableOrDerive]] /
@@ -77,7 +81,10 @@ object Tables {
       spark.catalog.listTables().collect().toSeq
         .map(_.name)
         .filter(n => ArtifactPrefixes.exists(n.startsWith))
-        .filter(n => tagSuffix.forall(n.endsWith))
+        // anchored at the artifact-family delimiter: the char before the
+        // tag must be '_' (every derive site writes s"<family>_$tag"), on
+        // top of the tag's own hash qualifier
+        .filter(n => tagSuffix.forall(t => n.endsWith("_" + t)))
         .sorted
     }
 

@@ -227,7 +227,7 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
       // exists-check + overwrite below cannot race a concurrent caller
       // that also observed the meta table missing
       : (DataFrame, DataFrame) = graft.api.Graph.withArtifactLock {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     val metaTbl = s"graft_coorder_meta_$tag"
     val ew = graft.api.Graph.edgesOrDerive(s, s"graft_coorder_$tag",
         payload = Seq("w")) {
@@ -283,7 +283,7 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     */
   private[graft] def coOrderOriented(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = graft.api.Graph.withArtifactLock {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     val degTbl = s"graft_coorder_deg_$tag"
     def writeDeg(deg: DataFrame): Unit = {
       graft.api.Graph.clearDeadWarehouseDir(s, degTbl)
@@ -320,7 +320,7 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
     * halves the artifact; the union is a projection, not a shuffle).
     */
   private[graft] def txnArtifact(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Graph.edgesOrDerive(s, s"graft_txn_$tag",
         payload = Seq("w")) {
       T.orders(s, d)
@@ -329,6 +329,22 @@ SELECT node, rank FROM r5 ORDER BY rank DESC, node ASC"""
           (col("l_suppkey") + SUPP_OFF).as("v"))
         .agg(count(lit(1)).as("w"))
     }
+  }
+
+  /** Forces the graph family's derive-once session artifacts (co-order
+    * edges + orientation, customer↔supplier transaction edges) — the bench
+    * harness's setup phase (r15): the r14 record billed the txn derive to
+    * `graph_pagerank_weighted`'s first cold sample (48 s cold vs 4.7 s
+    * med) although the note declares `graph_edges_persist` prices
+    * construction. Deriving everything before sampling keeps every cold
+    * split artifact-free; idempotent via each accessor's read-or-derive
+    * gate.
+    */
+  private[graft] def deriveSessionArtifacts(s: SparkSession, d: String): Unit = {
+    coOrderArtifact(s, d)
+    coOrderOriented(s, d)
+    txnArtifact(s, d)
+    lpaLabelsArtifact(s, d)
   }
 
   /** Shared oracle CTE prefix for the capped co-order graph: li → ranked →
@@ -400,18 +416,36 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM e0) AS n_edg
     * ingestion as graph_triangles. The oracle expresses the identical
     * argmax as a row_number window — fixture-scale DuckDB, same rows.
     */
-  private val graphLabelProp = Q(
-    "graph_label_prop",
-    (s, d) => {
-      // artifact read (r12): the cache still matters — both union branches
-      // and every LPA round re-read the edge frame, and one in-memory copy
-      // beats 2×(rounds+1) parquet scans even of the bucketed artifact
+  /** SESSION-persisted artifact of the 4-round LPA labels on the co-order
+    * graph (r15, the r14 verdict's amortization ask): BOTH
+    * `graph_label_prop` (emits the labels) and `graph_modularity` (scores
+    * them) run the identical 4-round propagation, and each paid the full
+    * round chain per run. The label frame is a deterministic pure function
+    * of the fixture (smallest-label tie-break, integer votes), so it takes
+    * the [[coOrderArtifact]] discipline one derivation deeper: derived
+    * once per (session, fixture dir) through
+    * [[graft.api.Tables.tableOrDerive]], read by both keys; both DuckDB
+    * oracles still unroll the rounds from raw parquet, so artifact ==
+    * derivation stays gated end-to-end on each (and GraphsSpec pins
+    * read-back == direct).
+    */
+  private[graft] def lpaLabelsArtifact(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.api.Tables.dirTag(d)
+    graft.api.Tables.tableOrDerive(s, s"graft_lpa_coorder_i4_$tag") {
+      // the cache still matters inside the one derive: every LPA round
+      // re-reads the edge frame, and one in-memory copy beats
+      // 2×(rounds+1) parquet scans even of the bucketed artifact
       val e0 = Caches.cache(coOrderArtifact(s, d)._1.select("u", "v"))
       val edges =
         e0.select(col("u").as("src"), col("v").as("dst"))
           .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      Graph.labelPropagation(edges, iters = 4).orderBy("node")
-    },
+      Graph.labelPropagation(edges, iters = 4)
+    }
+  }
+
+  private val graphLabelProp = Q(
+    "graph_label_prop",
+    (s, d) => lpaLabelsArtifact(s, d).orderBy("node"),
     Some {
       val rounds = (1 to 4).map { i =>
         s"""c$i AS (SELECT e.dst AS node, l.label AS label, count(*) AS cnt
@@ -506,7 +540,9 @@ SELECT node, label FROM l4 ORDER BY node"""
       val edges =
         e0.select(col("u").as("src"), col("v").as("dst"))
           .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      val labels = Graph.labelPropagation(edges, iters = 4)
+      // shared with graph_label_prop via the session artifact (r15) —
+      // the 4-round propagation runs once per (session, fixture dir)
+      val labels = lpaLabelsArtifact(s, d)
       Graph.modularity(edges, labels)
     },
     Some {
@@ -996,6 +1032,59 @@ cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
 SELECT component, count(*) AS n_parts, min(id) AS rep_part
 FROM cc GROUP BY component ORDER BY component"""))
 
+  /** Strongly connected components (§2.12 ext, r15 — the directed-graph
+    * alternative the r13 verdict queued behind betweenness) over the PART
+    * FLOW graph: a genuinely DIRECTED derivation (the co-order graph is
+    * symmetric, so SCC there is just CC) — within each order, parts sorted
+    * by (first linenumber, partkey) chain into directed edges
+    * `part_i → part_{i+1}`; cycles arise when different orders chain the
+    * same parts in opposite directions, so components are nontrivial.
+    * Emits node grain (node, scc) with scc = the component's smallest
+    * member id — singletons included (acyclic nodes are their own SCC).
+    *
+    * All-integer, tie-free (min/distinct only) → zero float exposure.
+    *
+    * Scale shape: the edge derivation is one (order, part) hash aggregate
+    * + a lead window PARTITIONED on the high-cardinality order key, then
+    * [[graft.api.Graph.stronglyConnected]]'s phased min-label
+    * decomposition (diameter-bounded pull rounds, class-restricted
+    * mark-back — the builder scaladoc carries the exactness proof and the
+    * bounded-round refusal contract). The DuckDB oracle computes the same
+    * components by recursive all-pairs reachability — correct at fixture
+    * scale, quadratic beyond it; the phased decomposition is the 100 TB
+    * path, which is exactly why the key exists.
+    */
+  private val graphScc = Q(
+    "graph_scc",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .agg(min(col("l_linenumber")).as("ln"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ok").orderBy("ln", "pk")
+      val edges = li.withColumn("nxt", lead(col("pk"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("pk").as("src"), col("nxt").as("dst"))
+        .distinct()
+      Graph.stronglyConnected(edges).orderBy("node")
+    },
+    Some("""WITH RECURSIVE
+li AS (SELECT l_orderkey AS ok, l_partkey AS pk, min(l_linenumber) AS ln
+       FROM lineitem GROUP BY 1, 2),
+rkd AS (SELECT ok, pk,
+        row_number() OVER (PARTITION BY ok ORDER BY ln, pk) AS rn FROM li),
+e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM rkd a JOIN rkd b ON a.ok = b.ok AND b.rn = a.rn + 1),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+scc AS (SELECT r1.a AS node, min(r1.b) AS scc
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY 1)
+SELECT node, scc FROM scc ORDER BY node"""))
+
   /** Per-node local clustering coefficient (§2.12 ext) on the capped part
     * co-order graph — how clique-like each part's co-purchase
     * neighborhood is, the node-grain refinement of [[graphTriangles]]'
@@ -1126,7 +1215,7 @@ FROM dist, fit ORDER BY dg"""))
   private val graphEdgesPersist = Q(
     "graph_edges_persist",
     (s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.api.Tables.dirTag(d)
       val tbl = s"graph_edges_$tag"
       if (!s.catalog.tableExists(tbl))
         graft.api.Graph.clearDeadWarehouseDir(s, tbl)
@@ -1162,6 +1251,6 @@ GROUP BY dg ORDER BY out_degree"""))
       graphAssocRules, graphBfsHops, graphHarmonicSampled,
       graphBetweennessSampled, graphKcore,
       graphAssortativity,
-      graphComponents, graphClusteringCoeff, graphDegreeStats,
+      graphComponents, graphScc, graphClusteringCoeff, graphDegreeStats,
       graphEdgesPersist)
 }

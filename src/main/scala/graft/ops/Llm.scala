@@ -175,7 +175,7 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     */
   private def ngramPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_$tag") {
       Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text")
     }
@@ -198,7 +198,7 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     */
   private def minhashPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Tables.tableOrDerive(s, s"graft_minhashpairs_p32b4r8t080_$tag") {
       Dedup.minhashPairs(T.documents(s, d), "doc_id", "text")
     }
@@ -217,7 +217,7 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     */
   private def ngramPairsUncappedArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Tables.tableOrDerive(s, s"graft_ngrampairs_nodfcap_$tag") {
       Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
         maxDf = Long.MaxValue)
@@ -244,7 +244,7 @@ cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     */
   private def ngramJaccHistT0Artifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Tables.tableOrDerive(s, s"graft_ngramjacchist_t00_$tag") {
       Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
         threshold = 0.0)
@@ -270,10 +270,27 @@ ORDER BY a_id, b_id"""))
     */
   private def containmentPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(d)
     graft.api.Tables.tableOrDerive(s, s"graft_ngramcontain_n3t080_$tag") {
       Dedup.ngramContainmentPairs(T.documents(s, d), "doc_id", "text")
     }
+  }
+
+  /** Forces every session artifact this module derives lazily — the bench
+    * harness's setup phase (r15, the r14 verdict's cold-pricing ask): with
+    * the derivations paid BEFORE sampling, no measured key's cold sample
+    * carries a one-time artifact build, so cross-round cold comparisons
+    * compare query cost, not artifact-arrival order. Each accessor's
+    * read-or-derive gate makes this idempotent (second touch is a catalog
+    * lookup); production sessions never need to call it.
+    */
+  private[graft] def deriveSessionArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    ngramPairsArtifact(s, d)
+    minhashPairsArtifact(s, d)
+    ngramPairsUncappedArtifact(s, d)
+    ngramJaccHistT0Artifact(s, d)
+    containmentPairsArtifact(s, d)
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs (§2.9 ext, r13) — the
@@ -3146,10 +3163,15 @@ FROM f ORDER BY doc_id"""))
     *
     * Scale shape: "first doc containing each token" is ONE token-keyed
     * hash aggregate (min doc_id — map-side combinable; no per-token
-    * window), collapsed to doc grain before the cumulative window. The
-    * prefix-sum window is unpartitioned over DOC grain — the winNtile
-    * caveat; at unbounded corpus size the curve runs per shard bucket and
-    * stitches via the ntileScalable two-stage offset pattern.
+    * window), collapsed to doc grain. r15 (the r14 verdict's fact-scale
+    * ask): the prefix sums ride [[graft.api.Fts.cumulativeCounts2]]'s
+    * two-stage bucketed form — doc_id is the (unique) value column, the
+    * two weights are the per-doc token and new-type counts, so `cum1`/
+    * `cum2` ARE the running totals and the only window partitions on
+    * (key, bucket). The r14 form was an unpartitioned cumulative window
+    * over DOC grain — the fact table of an LLM pipeline through one
+    * reducer. All arithmetic LONG-exact, so the swap is bit-identical
+    * (same oracle, same hash).
     */
   private val llmVocabGrowth = Q(
     "llm_vocab_growth",
@@ -3159,15 +3181,17 @@ FROM f ORDER BY doc_id"""))
         explode(split(col("text"), " ")).as("tok"))
       val newPer = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
         .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new_toks"))
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.select(col("doc_id"),
+      val base = docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .join(newPer, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"),
           coalesce(col("n_new_toks"), lit(0L)).as("n_new_toks"))
-        .withColumn("cum_toks", sum("n_toks").over(w))
-        .withColumn("cum_vocab", sum("n_new_toks").over(w))
+        .withColumn("gk", lit(0))
+      graft.api.Fts.cumulativeCounts2(base, "gk", "doc_id",
+          col("n_toks"), col("n_new_toks"))
+        .select(col("doc_id"), col("c1").as("n_toks"),
+          col("c2").as("n_new_toks"), col("cum1").as("cum_toks"),
+          col("cum2").as("cum_vocab"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -3248,10 +3272,15 @@ ORDER BY vec_id"""))
     * engines land the identical bits without decimal casts); the closing
     * U→AUC arithmetic is one identical spelled-order IEEE chain.
     *
-    * Scale shape: collapses to DISTINCT-SCORE grain in one hash
-    * aggregate; the cumulative window runs over that (unpartitioned —
-    * the winNtile caveat; an unbounded score domain takes the
-    * ntileScalable two-stage prefix-sum form).
+    * Scale shape (r15, the r14 verdict's unbounded-score ask): the
+    * rank cumulative rides [[graft.api.Fts.cumulativeCounts2]] — w1 =
+    * positive indicator, w2 = 1 — so per distinct score c1 = positives,
+    * c2 = total, c0 = c2−c1, and cumprev = cum2−c2; the only window
+    * partitions on (key, bucket), so a NEAR-UNIQUE real model-score
+    * column (the shape the r14 form's unpartitioned distinct-score
+    * window would funnel through one reducer) distributes at
+    * |distinct|/buckets. All inputs LONG-exact → identical u_stat bits,
+    * same oracle.
     */
   private val llmAucRoc = Q(
     "llm_auc_roc",
@@ -3261,16 +3290,12 @@ ORDER BY vec_id"""))
       val f = T.documents(s, d)
         .select(col("n_chars").as("s"),
           (col("n_chars") + lit(25L) * nib >= 480L).as("y"))
-      val g = f.groupBy("s").agg(
-        count(when(col("y"), 1)).as("c1"),
-        count(when(!col("y"), 1)).as("c0"),
-        count(lit(1)).as("c"))
-      val w = Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("cumprev", coalesce(sum("c").over(w), lit(0L)))
-        .agg(sum("c1").as("n_pos"), sum("c0").as("n_neg"),
-          sum(col("c1") * (col("cumprev") +
-            (col("c") + lit(1.0)) / lit(2.0))).as("u_stat"))
+        .withColumn("gk", lit(0))
+      graft.api.Fts.cumulativeCounts2(f, "gk", "s",
+          when(col("y"), 1L).otherwise(0L), lit(1L))
+        .agg(sum("c1").as("n_pos"), sum(col("c2") - col("c1")).as("n_neg"),
+          sum(col("c1") * ((col("cum2") - col("c2")) +
+            (col("c2") + lit(1.0)) / lit(2.0))).as("u_stat"))
         .withColumn("auc",
           (col("u_stat") - col("n_pos") * (col("n_pos") + lit(1.0)) / lit(2.0))
             / (col("n_pos") * col("n_neg").cast("double")))
@@ -3305,9 +3330,21 @@ FROM u"""))
     * cum_gain) — every ratio an identical spelled-order IEEE chain on
     * exact longs → RAW.
     *
-    * Scale shape: `ntile` over (score desc, doc_id) is a DOC-grain global
-    * window — the winNtile caveat, with win_ntile_scalable's two-stage
-    * prefix-sum as the documented fact-scale form; everything after the
+    * Scale shape (r15, the r14 verdict's fact-scale ask — this was the
+    * last DOC-grain global window): the decile is NOT an `ntile` window
+    * but the same assignment rebuilt from the exact global rank —
+    * [[graft.api.Fts.cumulativeCounts2]] at distinct-score grain gives
+    * each score its count `c1` and inclusive cumulative `cum1` in
+    * (-score) order, so a doc's global rank under (score DESC, doc_id
+    * ASC) is `(cum1 − c1) + row_number within its tie group` (window
+    * partitioned BY SCORE — reducer input is one tie group, never the
+    * corpus), and ntile(10)'s bucket boundary formula on (rank, N) is
+    * pure integer arithmetic: with n = N div 10, r = N mod 10, decile =
+    * (rank−1) div (n+1) + 1 when rank ≤ r·(n+1), else
+    * r + (rank−1−r·(n+1)) div n + 1. Floor-of-double quotients are exact
+    * for rank < 2⁵³ (the quantile-normalize discipline). Deciles are
+    * BIT-IDENTICAL to the window form — the oracle keeps plain ntile as
+    * the cross-engine gate on that equality; everything after the
     * binning is decile-grain (10 rows).
     */
   private val llmLiftGains = Q(
@@ -3315,11 +3352,29 @@ FROM u"""))
     (s, d) => {
       val nib = expr(
         "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
-      val f = T.documents(s, d)
+      val f0 = T.documents(s, d)
         .select(col("doc_id"), col("n_chars").as("s"),
           (col("n_chars") + lit(25L) * nib >= 480L).as("y"))
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("s").desc, col("doc_id").asc)))
+        .withColumn("gk", lit(0))
+      // distinct-(−score) grain: cum1 = docs with score >= this one
+      val cum = graft.api.Fts.cumulativeCounts2(
+          f0.withColumn("negs", -col("s")), "gk", "negs", lit(1L), lit(0L))
+        .select(col("negs"), col("c1"), col("cum1"))
+      val wTie = Window.partitionBy("s").orderBy("doc_id")
+      val f = f0.withColumn("negs", -col("s"))
+        .join(cum, "negs")
+        .withColumn("rank", col("cum1") - col("c1") + row_number().over(wTie))
+        .crossJoin(broadcast(f0.agg(count(lit(1)).as("nn"))))
+        .withColumn("nq", floor(col("nn") / lit(10.0)).cast("long"))
+        .withColumn("nr", col("nn") - col("nq") * 10)
+        .withColumn("decile",
+          when(col("rank") <= col("nr") * (col("nq") + 1),
+            floor((col("rank") - 1) / (col("nq") + lit(1.0))).cast("long") + 1)
+          .otherwise(col("nr") +
+            floor((col("rank") - 1 - col("nr") * (col("nq") + 1))
+              / col("nq").cast("double")).cast("long") + 1)
+          .cast("int"))
+        .select(col("doc_id"), col("y"), col("decile"))
       val t = f.agg(count(lit(1)).as("t_n"),
         count(when(col("y"), 1)).as("t_pos"))
       val g = f.groupBy("decile").agg(count(lit(1)).as("n"),

@@ -337,26 +337,84 @@ ORDER BY doc_id, frame_idx"""))
     * covers the full encode→decode round trip: Spark's numbers only match
     * if its header parse and window offsets are exactly right.
     */
+  /** WAV encode over an arbitrary (doc_id, text, n_chars) frame — the
+    * canonical 44-byte RIFF/WAVE PCM header + the text bytes as 8-bit mono
+    * samples, rate varied off n_chars (r15: extracted from
+    * [[llmMultimodalAudio]] so the audio DEDUP chain and LlmSpec's planted
+    * pins encode through the ONE definition — the p6MediaOf discipline).
+    */
+  private[graft] def wavMediaOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // LE byte-string builders (hex, zero-padded per byte)
+    def le16(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
+      s"lpad(hex(($e) div 256 % 256), 2, '0'))"
+    def le32(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
+      s"lpad(hex(($e) div 256 % 256), 2, '0'), " +
+      s"lpad(hex(($e) div 65536 % 256), 2, '0'), " +
+      s"lpad(hex(($e) div 16777216 % 256), 2, '0'))"
+    docs
+      .withColumn("rate", (lit(8000) + (col("n_chars") % 8) * 500).cast("int"))
+      .withColumn("dlen", length(col("text")).cast("int"))
+      .select(col("doc_id"), expr(s"""unhex(concat(
+          hex('RIFF'), ${le32("dlen + 36")}, hex('WAVEfmt '),
+          ${le32("16")}, ${le16("1")}, ${le16("1")},
+          ${le32("rate")}, ${le32("rate")}, ${le16("1")}, ${le16("8")},
+          hex('data'), ${le32("dlen")}, hex(text)))""").as("payload"),
+        struct(lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** The fixture WAV payload frame ([[wavMediaOf]] over `documents`). */
+  private[graft] def wavMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = wavMediaOf(T.documents(s, d))
+
+  /** The audio dedup corpus: the fixture WAV payloads plus a deterministic
+    * re-ingested batch (doc_id < 50 shifted by 1,000,000 — byte-identical
+    * payloads under new ids), so the dup population is planted, not hoped
+    * for — the [[p6Corpus]] discipline on the audio family.
+    */
+  private[graft] def audioCorpus(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val m = wavMedia(s, d)
+    m.unionByName(m.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** DuckDB twin of [[wavMediaOf]]'s hex-string form — `wenc(doc_id,
+    * wav_hex)` where wav_hex is EXACTLY the uppercase hex Spark's
+    * `hex(payload)` emits (header fields little-endian, two digits per
+    * byte), so `md5(wav_hex)` matches cross-engine. DuckDB md5 is
+    * VARCHAR-only and its string functions cannot slice BLOBs, which is
+    * why the audio digest is md5-of-hex rather than md5-of-bytes (a
+    * production run swaps any binary-capable digest, same plan).
+    */
+  private def wavEncSql: String = {
+    def le16(e: String) = s"lpad(hex(($e) % 256), 2, '0') || " +
+      s"lpad(hex(($e) // 256 % 256), 2, '0')"
+    def le32(e: String) = s"lpad(hex(($e) % 256), 2, '0') || " +
+      s"lpad(hex(($e) // 256 % 256), 2, '0') || " +
+      s"lpad(hex(($e) // 65536 % 256), 2, '0') || " +
+      s"lpad(hex(($e) // 16777216 % 256), 2, '0')"
+    s"""wenc AS (
+  SELECT doc_id,
+    hex('RIFF') || ${le32("dlen + 36")} || hex('WAVEfmt ') ||
+    ${le32("16")} || ${le16("1")} || ${le16("1")} ||
+    ${le32("rate")} || ${le32("rate")} || ${le16("1")} || ${le16("8")} ||
+    hex('data') || ${le32("dlen")} || hex(text) AS wav_hex
+  FROM (SELECT doc_id, text, len(text) AS dlen,
+      8000 + (n_chars % 8) * 500 AS rate FROM documents))"""
+  }
+
+  /** DuckDB twin of [[audioCorpus]] — splice after [[wavEncSql]]. */
+  private def audioCorpusSql: String = """wcorpus AS (
+  SELECT doc_id, wav_hex FROM wenc
+  UNION ALL
+  SELECT doc_id + 1000000, wav_hex FROM wenc WHERE doc_id < 50)"""
+
   private val llmMultimodalAudio = Q(
     "llm_multimodal_audio",
     (s, d) => {
-      // LE byte-string builders (hex, zero-padded per byte)
-      def le16(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
-        s"lpad(hex(($e) div 256 % 256), 2, '0'))"
-      def le32(e: String) = s"concat(lpad(hex(($e) % 256), 2, '0'), " +
-        s"lpad(hex(($e) div 256 % 256), 2, '0'), " +
-        s"lpad(hex(($e) div 65536 % 256), 2, '0'), " +
-        s"lpad(hex(($e) div 16777216 % 256), 2, '0'))"
       // -------- encode: canonical 44-byte WAV header + the text as PCM
-      val media = T.documents(s, d)
-        .withColumn("rate", (lit(8000) + (col("n_chars") % 8) * 500).cast("int"))
-        .withColumn("dlen", length(col("text")).cast("int"))
-        .select(col("doc_id"), expr(s"""unhex(concat(
-            hex('RIFF'), ${le32("dlen + 36")}, hex('WAVEfmt '),
-            ${le32("16")}, ${le16("1")}, ${le16("1")},
-            ${le32("rate")}, ${le32("rate")}, ${le16("1")}, ${le16("8")},
-            hex('data'), ${le32("dlen")}, hex(text)))""").as("payload"),
-          struct(lit("audio/wav").as("mime")).as("meta"))
+      val media = wavMedia(s, d)
       // -------- decode: everything below reads ONLY (payload, meta)
       def b(p: Int) = s"cast(conv(hex(substring(payload, $p, 1)), 16, 10) as int)"
       def u16(p: Int) = s"(${b(p)} + 256 * ${b(p + 1)})"
@@ -405,6 +463,84 @@ ${(0 until 8).map { w =>
   i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS e$w"""
     }.mkString(",\n")}
 FROM m ORDER BY doc_id"""))
+
+  /** EXACT audio dedup (§2.9 ext, r15) — the multimodal exact-dedup
+    * discipline on the WAV payload family: duplicate audio payloads found
+    * by ONE digest-keyed hash aggregate over [[audioCorpus]] (fixture
+    * WAVs plus the planted re-ingested batch). The digest is
+    * `md5(hex(payload))` — hex is injective on bytes and uppercase in
+    * both engines, so the VARCHAR-only DuckDB md5 gates the full binary
+    * encode (header arithmetic included) end-to-end; a production run
+    * swaps a binary-capable digest, same plan. One row per duplicate
+    * group: (payload_md5, n_copies, rep_doc = min doc id). This is the
+    * ORACLED EXACT TWIN of [[llmAudioNeardup]] (the declared-signature /
+    * oracled-exact pairing every near-dup family here follows).
+    *
+    * Scale shape: one digest-keyed hash aggregate — map-side combinable,
+    * no pairwise work; identical at 10⁶ or 10¹² payloads.
+    */
+  private val llmAudioExactDedup = Q(
+    "llm_audio_exact_dedup",
+    (s, d) => audioCorpus(s, d)
+      .groupBy(md5(hex(col("payload"))).as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("payload_md5"),
+    Some("WITH " + wavEncSql + ",\n" + audioCorpusSql + """
+SELECT md5(wav_hex) AS payload_md5, count(*) AS n_copies,
+  min(doc_id) AS rep_doc
+FROM wcorpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
+
+  /** The ONE definition of "parse the WAV payload and band its PCM
+    * profile signature" shared by [[llmAudioNeardup]] and LlmSpec's
+    * planted pins — the [[p6BandedSignatures]] discipline on the audio
+    * family (r15, the r14 verdict's audio-near-dup ask). Parses ONLY the
+    * payload bytes: sample rate (LE u32 at offset 25) and data length
+    * (LE u32 at 41) re-assembled positionally, then the 16-window
+    * byte-profile simhash ([[graft.api.Media.windowProfileSignature]] —
+    * header skip 44 is the only format difference from the P6 chain, as
+    * its generalization scaladoc predicted) banded with (rate, data_len):
+    * same-parameters same-profile ⇒ candidate, never all-pairs.
+    */
+  private[graft] def wavBandedSignatures(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def b(p: Int) = s"cast(conv(hex(substring(payload, $p, 1)), 16, 10) as bigint)"
+    def u32(p: Int) = s"(${b(p)} + 256 * ${b(p + 1)} + 65536 * ${b(p + 2)}" +
+      s" + 16777216 * ${b(p + 3)})"
+    val parsed = graft.api.Caches.cache(media
+      .withColumn("rate", expr(u32(25)))
+      .withColumn("dlen", expr(u32(41)))
+      .select(col("doc_id"), col("payload"), col("rate"), col("dlen")))
+    val sig = graft.api.Media.windowProfileSignature(
+      parsed, "doc_id", "payload", lit(44), windows = 16)
+    sig
+      .join(parsed.select(col("doc_id").as("id"), col("rate"), col("dlen")),
+        "id")
+      .select(col("id"), lit(0).as("band"),
+        (col("sig") + shiftleft(col("rate"), 16)
+          + shiftleft(col("dlen"), 32)).as("bsig"))
+  }
+
+  /** Perceptual-style audio NEAR-DUP pairs (§2.9 ext, r15) — the
+    * [[llmMultimodalNeardup]] lifecycle extended to the WAV payload
+    * family: [[wavBandedSignatures]]' PCM window-profile signature bands
+    * with the parsed (sample_rate, data_len), candidates pair through the
+    * two-sided grid-salted band join ([[graft.api.Dedup.saltedBandPairs]]
+    * — a hot bucket spreads ~k²/salt per task, never all-pairs). Emits
+    * (a_id, b_id), a < b: exact copies pair by construction, single-byte
+    * PCM perturbations keep their window profile and pair, structurally
+    * different content at the same (rate, length) splits on the signature
+    * alone (LlmSpec plants all three).
+    *
+    * Declared-only BY DESIGN (signature internals are engine-specific);
+    * the oracled exact twin is [[llmAudioExactDedup]] — the
+    * llm_minhash_neardup contract.
+    */
+  private val llmAudioNeardup = Q(
+    "llm_audio_neardup",
+    (s, d) => graft.api.Dedup.saltedBandPairs(
+      wavBandedSignatures(audioCorpus(s, d))).orderBy("a_id", "b_id"),
+    None)
 
   /** Resize plumbing over opaque media payloads: each payload downsamples to a
     * fixed 64-byte "thumbnail" by stride sampling (every k-th byte) — the
@@ -580,5 +716,6 @@ ORDER BY survivor_id, doc_id"""))
     llmMultimodalDecode, llmMultimodalFrames, llmMultimodalResize,
     llmMultimodalAudio, srcBinaryFiles,
     llmMultimodalExactDedup, llmMultimodalNeardup,
-    llmMultimodalDedupSurvivors, llmMultimodalDedupClusters)
+    llmMultimodalDedupSurvivors, llmMultimodalDedupClusters,
+    llmAudioExactDedup, llmAudioNeardup)
 }

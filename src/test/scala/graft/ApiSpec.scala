@@ -1891,6 +1891,34 @@ class ApiSpec extends SparkSpec {
       "a ceiling clear of the margin must keep the hint")
   }
 
+  test("equi-depth bucketing balances a power-law value domain (r15)") {
+    import spark.implicits._
+    // the r13-r14 equi-width split put ~97% of THIS domain's distinct
+    // values in bucket 0 (max value dwarfs the median), collapsing the
+    // within-bucket window toward one reducer; equi-depth cuts must bound
+    // every bucket near |distinct|/buckets for ANY distribution
+    val n = 8192
+    val pre = (1 to n).map(i => (0, i.toLong * i * i * i, 1L, 0L))
+      .toDF("gk", "v", "c1", "c2")
+    val b = Fts.equiDepthBucketed(pre, "gk", "v", 32)
+      .select("v", "bucket").as[(Long, Long)].collect().toSeq
+    assert(b.size == n)
+    val shares = b.groupBy(_._2).view.mapValues(_.size.toDouble / n)
+    assert(shares.values.max <= 2.5 / 32,
+      s"a bucket holds ${shares.values.max} of the distinct values: $shares")
+    // monotone: v < v' => bucket(v) <= bucket(v') — the property the
+    // offsets algebra needs from ANY bucketing
+    val sorted = b.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, c) => a <= c })
+    // and the riders stay exact on the same domain: cum equals the
+    // single-pass ordered prefix sum
+    val cc = Fts.cumulativeCounts2(
+        pre.select(col("gk"), col("v")), "gk", "v", lit(1L), lit(2L))
+      .orderBy("v").select("cum1", "cum2")
+      .as[(Long, Long)].collect().toSeq
+    assert(cc == (1 to n).map(i => (i.toLong, 2L * i)))
+  }
+
   test("cumulativeCounts2 matches a single-pass ordered prefix sum exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1950,6 +1978,31 @@ class ApiSpec extends SparkSpec {
     } finally {
       Seq(t1, t2, other).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("dirTag hash-qualifies: suffix-related dirs can no longer co-scope (r15)") {
+    import spark.implicits._
+    // pre-r15 failure shape: '/' and '_' both sanitized to '_', so the
+    // tag of "/data/sf1" was a suffix of "/root/data/sf1"'s and a
+    // dir-scoped list/drop swept both families together
+    val inner = "/tmp/data/graft_scope_sf1"
+    val outer = "/tmp/root/tmp/data/graft_scope_sf1"
+    val tIn = s"graft_scopeprobe_${graft.api.Tables.dirTag(inner)}"
+    val tOut = s"graft_scopeprobe_${graft.api.Tables.dirTag(outer)}"
+    assert(!graft.api.Tables.dirTag(outer).endsWith(graft.api.Tables.dirTag(inner)),
+      "hash qualifier must break sanitized-suffix collisions")
+    try {
+      graft.api.Tables.tableOrDerive(spark, tIn)(Seq((1L, "i")).toDF("id", "s"))
+      graft.api.Tables.tableOrDerive(spark, tOut)(Seq((2L, "o")).toDF("id", "s"))
+      val listedIn = graft.api.Tables.listArtifacts(spark, Some(inner))
+      assert(listedIn.contains(tIn) && !listedIn.contains(tOut),
+        s"inner-dir scope must not capture the outer dir's artifact: $listedIn")
+      val droppedIn = graft.api.Tables.dropArtifacts(spark, Some(inner))
+      assert(droppedIn == Seq(tIn), s"over-scoped drop: $droppedIn")
+      assert(spark.catalog.tableExists(tOut))
+    } finally {
+      Seq(tIn, tOut).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 }

@@ -455,7 +455,7 @@ class GraphsSpec extends SparkSpec
     assert(keySet(ew) === keySet(directW))
     // second touch READS (derive-fallback not re-entered): catalog knows it
     assert(spark.catalog.tableExists(
-      s"graft_coorder_${sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}"))
+      s"graft_coorder_${graft.api.Tables.dirTag(sf)}"))
     val (ew2, _) = graft.ops.Graphs.coOrderArtifact(spark, sf)
     assert(keySet(ew2) === keySet(ew))
     assert(meta.collect()(0).getAs[Long]("n_capped_orders") === 0L)
@@ -523,7 +523,7 @@ class GraphsSpec extends SparkSpec
       df.collect().map(_.toSeq.mkString("|")).toSet
     assert(keySet(deg) === keySet(degD))
     assert(keySet(ori) === keySet(oriD))
-    val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(sf)
     assert(spark.catalog.tableExists(s"graft_coorder_oriented_$tag"))
     assert(spark.catalog.tableExists(s"graft_coorder_deg_$tag"))
     // second touch READS (derive-fallback not re-entered)
@@ -533,6 +533,63 @@ class GraphsSpec extends SparkSpec
     val a = graft.api.Graph.trianglesOriented(deg, ori).collect()(0)
     val f = graft.api.Graph.triangles(e0).collect()(0)
     assert(a.toSeq === f.toSeq)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("stronglyConnected: planted cycles, tails and singletons (r15)") {
+    import spark.implicits._
+    // cycle {1,2,3}; 4 feeds the cycle but is not fed back (singleton);
+    // mutual pair {5,6}; acyclic chain 7→8 (two singletons); 9→5 tail
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L),
+      (5L, 6L), (6L, 5L), (7L, 8L), (9L, 5L))
+      .toDF("src", "dst")
+    val got = graft.api.Graph.stronglyConnected(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L), got)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("stronglyConnected: a long cycle converges; the round cap refuses (r15)") {
+    import spark.implicits._
+    // one directed 30-cycle = one SCC whose internal diameter is 29 —
+    // the mark-back loop needs ~30 rounds (the pointer jump accelerates
+    // only the min-reach phase), inside the default maxRounds = 40
+    val n = 30L
+    val cyc = (0L until n).map(i => (i + 100, (i + 1) % n + 100))
+      .toDF("src", "dst")
+    val got = graft.api.Graph.stronglyConnected(cyc)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 100L))
+    // the bounded-round refusal contract: an uncoverged decomposition
+    // must throw with the knob to raise, never return merged/split SCCs
+    val ex = intercept[IllegalArgumentException](
+      graft.api.Graph.stronglyConnected(cyc, maxRounds = 3))
+    assert(ex.getMessage.contains("maxRounds"), ex.getMessage)
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("LPA-labels artifact reads back the direct 4-round propagation (r15)") {
+    import org.apache.spark.sql.functions.col
+    // the amortization contract graph_label_prop and graph_modularity now
+    // share: the stored label frame IS Graph.labelPropagation(iters=4)
+    // over the co-order edges, row for row
+    val viaArtifact = graft.ops.Graphs.lpaLabelsArtifact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e0 = graft.ops.Graphs.coOrderArtifact(spark, sf)._1.select("u", "v")
+    val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val direct = graft.api.Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArtifact === direct)
+    assert(direct.nonEmpty)
+    val tag = graft.api.Tables.dirTag(sf)
+    assert(spark.catalog.tableExists(s"graft_lpa_coorder_i4_$tag"))
+    // second touch READS and returns the same rows
+    val again = graft.ops.Graphs.lpaLabelsArtifact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === direct)
     graft.api.Caches.sweep(spark)
   }
 

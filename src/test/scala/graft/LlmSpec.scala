@@ -647,7 +647,7 @@ class LlmSpec extends SparkSpec {
         r.getDouble(3))).toSet
     graft.api.Caches.sweep(spark)
     val viaArtifact = graft.api.Tables.tableOrDerive(spark,
-        s"graft_ngrampairs_${sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}") {
+        s"graft_ngrampairs_${graft.api.Tables.dirTag(sf)}") {
       graft.api.Dedup.ngramJaccardPairs(
         graft.ops.T.documents(spark, sf), "doc_id", "text")
     }.select(col("a_id"), col("b_id"), col("common"), col("jaccard"))
@@ -660,7 +660,7 @@ class LlmSpec extends SparkSpec {
 
   test("minhash/uncapped pair + t0-histogram artifacts read back the direct derivations (r13/r15)") {
     import org.apache.spark.sql.functions.col
-    val tag = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tag = graft.api.Tables.dirTag(sf)
     def docs = graft.ops.T.documents(spark, sf)
     // (table name, direct builder, projected columns) per r13 artifact —
     // the names must match the private Llm accessors byte-for-byte, or the
@@ -858,6 +858,45 @@ class LlmSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+  }
+
+  test("audio near-dup pairs exact copies AND a 1-byte perturbation; splits different content (r15)") {
+    import spark.implicits._
+    // the multimodal planted-corpus recipe on the WAV family: A/B
+    // identical, C = A with one 'a'->'c' (+2 on one PCM byte — the A
+    // profile's weakest window sits far from the region mean, no bit
+    // flips), D structurally different content of the SAME length (same
+    // rate, same data_len band) so only the SIGNATURE can split it
+    val tA = "a" * 100 + "z" * 100
+    val tC = "c" + "a" * 99 + "z" * 100
+    val tD = "z" * 200
+    val docs = Seq((1L, tA), (2L, tA), (3L, tC), (4L, tD))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // the SAME encode/parse/signature/band composition the registered
+    // keys use — one definition, so the pin and the keys cannot drift
+    val banded = graft.ops.Udfs.wavBandedSignatures(
+      graft.ops.Udfs.wavMediaOf(docs))
+    val pairs = graft.api.Dedup.saltedBandPairs(banded)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the A/B/C clique and no D pair, got $pairs")
+    graft.api.Caches.sweep(spark)
+  }
+
+  test("audio exact dedup finds exactly the planted re-ingested batch (r15)") {
+    val rows = q("llm_audio_exact_dedup").collect()
+    assert(rows.nonEmpty)
+    // every group: the planted +1000000 copy of a doc_id < 50 original,
+    // so the representative is always the original
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2L)
+      assert(r.getAs[Long]("rep_doc") < 1000000L)
+    }
+    // the re-ingested batch is 50 payloads; distinct texts may collide,
+    // so group count is <= 50 but every original < 50 is in some group
+    assert(rows.map(_.getAs[Long]("n_copies")).sum >= 100L)
   }
 
   test("windowProfileSignature: exact bits on a ramp payload; all-ones on an empty region") {

@@ -353,6 +353,45 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"every window must partition on the bucket column:\n$p")
   }
 
+  test("llm_vocab_growth windows only on (key, bucket) — no doc-grain global prefix sum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r14 form ran an unpartitioned cumulative window over DOC grain
+    // (the LLM pipeline's fact table through one reducer); the r15
+    // two-stage form may only window within (key, bucket)
+    val p = plan("llm_vocab_growth")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket cumulative window:\n$p")
+    val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+    assert(bad.isEmpty, s"every window must partition on the bucket column:\n$p")
+  }
+
+  test("llm_auc_roc windows only on (key, bucket) — unbounded-score ECDF shape") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("llm_auc_roc")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket cumulative window:\n$p")
+    val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
+    assert(bad.isEmpty, s"every window must partition on the bucket column:\n$p")
+  }
+
+  test("llm_lift_gains has no unpartitioned window — decile from two-stage ranks") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r14 form was a global ntile(10) over doc grain; r15 rebuilds the
+    // identical deciles from cumulativeCounts2 ranks + a tie-group
+    // row_number (partitioned by score) + the decile-grain presentation
+    // cumulative (10 rows, partitioned is not required there — pin grain
+    // instead: every window must carry SOME partition spec except the
+    // decile-grain one, which orders on the 10-row decile column)
+    val p = plan("llm_lift_gains")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected tie-group and bucket windows:\n$p")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    // the only unpartitioned window allowed is the decile-grain cum_pos
+    // (10 input rows by construction)
+    assert(global.forall(_.orderSpec.exists(_.toString.contains("decile"))),
+      s"no doc-grain window may be unpartitioned:\n$p")
+  }
+
   test("win_ntile_scalable has no global (single-reducer) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the whole point of the scalable twin: quartiles WITHOUT an
