@@ -100,8 +100,9 @@ object Fts {
     * key alone, which would funnel every distinct value of a key through
     * one reducer: the raw frame pre-aggregates to one row per (key,
     * DISTINCT value) map-side; per-key totals and value bounds come from a
-    * tiny aggregate broadcast back; values range-bucket into `buckets`
-    * slices; per-bucket partial sums (keys × buckets rows) turn into
+    * tiny aggregate broadcast back; values bucket by EQUI-DEPTH
+    * approx-percentile cuts (r15 — see [[equiDepthBucketed]]; a linear
+    * range split collapsed heavy-tailed domains); per-bucket partial sums (keys × buckets rows) turn into
     * exclusive offsets via a triangular self-join over that tiny frame; and
     * the only window partitions on (key, bucket) — reducer input is
     * corpus/buckets, tunable, not corpus/|keys|. The cumulative order is
@@ -122,22 +123,6 @@ object Fts {
         min(when(col("cw") * 10 >= col("tw") * 9, col(valueCol))).as("wp90"),
         sum(col("w")).as("total_weight"))
 
-  /** The shared core of the weighted-percentile / rank-cutoff family: one
-    * row per (key, DISTINCT value) with its aggregated weight `w`, the
-    * key's total weight `tw`, and the key-global cumulative weight `cw`
-    * (sum of `w` over values ≤ this one), computed by the two-stage
-    * bucketed prefix sum described on [[weightedPercentiles]]. Consumers
-    * derive crossings from (cw, tw) with pure integer-multiply thresholds.
-    *
-    * PRECONDITION for bit-exact `cw`: integer-valued weights (≪2^53), where
-    * double addition is exact in any association order. With arbitrary
-    * fractional weights the bucketed (off + within-bucket) association can
-    * differ from a value-ordered running sum at the last ulp — results are
-    * still correct to fp tolerance, but a consumer that hash-compares `cw`
-    * against an engine computing a straight prefix sum (the oracle gate
-    * does) must either feed integer weights (all oracled consumers here do)
-    * or round the cw-derived output columns before comparing.
-    */
   /** Holt linear-trend exponential smoothing (r14) with α = β = 1/2 —
     * the forecasting primitive one step past [[graft.ops.Windows]]'
     * level-only EWMA: per key, over the day-ordered series `y`,
@@ -189,6 +174,42 @@ object Fts {
         col("r.level").as("level"), col("r.trend").as("trend"))
   }
 
+  /** EQUI-DEPTH bucket assignment over the (key, DISTINCT value) frame —
+    * the two-stage prefix sums' distribution step (r15, the r14 verdict's
+    * equi-width-skew ask): per key, `buckets−1` approx-percentile cut
+    * points over the distinct values broadcast back, and a row's bucket is
+    * the count of cuts strictly below its value. The r13–r14 form
+    * range-split (lo, hi) LINEARLY, so a heavy-tailed domain (prices,
+    * scores — exactly the columns these sums run over) could land nearly
+    * every distinct value in one bucket and degenerate the within-bucket
+    * window back toward one reducer; percentile cuts bound every bucket at
+    * ~|distinct|/buckets regardless of the value distribution (ApiSpec
+    * pins a power-law domain). RESULT-NEUTRAL by construction: bucketing
+    * only needs monotonicity (v < v' ⇒ bucket(v) ≤ bucket(v'), which
+    * count-of-cuts-below gives for any cut multiset) — the offsets algebra
+    * on top is exact LONG/decimal either way, so every rider keeps its
+    * oracle hash. The double cast is for bucketing only (a collision maps
+    * two values to one bucket — still monotone); cuts are ≤31 doubles per
+    * key, the `aggregate` fold is codegen-friendly and constant-width.
+    */
+  private[graft] def equiDepthBucketed(pre: DataFrame, keyCol: String,
+      valueCol: String, buckets: Int): DataFrame = {
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    // accuracy 1000 ⇒ rank error ≤ 0.1% of |distinct| — two orders of
+    // magnitude inside the ~3% bucket width at 32 buckets, at a fraction
+    // of the default-10000 sketch cost (the cuts only need balance, not
+    // precision; correctness never depends on them)
+    val cuts = pre.groupBy(col(keyCol))
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        typedLit(fracs), lit(1000)).as("cuts"))
+    pre.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc +
+            when(col(valueCol).cast("double") > c, 1L).otherwise(0L)))
+      .drop("cuts")
+  }
+
   /** TWO-WEIGHT integer sibling of [[cumulativeWeights]] (r14) — the
     * two-stage bucketed prefix sum over EXACT LONG weight expressions `w1`
     * and `w2`, for the rank/ECDF family (KS's two per-side cumulative
@@ -208,42 +229,14 @@ object Fts {
     * hashes when they swap in this form. Both running sums share ONE
     * window spec (one WindowExec, one sort).
     */
-  /** EQUI-DEPTH bucket assignment over the (key, DISTINCT value) frame —
-    * the two-stage prefix sums' distribution step (r15, the r14 verdict's
-    * equi-width-skew ask): per key, `buckets−1` approx-percentile cut
-    * points over the distinct values broadcast back, and a row's bucket is
-    * the count of cuts strictly below its value. The r13–r14 form
-    * range-split (lo, hi) LINEARLY, so a heavy-tailed domain (prices,
-    * scores — exactly the columns these sums run over) could land nearly
-    * every distinct value in one bucket and degenerate the within-bucket
-    * window back toward one reducer; percentile cuts bound every bucket at
-    * ~|distinct|/buckets regardless of the value distribution (PropSpec
-    * pins a power-law domain). RESULT-NEUTRAL by construction: bucketing
-    * only needs monotonicity (v < v' ⇒ bucket(v) ≤ bucket(v'), which
-    * count-of-cuts-below gives for any cut multiset) — the offsets algebra
-    * on top is exact LONG/decimal either way, so every rider keeps its
-    * oracle hash. The double cast is for bucketing only (a collision maps
-    * two values to one bucket — still monotone); cuts are ≤31 doubles per
-    * key, the `aggregate` fold is codegen-friendly and constant-width.
-    */
-  private[graft] def equiDepthBucketed(pre: DataFrame, keyCol: String,
-      valueCol: String, buckets: Int): DataFrame = {
-    val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = pre.groupBy(col(keyCol))
-      .agg(percentile_approx(col(valueCol).cast("double"),
-        typedLit(fracs), lit(10000)).as("cuts"))
-    pre.join(broadcast(cuts), Seq(keyCol))
-      .withColumn("bucket",
-        aggregate(col("cuts"), lit(0L),
-          (acc, c) => acc +
-            when(col(valueCol).cast("double") > c, 1L).otherwise(0L)))
-      .drop("cuts")
-  }
-
   def cumulativeCounts2(df: DataFrame, keyCol: String, valueCol: String,
       w1: Column, w2: Column, buckets: Int = 32): DataFrame = {
-    val pre = df.groupBy(col(keyCol), col(valueCol))
-      .agg(sum(w1).as("c1"), sum(w2).as("c2"))
+    // cached: the equi-depth cut aggregate AND the bucketed join both
+    // consume the pre-aggregate — uncached, the fact scan + hash agg
+    // would run twice per call (measured 2x on agg_quantile_normalize
+    // when r15 added the cuts pass)
+    val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))
+      .agg(sum(w1).as("c1"), sum(w2).as("c2")))
     val bucketed = equiDepthBucketed(pre, keyCol, valueCol, buckets)
     val bw = bucketed.groupBy(keyCol, "bucket")
       .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
@@ -262,10 +255,28 @@ object Fts {
         col("cum1"), col("cum2"))
   }
 
+  /** The shared core of the weighted-percentile / rank-cutoff family: one
+    * row per (key, DISTINCT value) with its aggregated weight `w`, the
+    * key's total weight `tw`, and the key-global cumulative weight `cw`
+    * (sum of `w` over values ≤ this one), computed by the two-stage
+    * bucketed prefix sum described on [[weightedPercentiles]]. Consumers
+    * derive crossings from (cw, tw) with pure integer-multiply thresholds.
+    *
+    * PRECONDITION for bit-exact `cw`: integer-valued weights (≪2^53), where
+    * double addition is exact in any association order. With arbitrary
+    * fractional weights the bucketed (off + within-bucket) association can
+    * differ from a value-ordered running sum at the last ulp — results are
+    * still correct to fp tolerance, but a consumer that hash-compares `cw`
+    * against an engine computing a straight prefix sum (the oracle gate
+    * does) must either feed integer weights (all oracled consumers here do)
+    * or round the cw-derived output columns before comparing.
+    */
   def cumulativeWeights(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, buckets: Int = 32): DataFrame = {
-    val pre = df.groupBy(col(keyCol), col(valueCol))
-      .agg(sum(col(weightCol)).as("w"))
+    // cached for the same three-consumer reason as cumulativeCounts2's
+    // pre (cuts + totals + bucketed join)
+    val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("w")))
     val stats = pre.groupBy(keyCol).agg(sum(col("w")).as("tw"))
     val bucketed = equiDepthBucketed(pre, keyCol, valueCol, buckets)
       .join(broadcast(stats), Seq(keyCol))

@@ -835,24 +835,43 @@ ORDER BY ap.event_type, ap.dn"""))
     * price ordering — exact integer comparisons, no float exposure
     * anywhere (price enters as cents).
     *
-    * Scale shape: one global sort on the PART dimension (the winNtile
-    * caveat — a fact-scale skyline would pre-filter with a coarse grid
-    * then sort survivors); the dominance test is two window maxima on the
-    * same ordering, no n² pair join.
+    * Scale shape (r15, the r14 verdict's dimension-grain-sort ask): the
+    * strictly-cheaper running max rides the two-stage bucketed pattern
+    * instead of a global RANGE window over the part dim — the frame
+    * collapses to DISTINCT-PRICE grain first (one hash agg: per price its
+    * max size = the old tie window for free), prices equi-depth-bucket
+    * ([[graft.api.Fts.equiDepthBucketed]]), prior-bucket maxima arrive by
+    * the triangular join over the tiny bucket frame, and the only window
+    * is the within-bucket EXCLUSIVE running max at distinct-price grain
+    * (`greatest` skips nulls, so bucket heads and the global minimum keep
+    * the no-cheaper-part NULL semantics). Pure integer max algebra — max
+    * is associative/commutative, so the split is exactly the global
+    * exclusive max and the outputs are bit-identical (oracle unchanged,
+    * still the single-window form: fixture-scale DuckDB).
     */
   private val winSkyline = Q(
     "win_skyline",
     (s, d) => {
       val pc = round(col("p_retailprice") * 100).cast("long")
-      val wCheaper = Window.orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wTie = Window.partitionBy("price_c")
-      T.part(s, d)
+      val parts = T.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_size"),
           col("p_retailprice"), pc.as("price_c"))
+      val grp = parts.groupBy("price_c")
+        .agg(max(col("p_size")).as("max_tie"))
+        .withColumn("gk", lit(0))
+      val b = graft.api.Fts.equiDepthBucketed(grp, "gk", "price_c", 32)
+      val bmax = b.groupBy("bucket").agg(max(col("max_tie")).as("bm"))
+      val prior = bmax.select(col("bucket").as("bk2"), col("bm"))
+      val offs = bmax.select("bucket")
+        .join(prior, col("bk2") < col("bucket"), "left")
+        .groupBy("bucket").agg(max(col("bm")).as("off"))
+      val wIn = Window.partitionBy("bucket").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cheaper = b.join(broadcast(offs), "bucket")
         .withColumn("max_cheaper",
-          max(col("p_size")).over(wCheaper))
-        .withColumn("max_tie", max(col("p_size")).over(wTie))
+          greatest(col("off"), max(col("max_tie")).over(wIn)))
+        .select(col("price_c"), col("max_tie"), col("max_cheaper"))
+      parts.join(cheaper, "price_c")
         .filter(col("p_size") > coalesce(col("max_cheaper"), lit(-1)) &&
           col("p_size") === col("max_tie"))
         .select(col("p_partkey"), col("p_name"), col("p_size"),
@@ -1306,12 +1325,34 @@ FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
       val D184 = org.apache.spark.sql.types.DecimalType(18, 4)
       val rev = T.lineitem(s, d).groupBy("l_partkey")
         .agg(sum(m2(col("l_extendedprice")).cast(D184)).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = rev.agg(sum("rev").as("tot"))
-      val cum = rev.crossJoin(broadcast(tot))
+      // r15 (the r14 verdict's dimension-grain-sort ask): the per-part
+      // cumulative revenue rides the two-stage bucketed prefix sum instead
+      // of a global (rev DESC, partkey) window — the part dim at 100x can
+      // be 10^8 rows. Revenue moves into EXACT integer 1e-4 units (the
+      // DECIMAL(18,4) is 4-decimal by construction, so ×10⁴ is a lossless
+      // LONG): cumulativeCounts2 at distinct-(−rev) grain gives the
+      // inclusive tie-group sums, the per-row cumulative rebuilds as
+      // (cum − tie_total + k·rev) with k the row_number INSIDE the tie
+      // group (window partitioned by the revenue value — reducer input is
+      // one tie run), and cum_share divides the exact LONG units as one
+      // identical-IEEE double op. The oracle uses the same integer-units
+      // division (its window form is fixture-scale), so both engines land
+      // identical bits — the ntile_scalable oracle precedent.
+      val tot = rev.agg(sum(col("rev") * 10000).cast("long").as("tu"))
+      val revL = rev
+        .withColumn("rl", (col("rev") * 10000).cast("long"))
+        .withColumn("negrl", -col("rl")).withColumn("gk", lit(0))
+      val cc = graft.api.Fts.cumulativeCounts2(
+          revL, "gk", "negrl", lit(1L), col("rl"))
+        .select(col("negrl"), col("c1"), col("cum2"))
+      val wTie = Window.partitionBy("rl").orderBy("l_partkey")
+      val cum = revL.join(cc, "negrl")
+        .withColumn("k", row_number().over(wTie))
+        .withColumn("cum_units",
+          col("cum2") - col("c1") * col("rl") + col("k") * col("rl"))
+        .crossJoin(broadcast(tot))
         .withColumn("cum_share",
-          sum(col("rev")).over(w).cast("double") / col("tot").cast("double"))
+          col("cum_units").cast("double") / col("tu").cast("double"))
         .withColumn("abc", when(col("cum_share") <= 0.80, "A")
           .when(col("cum_share") <= 0.95, "B").otherwise("C"))
       cum.groupBy("abc").agg(
@@ -1323,11 +1364,12 @@ FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
     Some(s"""WITH rev AS (SELECT l_partkey,
     sum(CAST(${m2Sql("l_extendedprice")} AS DECIMAL(18,4))) AS rev
   FROM lineitem GROUP BY 1),
-t AS (SELECT sum(rev) AS tot FROM rev),
+rl AS (SELECT l_partkey, rev, CAST(rev * 10000 AS BIGINT) AS rl FROM rev),
+t AS (SELECT CAST(sum(rl) AS BIGINT) AS tu FROM rl),
 c AS (SELECT l_partkey, rev,
-    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
-      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
-  FROM rev, t),
+    CAST(sum(rl) OVER (ORDER BY rl DESC, l_partkey
+      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(tu AS DOUBLE) AS cum_share
+  FROM rl, t),
 k AS (SELECT *, CASE WHEN cum_share <= 0.80 THEN 'A'
     WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc FROM c)
 SELECT abc, count(*) AS n_parts,

@@ -392,6 +392,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no doc-grain window may be unpartitioned:\n$p")
   }
 
+  test("win_pareto_abc has no unpartitioned window — cumulative from two-stage ranks") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r14 form was a global (rev DESC, partkey) running sum over the
+    // part dimension; r15 rebuilds the identical cumulative from
+    // cumulativeCounts2 + a tie-group row_number — every window must
+    // carry a partition spec (bucket or the tie value)
+    val p = plan("win_pareto_abc")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the bucket/tie windows:\n$p")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty, s"no window may be unpartitioned:\n$p")
+  }
+
+  test("win_skyline has no unpartitioned window — exclusive max from two-stage buckets") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("win_skyline")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the within-bucket exclusive max:\n$p")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty, s"no window may be unpartitioned:\n$p")
+  }
+
   test("win_ntile_scalable has no global (single-reducer) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the whole point of the scalable twin: quartiles WITHOUT an
