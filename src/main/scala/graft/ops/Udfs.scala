@@ -542,6 +542,60 @@ FROM wcorpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
       wavBandedSignatures(audioCorpus(s, d))).orderBy("a_id", "b_id"),
     None)
 
+  /** Audio dedup SURVIVORSHIP (§2.9 ext, r15) — the deletion-list stage
+    * that closes the audio pipeline the way
+    * [[llmMultimodalDedupSurvivors]] closes the image one: every member
+    * of an exact-duplicate payload group (md5-of-hex grain over
+    * [[audioCorpus]]) with its group survivor (min doc id), copy count,
+    * and keep/delete flag; non-duplicates stay out of the list.
+    *
+    * Scale shape: one digest-keyed hash aggregate + one digest-keyed
+    * equi-join back to members — nothing pairwise.
+    */
+  private val llmAudioDedupSurvivors = Q(
+    "llm_audio_dedup_survivors",
+    (s, d) => {
+      val m = graft.api.Caches.cache(audioCorpus(s, d)
+        .select(col("doc_id"), md5(hex(col("payload"))).as("h")))
+      val groups = m.groupBy("h")
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+      m.join(groups, "h")
+        .select(col("doc_id"), col("survivor_id"), col("n_copies"),
+          (col("doc_id") === col("survivor_id")).as("is_survivor"))
+        .orderBy("survivor_id", "doc_id")
+    },
+    Some("WITH " + wavEncSql + ",\n" + audioCorpusSql + """,
+m AS (SELECT doc_id, md5(wav_hex) AS h FROM wcorpus),
+g AS (SELECT h, min(doc_id) AS survivor_id, count(*) AS n_copies
+  FROM m GROUP BY 1 HAVING count(*) >= 2)
+SELECT doc_id, survivor_id, n_copies, doc_id = survivor_id AS is_survivor
+FROM m JOIN g USING (h)
+ORDER BY survivor_id, doc_id"""))
+
+  /** Audio near-dup CLUSTERS (§2.9 ext, r15) — transitive closure of the
+    * [[llmAudioNeardup]] signature-pair relation via the shared
+    * pointer-doubling CC solver: one row per cluster (component = min
+    * member id, member count, min-id survivor) — completes
+    * exact → near-dup → clusters → survivors for the audio payload
+    * family, the same four-stage lifecycle the image corpus got in r14.
+    * Declared-only like its pair input; the oracled exact chain is
+    * [[llmAudioExactDedup]] → [[llmAudioDedupSurvivors]], and LlmSpec's
+    * planted corpus pins the clique closure.
+    */
+  private val llmAudioDedupClusters = Q(
+    "llm_audio_dedup_clusters",
+    (s, d) => {
+      val pairs = graft.api.Dedup.saltedBandPairs(
+        wavBandedSignatures(audioCorpus(s, d)))
+      graft.api.Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor_id"))
+        .orderBy("component")
+    },
+    None)
+
   /** Resize plumbing over opaque media payloads: each payload downsamples to a
     * fixed 64-byte "thumbnail" by stride sampling (every k-th byte) — the
     * row shape and batching of a real image-resize stage with the codec
@@ -717,5 +771,6 @@ ORDER BY survivor_id, doc_id"""))
     llmMultimodalAudio, srcBinaryFiles,
     llmMultimodalExactDedup, llmMultimodalNeardup,
     llmMultimodalDedupSurvivors, llmMultimodalDedupClusters,
-    llmAudioExactDedup, llmAudioNeardup)
+    llmAudioExactDedup, llmAudioNeardup,
+    llmAudioDedupSurvivors, llmAudioDedupClusters)
 }

@@ -882,7 +882,35 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
       s"expected the A/B/C clique and no D pair, got $pairs")
+    // the clusters stage closes the clique into ONE component labeled by
+    // its min member, D excluded (no pair ever reached the solver)
+    val clusters = graft.api.Dedup.connectedComponents(
+        graft.api.Dedup.saltedBandPairs(banded))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("surv"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(clusters == Seq((1L, 3L, 1L)),
+      s"expected one 3-member audio cluster labeled 1, got $clusters")
     graft.api.Caches.sweep(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  test("audio dedup survivors cover every exact-dup member exactly once (r15)") {
+    val rows = q("llm_audio_dedup_survivors").collect()
+    val groups = q("llm_audio_exact_dedup").collect()
+      .map(r => r.getAs[Long]("rep_doc") -> r.getAs[Long]("n_copies")).toMap
+    graft.api.Caches.sweep(spark)
+    assert(rows.nonEmpty)
+    assert(rows.length.toLong === groups.values.sum,
+      "member-grain record must cover every group member exactly once")
+    val bySurv = rows.groupBy(_.getAs[Long]("survivor_id"))
+    assert(bySurv.keySet === groups.keySet)
+    bySurv.foreach { case (sid, ms) =>
+      assert(ms.length.toLong === groups(sid))
+      assert(ms.count(_.getAs[Boolean]("is_survivor")) === 1)
+      assert(ms.map(_.getAs[Long]("doc_id")).min === sid)
+    }
   }
 
   test("audio exact dedup finds exactly the planted re-ingested batch (r15)") {
