@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 /** Parameterized FTS-core analytics — the reference's transfer-monitoring
   * metrics as functions a user points at any conforming frame (the fixture
@@ -210,6 +210,53 @@ object Fts {
       .drop("cuts")
   }
 
+  /** ONE driver-bounded equi-depth cuts derivation (r16, the r15 verdict's
+    * shared-cuts ask): ≤ `buckets−1` approx-percentile cut points over
+    * `valueCol`, collected to the driver (the codebook discipline — the
+    * result is a fixed ≤31-double array regardless of input size) so a
+    * caller composing SEVERAL [[cumulativeCounts2]] passes over the same
+    * value domain pays the sketch once and injects the cuts as literals
+    * into every call. Bucketing only needs monotonicity (the
+    * [[equiDepthBucketed]] argument), so a single GLOBAL cut array is
+    * valid for any key partitioning of the same domain — per-key balance
+    * degrades only as far as the keys' value distributions diverge from
+    * the global one. Empty/all-null inputs yield zero cuts (one bucket).
+    */
+  def equiDepthCuts(values: DataFrame, valueCol: String,
+      buckets: Int = 32): Seq[Double] = {
+    requireNumericValue(values, valueCol, "equiDepthCuts")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val row = values.agg(percentile_approx(col(valueCol).cast("double"),
+      typedLit(fracs), lit(1000)).as("cuts")).head()
+    if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+  }
+
+  /** [[equiDepthBucketed]] with caller-provided cut points: the same
+    * count-of-cuts-below bucket assignment, but the cuts arrive as a
+    * LITERAL array (no per-call percentile aggregate, no cuts join) —
+    * constant-folded into the projection, fully codegen'd.
+    */
+  private def literalCutsBucketed(pre: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame =
+    pre.withColumn("bucket",
+      aggregate(typedLit(cuts), lit(0L),
+        (acc, c) => acc +
+          when(col(valueCol).cast("double") > c, 1L).otherwise(0L)))
+
+  /** The equi-depth machinery buckets by `cast(valueCol as double)`, which
+    * is monotone w.r.t. the column's native ordering ONLY for numeric
+    * types — a string column would cast to null/lexicographic-inconsistent
+    * doubles and silently corrupt cum1/cum2 (r15 ADVICE). Enforced on the
+    * public entry points.
+    */
+  private def requireNumericValue(df: DataFrame, valueCol: String,
+      who: String): Unit = {
+    val dt = df.schema(valueCol).dataType
+    require(dt.isInstanceOf[NumericType],
+      s"$who: value column '$valueCol' must be numeric (bucketing casts it " +
+        s"to double, which is order-preserving only for NumericType); got $dt")
+  }
+
   /** TWO-WEIGHT integer sibling of [[cumulativeWeights]] (r14) — the
     * two-stage bucketed prefix sum over EXACT LONG weight expressions `w1`
     * and `w2`, for the rank/ECDF family (KS's two per-side cumulative
@@ -230,14 +277,31 @@ object Fts {
     * window spec (one WindowExec, one sort).
     */
   def cumulativeCounts2(df: DataFrame, keyCol: String, valueCol: String,
-      w1: Column, w2: Column, buckets: Int = 32): DataFrame = {
+      w1: Column, w2: Column, buckets: Int = 32): DataFrame =
+    cumulativeCounts2(df, keyCol, valueCol, w1, w2, buckets, None)
+
+  /** [[cumulativeCounts2]] with OPTIONAL precomputed cut points (r16, the
+    * r15 verdict's shared-cuts ask): `Some(cuts)` (from ONE
+    * [[equiDepthCuts]] pass) skips this call's per-key percentile
+    * aggregate and buckets by the literal array instead — a caller running
+    * several passes over the same value domain (agg_quantile_normalize's
+    * per-group + global ranks) pays the sketch once. Result-neutral by the
+    * monotonicity argument on [[equiDepthBucketed]].
+    */
+  def cumulativeCounts2(df: DataFrame, keyCol: String, valueCol: String,
+      w1: Column, w2: Column, buckets: Int,
+      cuts: Option[Seq[Double]]): DataFrame = {
+    requireNumericValue(df, valueCol, "cumulativeCounts2")
     // cached: the equi-depth cut aggregate AND the bucketed join both
     // consume the pre-aggregate — uncached, the fact scan + hash agg
     // would run twice per call (measured 2x on agg_quantile_normalize
     // when r15 added the cuts pass)
     val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))
       .agg(sum(w1).as("c1"), sum(w2).as("c2")))
-    val bucketed = equiDepthBucketed(pre, keyCol, valueCol, buckets)
+    val bucketed = cuts match {
+      case Some(cs) => literalCutsBucketed(pre, valueCol, cs)
+      case None     => equiDepthBucketed(pre, keyCol, valueCol, buckets)
+    }
     val bw = bucketed.groupBy(keyCol, "bucket")
       .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
     val prior = bw.select(col(keyCol).as("k2"), col("bucket").as("bk2"),
@@ -273,6 +337,7 @@ object Fts {
     */
   def cumulativeWeights(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, buckets: Int = 32): DataFrame = {
+    requireNumericValue(df, valueCol, "cumulativeWeights")
     // cached for the same three-consumer reason as cumulativeCounts2's
     // pre (cuts + totals + bucketed join)
     val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))

@@ -2854,13 +2854,23 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
     (s, d) => {
       val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
         cents(col("l_extendedprice")).as("yc"))
+      // ONE fact pass (r16, the r15 verdict's shared-cuts ask): the corpus
+      // collapses to (flag, DISTINCT yc) grain once, cached; ONE
+      // equi-depth cuts sketch over that cached value-grain frame then
+      // serves BOTH cumulativeCounts2 calls as a literal array (bucketing
+      // only needs monotonicity, so global cuts are valid for the per-flag
+      // pass too) — the r15 form paid the percentile aggregate per call.
+      val preG = graft.api.Caches.cache(c.groupBy(col("flag"), col("yc"))
+        .agg(count(lit(1)).as("cnt")))
+      val cuts = Some(graft.api.Fts.equiDepthCuts(preG, "yc"))
       // per-group: one row per (flag, DISTINCT yc) with its multiplicity and
       // inclusive cumulative count — rank range (cum-cnt+1 … cum]. Cached:
       // three consumers (group totals, the rank explode, and the global
       // side, which re-aggregates THIS value-grain frame instead of paying
       // a second fact-table scan + fact-grain pre-aggregate).
       val pg = graft.api.Caches.cache(
-        graft.api.Fts.cumulativeCounts2(c, "flag", "yc", lit(1L), lit(0L))
+        graft.api.Fts.cumulativeCounts2(preG, "flag", "yc", col("cnt"),
+            lit(0L), 32, cuts)
           .select(col("flag"), col("yc"), col("c1").as("cnt"),
             col("cum1").as("cum")))
       val ngs = pg.groupBy("flag").agg(max(col("cum")).as("ng"))
@@ -2898,7 +2908,7 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
       val (gChunk, gRn) = rankExplode(col("cum1") - col("c1") + 1, col("c1"))
       val gv = graft.api.Fts.cumulativeCounts2(
           pg.select(col("yc"), col("cnt")).withColumn("gk", lit(0)), "gk",
-          "yc", col("cnt"), lit(0L))
+          "yc", col("cnt"), lit(0L), 32, cuts)
         .select(col("yc").as("norm_c"), col("cum1"), col("c1"), gChunk)
         .select(col("norm_c"), gRn)
         .select(col("norm_c"), col("rn").as("gr"))

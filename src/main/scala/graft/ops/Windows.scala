@@ -32,26 +32,67 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
 WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
-  /** Quartile assignment via a GLOBAL window — inherently a single-reducer
-    * total order (Spark shuffles everything to one partition for an
-    * unpartitioned window). Acceptable here because `customer` is a
-    * dimension table; [[winNtileScalable]] is the fact-scale rewrite
-    * (percentile cutoffs broadcast back, bucketed per-row) at the cost of
-    * tie-edge bucket counts.
+  /** EXACT ntile(4) semantics with NO global window (r16, the r15
+    * verdict's last-single-reducer ask — through r15 this key ran the real
+    * `ntile(4).over(Window.orderBy(...))`, a one-reducer total order kept
+    * only because customer is a dimension table). The rewrite reproduces
+    * ntile's POSITIONAL bucketing bit-for-bit from distributed pieces:
+    *
+    *  1. each row's global rank in (c_acctbal ASC, c_custkey ASC) order =
+    *     (# rows with a strictly smaller value, from
+    *     [[graft.api.Fts.cumulativeWeights]]' two-stage bucketed prefix
+    *     sum — exclusive `cw − w`) + row_number within its tied value
+    *     (window partitioned on the high-cardinality VALUE — reducer
+    *     input is one tie run, never the table);
+    *  2. ntile's bucket is then pure integer arithmetic on (rank, n):
+    *     with q = n div 4 and r = n mod 4 the first r quartiles take
+    *     q+1 rows — `rank ≤ r(q+1) ? (rank−1) div (q+1) + 1 :
+    *     r + (rank−1−r(q+1)) div q + 1` (the SQL-standard assignment both
+    *     engines implement), so the oracle stays the REAL `ntile(4)` and
+    *     the hash is unchanged. The custkey tiebreak makes row position
+    *     deterministic, which is what makes rank regeneration exact.
+    *
+    * [[winNtileScalable]] remains the VALUE-CUTOFF variant (quartiles as
+    * data thresholds — different semantics at tie edges, documented
+    * there); this key now carries the positional semantics at the same
+    * scale shape. Unlike `ntile`, rows with a NULL value are dropped by
+    * the value-keyed equi-join — the fixture (and any sane balance
+    * column) has none.
     */
   private val winNtile = Q(
     "win_ntile",
     (s, d) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      T.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val cum = graft.api.Fts.cumulativeWeights(
+        cust.withColumn("g", lit(1)).withColumn("one", lit(1L)),
+        "g", "c_acctbal", "one")
+      // cw/tw are integer-valued doubles (unit weights) — exact below 2^53
+      val offs = cum.select(col("c_acctbal"),
+        (col("cw") - col("w")).cast("long").as("below"),
+        col("tw").cast("long").as("n"))
+      val wv = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+      cust.join(offs, "c_acctbal")
+        .withColumn("rnk", col("below") + row_number().over(wv))
+        .withColumn("q", expr("n div 4"))
+        .withColumn("r", expr("n % 4"))
+        // integer div throughout (no float quotients to round); the else
+        // branch is unreachable when q = 0 (rank > r(q+1) = n impossible)
+        // but greatest(q, 1) keeps its divisor nonzero for any evaluator
+        .withColumn("quartile",
+          when(col("rnk") <= col("r") * (col("q") + 1),
+            expr("(rnk - 1) div (q + 1) + 1"))
+            .otherwise(expr("r + (rnk - 1 - r * (q + 1)) div greatest(q, 1) + 1"))
+            .cast("int"))
+        .select(col("c_custkey"), col("c_acctbal"), col("quartile"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_acctbal,
 ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
 FROM customer ORDER BY c_custkey"""))
 
-  /** The fact-scale twin of [[winNtile]]: quartiles via exact RANK-THRESHOLD
+  /** The VALUE-CUTOFF sibling of [[winNtile]] (r16: both keys are now
+    * global-window-free — this one assigns quartiles as data thresholds,
+    * winNtile keeps ntile's positional semantics): exact RANK-THRESHOLD
     * cutoffs broadcast back and bucketed per-row — no global window, no
     * single-reducer total order, so the shape survives a table 10⁶× this
     * size. Cutoff k is the smallest value whose cumulative row count cw

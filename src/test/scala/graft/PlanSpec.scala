@@ -331,6 +331,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bad = wins.filterNot(_.partitionSpec.exists(_.toString.contains("bucket")))
     assert(bad.isEmpty,
       s"every window must partition on the bucket column — found a coarser one:\n$p")
+    // r16 (the r15 verdict's shared-cuts ask): both cumulativeCounts2
+    // passes bucket by ONE driver-derived literal cut array — the executed
+    // plan must contain NO per-call percentile aggregate at all
+    assert(!p.toString.contains("percentile_approx"),
+      s"equi-depth cuts must arrive as literals (one shared sketch), not a per-call aggregate:\n$p")
   }
 
   test("agg_ks_test windows only on (key, bucket) — no unpartitioned ECDF sort") {
@@ -417,9 +422,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("win_ntile_scalable has no global (single-reducer) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the whole point of the scalable twin: quartiles WITHOUT an
-    // unpartitioned window (win_ntile's shape, which moves every row to one
-    // reducer); the only windows allowed are the bucket-partitioned
-    // within-bucket cumulative sums
+    // unpartitioned window (the pre-r16 win_ntile shape, which moved every
+    // row to one reducer); the only windows allowed are the
+    // bucket-partitioned within-bucket cumulative sums
     val wins = collectWithSubqueries(plan("win_ntile_scalable")) {
       case w: WindowExec => w
     }
@@ -427,6 +432,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val global = wins.filter(_.partitionSpec.isEmpty)
     assert(global.isEmpty,
       s"no window may be unpartitioned:\n${plan("win_ntile_scalable")}")
+  }
+
+  test("win_ntile has no global window either (r16) — positional ntile from two-stage ranks") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // through r15 this key was the repo's one deliberate single-reducer
+    // window (real ntile over the customer dim); the r16 rank-regeneration
+    // form keeps the ntile oracle bit-for-bit while every window carries a
+    // partition spec (bucket, or the tied value)
+    val p = plan("win_ntile")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the bucket/tie-run windows:\n$p")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty, s"no window may be unpartitioned:\n$p")
   }
 
   test("llm_char_entropy plans as pure explode + hash aggregates (no window, no join)") {

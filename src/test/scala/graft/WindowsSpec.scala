@@ -70,6 +70,22 @@ class WindowsSpec extends SparkSpec {
     j.unpersist()
   }
 
+  test("win_ntile reproduces Spark's own ntile(4) bit-for-bit (r16 rank-regeneration form)") {
+    import org.apache.spark.sql.expressions.Window
+    // the r16 form computes ntile WITHOUT the global window — this pin
+    // holds it to the real ntile's positional semantics (the oracle does
+    // the same cross-engine; this catches a drift without DuckDB)
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), ntile(4).over(w).as("nt"))
+    val got = q("win_ntile").select(col("c_custkey"), col("quartile"))
+    assert(got.count() == want.count(), "row count must match ntile's")
+    val diff = got.join(want, "c_custkey")
+      .filter(col("quartile") =!= col("nt")).count()
+    assert(diff == 0, s"$diff rows diverge from the real ntile(4)")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("limit_topk returns exactly 10 descending prices") {
     import spark.implicits._
     val prices = q("limit_topk").select("o_totalprice").as[Double].collect()
