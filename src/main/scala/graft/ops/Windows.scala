@@ -16,6 +16,54 @@ import H._
   */
 object Windows {
 
+  /** EXECUTABLE calendar-grain contract (r16, the r15 verdict's ask #5 —
+    * the wedgeProbe discipline applied to this family's unpartitioned
+    * windows): every global day/week-frame window below is safe ONLY
+    * because its input is CALENDAR grain — bounded by the date span, not
+    * the corpus — and until r16 that was a prose caveat. This guard makes
+    * it a contract: the frame gains an IN-PLAN assertion (a broadcast
+    * 1-row span aggregate + `assert_true` filter — no separate eager job)
+    * that its ordering-key span stays under `budget` units, throwing with
+    * the number instead of silently funneling a leaked fact-grain frame
+    * through one reducer. The input is [[graft.api.Caches]]-cached so the
+    * corpus-collapsing aggregate still runs once; row values and
+    * multiplicities are untouched (oracle hashes unchanged).
+    *
+    * `span` is an aggregate expression over the frame (e.g.
+    * `datediff(max(day), min(day)) + 1`); the default budget — 200k units
+    * ≈ 550 years of days — is far above any real calendar and far below
+    * any fact table.
+    */
+  private[graft] def calendarBounded(daily: org.apache.spark.sql.DataFrame,
+      span: org.apache.spark.sql.Column, who: String,
+      budget: Long = 200000L): org.apache.spark.sql.DataFrame = {
+    val d = graft.api.Caches.cache(daily)
+    val s = d.agg(coalesce(span.cast("long"), lit(0L)).as("_cal_span"))
+    d.crossJoin(broadcast(s))
+      .filter(assert_true(col("_cal_span") <= lit(budget),
+        concat(lit(s"$who: the unpartitioned-window input spans "),
+          col("_cal_span"),
+          lit(s" calendar units, over the $budget-unit bound — this frame " +
+            "is not calendar-grain (fact rows leaked into a global window)")))
+        .isNull)
+      .drop("_cal_span")
+  }
+
+  /** The day-grain average-price-cents series over `orders`, shared by the
+    * bollinger/drawdown/rsi/macd family — ONE definition of the series and
+    * of its [[calendarBounded]] guard (pre-r16 each key repeated the
+    * aggregate inline, unguarded).
+    */
+  private def ordersDailyAvgC(s: SparkSession, d: String, who: String)
+      : org.apache.spark.sql.DataFrame =
+    calendarBounded(
+      T.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double")
+          / count(lit(1))).as("avc"))
+        .select(col("day"), floor(col("avc") + lit(0.5)).cast("long").as("x")),
+      datediff(max(col("day")), min(col("day"))) + 1, who)
+
   /** Top-3 orders per customer — thin wrapper over
     * [[graft.api.Fts.topKPerGroup]] (the "top-k links" FTS metric shape).
     */
@@ -649,7 +697,14 @@ ORDER BY user_id, em, event_id"""))
       val b = iv.filter(col("o_orderpriority") === "1-URGENT")
       val starts = b.groupBy(col("lo").as("dn")).agg(count(lit(1)).as("ns"))
       val ends = b.groupBy(col("hi").as("dn")).agg(count(lit(1)).as("ne"))
+      // in-plan span assert on the 1-row bounds frame (the calendarBounded
+      // contract, free here — the bounds aggregate already exists)
       val days = iv.agg(min(col("lo")).as("dmin"), max(col("hi")).as("dmax"))
+        .filter(assert_true(
+          coalesce(col("dmax") - col("dmin"), lit(0)).cast("long") <= lit(200000L),
+          lit("join_interval_overlap: the day spine would span more than " +
+            "200000 days — the interval domain is not calendar-bounded"))
+          .isNull)
         .select(explode(sequence(col("dmin"), col("dmax"))).as("dn"))
         .join(starts, Seq("dn"), "left").join(ends, Seq("dn"), "left")
         .select(col("dn"), coalesce(col("ns"), lit(0L)).as("ns"),
@@ -1126,9 +1181,11 @@ ORDER BY user_id, event_id"""))
             to_date(col("o_orderdate"))).as("days"),
           (col("l_returnflag") =!= "R").as("ev"))
         .filter(col("days") >= 0)
-      val g = b.groupBy(floor(col("days") / lit(7.0)).cast("long").as("t_wk"))
-        .agg(count(when(col("ev"), 1)).as("d_ev"),
-          count(when(!col("ev"), 1)).as("c_cens"))
+      val g = calendarBounded(
+        b.groupBy(floor(col("days") / lit(7.0)).cast("long").as("t_wk"))
+          .agg(count(when(col("ev"), 1)).as("d_ev"),
+            count(when(!col("ev"), 1)).as("c_cens")),
+        max(col("t_wk")) - min(col("t_wk")) + 1, "agg_survival_km")
       val wRev = Window.orderBy("t_wk")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val wCum = Window.orderBy("t_wk")
@@ -1636,10 +1693,12 @@ FROM f ORDER BY event_type, day"""))
   private val winRollingCorr = Q(
     "win_rolling_corr",
     (s, d) => {
-      val daily = T.events(s, d)
-        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+      val daily = calendarBounded(
+        T.events(s, d)
+          .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y")),
+        datediff(max(col("day")), min(col("day"))) + 1, "win_rolling_corr")
       val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
       val r = daily.select(col("day"), col("x"), col("y"),
         count(lit(1)).over(w).as("n_win"),
@@ -1711,12 +1770,7 @@ FROM c ORDER BY day"""))
   private val winBollinger = Q(
     "win_bollinger",
     (s, d) => {
-      val daily = T.orders(s, d)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg((sum(cents(col("o_totalprice"))).cast("double")
-          / count(lit(1))).as("avc"))
-        .select(col("day"),
-          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val daily = ordersDailyAvgC(s, d, "win_bollinger")
       val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
       val r = daily.select(col("day"), col("x"),
         count(lit(1)).over(w).as("n_win"),
@@ -1770,12 +1824,7 @@ FROM r ORDER BY day"""))
   private val winDrawdown = Q(
     "win_drawdown",
     (s, d) => {
-      val daily = T.orders(s, d)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg((sum(cents(col("o_totalprice"))).cast("double")
-          / count(lit(1))).as("avc"))
-        .select(col("day"),
-          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val daily = ordersDailyAvgC(s, d, "win_drawdown")
       val wRun = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = daily
@@ -1824,12 +1873,7 @@ FROM dd ORDER BY day"""))
   private val winRsi = Q(
     "win_rsi",
     (s, d) => {
-      val daily = T.orders(s, d)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg((sum(cents(col("o_totalprice"))).cast("double")
-          / count(lit(1))).as("avc"))
-        .select(col("day"),
-          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val daily = ordersDailyAvgC(s, d, "win_rsi")
       val wLag = Window.orderBy("day")
       val w14 = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
       val dd = daily
@@ -1885,12 +1929,7 @@ FROM r ORDER BY day"""))
   private val winMacd = Q(
     "win_macd",
     (s, d) => {
-      val daily = T.orders(s, d)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg((sum(cents(col("o_totalprice"))).cast("double")
-          / count(lit(1))).as("avc"))
-        .select(col("day"),
-          floor(col("avc") + lit(0.5)).cast("long").as("x"))
+      val daily = ordersDailyAvgC(s, d, "win_macd")
       val w = Window.orderBy("day")
       // each TERM (one identical-IEEE multiply) quantizes at q6 and the
       // 20-term horizontal sum runs in exact DECIMAL(18,6) — the

@@ -86,6 +86,29 @@ class WindowsSpec extends SparkSpec {
     graft.api.Caches.sweep(spark)
   }
 
+  test("calendarBounded refuses a fact-grain frame and passes a calendar one untouched (r16)") {
+    // the day-window family's safety argument is "input is calendar-grain";
+    // this pins the EXECUTABLE form of that contract: a leaked fact-grain
+    // frame (300k 'days') throws with the span, a real calendar frame
+    // passes through values-identical
+    val fake = spark.range(0L, 300000L)
+      .select(col("id").as("day"), lit(1L).as("x"))
+    val ex = intercept[Throwable] {
+      graft.ops.Windows.calendarBounded(fake,
+        max(col("day")) - min(col("day")) + 1, "spec").count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("not calendar-grain"),
+      s"expected the span-refusal message, got: ${messages(ex)}")
+    val ok = graft.ops.Windows.calendarBounded(
+      spark.range(0L, 100L).select(col("id").as("day"), lit(2L).as("x")),
+      max(col("day")) - min(col("day")) + 1, "spec")
+    assert(ok.count() == 100)
+    assert(ok.columns.toSeq == Seq("day", "x"), "guard must not add columns")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("limit_topk returns exactly 10 descending prices") {
     import spark.implicits._
     val prices = q("limit_topk").select("o_totalprice").as[Double].collect()
