@@ -542,6 +542,103 @@ FROM wcorpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
       wavBandedSignatures(audioCorpus(s, d))).orderBy("a_id", "b_id"),
     None)
 
+  /** Planted-perturbation RECALL of the audio window-profile signature
+    * (§2.9 ext, r16 — the r15 verdict's ask #4): the near-dup families all
+    * pair their declared-only signature key with an ORACLED recall
+    * measurement ([[graft.ops.Llm]]'s `llm_minhash_recall` /
+    * `llm_simhash_recall` / `llm_winnow_recall`); this closes the audio
+    * gap. The corpus is every fixture doc plus, for doc_id < 50, a
+    * SINGLE-BYTE PCM perturbation under a new id (first sample remapped to
+    * `chr(97 + (b+1) mod 26)` — always ASCII, always a real byte change,
+    * and (rate, dlen) preserved so the banding keys match); the truth set
+    * is exactly those planted pairs. Candidates come from the production
+    * path itself — [[wavBandedSignatures]] (header-parsed rate/dlen +
+    * [[graft.api.Media.windowProfileSignature]]) through
+    * [[graft.api.Dedup.saltedBandPairs]] — so the metric measures the REAL
+    * chain. One summary row: truth/candidate/hit counts, recall (planted
+    * pairs recovered: a perturbation misses only when the ±1-byte energy
+    * shift flips a window bit that sat within one count of its
+    * cross-multiplied mean boundary — rare by construction), precision
+    * against the planted truth (organic same-profile pairs count against
+    * it, the llm_minhash_recall convention).
+    *
+    * The DuckDB oracle recomputes the window profile from the ENCODE
+    * parameters (text bytes, header skip known — the llm_multimodal_audio
+    * convention, since DuckDB cannot slice BLOBs) with HUGEINT
+    * cross-multiplication mirroring Spark's DECIMAL(19,0) products, so the
+    * gate covers Spark's header parse, window offsets, bit arithmetic,
+    * banding, and the metric join end-to-end.
+    */
+  private val llmAudioRecall = Q(
+    "llm_audio_recall",
+    (s, d) => {
+      val docs = T.documents(s, d).select("doc_id", "text", "n_chars")
+      val planted = docs.filter(col("doc_id") < 50 && col("n_chars") > 0)
+      val pert = planted.select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(expr("chr(CASE WHEN ascii(substring(text, 1, 1)) > 32 " +
+          "THEN ascii(substring(text, 1, 1)) - 1 " +
+          "ELSE ascii(substring(text, 1, 1)) + 1 END)"),
+          expr("substring(text, 2)")).as("text"),
+        col("n_chars"))
+      val truth = planted.select(col("doc_id").as("a_id"),
+        (col("doc_id") + lit(2000000L)).as("b_id"))
+      val cand = graft.api.Dedup.saltedBandPairs(
+        wavBandedSignatures(wavMediaOf(docs.unionByName(pert))))
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("t"), lit(0))).cast("bigint").as("n_truth"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_cand"),
+          sum(when(col("t") === 1 && col("c") === 1, 1).otherwise(0))
+            .cast("bigint").as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_truth"))
+            .as("sig_recall"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_cand"))
+            .as("sig_precision"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+pl AS (SELECT doc_id + 2000000 AS doc_id,
+    chr(CASE WHEN ord(substring(text, 1, 1)) > 32
+      THEN ord(substring(text, 1, 1)) - 1
+      ELSE ord(substring(text, 1, 1)) + 1 END) || substring(text, 2) AS text,
+    n_chars
+  FROM base WHERE doc_id < 50 AND n_chars > 0),
+corpus AS (SELECT doc_id, text, n_chars FROM base
+  UNION ALL SELECT doc_id, text, n_chars FROM pl),
+parm AS (SELECT doc_id, text, len(text) AS dlen,
+    8000 + (n_chars % 8) * 500 AS rate FROM corpus),
+b AS (SELECT doc_id, ((i - 1) * 16) // dlen AS w,
+    ord(substring(text, CAST(i AS INT), 1)) AS bv
+  FROM parm, UNNEST(generate_series(1, dlen)) AS u(i)),
+wsum AS (SELECT doc_id, w, sum(bv) AS ws, count(*) AS wn FROM b GROUP BY 1, 2),
+tt AS (SELECT doc_id, sum(ws) AS ts, sum(wn) AS tn FROM wsum GROUP BY 1),
+sig0 AS (SELECT wsum.doc_id,
+    CAST(sum(CASE WHEN CAST(ws AS HUGEINT) * tn >= CAST(ts AS HUGEINT) * wn
+      THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS sig
+  FROM wsum JOIN tt ON wsum.doc_id = tt.doc_id GROUP BY 1),
+sig AS (SELECT p.doc_id,
+    coalesce(s.sig, 65535) + CAST(rate AS BIGINT) * 65536
+      + CAST(dlen AS BIGINT) * 4294967296 AS bsig
+  FROM parm p LEFT JOIN sig0 s ON p.doc_id = s.doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sig a JOIN sig b ON a.bsig = b.bsig AND a.doc_id < b.doc_id),
+truth AS (SELECT doc_id AS a_id, doc_id + 2000000 AS b_id FROM base
+  WHERE doc_id < 50 AND n_chars > 0),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM truth t JOIN cand c
+     ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+CAST(n_hit AS BIGINT) AS n_hit,
+CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS sig_recall,
+CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS sig_precision
+FROM m"""))
+
   /** Audio dedup SURVIVORSHIP (§2.9 ext, r15) — the deletion-list stage
     * that closes the audio pipeline the way
     * [[llmMultimodalDedupSurvivors]] closes the image one: every member
@@ -771,6 +868,6 @@ ORDER BY survivor_id, doc_id"""))
     llmMultimodalAudio, srcBinaryFiles,
     llmMultimodalExactDedup, llmMultimodalNeardup,
     llmMultimodalDedupSurvivors, llmMultimodalDedupClusters,
-    llmAudioExactDedup, llmAudioNeardup,
+    llmAudioExactDedup, llmAudioNeardup, llmAudioRecall,
     llmAudioDedupSurvivors, llmAudioDedupClusters)
 }

@@ -896,6 +896,22 @@ class LlmSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("llm_audio_recall: the planted ±1-byte perturbations clear a 0.9 recall floor (r16)") {
+    // the oracled recall twin of llm_audio_neardup (the minhash_recall
+    // contract): 50 planted single-unit PCM perturbations, the production
+    // signature+band chain must recover nearly all (a miss needs a window
+    // bit sitting within one count of its cross-multiplied mean boundary)
+    val r = q("llm_audio_recall").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_truth") == 50, s"expected 50 planted pairs: $row")
+    val recall = row.getAs[Double]("sig_recall")
+    assert(recall >= 0.9, s"planted-perturbation recall $recall below floor: $row")
+    // hits are a subset of both sets by construction
+    assert(row.getAs[Long]("n_hit") <= row.getAs[Long]("n_cand"))
+    graft.api.Caches.sweep(spark)
+  }
+
   test("audio dedup survivors cover every exact-dup member exactly once (r15)") {
     val rows = q("llm_audio_dedup_survivors").collect()
     val groups = q("llm_audio_exact_dedup").collect()
