@@ -792,6 +792,65 @@ object Stress {
     recs.toSeq
   }
 
+  /** r16 path (the r15 verdict's scc-stress ask): the phased SCC
+    * decomposition on a PLANTED DEEP directed graph — chains of length 48
+    * (the round driver: trim peels open chains one position per round,
+    * min-reach/mark walk the closed cycles' diameter), every 4th chain
+    * closed into a cycle (a nontrivial SCC of 48 nodes), every OPEN
+    * chain's tail feeding its group's closed head (connectivity without
+    * uncontrolled path lengths — open heads stay sources, so ALL open
+    * chains peel in parallel). Expected decomposition: trim dissolves ~3/4
+    * of the nodes in ~48 bulk rounds, ONE phase resolves every cycle
+    * simultaneously (~48 reach + ~48 mark rounds) — rounds stay ~constant
+    * across sizes while width scales, which is exactly the claim the
+    * record must demonstrate. A final stage records the REFUSAL contract's
+    * trigger point: maxRounds below the chain depth must throw with the
+    * knob, never return merged/split components.
+    */
+  private def sccRun(spark: SparkSession, nNodes: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val L = 48L
+    val ((edges, nEdges), genSec) = timed {
+      val d = spark.range(0L, nNodes)
+        .select(col("id"), expr(s"id div $L").as("c"), expr(s"id % $L").as("p"))
+      val fwd = d.filter(col("p") < L - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val closeCycle = d.filter(col("p") === L - 1 && col("c") % 4 === 0)
+        .select(col("id").as("src"), (col("id") - (L - 1)).as("dst"))
+      val feed = d.filter(col("p") === L - 1 && col("c") % 4 =!= 0)
+        .select(col("id").as("src"),
+          ((col("c") - col("c") % 4) * L).as("dst"))
+      val e = fwd.unionByName(closeCycle).unionByName(feed).persist()
+      (e, e.count())
+    }
+    recs += StageRec("gen_chain_graph", genSec, nEdges)
+    val ((stats, nNontrivial), sccSec) = timed {
+      val (r, st) = graft.api.Graph.stronglyConnectedWithStats(edges,
+        maxRounds = 3 * L.toInt, maxPhases = 8)
+      val nt = r.groupBy("scc").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).count()
+      (st, nt)
+    }
+    recs += StageRec("scc_phased", sccSec, nNontrivial,
+      stats.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+    // the refusal trigger point: a round budget below the planted depth
+    // must throw with the knob in the message — rows=1 records it fired
+    val (refused, refSec) = timed {
+      try {
+        graft.api.Graph.stronglyConnected(edges, maxRounds = 8).count(); 0L
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("maxRounds") => 1L
+      }
+    }
+    recs += StageRec("refusal_below_depth", refSec, refused,
+      Seq("max_rounds_tried" -> "8", "planted_depth" -> L.toString))
+    graft.api.Caches.sweep(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    unpersistQuietly(edges)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -845,6 +904,10 @@ object Stress {
     // ~3.3/order + the capped mega-basket), DAG ≤ 4×|E|
     val btwSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_BTWS",
       "50000,150000,300000").split(",").map(_.trim.toLong).toSeq
+    // scc rounds are ~constant by construction (fixed chain depth 48);
+    // per-round width scales with node count — dedup-path sizes
+    val sccSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCCS",
+      "50000,150000,300000").split(",").map(_.trim.toLong).toSeq
     // the index lifecycle adds parquet write I/O on top of the kmeans_ivf
     // work, so it runs at the ivf sizes' lower two rungs as well
     val annIdxSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_ANNIDX", "100000,300000")
@@ -891,6 +954,7 @@ object Stress {
     if (enabled("ann_index")) annIndexRun(spark, 2000)
     if (enabled("rank_prefix")) rankPrefixRun(spark, 50000)
     if (enabled("betweenness")) betweennessRun(spark, 3000)
+    if (enabled("scc")) sccRun(spark, 3072)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -975,6 +1039,8 @@ object Stress {
       rankSizes.foreach(n => runs += measured("rank_prefix", n, rankPrefixRun(spark, n)))
     if (enabled("betweenness"))
       btwSizes.foreach(n => runs += measured("betweenness", n, betweennessRun(spark, n)))
+    if (enabled("scc"))
+      sccSizes.foreach(n => runs += measured("scc", n, sccRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     if (enabled("kmeans_joinpath"))
       runs += measured("kmeans_joinpath", semSizes(1),

@@ -228,6 +228,17 @@ object Graph {
     * exact SCC membership `(node, scc)` with `scc` = the component's
     * smallest node id. Phased min-label decomposition:
     *
+    *  0. TRIM (r16, the FW-BW-Trim step): nodes with no remaining
+    *     in-edges or no remaining out-edges cannot lie on a cycle — they
+    *     are singleton SCCs, assigned IN BULK (all current sources and
+    *     sinks per round) without a min-reach fixpoint. Iterated to a
+    *     bounded best-effort fixpoint before every phase: on DAG-heavy
+    *     graphs (and the r15 ADVICE's pathological id-decreasing chain,
+    *     which previously burned one full phase per node) trimming
+    *     dissolves most of the graph in a few cheap rounds; whatever
+    *     survives is cyclic and proceeds to the phases. Trim rounds are
+    *     capped at maxRounds and the cap is NOT a refusal — an untrimmed
+    *     remainder is simply handled by the exact phases.
     *  1. FORWARD MIN-REACH to fixpoint: `f(v) = min{id(u) : v ⇝ u}`,
     *     computed by pull rounds (`f(v) ← min(f(v), min over v→w of
     *     f(w))`) — O(directed diameter) rounds: the label wave moves one
@@ -266,33 +277,90 @@ object Graph {
     * 100 TB path.
     */
   def stronglyConnected(edgesIn: DataFrame, maxRounds: Int = 40,
-      maxPhases: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
+      maxPhases: Int = 8, checkpointDir: Option[String] = None): DataFrame =
+    stronglyConnectedWithStats(edgesIn, maxRounds, maxPhases, checkpointDir)._1
+
+  /** [[stronglyConnected]] plus the measured decomposition counters
+    * (phases, trim/reach/mark rounds) — the observability hook the Stress
+    * harness records (r16, the r15 verdict's scc-stress ask); the public
+    * entry point discards them.
+    */
+  private[graft] def stronglyConnectedWithStats(edgesIn: DataFrame,
+      maxRounds: Int = 40, maxPhases: Int = 8,
+      checkpointDir: Option[String] = None): (DataFrame, Map[String, Long]) = {
     require(maxRounds >= 1 && maxPhases >= 1,
       s"maxRounds/maxPhases must be positive, got $maxRounds/$maxPhases")
+    var statTrim = 0L; var statReach = 0L; var statMark = 0L
     def cpT(df: DataFrame) = Checkpoints.tracked(df, checkpointDir)
     def free(r: Option[org.apache.spark.rdd.RDD[_]]): Unit = Checkpoints.free(r)
     var (edges, edgesRdd) = cpT(edgesIn.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
+    // node set from the UNFILTERED list (r15 ADVICE): a node whose only
+    // incident edges are self-loops must surface as its own singleton SCC,
+    // not vanish with the dropped loops
     var (nodes, nodesRdd) = cpT(
-      edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct())
+      edgesIn.select(col("src").as("id"))
+        .union(edgesIn.select(col("dst").as("id"))).distinct())
     val assigned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var remaining = nodes.count()
     var phase = 0
     while (remaining > 0) {
+      // 0. TRIM: every current source/sink is a singleton SCC — assign in
+      // bulk, drop, repeat (bounded; the cap just ends trimming — the
+      // phases below are exact with or without it)
+      var trimRound = 0
+      var trimming = true
+      while (trimming && trimRound < maxRounds && remaining > 0) {
+        trimRound += 1
+        statTrim += 1
+        // probe lazily first: a fully-cyclic remainder (trivialLazy empty)
+        // pays one aggregate pass, not a checkpoint materialization
+        val trivialLazy =
+          nodes.join(edges.select(col("dst").as("id")), Seq("id"), "left_anti")
+            .unionByName(
+              nodes.join(edges.select(col("src").as("id")), Seq("id"), "left_anti"))
+            .distinct()
+        val nTrivial = trivialLazy.count()
+        if (nTrivial == 0) trimming = false
+        else {
+          val (trivial, _) = cpT(trivialLazy)
+          // trivial's blocks back the RESULT — never freed (the marks rule)
+          assigned += trivial.select(col("id").as("node"), col("id").as("scc"))
+          val (restNodes, restRdd) = cpT(
+            nodes.join(trivial, Seq("id"), "left_anti"))
+          val (restEdges, restERdd) = cpT(edges
+            .join(restNodes.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(restNodes.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          free(nodesRdd); free(edgesRdd)
+          nodes = restNodes; nodesRdd = restRdd
+          edges = restEdges; edgesRdd = restERdd
+          remaining -= nTrivial
+          if (sys.env.contains("GRAFT_SCC_DEBUG")) System.err.println(
+            s"[scc] trim round $trimRound: $nTrivial singletons, $remaining left")
+        }
+      }
+      if (remaining > 0) {
       phase += 1
       require(phase <= maxPhases,
         s"stronglyConnected needed more than maxPhases $maxPhases phases " +
           s"($remaining nodes still unassigned) — raise maxPhases")
-      // 1. forward min-reach to fixpoint (pull + pointer jump)
+      // 1. forward min-reach to fixpoint (pull rounds only — the r15
+      // prototype pointer jump was measured slower and removed, see the
+      // scaladoc)
       var (f, fRdd) = cpT(nodes.withColumn("f", col("id")))
-      def sumOf(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("f")), lit(0L))).head().getLong(0)
+      // convergence by EXACT sum equality: f is per-node non-increasing
+      // (least(f, …)), so with exact arithmetic the sum strictly decreases
+      // unless nothing changed — DECIMAL(38,0) keeps it exact where a Long
+      // sum could wrap and alias two distinct states (r15 ADVICE)
+      def sumOf(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("f").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0)
       var fSum = sumOf(f)
       var converged = false
       var round = 0
       while (!converged) {
         round += 1
+        statReach += 1
         require(round <= maxRounds,
           s"forward min-reach did not converge within maxRounds $maxRounds " +
             "— raise maxRounds (rounds scale with the directed diameter)")
@@ -305,7 +373,7 @@ object Graph {
             least(col("f"), coalesce(col("nm"), col("f"))).as("f")))
         free(fRdd); f = next; fRdd = nextRdd
         val nextSum = sumOf(f)
-        converged = nextSum == fSum
+        converged = nextSum.compareTo(fSum) == 0
         fSum = nextSum
         if (sys.env.contains("GRAFT_SCC_DEBUG")) System.err.println(
           f"[scc] reach round $round: ${(System.nanoTime() - tDbg) / 1e9}%.2f s, sum $nextSum")
@@ -316,6 +384,7 @@ object Graph {
       round = 0
       while (newCount > 0) {
         round += 1
+        statMark += 1
         require(round <= maxRounds,
           s"SCC mark propagation did not converge within maxRounds " +
             s"$maxRounds — raise maxRounds (rounds scale with the largest " +
@@ -348,12 +417,16 @@ object Graph {
       nodes = restNodes; nodesRdd = restRdd
       edges = restEdges; edgesRdd = restERdd
       remaining = nodes.count()
+      }
     }
     free(nodesRdd); free(edgesRdd)
-    if (assigned.isEmpty)
-      edgesIn.sparkSession.emptyDataFrame
-        .withColumn("node", lit(0L)).withColumn("scc", lit(0L)).limit(0)
-    else assigned.reduce(_ unionByName _)
+    val result =
+      if (assigned.isEmpty)
+        edgesIn.sparkSession.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("scc", lit(0L)).limit(0)
+      else assigned.reduce(_ unionByName _)
+    (result, Map("phases" -> phase.toLong, "trim_rounds" -> statTrim,
+      "reach_rounds" -> statReach, "mark_rounds" -> statMark))
   }
 
   /** Newman modularity of a community assignment over a SYMMETRIC edge

@@ -551,6 +551,23 @@ class GraphsSpec extends SparkSpec
     graft.api.Caches.sweep(spark)
   }
 
+  test("stronglyConnected: self-loop-only nodes are singletons; an anti-ordered chain trims (r16)") {
+    import spark.implicits._
+    // node 999 has ONLY a self-loop — before r16 it vanished with the
+    // dropped loops instead of surfacing as its own SCC; the 40-node chain
+    // with ids DECREASING along edge direction previously assigned ONE
+    // node per phase (refused at maxPhases=8 on a 9-node path) — the trim
+    // step now dissolves the whole chain as bulk sources/sinks
+    val edges = ((41L to 79L).map(i => (i, i - 1)) :+ (999L, 999L))
+      .toDF("src", "dst")
+    val got = graft.api.Graph.stronglyConnected(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == ((40L to 79L).toSet + 999L), got)
+    assert(got.forall { case (n, s) => n == s },
+      s"every node here is its own SCC: $got")
+    graft.api.Caches.sweep(spark)
+  }
+
   test("stronglyConnected: a long cycle converges; the round cap refuses (r15)") {
     import spark.implicits._
     // one directed 30-cycle = one SCC whose internal diameter is 29 —
