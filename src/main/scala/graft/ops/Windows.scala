@@ -1436,7 +1436,14 @@ FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
       // identical-IEEE double op. The oracle uses the same integer-units
       // division (its window form is fixture-scale), so both engines land
       // identical bits — the ntile_scalable oracle precedent.
-      val tot = rev.agg(sum(col("rev") * 10000).cast("long").as("tu"))
+      // the total stays EXACT DECIMAL(38,0) (r15 ADVICE: a cast-to-long
+      // total nulls on overflow with ANSI off, silently classifying every
+      // part 'C' exactly where DuckDB would error); decimal→double and
+      // long→double round identically on the same integer, so cum_share's
+      // bits are unchanged. The LONG cumulative inside cumulativeCounts2
+      // needs totals < 2⁶³ — asserted loudly below instead of wrapping.
+      val D380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tot = rev.agg(sum(col("rev") * 10000).cast(D380).as("tu"))
       val revL = rev
         .withColumn("rl", (col("rev") * 10000).cast("long"))
         .withColumn("negrl", -col("rl")).withColumn("gk", lit(0))
@@ -1449,6 +1456,9 @@ FROM w GROUP BY event_type, day ORDER BY event_type, day"""))
         .withColumn("cum_units",
           col("cum2") - col("c1") * col("rl") + col("k") * col("rl"))
         .crossJoin(broadcast(tot))
+        .filter(assert_true(col("tu") <= lit(Long.MaxValue).cast(D380),
+          lit("win_pareto_abc: total revenue units exceed Long range — the " +
+            "LONG prefix-sum precondition is violated; rescale the unit")).isNull)
         .withColumn("cum_share",
           col("cum_units").cast("double") / col("tu").cast("double"))
         .withColumn("abc", when(col("cum_share") <= 0.80, "A")
