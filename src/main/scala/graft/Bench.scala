@@ -293,8 +293,15 @@ object Bench {
       // run-level quiesce gate and loadavg_start/end bracket that case.
       // `contended` in detail = the spread still exceeds the fastest
       // sample AFTER re-sampling: this median is wobbly, read with care.
+      // the 0.25 s absolute floor (r16) aligns the flag with the gates'
+      // materiality floors: a centisecond key's 0.1-0.3 s scheduler jitter
+      // is 100%+ relative spread but cannot mislead any cross-round diff
+      // whose triggers all carry 0.25 s floors — flagging it burned
+      // clearing rounds and shipped a "contended" row (agg_ab_test, 0.22 s
+      // med, 0.27 s spread) that no reader should have had to dismiss. The
+      // r8 motivating case (agg_global 9.45 vs 1.20 s) is far above it.
       def wide(xs: Seq[Double]): Boolean =
-        xs.size > 1 && xs.max - xs.min > xs.min
+        xs.size > 1 && xs.max - xs.min > math.max(xs.min, 0.25)
       val all = if (ok && wide(base.map(_._1)))
                   base ++ (1 to 2).flatMap(_ => runOnce())
                 else base
