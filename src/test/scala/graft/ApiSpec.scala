@@ -1919,6 +1919,33 @@ class ApiSpec extends SparkSpec {
     assert(cc == (1 to n).map(i => (i.toLong, 2L * i)))
   }
 
+  test("cumulativeCounts2 with literal cuts equals the per-key-sketch form row for row (r16)") {
+    import spark.implicits._
+    // the shared-cuts overload must be RESULT-NEUTRAL under any cut array
+    // (bucketing only needs monotonicity): same frame, three cut choices —
+    // the internal sketch, a caller-derived global sketch, and a
+    // deliberately LOPSIDED literal array — all identical rows
+    val rows = Seq(
+      ("a", -3L, 1L), ("a", 0L, 1L), ("a", 7L, 2L), ("a", 9L, 1L),
+      ("b", 5L, 3L), ("b", 9L, 1L), ("b", 11L, 2L)).toDF("k", "v", "m")
+    def run(cuts: Option[Seq[Double]]) =
+      Fts.cumulativeCounts2(rows, "k", "v", lit(1L), col("m"), 4, cuts)
+        .orderBy("k", "v")
+        .select("k", "v", "c1", "c2", "cum1", "cum2")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val internal = run(None)
+    val derived = run(Some(Fts.equiDepthCuts(rows, "v", 4)))
+    val lopsided = run(Some(Seq(8.5, 8.75, 100.0)))
+    assert(derived == internal, s"derived cuts diverged: $derived vs $internal")
+    assert(lopsided == internal, s"lopsided cuts diverged: $lopsided vs $internal")
+    // the non-numeric guard on the public entry points (r15 ADVICE)
+    val strs = Seq(("a", "x", 1L)).toDF("k", "v", "m")
+    val ex = intercept[IllegalArgumentException](
+      Fts.cumulativeCounts2(strs, "k", "v", lit(1L), col("m")))
+    assert(ex.getMessage.contains("NumericType"), ex.getMessage)
+    graft.api.Caches.sweep(spark)
+  }
+
   test("cumulativeCounts2 matches a single-pass ordered prefix sum exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
