@@ -1613,9 +1613,14 @@ FROM e JOIN t ON e.source = t.source ORDER BY source"""))
     * rank·share terms are engine-divergent only in SUM ORDER → [[H.q6]] +
     * [[H.dec6Sum]]; the closing arithmetic is identical IEEE — RAW.
     *
-    * Scale note: the rank window is a global sort over the SUPPLIER GRAIN
-    * — a dimension table (the winNtile caveat); a fact-scale Gini would
-    * ride `Fts.cumulativeWeights` at the cost of merging revenue ties.
+    * Scale note (r16): the rank no longer rides a global window — it is
+    * regenerated from `Fts.cumulativeWeights`' two-stage exclusive
+    * cumulative (count of strictly smaller revenues) plus a row_number
+    * within the tied revenue (window partitioned on the VALUE — reducer
+    * input is one tie run), the win_ntile recipe: identical integers to
+    * `row_number() OVER (ORDER BY rev, suppkey)`, so the oracle and
+    * golden are unchanged, and the supplier dimension at 100× no longer
+    * funnels through one reducer.
     */
   private val aggHhiGini = Q(
     "agg_hhi_gini",
@@ -1624,10 +1629,15 @@ FROM e JOIN t ON e.source = t.source ORDER BY source"""))
         .agg(sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
           .cast("double").as("rev"))
       val t = r.agg(dsum(col("rev")).as("tot"), count(lit(1)).as("n"))
-      val sh = r.crossJoin(broadcast(t))
+      val cum = graft.api.Fts.cumulativeWeights(
+        r.withColumn("g", lit(1)).withColumn("one", lit(1L)),
+        "g", "rev", "one")
+      val offs = cum.select(col("rev"),
+        (col("cw") - col("w")).cast("long").as("below"))
+      val wv = Window.partitionBy("rev").orderBy("l_suppkey")
+      val sh = r.join(offs, "rev").crossJoin(broadcast(t))
         .select(col("rev"), (col("rev") / col("tot")).as("share"),
-          row_number().over(
-            Window.orderBy(col("rev").asc, col("l_suppkey").asc)).as("rk"),
+          (col("below") + row_number().over(wv)).as("rk"),
           col("n"))
       sh.agg(count(lit(1)).as("n_suppliers"),
         dec6Sum(q6(col("share") * col("share"))).as("hhi"),

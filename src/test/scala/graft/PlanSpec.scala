@@ -434,6 +434,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no window may be unpartitioned:\n${plan("win_ntile_scalable")}")
   }
 
+  test("agg_hhi_gini has no global window (r16) — gini ranks from two-stage cumulative") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the supplier-dimension global rank was the same shape win_ntile
+    // dropped: at 100x the dim is ~10^7 rows through one reducer; the
+    // rank now regenerates from cumulativeWeights + a tie-run row_number
+    val p = plan("agg_hhi_gini")
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the bucket/tie-run windows:\n$p")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty, s"no window may be unpartitioned:\n$p")
+  }
+
   test("win_ntile has no global window either (r16) — positional ntile from two-stage ranks") {
     import org.apache.spark.sql.execution.window.WindowExec
     // through r15 this key was the repo's one deliberate single-reducer
