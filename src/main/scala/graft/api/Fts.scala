@@ -67,7 +67,16 @@ object Fts {
     val ev = df.select(bucket.as("bucket"), value.as("v"))
     val agg = ev.groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("v").cast(D184)).cast("double").as("sum_value"))
+    // in-plan span assert on the 1-row bounds frame (r16, the
+    // calendarBounded contract): the spine must stay calendar-sized — a
+    // mis-scaled step or a corrupt bucket domain otherwise explodes the
+    // sequence() toward its 2³¹ hard error with no indication why
     val spine = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .filter(assert_true(
+        coalesce((col("hi") - col("lo")) / lit(step), lit(0L)).cast("long")
+          <= lit(10000000L),
+        lit("resampleFill: the spine would exceed 10^7 buckets — the " +
+          "bucket domain is not calendar-bounded at this step")).isNull)
       .select(explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
     spine.join(agg, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),

@@ -321,7 +321,16 @@ WHERE rk <= 3 ORDER BY day_start, rk"""))
           col("value"))
       val obs = ev.filter(col("value") >= 200.0)
         .groupBy("hs").agg(davg(col("value")).as("v"))
+      // in-plan span assert on the 1-row bounds frame (the calendarBounded
+      // contract, free here — the bounds aggregate already exists; budget
+      // in HOURS)
       val spine = ev.agg(min("hs").as("lo"), max("hs").as("hi"))
+        .filter(assert_true(
+          coalesce((col("hi") - col("lo")) / 3600L, lit(0L)).cast("long")
+            <= lit(200000L),
+          lit("stream_interpolate: the hour spine would span more than " +
+            "200000 hours — the time domain is not calendar-bounded"))
+          .isNull)
         .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
           .as("hour_s"))
       val g = spine.join(obs, col("hour_s") === col("hs"), "left")
