@@ -300,7 +300,8 @@ object Graph {
     // not vanish with the dropped loops
     var (nodes, nodesRdd) = cpT(
       edgesIn.select(col("src").as("id"))
-        .union(edgesIn.select(col("dst").as("id"))).distinct())
+        .union(edgesIn.select(col("dst").as("id")))
+        .filter(col("id").isNotNull).distinct())
     val assigned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var remaining = nodes.count()
     var phase = 0
@@ -312,18 +313,20 @@ object Graph {
       var trimming = true
       while (trimming && trimRound < maxRounds && remaining > 0) {
         trimRound += 1
-        statTrim += 1
-        // probe lazily first: a fully-cyclic remainder (trivialLazy empty)
-        // pays one aggregate pass, not a checkpoint materialization
-        val trivialLazy =
+        // checkpoint FIRST, count the materialized frame: a productive
+        // round's anti-joins run once, not twice (r16 review — the lazy
+        // probe saved a checkpoint only on the single terminal zero round
+        // while doubling every productive one); the terminal round's empty
+        // checkpoint frees immediately
+        val (trivial, trivialRdd) = cpT(
           nodes.join(edges.select(col("dst").as("id")), Seq("id"), "left_anti")
             .unionByName(
               nodes.join(edges.select(col("src").as("id")), Seq("id"), "left_anti"))
-            .distinct()
-        val nTrivial = trivialLazy.count()
-        if (nTrivial == 0) trimming = false
+            .distinct())
+        val nTrivial = trivial.count()
+        if (nTrivial == 0) { trimming = false; free(trivialRdd) }
         else {
-          val (trivial, _) = cpT(trivialLazy)
+          statTrim += 1
           // trivial's blocks back the RESULT — never freed (the marks rule)
           assigned += trivial.select(col("id").as("node"), col("id").as("scc"))
           val (restNodes, restRdd) = cpT(

@@ -1625,9 +1625,13 @@ FROM e JOIN t ON e.source = t.source ORDER BY source"""))
   private val aggHhiGini = Q(
     "agg_hhi_gini",
     (s, d) => {
-      val r = T.lineitem(s, d).groupBy("l_suppkey")
-        .agg(sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
-          .cast("double").as("rev"))
+      // cached: three consumers (cumulativeWeights' pre-aggregate, the
+      // totals agg, the rank join) — uncached, the lineitem scan + hash
+      // aggregate would run three times (r16 review)
+      val r = graft.api.Caches.cache(
+        T.lineitem(s, d).groupBy("l_suppkey")
+          .agg(sum(m2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("rev")))
       val t = r.agg(dsum(col("rev")).as("tot"), count(lit(1)).as("n"))
       val cum = graft.api.Fts.cumulativeWeights(
         r.withColumn("g", lit(1)).withColumn("one", lit(1L)),

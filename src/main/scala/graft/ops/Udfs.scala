@@ -548,9 +548,10 @@ FROM wcorpus GROUP BY 1 HAVING count(*) >= 2 ORDER BY payload_md5"""))
     * measurement ([[graft.ops.Llm]]'s `llm_minhash_recall` /
     * `llm_simhash_recall` / `llm_winnow_recall`); this closes the audio
     * gap. The corpus is every fixture doc plus, for doc_id < 50, a
-    * SINGLE-BYTE PCM perturbation under a new id (first sample remapped to
-    * `chr(97 + (b+1) mod 26)` — always ASCII, always a real byte change,
-    * and (rate, dlen) preserved so the banding keys match); the truth set
+    * SINGLE-UNIT PCM perturbation under a new id (first sample byte ±1:
+    * b−1 when b > 32 else b+1 — stays printable ASCII, always a real
+    * byte change, and (rate, dlen) preserved so the banding keys match);
+    * the truth set
     * is exactly those planted pairs. Candidates come from the production
     * path itself — [[wavBandedSignatures]] (header-parsed rate/dlen +
     * [[graft.api.Media.windowProfileSignature]]) through

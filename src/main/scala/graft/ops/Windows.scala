@@ -110,7 +110,10 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
   private val winNtile = Q(
     "win_ntile",
     (s, d) => {
-      val cust = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      // cached: two consumers (cumulativeWeights' pre-aggregate and the
+      // value join) — uncached, the customer scan runs twice (r16 review)
+      val cust = graft.api.Caches.cache(
+        T.customer(s, d).select(col("c_custkey"), col("c_acctbal")))
       val cum = graft.api.Fts.cumulativeWeights(
         cust.withColumn("g", lit(1)).withColumn("one", lit(1L)),
         "g", "c_acctbal", "one")
