@@ -813,7 +813,13 @@ object Stress {
     val ((edges, nEdges), genSec) = timed {
       val d = spark.range(0L, nNodes)
         .select(col("id"), expr(s"id div $L").as("c"), expr(s"id % $L").as("p"))
-      val fwd = d.filter(col("p") < L - 1)
+      // id + 1 < nNodes: when nNodes is not a multiple of L the last
+      // partial chain's tail would otherwise edge to node id nNodes —
+      // outside the generated range, a phantom sink entering the node set
+      // and drifting the planted invariants the record narrates (r16
+      // ADVICE). The partial chain stays an open feed-less chain (its p
+      // never reaches L-1), which trim peels like any other open chain.
+      val fwd = d.filter(col("p") < L - 1 && col("id") + 1 < nNodes)
         .select(col("id").as("src"), (col("id") + 1).as("dst"))
       val closeCycle = d.filter(col("p") === L - 1 && col("c") % 4 === 0)
         .select(col("id").as("src"), (col("id") - (L - 1)).as("dst"))

@@ -103,9 +103,14 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
     * [[winNtileScalable]] remains the VALUE-CUTOFF variant (quartiles as
     * data thresholds — different semantics at tie edges, documented
     * there); this key now carries the positional semantics at the same
-    * scale shape. Unlike `ntile`, rows with a NULL value are dropped by
-    * the value-keyed equi-join — the fixture (and any sane balance
-    * column) has none.
+    * scale shape. Unlike `ntile`, rows with a NULL value are EXCLUDED
+    * up front (`isNotNull` before [[graft.api.Fts.cumulativeWeights]] —
+    * r16 ADVICE: without the filter the NULL group still counted into tw
+    * (= n) and its weight landed in bucket 0's cumulative, silently
+    * shifting every surviving row's quartile rather than just dropping
+    * rows). The fixture (and any sane balance column) has none, so the
+    * oracle hash is untouched; a NULL-bearing input now gets consistent
+    * drop-the-nulls semantics instead of a silent shift.
     */
   private val winNtile = Q(
     "win_ntile",
@@ -113,7 +118,8 @@ WHERE rn <= 3 ORDER BY o_custkey, rn"""))
       // cached: two consumers (cumulativeWeights' pre-aggregate and the
       // value join) — uncached, the customer scan runs twice (r16 review)
       val cust = graft.api.Caches.cache(
-        T.customer(s, d).select(col("c_custkey"), col("c_acctbal")))
+        T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+          .filter(col("c_acctbal").isNotNull))
       val cum = graft.api.Fts.cumulativeWeights(
         cust.withColumn("g", lit(1)).withColumn("one", lit(1L)),
         "g", "c_acctbal", "one")
