@@ -43,7 +43,14 @@ import scala.jdk.CollectionConverters._
   * persistent load (host-level fix) or a real regression (bisect).
   * Failures are recorded as NEGATIVE
   * seconds plus a "failed" list — a broken query cannot masquerade as a
-  * fast one.
+  * fast one. Keys whose committed baseline is < 0.5 s get ONE unrecorded
+  * warm-up execution before sampling (r17: sub-second keys' quiet-host
+  * spread was >= their median — pure JIT noise — which false-triggered
+  * the 1.4x recert gate; `warmed` in detail marks them), and every key's
+  * detail row carries `loadavg_max` — the max 1-min loadavg observed
+  * across its own runs — so a flagged row is load-attributable from the
+  * record alone (r17, the r16 verdict's ask: a 4.0x suspect row's
+  * mid-run load spike was visible only in a different key's row).
   *
   * DESIGN NOTE (also emitted as "note" in the detail record): because
   * caches are swept between the three samples, every sample — medians
@@ -71,6 +78,11 @@ import scala.jdk.CollectionConverters._
   * to make late-run JVM degradation visible.
   */
 object Bench {
+  /** One measured key's record — the fields behind its BENCH_DETAIL row. */
+  private case class Row(name: String, med: Double, build: Double,
+    plan: Double, gc: Double, run1: Double, spread: Double, qLoad: Double,
+    n: Int, contended: Boolean, suspect: Boolean, medFirst: Double,
+    resampleRounds: Int, clearRounds: Int, loadMax: Double, warmed: Boolean)
   private def codeCacheMB: Double =
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed / 1e6).sum
@@ -222,11 +234,43 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
+      // JIT/noise-floor hardening (r17, the r16 verdict's ask #2): keys
+      // whose committed quiet baseline is < 0.5 s live BELOW the harness's
+      // own cold-JIT jitter — the r16 record's agg_approx_percentiles /
+      // agg_approx_topk rows showed quiet-host spread >= their median,
+      // false-triggering the 1.4x recert gate and burning two driver
+      // resample rounds on untouched code. One UNRECORDED warm-up
+      // execution absorbs the per-key codegen+JIT transient before any
+      // sample is taken; the measured first run still rebuilds fn() from
+      // scratch (its build/plan split stays meaningful) and still pays
+      // cache population after the sweep — only JVM-level warm-up is
+      // excluded, which is exactly the component that is pure noise at
+      // this magnitude. Keys without a baseline entry (new keys) skip the
+      // warm-up: their first round SHOULD record the true cold shape.
+      val warmed = baseline.get(name).exists(_ < 0.5)
+      if (warmed) {
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () } // measured runs will report it
+        sweepAll()
+      }
       val gc0 = gcMs
       // per-query loadavg sample: a contention spike MID-run (the quiesce
       // gate only protects the start) shows up against the specific keys it
       // inflated instead of smearing suspicion over the whole record
       val qLoad = loadAvg
+      // loadavg_max (r17, the r16 verdict's ask #4): the r16 record
+      // shipped a 4.0x suspect row whose cause — a mid-run loadavg spike
+      // to 11.3 — was visible only in ANOTHER key's row, so clearing it
+      // cost a judge re-measure. Sampling loadavg after every run of THIS
+      // key and recording the max makes a flagged row load-attributable
+      // from the record alone: suspect/contended + loadavg_max >> cores'
+      // idle share reads "host load", while a flagged row with a quiet
+      // loadavg_max reads "regression — bisect". (The 1-min average lags
+      // and includes the harness's own local[32] work, so the ABSOLUTE
+      // value is only meaningful relative to other keys in the same run —
+      // see the sample-selection note above; this stays diagnosis-only.)
+      var loadMax = qLoad
+      def sampleLoad(): Unit = loadMax = math.max(loadMax, loadAvg)
       val t0 = System.nanoTime()
       var buildSec = 0.0
       var planSec = 0.0
@@ -246,6 +290,7 @@ object Bench {
           true
         } catch { case _: Throwable => failed += name; false }
       val run1 = (System.nanoTime() - t0) / 1e9
+      sampleLoad()
       val gcSec = (gcMs - gc0) / 1000.0
       sweepAll()
       // two more full fn()+execute samples (fresh plan each — re-running
@@ -262,6 +307,7 @@ object Bench {
             fn(spark, sfDir).queryExecution.toRdd.count()
             Some(((System.nanoTime() - t) / 1e9, ld))
           } catch { case _: Throwable => failed += name; ok = false; None }
+        sampleLoad()
         sweepAll()
         r
       }
@@ -302,7 +348,13 @@ object Bench {
       // r8 motivating case (agg_global 9.45 vs 1.20 s) is far above it.
       def wide(xs: Seq[Double]): Boolean =
         xs.size > 1 && xs.max - xs.min > math.max(xs.min, 0.25)
-      val all = if (ok && wide(base.map(_._1)))
+      // the initial widen trigger evaluates the WARM subset (drop the cold
+      // run1), consistent with the clearing loop and the contended flag
+      // below (r16 ADVICE: evaluating spread INCLUDING cold meant a key
+      // whose structural cold/warm gap exceeds max(warm_min, 0.25 s)
+      // burned the two extra samples on every run of a quiet host — the
+      // exact pattern the warmSamples policy was introduced to stop)
+      val all = if (ok && wide(base.map(_._1).drop(1)))
                   base ++ (1 to 2).flatMap(_ => runOnce())
                 else base
       val medFirst = medOf(all.map(_._1))
@@ -337,9 +389,10 @@ object Bench {
           val t = System.nanoTime()
           fn(spark, sfDir).queryExecution.toRdd.count()
           val r = (System.nanoTime() - t) / 1e9
+          sampleLoad()
           sweepAll()
           Some(r)
-        } catch { case _: Throwable => sweepAll(); None }
+        } catch { case _: Throwable => sampleLoad(); sweepAll(); None }
       // the WHOLE round — wait AND samples — charges the shared budget
       // (r14 review: a change that legitimately regresses many keys >2x
       // would otherwise multiply quiet-host bench time without bound,
@@ -404,20 +457,21 @@ object Bench {
       val suspect = ok && baseline.get(name)
         .exists(b => med > 3 * b && med - b > 1.0)
       System.err.println(
-        f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${samples.size} runs${if (resampleRounds > 0) s", RESAMPLED x$resampleRounds" else ""}${if (contended) ", CONTENDED" else ""}${if (suspect) ", SUSPECT_LOAD" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
-      (name, if (ok) med else -med, buildSec, planSec, gcSec, run1, spread,
-        qLoad, samples.size, contended, suspect, medFirst, resampleRounds,
-        clearRounds)
+        f"[bench] $name%-28s $med%8.2f s  (±$spread%5.2f over ${samples.size} runs${if (resampleRounds > 0) s", RESAMPLED x$resampleRounds" else ""}${if (contended) ", CONTENDED" else ""}${if (suspect) ", SUSPECT_LOAD" else ""}, build $buildSec%6.2f, plan $planSec%6.2f, gc +$gcSec%5.2f s, loadMax $loadMax%4.1f, codeCache $codeCacheMB%5.0f MB${if (ok) "" else ", FAILED"})")
+      Row(name, if (ok) med else -med, buildSec, planSec, gcSec, run1,
+        spread, qLoad, samples.size, contended, suspect, medFirst,
+        resampleRounds, clearRounds, loadMax, warmed)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map(r => "\"" + r.name + "\":" + r.med)
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v, b, p, g, run1, spread, qLoad, n, cont, susp, medF, rr, cr) =>
-      val e = r3(run1 - b - p)
-      s""""$k":{"build":${r3(b)},"plan":${r3(p)},"exec":$e,"gc":${r3(g)},""" +
-        s""""cold":${r3(run1)},"med":${r3(math.abs(v))},"spread":${r3(spread)},""" +
-        s""""loadavg":${r3(qLoad)},"samples":$n,"contended":$cont,"suspect_load":$susp,""" +
-        s""""med_first":${r3(medF)},"resample_rounds":$rr,"clear_rounds":$cr}"""
+    val detail = results.map { r =>
+      val e = r3(r.run1 - r.build - r.plan)
+      s""""${r.name}":{"build":${r3(r.build)},"plan":${r3(r.plan)},"exec":$e,"gc":${r3(r.gc)},""" +
+        s""""cold":${r3(r.run1)},"med":${r3(math.abs(r.med))},"spread":${r3(r.spread)},""" +
+        s""""loadavg":${r3(r.qLoad)},"loadavg_max":${r3(r.loadMax)},"warmed":${r.warmed},""" +
+        s""""samples":${r.n},"contended":${r.contended},"suspect_load":${r.suspect},""" +
+        s""""med_first":${r3(r.medFirst)},"resample_rounds":${r.resampleRounds},"clear_rounds":${r.clearRounds}}"""
     }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total_sec IS the median-sum (each query contributes its 3-run median)
@@ -426,11 +480,10 @@ object Bench {
     // total_cold_sec (sum of each query's first run) is the diagnostic twin:
     // cold-vs-median divergence quantifies how much plan/JIT/contention the
     // steady-state number excludes
-    val total = r3(results.map { case (_, v, _, _, _, _, _, _, _, _, _, _, _, _) => math.abs(v) }.sum)
-    val totalCold = r3(results.map { case (_, _, _, _, _, run1, _, _, _, _, _, _, _, _) => run1 }.sum)
-    val suspects = results.collect {
-      case (k, _, _, _, _, _, _, _, _, _, true, _, _, _) => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val total = r3(results.map(r => math.abs(r.med)).sum)
+    val totalCold = r3(results.map(_.run1).sum)
+    val suspects = results.filter(_.suspect).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
     // Two lines, detail first: the committed record keeps only the LAST 2000
     // chars of stdout, so rounds 1-4's single line (headline total at the
     // head, detail at the tail) lost its total to truncation. The final line
@@ -463,8 +516,8 @@ object Bench {
         s"[bench] could not persist detail to $detailPath: ${ex.getMessage}") }
     } else System.err.println(
       s"[bench] subset run — $detailPath left untouched")
-    val top5 = results.sortBy { case (_, v, _, _, _, _, _, _, _, _, _, _, _, _) => -math.abs(v) }
-      .take(5).map { case (k, v, _, _, _, _, _, _, _, _, _, _, _, _) => "\"" + k + "\":" + r3(math.abs(v)) }
+    val top5 = results.sortBy(r => -math.abs(r.med))
+      .take(5).map(r => "\"" + r.name + "\":" + r3(math.abs(r.med)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"suspect_load":$suspects,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
     spark.stop()
