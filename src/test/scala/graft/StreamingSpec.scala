@@ -668,6 +668,199 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // ─── Declared-key equivalence (r17, the r16 verdict's ask #3) ───
+  // Every `stream_*` key in SparkEntry.queries is pinned against a
+  // MemoryStream replay of the SAME input: the streaming computation's
+  // final state must equal the DECLARED batch DataFrame's result (the
+  // oracle-checked frame, not just the Streams builder re-applied to a
+  // static frame — that weaker form is the first test block above).
+  // stream_cdc_apply / stream_interpolate / stream_topk_windowed have
+  // key-named pins above; these cover the remaining nine.
+
+  private def allEvents: Seq[Ev] = eventRows(Int.MaxValue)
+
+  private def streamSink(name: String, rows: Seq[Ev],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String, inOrder: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered =
+      if (inOrder) rows.sortBy(e => (e.ts.getTime, e.event_id)) else rows
+    val mem = MemoryStream[Ev]
+    val qy = build(mem.toDF()).writeStream.format("memory")
+      .queryName(s"key_$name").outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (a, b) = ordered.splitAt(ordered.length / 2)
+    // out-of-order chunks exercise state merging; append-mode keys with
+    // watermark eviction replay IN ORDER (a late chunk would be dropped by
+    // the watermark — legitimately — while the batch key keeps it)
+    if (inOrder) { mem.addData(a); qy.processAllAvailable(); mem.addData(b) }
+    else { mem.addData(b); qy.processAllAvailable(); mem.addData(a) }
+    qy.processAllAvailable()
+    qy.stop()
+    spark.table(s"key_$name")
+  }
+
+  private def assertSameRows(got: org.apache.spark.sql.DataFrame,
+      want: org.apache.spark.sql.DataFrame, label: String): Unit = {
+    val cols = want.columns.sorted.map(col)
+    val extra = got.select(cols: _*).exceptAll(want.select(cols: _*)).count()
+    val missing = want.select(cols: _*).exceptAll(got.select(cols: _*)).count()
+    assert(extra == 0 && missing == 0,
+      s"$label: stream vs declared key diverged (extra=$extra, missing=$missing)")
+  }
+
+  private def assertMatchesKey(got: org.apache.spark.sql.DataFrame,
+      key: String): Unit = assertSameRows(got, q(key), key)
+
+  test("stream_tumbling: MemoryStream replay == declared key") {
+    assertMatchesKey(
+      streamSink("stream_tumbling", allEvents, Streams.tumbling, "complete"),
+      "stream_tumbling")
+  }
+
+  test("stream_sliding: MemoryStream replay == declared key") {
+    assertMatchesKey(
+      streamSink("stream_sliding", allEvents, Streams.sliding, "complete"),
+      "stream_sliding")
+  }
+
+  test("stream_session: session_window replay == declared key's lag+prefix-sum sessions") {
+    // the declared key builds sessions via lag-gap → prefix-sum ids; the
+    // stream builds them via session_window state. Equivalence: identical
+    // per-user session partitions — sess_id regenerates from the streamed
+    // session-start order (the key numbers sessions 0.. per user in time
+    // order), session starts compare at second grain (unix_timestamp on
+    // the stream side truncates µs; floor(us/1e6) on the key side).
+    val snk = streamSink("stream_session", allEvents, Streams.sessions, "complete")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sess_start")
+    val got = snk.select(col("user_id"), col("sess_start"),
+        col("n_events"), col("sum_value"))
+      .withColumn("sess_id", row_number().over(wOrd).cast("long") - 1L)
+    val want = q("stream_session").select(col("user_id"),
+      floor(col("sess_start_us") / 1000000L).as("sess_start"),
+      col("n_events"), col("sum_value"), col("sess_id"))
+    assertSameRows(got, want, "stream_session")
+  }
+
+  test("stream_dedup: doubled-input replay == declared key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = allEvents
+    val mem = MemoryStream[Ev]
+    val qy = Streams.dedup(mem.toDF()).writeStream.format("memory")
+      .queryName("key_stream_dedup").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows ++ rows) // the key's own redelivery shape: input doubled
+    qy.processAllAvailable()
+    qy.stop()
+    // collected-row compare: exceptAll over this aggregate pair trips a
+    // Catalyst internal error (BindReferences can't resolve through the
+    // replicate-rewrite of two same-shaped aggregates); both frames are
+    // ≤ a handful of rows, so a driver-side ordered compare is exact
+    val got = spark.table("key_stream_dedup")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val want = q("stream_dedup").collect().map(_.toSeq).toSeq
+    assert(got == want, s"stream_dedup: stream $got != declared key $want")
+  }
+
+  test("stream_late_data: frozen-reference streaming audit == declared key") {
+    val rows = allEvents
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val maxEm = rows.map(e => us(e.ts)).max
+    // the same frozen-reference pattern as freshness/driftPsi: the 24h
+    // horizon anchors at the stream's known max event time (batch-derived
+    // constant), so the complete-mode aggregation is deterministic and
+    // must equal the declared batch proxy exactly
+    val got = streamSink("stream_late_data", rows,
+      df => df.select(col("event_type"), unix_micros(col("ts")).as("em"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          count(when(col("em") < lit(maxEm - 86400000000L), 1)).as("n_older_24h")),
+      "complete")
+    assertMatchesKey(got, "stream_late_data")
+  }
+
+  test("stream_static_join: enriched stream re-aggregated == declared key") {
+    // the STREAMING stage is the broadcast enrichment (stateless, append
+    // mode); countDistinct is not an incremental streaming aggregate, so
+    // the declared key's per-segment rollup runs batch-side over the
+    // enriched sink — every enriched row left the stream exactly once
+    val dim = graft.ops.T.customer(spark, sf)
+    val snk = streamSink("stream_static_join", allEvents,
+      df => Streams.staticJoin(df, dim), "append")
+    val got = snk.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      graft.ops.H.dsum(col("value")).as("sum_value"))
+    assertMatchesKey(got, "stream_static_join")
+  }
+
+  test("stream_stream_join: joined pair stream re-aggregated == declared key") {
+    // in-order replay: the inner interval join emits each (click, error)
+    // pair exactly once; the key's distinct-count rollup runs batch-side
+    // over the pair sink (countDistinct is not streamable)
+    val snk = streamSink("stream_stream_join", allEvents,
+      Streams.clickErrorJoin, "append", inOrder = true)
+    val got = snk.groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
+      countDistinct(col("click_id")).as("n_clicks_with_error"),
+      countDistinct(col("error_id")).as("n_errors_after_click"))
+    assertMatchesKey(got, "stream_stream_join")
+  }
+
+  test("stream_resample_fill: streamed hourly state == declared key's observed buckets; gaps zero-fill") {
+    // the STREAMING stage is the hourly aggregation (bounded state per
+    // open hour); the spine fill is a presentation join over the final
+    // aggregates (its min/max bounds exist only once the stream is
+    // drained). Equivalence: streamed state == every n>0 key row, and the
+    // key's remaining rows are exactly the zero-filled gaps of a
+    // contiguous hourly spine.
+    val got = streamSink("stream_resample_fill", allEvents,
+      df => df.groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"))
+        .agg(count(lit(1)).as("n"), graft.ops.H.dsum(col("value")).as("sum_value")),
+      "complete")
+    val key = q("stream_resample_fill")
+    assertSameRows(got, key.filter(col("n") > 0L), "stream_resample_fill")
+    val rows = key.collect()
+    val hs = rows.map(_.getAs[Long]("hour_s"))
+    assert(hs.zip(hs.tail).forall { case (x, y) => y - x == 3600L },
+      "spine must be contiguous hourly")
+    rows.filter(_.getAs[Long]("n") == 0L).foreach { r =>
+      assert(r.getAs[Double]("sum_value") == 0.0, "gap bucket must zero-fill")
+    }
+  }
+
+  test("stream_corpus_dedup: full-corpus redelivery replay == declared key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reconstruct the key's exact input — full documents plus every 7th
+    // doc redelivered 30 min later under a shifted ingest id — and replay
+    // it shuffled
+    val epoch0 = 1704067200000000L
+    val docs = graft.ops.T.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    def ts(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = docs.map { case (id, tx) =>
+        DocIngest(id, tx, ts(epoch0 + id * 600000000L)) } ++
+      docs.filter(_._1 % 7 == 0).map { case (id, tx) =>
+        DocIngest(id + 1000L, tx, ts(epoch0 + id * 600000000L + 1800000000L)) }
+    val mem = MemoryStream[DocIngest]
+    val qy = Streams.corpusDedup(mem.toDF()).writeStream.format("memory")
+      .queryName("key_stream_corpus_dedup").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (a, b) = new scala.util.Random(17).shuffle(rows).splitAt(rows.length / 2)
+    mem.addData(b); qy.processAllAvailable()
+    mem.addData(a); qy.processAllAvailable()
+    qy.stop()
+    assertMatchesKey(spark.table("key_stream_corpus_dedup"), "stream_corpus_dedup")
+  }
+
   test("stream_topk_windowed ranks are contiguous and ordered per window") {
     val rows = q("stream_topk_windowed").collect()
     assert(rows.nonEmpty)
