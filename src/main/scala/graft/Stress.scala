@@ -857,6 +857,126 @@ object Stress {
     recs.toSeq
   }
 
+  /** r17 path (the r16 verdict's ask #6a): the lag+cumsum SESSIONIZE shape
+    * at fact scale — the most-copied production pattern in the repo
+    * (stream_session / win_sessionize / win_gaps_islands all build on it).
+    * Generated stream: ~256 events per regular user over a 180-day span
+    * plus ONE hot entity with a FIXED 100k events (the skew shape: a hot
+    * user does not get hotter when the corpus grows — more users arrive).
+    * Stage 2 is the canonical lag-gap → prefix-sum session assembly (one
+    * shuffle on user_id, per-user sort bounded by the hot user's constant
+    * 100k rows); stage 3 is the day−row_number gaps-islands form on the
+    * DISTINCT (user, day) grain (the collapse means island work is
+    * calendar-bounded per user regardless of event volume). Expected
+    * growth: wall and shuffle ~linear in the row count; the hot user's
+    * partition is constant-size so its sort never becomes the bottleneck.
+    */
+  private def sessionizeRun(spark: SparkSession, nRows: Long): Seq[StageRec] = {
+    import org.apache.spark.sql.expressions.Window
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((ev, nGen), genSec) = timed {
+      val hot = math.min(100000L, nRows / 2)
+      val nUsers = math.max(1L, (nRows - hot) / 256)
+      val spanUs = 180L * 86400000000L
+      val d = spark.range(0L, nRows).select(
+          when(col("id") < hot, lit(0L))
+            .otherwise(lit(1L) + pmod(xxhash64(col("id"), lit("u")), lit(nUsers)))
+            .as("user_id"),
+          pmod(xxhash64(col("id"), lit("t")), lit(spanUs)).as("em"),
+          col("id").as("event_id"))
+        .persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_events", genSec, nGen)
+    val ((nSessions, maxSess), sessSec) = timed {
+      val wOrd = Window.partitionBy("user_id").orderBy("em", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("new_sess",
+          when(col("em") - lag(col("em"), 1).over(wOrd) > 1800000000L, 1)
+            .otherwise(lit(0)))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"))
+      val r = sess.agg(count(lit(1)).as("n"), max(col("n_events")).as("mx")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    recs += StageRec("sessionize_lag_cumsum", sessSec, nSessions,
+      Seq("max_session_events" -> maxSess.toString))
+    val ((nIslands, maxIsland), giSec) = timed {
+      val days = ev.select(col("user_id"),
+        expr("em div 86400000000").as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val isl = days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("n_days"))
+      val r = isl.agg(count(lit(1)).as("n"), max(col("n_days")).as("mx")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    recs += StageRec("gaps_islands_day_grain", giSec, nIslands,
+      Seq("max_island_days" -> maxIsland.toString))
+    unpersistQuietly(ev)
+    recs.toSeq
+  }
+
+  /** r17 path (the r16 verdict's ask #6b): the interval-sweep pair — the
+    * O(n + days) boundary-delta prefix sum (the `win_interval_sweep` /
+    * `join_point_in_interval` rewrite) measured AGAINST the O(n·len̄)
+    * day-grain explode it replaced, on the same generated intervals
+    * (day-grain lo over a 3-year calendar, lengths 0..60, mean 30). The
+    * sweep's cost must track n (its day series is calendar-bounded at
+    * ~1095 rows no matter how many intervals); the explode's cost must
+    * track n·len̄ (~31× more rows through the per-day aggregate) — the
+    * measured gap IS the 100 TB argument for the rewrite. The third stage
+    * also CROSS-CHECKS exactness: per day, the exclusive-end explode count
+    * (`lo ≤ d < hi`) must equal the sweep's cumulative `cw` at that
+    * boundary day — `coverage_mismatch_days` must read 0 (at these sizes
+    * every calendar day is a boundary day, so the join covers the full
+    * spine).
+    */
+  private def intervalSweepRun(spark: SparkSession, nIv: Long): Seq[StageRec] = {
+    val recs = scala.collection.mutable.ListBuffer.empty[StageRec]
+    val ((iv, nGen), genSec) = timed {
+      val d = spark.range(0L, nIv).select(
+          pmod(xxhash64(col("id"), lit("lo")), lit(1095L)).as("lo"),
+          pmod(xxhash64(col("id"), lit("ln")), lit(61L)).as("len"))
+        .withColumn("hi", col("lo") + col("len"))
+        .persist()
+      (d, d.count())
+    }
+    recs += StageRec("gen_intervals", genSec, nGen)
+    var cum: DataFrame = null
+    val ((nDays, maxOpen), swSec) = timed {
+      val dl = iv.select(col("lo").as("dn"), lit(1L).as("delta"))
+        .union(iv.select(col("hi").as("dn"), lit(-1L).as("delta")))
+        .withColumn("g", lit(1))
+      cum = graft.api.Fts.cumulativeWeights(dl, "g", "dn", "delta")
+        .select(col("dn"), col("cw").cast("bigint").as("open_cnt"))
+        .persist()
+      val r = cum.agg(count(lit(1)).as("n"), max(col("open_cnt")).as("mx")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    recs += StageRec("sweep_boundary_prefix", swSec, nDays,
+      Seq("max_open_intervals" -> maxOpen.toString))
+    val ((mismatches, nExploded), exSec) = timed {
+      // exclusive end (lo ≤ d < hi): zero-length intervals contribute no
+      // open day, matching the sweep's close-on-end-day convention
+      val perDay = iv.filter(col("len") > 0)
+        .select(explode(sequence(col("lo"), col("hi") - 1)).as("dn"))
+        .groupBy("dn").agg(count(lit(1)).as("open_explode"))
+      val joined = perDay.join(cum, Seq("dn"), "inner")
+      val r = joined.agg(
+        count(when(col("open_explode") =!= col("open_cnt"), 1)).as("bad"),
+        sum(col("open_explode")).as("tot")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    recs += StageRec("day_grain_explode", exSec, nExploded,
+      Seq("coverage_mismatch_days" -> mismatches.toString))
+    unpersistQuietly(cum)
+    unpersistQuietly(iv)
+    recs.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "50000,150000,300000")
@@ -918,6 +1038,16 @@ object Stress {
     // work, so it runs at the ivf sizes' lower two rungs as well
     val annIdxSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_ANNIDX", "100000,300000")
       .split(",").map(_.trim.toLong).toSeq
+    // session rows are 3 longs and the path is window/agg-only (like
+    // rank_prefix), so it runs at the rank sizes' lower rungs; the hot
+    // user is a fixed 100k-row partition at every size
+    val sessionSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SESSIONS",
+      "2000000,8000000,32000000").split(",").map(_.trim.toLong).toSeq
+    // the explode stage materializes ~31 rows per interval (mean len 30 +
+    // 1), so 9M intervals ≈ 280M exploded rows through the per-day hash
+    // aggregate — deliberately the expensive member of the pair
+    val sweepSizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SWEEPS",
+      "1000000,3000000,9000000").split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -961,6 +1091,8 @@ object Stress {
     if (enabled("rank_prefix")) rankPrefixRun(spark, 50000)
     if (enabled("betweenness")) betweennessRun(spark, 3000)
     if (enabled("scc")) sccRun(spark, 3072)
+    if (enabled("sessionize")) sessionizeRun(spark, 50000)
+    if (enabled("interval_sweep")) intervalSweepRun(spark, 20000)
 
     case class Run(path: String, size: Long, wall: Double, shuffleMB: Long,
         json: String)
@@ -1047,6 +1179,10 @@ object Stress {
       btwSizes.foreach(n => runs += measured("betweenness", n, betweennessRun(spark, n)))
     if (enabled("scc"))
       sccSizes.foreach(n => runs += measured("scc", n, sccRun(spark, n)))
+    if (enabled("sessionize"))
+      sessionSizes.foreach(n => runs += measured("sessionize", n, sessionizeRun(spark, n)))
+    if (enabled("interval_sweep"))
+      sweepSizes.foreach(n => runs += measured("interval_sweep", n, intervalSweepRun(spark, n)))
     // single-size literal-vs-join training pair (no growth series)
     if (enabled("kmeans_joinpath"))
       runs += measured("kmeans_joinpath", semSizes(1),
