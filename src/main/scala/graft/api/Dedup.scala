@@ -234,11 +234,25 @@ object Dedup {
     * the two-sided salted (band, bsig) equi-join.
     */
   def md5MinhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, perms: Int = 16, bands: Int = 4, salt: Int = 16): DataFrame = {
+      n: Int = 3, perms: Int = 16, bands: Int = 4, salt: Int = 16): DataFrame =
+    md5MinhashCandidatesOf(md5MinhashSignatures(docs, idCol, textCol, n, perms),
+      perms, bands, salt)
+
+  /** [[md5MinhashCandidates]] from a PRE-BUILT [[md5MinhashSignatures]]
+    * frame (r17): a consumer that needs BOTH the candidates and the
+    * signature columns (llm_minhash_est_err joins the minima back onto
+    * every candidate pair) caches the signature frame once and feeds it
+    * here, instead of paying the full gram-explode + 16-MIN-aggregate
+    * signature pass twice (guide §1.2 "don't compute things you throw
+    * away" — the second pass was byte-identical to the first). Banding and
+    * salting expressions are unchanged, so candidates are row-identical to
+    * the docs-frame entry point.
+    */
+  def md5MinhashCandidatesOf(sig: DataFrame,
+      perms: Int = 16, bands: Int = 4, salt: Int = 16): DataFrame = {
     require(bands > 0 && perms > 0 && perms % bands == 0,
       s"perms must split evenly into bands, got $perms perms / $bands bands")
     val rows = perms / bands
-    val sig = md5MinhashSignatures(docs, idCol, textCol, n, perms)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*))
     }
@@ -590,9 +604,12 @@ object Dedup {
     * pins reliable == local row-for-row).
     *
     * Convergence is a label-sum fixed point (labels only ever decrease, so
-    * an unchanged sum means no label moved). The probe is a driver action,
-    * so it runs every 2nd round — an unchanged sum across two rounds is
-    * still exactly a fixed point, and the probe count halves.
+    * an unchanged sum means no label moved). The probe runs EVERY round
+    * (r17; was every 2nd): it is one small aggregate over the round's
+    * checkpointed label frame, while a full hook+jump round is two joins +
+    * an aggregate over the edge frame — probing less often routinely paid
+    * one extra post-convergence round, which costs far more than the
+    * probes it saved.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame =
@@ -649,11 +666,16 @@ object Dedup {
       comp = next
       compRdd = nextRdd
       i += 1
-      if (i % 2 == 0 || i == maxIter) {
-        val nextSum = labelSumOf(comp)
-        converged = nextSum == labelSum
-        labelSum = nextSum
-      }
+      // probe EVERY round (r17; was every 2nd): the probe is one small
+      // aggregate over the just-checkpointed label frame, while a
+      // hook+jump round is two joins + an aggregate over the EDGE frame —
+      // on any non-trivial graph the round dwarfs the probe, so skipping
+      // probes to save aggregates routinely bought one full extra round
+      // after convergence. Detection is unchanged: labels only decrease,
+      // so an equal sum across one round is exactly a fixed point.
+      val nextSum = labelSumOf(comp)
+      converged = nextSum == labelSum
+      labelSum = nextSum
     }
     free(edgeRdd)
     // an unconverged result silently splits clusters (duplicate survivors

@@ -304,7 +304,9 @@ object Fts {
     // cached: the equi-depth cut aggregate AND the bucketed join both
     // consume the pre-aggregate — uncached, the fact scan + hash agg
     // would run twice per call (measured 2x on agg_quantile_normalize
-    // when r15 added the cuts pass)
+    // when r15 added the cuts pass; re-measured r17 — dropping the cache
+    // to lean on ReuseExchange read 15% SLOWER, the reuse does not fire
+    // across these consumers)
     val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))
       .agg(sum(w1).as("c1"), sum(w2).as("c2")))
     val bucketed = cuts match {

@@ -67,6 +67,25 @@ object Graph {
     */
   private[graft] val NodeHintMargin = 0.8
 
+  /** Scale-ADAPTIVE parallelism guard for the iterative builders' cached
+    * edge frames (r17, guide §2 "make partitioning scale-adaptive"): an
+    * edge list read off a few-bucket artifact (8 buckets locally; its
+    * symmetric union inherits 16 partitions) under-parallelizes every
+    * round's map work on a wider executor fleet — and NO round ever
+    * re-spreads it, because broadcast-hinted joins and map-side partial
+    * aggregates preserve the input partitioning. Hash-repartition ON THE
+    * JOIN KEY (src — no round-robin, so no sort-before-repartition pass
+    * and retry-stable assignment) to the session's shuffle-partition
+    * setting, but ONLY when the frame is narrower than that setting: at
+    * production scale a many-bucket edge table already exceeds it and the
+    * guard is a no-op — never a gratuitous full-edge shuffle. Plan knob
+    * only: row content is unchanged.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < np) df.repartition(np, col("src")) else df
+  }
+
   private[graft] def nodeHint(edges: DataFrame,
       broadcastMaxNodes: Long): DataFrame => DataFrame = {
     if (broadcastMaxNodes <= 0L) identity
@@ -93,14 +112,21 @@ object Graph {
     */
   def pagerank(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val edges = Caches.cache(spread(edgesIn.select(col("src"), col("dst"))))
     val deg = Caches.cache(edges.groupBy("src")
       .agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
+    // out-degree is per-round-CONSTANT node state: attach it to the cached
+    // edge list ONCE instead of re-joining rank⋈deg every round (r17,
+    // guide §2.4 — one node-grain join per round removed; the quotient
+    // rank/deg is spelled identically, so every round's bits are unchanged
+    // and the pagerankUntil uniform-weight equality stays bit-exact)
+    val edgesDeg = Caches.cache(spread(edges
+      .join(deg.select(col("node").as("src"), col("deg")), "src")))
     var rank = deg.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      rank = edges
-        .join(rank.join(deg, "node"), col("src") === col("node"))
+      rank = edgesDeg
+        .join(rank, col("src") === col("node"))
         .select(col("dst"),
           q6(col("rank") / col("deg")).cast(DecimalType(28, 6)).as("w"))
         .groupBy(col("dst").as("node"))
@@ -148,13 +174,18 @@ object Graph {
     val wsum = Caches.cache(edges.groupBy("src")
       .agg(sum(col("w").cast(DecimalType(28, 6))).as("wsum"))
       .select(col("src").as("node"), col("wsum")))
+    // per-round-constant out-mass attached to the cached edge list ONCE
+    // (r17, the pagerank() discipline): each round then joins rank only —
+    // one node-grain join per round removed, quotient bits unchanged
+    val edgesWsum = Caches.cache(spread(edges
+      .join(wsum.select(col("node").as("src"), col("wsum")), "src")))
     var (rank, rankRdd) = checkpointTracked(
       wsum.select(col("node"), lit(1.0).as("rank")))
     var rounds = 0
     var delta = Double.MaxValue
     while (rounds < maxIters && delta >= eps) {
-      val (next, nextRdd) = checkpointTracked(edges
-        .join(rank.join(wsum, "node"), col("src") === col("node"))
+      val (next, nextRdd) = checkpointTracked(edgesWsum
+        .join(rank, col("src") === col("node"))
         .select(col("dst"),
           q6(col("rank") * col("w") / col("wsum").cast("double"))
             .cast(DecimalType(28, 6)).as("c"))
@@ -208,7 +239,8 @@ object Graph {
     */
   def labelPropagationWeighted(edgesIn: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val edges = Caches.cache(edgesIn.select(col("src"), col("dst"), col("w")))
+    val edges = Caches.cache(spread(
+      edgesIn.select(col("src"), col("dst"), col("w"))))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -383,7 +415,8 @@ object Graph {
       }
       // 2. class-restricted forward marks from the representatives
       var (marks, marksRdd) = cpT(f.filter(col("f") === col("id")))
-      var newCount = marks.count()
+      var mCount = marks.count()
+      var newCount = mCount
       round = 0
       while (newCount > 0) {
         round += 1
@@ -399,13 +432,20 @@ object Graph {
           .join(f, "id").filter(col("f") === col("mf"))
           .select(col("id"), col("f")).distinct()
           .join(marks, Seq("id"), "left_anti")
-        val (fresh, freshRdd) = cpT(stepped)
-        newCount = fresh.count()
+        // ONE checkpoint + ONE count per round (r17): checkpoint the MERGED
+        // frame directly and read the round's progress as the count delta —
+        // marks grows monotonically and stepped is anti-joined against it,
+        // so |merged| − |marks| IS the fresh count. The r16 form
+        // checkpointed fresh AND merged (2 jobs) and counted both (2 more);
+        // the step subplan still executes exactly once (inside the merged
+        // checkpoint), so this drops pure barrier overhead, not work.
+        val (merged, mergedRdd) = cpT(marks.unionByName(stepped))
+        val mc = merged.count()
+        newCount = mc - mCount
         if (newCount > 0) {
-          val (merged, mergedRdd) = cpT(marks.unionByName(fresh))
           free(marksRdd); marks = merged; marksRdd = mergedRdd
-        }
-        free(freshRdd)
+          mCount = mc
+        } else free(mergedRdd)
         if (sys.env.contains("GRAFT_SCC_DEBUG")) System.err.println(
           f"[scc] mark round $round: ${(System.nanoTime() - tDbg) / 1e9}%.2f s, new $newCount")
       }
@@ -672,16 +712,55 @@ object Graph {
     val (nEdges, nWedges) = wedgeProbe(oriented)
     requireWedgeBudget("triangles", nWedges, wedgeBudget)
     val hinted = edgeHint(nEdges, broadcastMaxEdges)
-    val wedges = oriented.as("x").join(hinted(oriented.as("y")),
-        col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
-      .select(col("x.hi").as("wu"), col("y.hi").as("wv"))
-    val tri = wedges.join(
+    val tri = wedgeStream(oriented).join(
       hinted(oriented.select(col("lo").as("wu"), col("hi").as("wv"))),
       Seq("wu", "wv"))
       .agg(count(lit(1)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"))
       .withColumn("n_edges", lit(nEdges))
       .crossJoin(tri)
+  }
+
+  /** The ordered wedge stream (lo, wu, wv) — every ordered out-neighbor
+    * pair (by khi) of each low node — generated MAP-SIDE from per-node
+    * sorted adjacency arrays instead of the r12–r16 oriented⋈oriented
+    * self-join (guide §2.3/§2.4: the self-join shuffled/broadcast-probed
+    * the edge list to emit rows a per-node transform can emit from one
+    * grouped pass; the agg_assoc_rules basket-array rewrite measured the
+    * same shape change at 7×). One groupBy(lo) — EXCHANGE-FREE over a
+    * writeEdges artifact bucketed by lo — collects each node's
+    * khi-sorted out-neighbors; two chained explodes then emit the pairs:
+    * the outer picks the wedge's earlier endpoint by position, the inner
+    * slices the strictly-later neighbors, so per-output-row state is
+    * O(outdeg), never the C(outdeg, 2) pair array. Per-group array
+    * length is the orientation's out-degree — O(√m) by the arboricity
+    * bound, and ≤ √(2·wedgeBudget) whenever the caller's budget probe
+    * passed (the probe runs BEFORE this stream is consumed), so the
+    * collected arrays are bounded by the same contract that bounds the
+    * wedge frame itself. Row count and content are IDENTICAL to the
+    * self-join form (x.khi < y.khi ⇔ earlier position in the khi-sorted
+    * array); khi embeds the node id, so the struct sort is total and
+    * deterministic.
+    */
+  private def wedgeStream(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy("lo")
+      .agg(expr("transform(sort_array(collect_list(struct(khi, hi))), x -> x.hi)")
+        .as("ns"))
+    // explicit node-keyed repartition of the ADJACENCY frame (node-grain,
+    // Σ|ns| = |E| elements — the cheapest thing on this path to shuffle)
+    // before the superlinear explode: the grouped frame otherwise inherits
+    // the artifact's bucket-file partitioning (8 tasks on a local[32]
+    // bench; one task per bucket at any scale), and AQE cannot split a
+    // map stage whose INPUT is small but whose generate output is the
+    // wedge frame (the §2.5 explode-amplification blind spot — AQE
+    // coalescing targets input bytes, so an implicit repartition would be
+    // coalesced back down). The partition count comes from the session's
+    // shuffle-partitions conf, not a local constant.
+    val np = oriented.sparkSession.sessionState.conf.numShufflePartitions
+    adj.repartition(np, col("lo"))
+      .select(col("lo"), col("ns"), posexplode(col("ns")).as(Seq("i", "wu")))
+      .select(col("lo"), col("wu"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("wv"))
   }
 
   /** |E|-grain broadcast guard for the triangle family's wedge joins —
@@ -737,11 +816,9 @@ object Graph {
     val (nEdges, nWedges) = wedgeProbe(oriented)
     requireWedgeBudget("localClustering", nWedges, wedgeBudget)
     val hinted = edgeHint(nEdges, broadcastMaxEdges)
-    val wedges = oriented.as("x").join(hinted(oriented.as("y")),
-        col("x.lo") === col("y.lo") && col("x.khi") < col("y.khi"))
-      .select(col("x.lo").as("ctr"), col("x.hi").as("wu"),
-        col("y.hi").as("wv"))
-    val closed = wedges.join(
+    // the same map-side [[wedgeStream]] as trianglesOriented (one grouped
+    // pass, no self-join), keeping the wedge center for corner attribution
+    val closed = wedgeStream(oriented).withColumnRenamed("lo", "ctr").join(
       hinted(oriented.select(col("lo").as("wu"), col("hi").as("wv"))),
       Seq("wu", "wv"))
     // ONE pass over the closed wedges: a 3-branch union would re-execute
@@ -909,6 +986,10 @@ object Graph {
       freeable += h
       out
     }
+    // spread() deliberately NOT applied here or in the BFS family (r17):
+    // the full-run A/B read bfs_hops +1.1 s and betweenness +1.6 s with it
+    // — their few light rounds don't repay an up-front edge shuffle, unlike
+    // kcore/pagerank's heavier round loops
     val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
     val hops = cp(multiBfsHops(edges, sources, maxHops, broadcastMaxNodes))
     // per-source shortest-path DAG: the edges that advance one hop level
@@ -920,6 +1001,11 @@ object Graph {
       .filter(col("hv") === col("hu") + 1)
       .select(col("source"), col("src"), col("dst"), col("hu")))
     // forward: σ per level (σ(level 0) = 1 at each source)
+    // (r17 note: an attempt to relax the interior σ checkpoints to lazy
+    // Caches.cache — fewer barrier jobs — MEASURED SLOWER on a same-host
+    // single-key A/B, med 9.3 s vs 6.2 s, so the per-level eager
+    // checkpoints stand; the barrier cost is cheaper than whatever the
+    // lazy chain re-pays at materialization.)
     val sigma = new Array[DataFrame](maxHops + 1)
     sigma(0) = cpFreeable(hops.filter(col("hop") === 0)
       .select(col("source"), col("node"), lit(1L).as("sigma")))
@@ -991,7 +1077,7 @@ object Graph {
       broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val edges = Caches.cache(spread(edgesIn.select(col("src"), col("dst"))))
     val hinted = nodeHint(edges, broadcastMaxNodes)
     var alive = Caches.cache(edges.select(col("src").as("node")).distinct())
     for (_ <- 1 to rounds) {
@@ -1035,7 +1121,7 @@ object Graph {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     def checkpointTracked(df: DataFrame) =
       Checkpoints.tracked(df, checkpointDir)
-    val edges = Caches.cache(edgesIn.select(col("src"), col("dst")))
+    val edges = Caches.cache(spread(edgesIn.select(col("src"), col("dst"))))
     val hinted = nodeHint(edges, broadcastMaxNodes)
     var (alive, aliveRdd) = checkpointTracked(
       edges.select(col("src").as("node")).distinct())
@@ -1113,9 +1199,22 @@ object Graph {
     // eager node-count probe: beyond `broadcastMaxNodes` the hints drop
     // and AQE falls back to a shuffled join keyed on the already-small
     // filtered pairs. GraphsSpec pins hinted == unhinted.
-    val wedges = kept.as("a").join(kept.as("b"),
-        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+    //
+    // Wedge pairs are generated MAP-SIDE from per-center sorted adjacency
+    // arrays (r17, the trianglesOriented/agg_assoc_rules shape) instead
+    // of the kept⋈kept self-join: the cap bounds every array at `cap`
+    // elements and every center at C(cap, 2) pairs, the groupBy(src)
+    // reuses the ranking window's src-hash partitioning (no new
+    // exchange), and the chained explodes emit the identical ordered
+    // (a.dst < b.dst) pair stream without join machinery.
+    val adjArr = kept.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val wedges = adjArr
+      .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns"))))
+          .as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCn)
     wedges

@@ -44,7 +44,12 @@ object Media {
         skip.cast("int").as("skip"))
       .withColumn("plen", length(col("pl")) - col("skip"))
     // sequence(1, plen) runs DESCENDING for plen < 1 (the shingleHashes
-    // landmine) — empty regions route around the explode entirely
+    // landmine) — empty regions route around the explode entirely.
+    // (r17 note: "hex the payload once per row, slice 2-char substrings
+    // per byte" MEASURED 2.5× SLOWER — STRING substring walks the string
+    // per call where BINARY substring is a direct O(1) byte slice, so the
+    // per-byte loop went quadratic in payload length. The per-byte
+    // hex(substring(binary)) form stands.)
     val exploded = base.filter(col("plen") > 0)
       .select(col("id"), col("pl"), col("skip"), col("plen"),
         explode(sequence(lit(1), col("plen"))).as("i"))

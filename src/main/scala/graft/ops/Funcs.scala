@@ -58,6 +58,16 @@ ORDER BY c_custkey"""))
 
   /** Fuzzy string match: nearest same-nation supplier name per customer.
     * Equi-join on nationkey bounds the pair count (no cross product at scale).
+    *
+    * The per-customer argmin is `min(struct(dist, s_name))` — a pure hash
+    * aggregate with map-side partial combine (struct ordering is
+    * field-by-field, so the min IS the (dist ASC, s_name ASC) head) —
+    * instead of the r1–r16 row_number window, which shuffled AND sorted
+    * every scored pair by customer (guide §2.3 "aggregate before you
+    * shuffle": the aggregate ships one row per customer per map task where
+    * the window shipped every pair, and drops the per-partition sort).
+    * Result-identical: both pick the unique (dist, s_name) minimum per
+    * customer.
     */
   private val fnLevenshtein = Q(
     "fn_levenshtein",
@@ -66,9 +76,10 @@ ORDER BY c_custkey"""))
         .join(broadcast(T.supplier(s, d)), col("c_nationkey") === col("s_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("s_name"),
           levenshtein(col("c_name"), col("s_name")).as("dist"))
-      val w = Window.partitionBy("c_custkey").orderBy(col("dist").asc, col("s_name").asc)
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("c_custkey", "c_name", "s_name", "dist")
+      pairs.groupBy("c_custkey", "c_name")
+        .agg(min(struct(col("dist"), col("s_name"))).as("m"))
+        .select(col("c_custkey"), col("c_name"),
+          col("m.s_name").as("s_name"), col("m.dist").as("dist"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, s_name, dist

@@ -444,6 +444,13 @@ FROM m"""))
     "llm_minhash_est_err",
     (s, d) => {
       val docs = T.documents(s, d)
+      // the candidates' banding and the estimate join both consume the
+      // SAME signature aggregate subtree: its identical canonical
+      // Exchange is deduplicated by Spark's ReuseExchange, so the
+      // signature pass executes once WITHOUT an explicit cache (r17: a
+      // Caches.cache here measured ~1 s SLOWER — it broke the fused
+      // codegen pipelines and paid InMemoryRelation encode for a reuse
+      // the engine already had)
       val cand = Dedup.md5MinhashCandidates(docs, "doc_id", "text")
       val sig = Dedup.md5MinhashSignatures(docs, "doc_id", "text")
       val matched = (0 until 16)

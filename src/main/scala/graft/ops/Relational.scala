@@ -2308,14 +2308,18 @@ GROUP BY prio ORDER BY priority"""))
       val li = T.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def rankGrain(vcol: String): DataFrame = {
-        val w = Window.partitionBy("flag").orderBy(vcol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        li.groupBy("flag", vcol).agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum(col("c")).over(w))
+      // doubled midranks via the shared TWO-STAGE bucketed prefix sum
+      // (r17): the r1–r16 form ran a window PARTITIONED ON THE 3-VALUE
+      // FLAG over the (flag, DISTINCT value) grain — the whole value
+      // domain of a flag through one reducer, exactly the shape
+      // agg_mann_whitney/win_ntile were rewritten to kill (guide §2.5).
+      // cumulativeCounts2's cum1 is an exact-LONG sum, bit-identical to
+      // the windowed prefix sum in any association order, so the ranks —
+      // and the oracle hash — are unchanged.
+      def rankGrain(vcol: String): DataFrame =
+        graft.api.Fts.cumulativeCounts2(li, "flag", vcol, lit(1L), lit(0L))
           .select(col("flag"), col(vcol),
-            (lit(2L) * col("cum") - col("c") + lit(1L)).as(s"r_$vcol"))
-      }
+            (lit(2L) * col("cum1") - col("c1") + lit(1L)).as(s"r_$vcol"))
       val pairs = li.groupBy("flag", "x", "y").agg(count(lit(1)).as("w"))
       val j = pairs
         .join(rankGrain("x"), Seq("flag", "x"))
@@ -2718,31 +2722,41 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
     * division. Emits (flag, n_rows, n_kept, mean_all, mean_trimmed) — the
     * all-rows mean beside it shows how far the tails drag.
     *
-    * Scale shape: ONE window rank per group partition (the same
-    * sort-shuffle the exact-percentile key pays — a 100 TB deployment
-    * swaps in the approx-percentile threshold form and accepts the
-    * interpolation discipline) + one map-side-combinable aggregate.
+    * Scale shape (r17): NO fact-grain rank window — the r13–r16 form ran
+    * `row_number()` partitioned on the THREE-VALUE flag over every fact
+    * row (the whole group through one reducer, the shape win_ntile/
+    * agg_hhi_gini were rewritten to kill; this key's old scaladoc punted
+    * to an approx swap at scale). The corpus collapses to (flag, DISTINCT
+    * cents) grain via the shared two-stage prefix sum
+    * ([[graft.api.Fts.cumulativeCounts2]]); a value's rank RANGE is
+    * [cum−c+1, cum], so the kept-row count per value is the exact overlap
+    * of that range with (cut, n−cut] — all exact LONG arithmetic,
+    * bit-identical to the per-row rank filter (ties at a cut boundary are
+    * value-identical either way), so the oracle keeps its window SQL and
+    * the hash is unchanged. No approximation needed after all.
     */
   private val aggTrimmedMean = Q(
     "agg_trimmed_mean",
     (s, d) => {
       val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
         cents(col("l_extendedprice")).as("yc"))
-      val rk = c.withColumn("rn", row_number().over(
-          Window.partitionBy("flag").orderBy("yc")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      // cached: three consumers (the per-flag totals, the kept/clamped
+      // aggregate) would otherwise re-run the bucketed prefix sum
+      val pg = graft.api.Caches.cache(graft.api.Fts.cumulativeCounts2(
+        c, "flag", "yc", lit(1L), lit(0L)))
+      val ngs = pg.groupBy("flag").agg(max(col("cum1")).as("n"))
       val cut = floor(col("n") / 10)
-      rk.groupBy(col("flag").as("l_returnflag"))
+      val kept = greatest(lit(0L),
+        least(col("cum1"), col("n") - cut)
+          - greatest(col("cum1") - col("c1") + 1, cut + 1) + 1)
+      pg.join(broadcast(ngs), "flag")
+        .groupBy(col("flag").as("l_returnflag"))
         .agg(
           max(col("n")).as("n_rows"),
-          sum(when(col("rn") > cut && col("rn") <= col("n") - cut, 1L)
-            .otherwise(0L)).as("n_kept"),
-          (sum(col("yc")).cast("double") / max(col("n")) / lit(100.0))
-            .as("mean_all"),
-          (sum(when(col("rn") > cut && col("rn") <= col("n") - cut,
-              col("yc")).otherwise(0L)).cast("double")
-            / sum(when(col("rn") > cut && col("rn") <= col("n") - cut, 1L)
-              .otherwise(0L))
+          sum(kept).as("n_kept"),
+          (sum(col("yc") * col("c1")).cast("double") / max(col("n"))
+            / lit(100.0)).as("mean_all"),
+          (sum(col("yc") * kept).cast("double") / sum(kept)
             / lit(100.0)).as("mean_trimmed"))
         .orderBy("l_returnflag")
     },
@@ -2778,33 +2792,39 @@ FROM g ORDER BY l_returnflag"""))
     *
     * Float discipline: values are exact cents; the clamp is pure
     * comparison; both means are one double division of exact ints → RAW.
-    * Scale shape: one window rank per group + a group-grain boundary
-    * aggregate broadcast back + one map-side-combinable clamped sum —
-    * at 100 TB the rank window swaps in approx-percentile boundaries,
-    * same clamp close.
+    * Scale shape (r17): NO fact-grain rank window (the aggTrimmedMean
+    * rewrite, shared machinery) — the corpus collapses to (flag, DISTINCT
+    * cents) grain once, a boundary RANK r is located as the unique value
+    * whose inclusive rank range [cum−c+1, cum] contains r, and the
+    * clamped sum re-weights each distinct value by its multiplicity —
+    * all exact LONGs, bit-identical to the per-row form (boundary-tied
+    * rows are value-identical), oracle SQL and hash unchanged.
     */
   private val aggWinsorizedMean = Q(
     "agg_winsorized_mean",
     (s, d) => {
       val c = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
         cents(col("l_extendedprice")).as("yc"))
-      val rk = c.withColumn("rn", row_number().over(
-          Window.partitionBy("flag").orderBy("yc")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-      val bounds = rk.groupBy("flag")
+      val pg = graft.api.Caches.cache(graft.api.Fts.cumulativeCounts2(
+        c, "flag", "yc", lit(1L), lit(0L)))
+      val ngs = pg.groupBy("flag").agg(max(col("cum1")).as("n"))
+      def atRank(r: org.apache.spark.sql.Column) =
+        max(when(col("cum1") - col("c1") + 1 <= r && r <= col("cum1"),
+          col("yc")))
+      val bounds = pg.join(broadcast(ngs), "flag")
+        .groupBy("flag")
         .agg(max(col("n")).as("n_rows"),
-          max(when(col("rn") === floor(col("n") / 10) + 1, col("yc")))
-            .as("lo_c"),
-          max(when(col("rn") === col("n") - floor(col("n") / 10), col("yc")))
-            .as("hi_c"))
-      c.join(broadcast(bounds), "flag")
+          atRank(floor(col("n") / 10) + 1).as("lo_c"),
+          atRank(col("n") - floor(col("n") / 10)).as("hi_c"))
+      pg.join(broadcast(bounds), "flag")
         .groupBy(col("flag").as("l_returnflag"))
         .agg(max(col("n_rows")).as("n_rows"),
           max(col("lo_c")).as("lo_c"),
           max(col("hi_c")).as("hi_c"),
-          (sum(col("yc")).cast("double") / max(col("n_rows")) / lit(100.0))
-            .as("mean_all"),
-          (sum(least(greatest(col("yc"), col("lo_c")), col("hi_c")))
+          (sum(col("yc") * col("c1")).cast("double") / max(col("n_rows"))
+            / lit(100.0)).as("mean_all"),
+          (sum(least(greatest(col("yc"), col("lo_c")), col("hi_c"))
+              * col("c1"))
             .cast("double") / max(col("n_rows")) / lit(100.0))
             .as("mean_winsor"))
         .orderBy("l_returnflag")
