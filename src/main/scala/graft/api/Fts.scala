@@ -307,8 +307,24 @@ object Fts {
     // when r15 added the cuts pass; re-measured r17 — dropping the cache
     // to lean on ReuseExchange read 15% SLOWER, the reuse does not fire
     // across these consumers)
-    val pre = Caches.cache(df.groupBy(col(keyCol), col(valueCol))
-      .agg(sum(w1).as("c1"), sum(w2).as("c2")))
+    cumulativeCounts2Pre(
+      Caches.cache(df.groupBy(col(keyCol), col(valueCol))
+        .agg(sum(w1).as("c1"), sum(w2).as("c2"))),
+      keyCol, valueCol, buckets, cuts)
+  }
+
+  /** [[cumulativeCounts2]] over an ALREADY (key, DISTINCT value)-grain
+    * frame `pre(key, value, c1, c2)` (r17): a caller that has the
+    * aggregated-and-persisted value-grain frame in hand
+    * (agg_quantile_normalize's shared `preG` feeds the cuts sketch, the
+    * per-group pass AND the global pass) skips this module's internal
+    * re-aggregation — which at near-unique value domains re-shuffled and
+    * re-cached a frame the caller already holds. The caller owns `pre`'s
+    * persistence (it is consumed by the bucket fold and the offsets join).
+    */
+  def cumulativeCounts2Pre(pre: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int, cuts: Option[Seq[Double]]): DataFrame = {
+    requireNumericValue(pre, valueCol, "cumulativeCounts2Pre")
     val bucketed = cuts match {
       case Some(cs) => literalCutsBucketed(pre, valueCol, cs)
       case None     => equiDepthBucketed(pre, keyCol, valueCol, buckets)

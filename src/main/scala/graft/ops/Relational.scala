@@ -2902,9 +2902,15 @@ FROM c JOIN b ON c.flag = b.flag GROUP BY 1 ORDER BY 1"""))
       // three consumers (group totals, the rank explode, and the global
       // side, which re-aggregates THIS value-grain frame instead of paying
       // a second fact-table scan + fact-grain pre-aggregate).
+      // preG is ALREADY the (flag, DISTINCT yc) pre-aggregate — feed it to
+      // the prefix-sum machinery directly (r17, cumulativeCounts2Pre):
+      // the generic entry point would re-shuffle and re-cache a second
+      // copy of this near-fact-grain frame for a no-op re-aggregation
       val pg = graft.api.Caches.cache(
-        graft.api.Fts.cumulativeCounts2(preG, "flag", "yc", col("cnt"),
-            lit(0L), 32, cuts)
+        graft.api.Fts.cumulativeCounts2Pre(
+            preG.select(col("flag"), col("yc"), col("cnt").as("c1"),
+              lit(0L).as("c2")),
+            "flag", "yc", 32, cuts)
           .select(col("flag"), col("yc"), col("c1").as("cnt"),
             col("cum1").as("cum")))
       val ngs = pg.groupBy("flag").agg(max(col("cum")).as("ng"))
