@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output passes through RAW instead of via sbt's logger
+// (which "[info] "-prefixes every line): the bench harness contract is a
+// machine-parseable one-line JSON on stdout, and the prefix kept every
+// round's record from parsing (BENCH_r01–r17 "parsed": null). sbt's own
+// "[success]" trailer still follows — Bench also persists the summary to
+// BENCH_SUMMARY.json for consumers that take only the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

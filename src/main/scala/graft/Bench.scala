@@ -519,7 +519,33 @@ object Bench {
     val top5 = results.sortBy(r => -math.abs(r.med))
       .take(5).map(r => "\"" + r.name + "\":" + r3(math.abs(r.med)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"suspect_load":$suspects,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"total","value":$total,"unit":"sec","total_med_sec":$total,"total_cold_sec":$totalCold,"n_queries":${results.size},"n_failed":${failed.distinct.size},"failed":$fl,"suspect_load":$suspects,"top5_sec":$top5,"runs_per_query":3,"loadavg_start":$loadStart,"loadavg":$loadAvg,"quiesce_timeout":$quiesceTimedOut,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // persist the one-line summary to a file as well (r18, the r17
+    // verdict's ask #2): the driver captures this program's stdout THROUGH
+    // sbt, whose logger prefixes every line with "[info] " and appends its
+    // own "[success] Total time ..." trailer — so in 17 rounds of records
+    // the summary JSON was never the last clean stdout line and the
+    // driver's PERF comparison parsed nothing (BENCH_r01–r17 all carry
+    // "parsed": null). A sibling file beside BENCH_DETAIL.json gives any
+    // consumer a prefix-free copy; like the detail record it is
+    // full-suite-only so a dev subset run cannot overwrite the round's
+    // summary with a partial total. Additions only — nothing about the
+    // timing or the stdout lines above changes.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      "/root/repo/BENCH_SUMMARY.json")
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(summaryPath),
+        (summaryLine + "\n").getBytes("UTF-8"))
+      catch { case ex: Exception => System.err.println(
+        s"[bench] could not persist summary to $summaryPath: ${ex.getMessage}") }
+    }
     spark.stop()
+    // re-print the summary as the program's absolute last stdout line —
+    // AFTER spark.stop(), so no Spark shutdown chatter can land below it
+    // (the other half of the r17 ask; sbt's own trailer is outside this
+    // process's control, which is why the file above exists too)
+    println(summaryLine)
   }
 }

@@ -399,23 +399,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY em
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, em, event_id"""))
 
-  /** percent_rank/cume_dist per event_type — a LOW-CARDINALITY window
-    * partition (5 types funnel through 5 reducers). Inherent to the
-    * declared semantics (a per-category distribution analysis, normally run
-    * on bounded slices); the fact-scale alternative is an exact-percentile
-    * aggregate joined back, which loses the per-row rank outputs.
+  /** percent_rank/cume_dist per event_type — the LAST fact-grain window
+    * partitioned on a LOW-CARDINALITY key in the repo (5 types funneled
+    * every fact row through 5 reducers — the shape win_ntile/agg_hhi_gini/
+    * the agg_trimmed_mean trio were rewritten to kill, guide §2.5).
+    *
+    * Scale shape (r18): NO event_type-spine window. The corpus collapses
+    * to (type, DISTINCT value) grain via the shared two-stage bucketed
+    * prefix sum ([[graft.api.Fts.cumulativeCounts2]] — the only windows
+    * partition on (type, bucket)); the per-row rank rebuilds as
+    * `cum − c + k` with `k` the row_number INSIDE one value's tie run
+    * (window partitioned by (type, value) — reducer input is one tie run,
+    * the win_pareto_abc shape); first/last_value are the per-type min/max
+    * (the frame is ordered by value first, so the unbounded frame's
+    * first/last ARE the extremes), broadcast back from a 5-row aggregate.
+    *
+    * Float discipline: event_id is unique (fixture contract the original
+    * window's determinism already relied on), so rank == row_number over
+    * (value, event_id) and percent_rank/cume_dist reduce to one double
+    * division each of exact longs — `(rk−1)/(n−1)` and `rk/n`, the same
+    * spelled-order IEEE ops Spark's PercentRank/CumeDist expressions
+    * evaluate — identical bits, oracle SQL and hash unchanged.
     */
   private val winFirstLastPctrank = Q(
     "win_first_last_pctrank",
     (s, d) => {
-      val ord = Window.partitionBy("event_type").orderBy("value", "event_id")
-      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      T.events(s, d)
+      val e = T.events(s, d)
         .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("first_value", first(col("value")).over(full))
-        .withColumn("last_value", last(col("value")).over(full))
-        .withColumn("pct_rank", percent_rank().over(ord))
-        .withColumn("cume", cume_dist().over(ord))
+      // per-type stats come from ONE map-side fact aggregate (5 rows), NOT
+      // from the prefix-sum output: reading them off `cc` would make cc a
+      // two-consumer frame that must be cache-materialized (measured: the
+      // cached two-consumer form ran ~2x this one) — this way cc streams
+      // straight into its single join consumer with no materialization
+      val stats = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        min(col("value")).as("first_value"),
+        max(col("value")).as("last_value"))
+      val cc = graft.api.Fts.cumulativeCounts2(
+          e, "event_type", "value", lit(1L), lit(0L))
+        .select(col("event_type"), col("value"), col("c1"), col("cum1"))
+      val wTie = Window.partitionBy("event_type", "value").orderBy("event_id")
+      e.join(cc, Seq("event_type", "value"))
+        .withColumn("rk", col("cum1") - col("c1") + row_number().over(wTie))
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("first_value"), col("last_value"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double")
+              / (col("n") - 1).cast("double")).as("pct_rank"),
+          (col("rk").cast("double") / col("n").cast("double")).as("cume"))
         .orderBy("event_type", "value", "event_id")
     },
     Some("""SELECT event_type, event_id, value,
